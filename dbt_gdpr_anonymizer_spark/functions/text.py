@@ -1,0 +1,207 @@
+"""Text-analysis expression library for large-scale corpus pipelines.
+
+Everything is built from native ``pyspark.sql.functions`` (higher-order array
+functions included) so the hot path stays JVM-side and whole-stage-codegen'd:
+at 100 TB these run as per-row expressions with zero shuffle and zero Python.
+
+Determinism contract: each function here has an exact DuckDB-SQL equivalent
+(used by the oracle harness). Hashes are md5-based (both engines agree on
+md5/sha256 hex output), never engine-native ``hash()`` (which differs).
+
+Extension surface beyond the reference (tabodino/dbt-gdpr-anonymizer has no
+text ops): language-ID, quality scoring, token counting, fingerprinting,
+shingling, MinHash, SimHash — the operators an LLM training-data pipeline
+needs on a `documents` corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "words",
+    "token_count_ws",
+    "token_count_regex",
+    "stopword_hits",
+    "lang_id",
+    "punct_ratio",
+    "quality_score",
+    "doc_fingerprint",
+    "shingles",
+    "minhash_signature",
+    "simhash",
+]
+
+# Tiny, fixed stopword lists — enough signal for a heuristic language call.
+FR_STOPWORDS = (
+    "le la les un une des et ou est sont dans pour avec sur par pas que qui "
+    "ne se au aux du de ce cette il elle nous vous ils elles mais donc si"
+).split()
+EN_STOPWORDS = (
+    "the a an and or is are in for with on by not that which no to of this "
+    "it she he we you they but so if at as be was were from has have"
+).split()
+
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_PUNCT_RE = "[^A-Za-z0-9\\s]"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse runs, trim."""
+    c = F.lower(_col(c))
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def words(c: Column | str) -> Column:
+    """Array of normalized word tokens (empty array for blank text)."""
+    n = normalize_text(c)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(
+        F.split(n, " ")
+    )
+
+
+def token_count_ws(c: Column | str) -> Column:
+    """Whitespace token count on the raw text (split on whitespace runs)."""
+    t = F.trim(_col(c))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, "\\s+")))
+
+
+def token_count_regex(c: Column | str) -> Column:
+    """BPE-ish token count: alpha runs, digit runs, single punctuation."""
+    return F.regexp_count(_col(c), F.lit(_TOKEN_RE))
+
+
+def stopword_hits(ws: Column, stopwords: list[str]) -> Column:
+    """How many tokens of ``ws`` are in the stopword list."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+
+
+def lang_id(c: Column | str) -> Column:
+    """Heuristic language ID: majority stopword vote fr/en, else 'unknown'."""
+    ws = words(c)
+    fr = stopword_hits(ws, FR_STOPWORDS)
+    en = stopword_hits(ws, EN_STOPWORDS)
+    return (
+        F.when(fr > en, F.lit("fr"))
+        .when(en > fr, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Punctuation chars / total chars (0.0 for empty text)."""
+    c = _col(c)
+    n = F.length(c)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(c, F.lit(_PUNCT_RE)).cast("double") / n.cast("double")
+    )
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite quality in [0,1]: length, stopword, punctuation, word-shape.
+
+    A deliberately simple, fully-deterministic heuristic: mean of
+      - length_ok:   1 if 100 <= n_chars <= 20000 else 0
+      - stop_ok:     1 if stopword ratio in [0.05, 0.6] else 0
+      - punct_ok:    1 if punct ratio <= 0.2 else 0
+      - wordlen_ok:  1 if mean word length in [2, 12] else 0
+    """
+    c = _col(c)
+    ws = words(c)
+    nw = F.size(ws)
+    n = F.length(c)
+    stop_ratio = F.when(nw == 0, F.lit(0.0)).otherwise(
+        stopword_hits(ws, FR_STOPWORDS + EN_STOPWORDS).cast("double")
+        / nw.cast("double")
+    )
+    mean_wlen = F.when(nw == 0, F.lit(0.0)).otherwise(
+        F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+        .cast("double")
+        / nw.cast("double")
+    )
+    length_ok = F.when((n >= 100) & (n <= 20000), 1).otherwise(0)
+    stop_ok = F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 1).otherwise(0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1).otherwise(0)
+    wordlen_ok = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1).otherwise(0)
+    return (length_ok + stop_ok + punct_ok + wordlen_ok).cast("double") / F.lit(4.0)
+
+
+def doc_fingerprint(c: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 of sorted distinct words.
+
+    Plays the role of the classic rolling-hash fingerprint but is
+    whitespace/punctuation/word-order robust and engine-portable.
+    """
+    ws = words(c)
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Word ``n``-gram shingles; docs shorter than ``n`` words yield the
+    whole (space-joined) token sequence as a single shingle."""
+    ws = words(c)
+    nw = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), nw - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(nw >= n, grams).otherwise(F.array(F.array_join(ws, " ")))
+
+
+def minhash_signature(sh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: per hash-index i, the lexicographic min of
+    ``md5(i || ':' || shingle)`` — string-min is identical across engines."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def _hex_val(ch: Column) -> Column:
+    """Value of one lowercase hex digit char, via position in the alphabet."""
+    return F.call_function("instr", F.lit("0123456789abcdef"), ch) - 1
+
+
+def simhash(c: Column | str, bits: int = 16) -> Column:
+    """SimHash fingerprint over word tokens, ``bits`` wide (default 16).
+
+    Per bit j: each token votes ±1 with bit j of md5(token); the fingerprint
+    sets bit j iff the vote sum is positive. Bit j of a token's hash is
+    extracted arithmetically from hex digit ``j div 4`` (shift ``3 - j%4``),
+    which both Spark and DuckDB compute identically.
+    """
+    ws = words(c)
+
+    def tok_bit(t: Column, j: Column) -> Column:
+        hex_ch = F.substring(F.md5(t), (j / 4).cast("int") + 1, 1)
+        shift = F.lit(3) - (j % 4)
+        return (
+            F.floor(_hex_val(hex_ch) / F.pow(F.lit(2.0), shift.cast("double")))
+            % 2
+        ).cast("bigint")
+
+    def bit_contrib(j: Column) -> Column:
+        vote = F.aggregate(
+            ws,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + (F.lit(2) * tok_bit(t, j) - 1),
+        )
+        return F.when(
+            vote > 0, F.pow(F.lit(2.0), j.cast("double")).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    return F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), bit_contrib),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )

@@ -1,0 +1,207 @@
+"""The metadata control plane: column-level privacy policy + model rewriter.
+
+The reference declares policy as YAML ``meta:`` on dbt model columns
+(models/staging/schema.yml:57-154) and expands it at Jinja compile time
+(macros/privacy/mask_model.sql, macros/privacy/mask_columns.sql). Here the
+policy is a plain data object applied at DataFrame-construction time — same
+effect (one SELECT applying the right masking expression per column), but as
+a runtime ``DataFrame -> DataFrame`` function: no codegen step, and Catalyst
+still sees one flat projection it can optimize through.
+
+Anonymization-method registry (mask_columns.sql:1-30 dispatcher):
+    mask_partial     -> partial phone masking
+    hash_sha256      -> salted-hash email pseudonymization
+    round_2_decimals -> coordinate precision reduction
+    suppress         -> NULL
+    aggregate_to_city-> reference declares it (schema.yml:98) but has NO
+                        dispatcher branch, so the column silently passes
+                        through. We implement it for real; pass
+                        ``compat_aggregate_to_city_passthrough=True`` to
+                        reproduce the reference's leak-by-omission.
+    (anything else)  -> pass-through
+Every output column is renamed ``{col}_anon`` (including pass-throughs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.config import EngineSettings, settings
+from dbt_gdpr_anonymizer_spark.functions import masking
+
+
+@dataclass(frozen=True)
+class ColumnPolicy:
+    """Per-column privacy metadata (schema.yml:57-64 field set)."""
+
+    pii: bool = False
+    pii_type: str | None = None  # direct_identifier | quasi_identifier | ...
+    anonymization_method: str | None = None
+    legal_basis: str | None = None
+    retention_days: int | None = None
+    k_anonymity_target: int | None = None
+    data_owner: str | None = None
+
+
+@dataclass
+class TablePolicy:
+    """Policy for one model: column name -> ColumnPolicy."""
+
+    name: str
+    columns: dict[str, ColumnPolicy] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, name: str, raw: dict) -> "TablePolicy":
+        cols = {
+            col: ColumnPolicy(**{k: v for k, v in meta.items()})
+            for col, meta in raw.items()
+        }
+        return cls(name=name, columns=cols)
+
+    def pii_columns(self) -> dict[str, ColumnPolicy]:
+        return {c: p for c, p in self.columns.items() if p.pii}
+
+
+class PolicyError(ValueError):
+    """Raised when a policy fails validation (reference: raise_compiler_error,
+    generate_pii_report.sql:147-176)."""
+
+
+def validate_policy(policy: TablePolicy) -> None:
+    """Fail fast if any PII column lacks an anonymization method (D1)."""
+    missing = [
+        c
+        for c, p in policy.columns.items()
+        if p.pii and not p.anonymization_method
+    ]
+    if missing:
+        raise PolicyError(
+            f"PII columns without anonymization_method in '{policy.name}': "
+            f"{sorted(missing)}"
+        )
+
+
+def _method_registry(
+    conf: EngineSettings, city_column: str | None
+) -> dict[str, Callable[[Column], Column]]:
+    return {
+        "mask_partial": lambda c: masking.mask_phone(c),
+        "hash_sha256": lambda c: masking.mask_email(c, conf.salt_key),
+        "round_2_decimals": lambda c: masking.mask_coordinates(
+            c, conf.gps_precision
+        ),
+        "suppress": lambda c: masking.suppress(c),
+        "aggregate_to_city": lambda c: (
+            F.col(city_column) if city_column else F.lit(None).cast("string")
+        ),
+    }
+
+
+def mask_column(
+    name: str,
+    policy: ColumnPolicy | None,
+    conf: EngineSettings,
+    *,
+    city_column: str | None = None,
+    compat_aggregate_to_city_passthrough: bool = False,
+) -> Column:
+    """Dispatch one column through its anonymization method (M6).
+
+    Unknown/missing methods pass through; every result is aliased
+    ``{name}_anon`` exactly like the reference dispatcher.
+    """
+    c = F.col(name)
+    method = policy.anonymization_method if policy else None
+    if method == "aggregate_to_city" and compat_aggregate_to_city_passthrough:
+        method = None  # reference behavior: no branch -> pass-through
+    fn = _method_registry(conf, city_column).get(method or "")
+    out = fn(c) if fn else c
+    return out.alias(f"{name}_anon")
+
+
+def mask_model(
+    df: DataFrame,
+    policy: TablePolicy,
+    conf: EngineSettings | None = None,
+    *,
+    city_column: str | None = "city",
+    compat_aggregate_to_city_passthrough: bool = False,
+    validate: bool = True,
+) -> DataFrame:
+    """Model-level rewriter (M7): one projection masking every column.
+
+    Column set and order come from the physical DataFrame (``df.columns``),
+    mirroring the reference's ``adapter.get_columns_in_relation`` — columns
+    absent from the policy still flow through (renamed ``_anon``).
+    """
+    conf = conf or settings()
+    if validate:
+        validate_policy(policy)
+    city = city_column if city_column in df.columns else None
+    return df.select(
+        [
+            mask_column(
+                name,
+                policy.columns.get(name),
+                conf,
+                city_column=city,
+                compat_aggregate_to_city_passthrough=compat_aggregate_to_city_passthrough,
+            )
+            for name in df.columns
+        ]
+    )
+
+
+# The reference's canonical staging policy (schema.yml:49-154), reusable in
+# tests and as documentation of the expected shape.
+SERVICES_POLICY = TablePolicy(
+    name="stg_services_publics",
+    columns={
+        "contact_email": ColumnPolicy(
+            pii=True,
+            pii_type="direct_identifier",
+            anonymization_method="hash_sha256",
+            legal_basis="GDPR Art. 6.1.e",
+            retention_days=730,
+            data_owner="DPO",
+        ),
+        "contact_phone": ColumnPolicy(
+            pii=True,
+            pii_type="direct_identifier",
+            anonymization_method="mask_partial",
+            legal_basis="GDPR Art. 6.1.e",
+            retention_days=730,
+            data_owner="DPO",
+        ),
+        "street_address": ColumnPolicy(
+            pii=True,
+            pii_type="quasi_identifier",
+            anonymization_method="aggregate_to_city",
+            legal_basis="GDPR Art. 6.1.e",
+            retention_days=730,
+            data_owner="DPO",
+        ),
+        "latitude": ColumnPolicy(
+            pii=True,
+            pii_type="quasi_identifier",
+            anonymization_method="round_2_decimals",
+            k_anonymity_target=5,
+            legal_basis="GDPR Art. 6.1.e",
+            retention_days=730,
+            data_owner="DPO",
+        ),
+        "longitude": ColumnPolicy(
+            pii=True,
+            pii_type="quasi_identifier",
+            anonymization_method="round_2_decimals",
+            k_anonymity_target=5,
+            legal_basis="GDPR Art. 6.1.e",
+            retention_days=730,
+            data_owner="DPO",
+        ),
+    },
+)

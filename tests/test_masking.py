@@ -1,0 +1,117 @@
+"""Golden-vector tests for the masking expression library (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.functions import masking
+
+SALT = "dev_salt_UNSAFE"
+
+
+def expected_email(e: str, salt: str = SALT, domain: str = "anonymized.gouv.fr") -> str:
+    h = hashlib.sha256((e.strip().lower() + salt).encode()).hexdigest()
+    return f"user_{h[:16]}@{domain}"
+
+
+def one(spark, col, value, typ="string"):
+    return spark.createDataFrame([(value,)], f"v {typ}").select(col.alias("r")).collect()[0]["r"]
+
+
+def test_mask_email_golden(spark):
+    assert one(spark, masking.mask_email("v", SALT), "test1@example.fr") == expected_email(
+        "test1@example.fr"
+    )
+    # trim+lower applied before hashing
+    assert one(spark, masking.mask_email("v", SALT), "  TEST1@Example.FR ") == expected_email(
+        "test1@example.fr"
+    )
+
+
+def test_mask_email_null_guard(spark):
+    assert one(spark, masking.mask_email("v", SALT), None) is None
+    assert one(spark, masking.mask_email("v", SALT), "") is None
+
+
+def test_mask_phone(spark):
+    # the reference quirk: '+33 1 ' + mask => double space
+    assert (
+        one(spark, masking.mask_phone("v"), "+33 1 23 45 67 89")
+        == "+33 1  XX XX XX XX"
+    )
+    assert one(spark, masking.mask_phone("v"), "0123456789") == "012345 XX XX XX XX"
+    assert one(spark, masking.mask_phone("v"), "") is None
+    assert one(spark, masking.mask_phone("v"), None) is None
+
+
+def test_mask_coordinates(spark):
+    assert one(spark, masking.mask_coordinates("v"), 48.8566, "double") == 48.86
+    assert one(spark, masking.mask_coordinates("v"), 43.2965, "double") == 43.3
+    assert one(spark, masking.mask_coordinates("v"), None, "double") is None
+    assert one(spark, masking.mask_coordinates("v", 3), 48.8566, "double") == 48.857
+
+
+def test_geohash(spark):
+    df = spark.createDataFrame([(48.8566, 2.3522)], "lat double, lon double")
+    r = df.select(masking.create_geohash("lat", "lon").alias("g")).collect()[0]["g"]
+    assert r == "geo_48.86_2.35"
+    # trailing zero preserved through decimal rendering
+    df2 = spark.createDataFrame([(48.9, 2.0)], "lat double, lon double")
+    r2 = df2.select(masking.create_geohash("lat", "lon").alias("g")).collect()[0]["g"]
+    assert r2 == "geo_48.90_2.00"
+
+
+def test_haversine(spark):
+    # Paris -> Marseille ≈ 660 km
+    df = spark.createDataFrame(
+        [(48.8566, 2.3522, 43.2965, 5.3698)], "a double, b double, c double, d double"
+    )
+    km = df.select(
+        masking.haversine_distance("a", "b", "c", "d").alias("km")
+    ).collect()[0]["km"]
+    assert abs(km - 660.9) < 1.5
+    # zero distance
+    df0 = spark.createDataFrame([(1.0, 2.0, 1.0, 2.0)], "a double, b double, c double, d double")
+    assert df0.select(masking.haversine_distance("a", "b", "c", "d").alias("km")).collect()[0]["km"] == 0.0
+
+
+def test_extract_country_code(spark):
+    assert one(spark, masking.extract_country_code("v"), "+33 1 23 45 67 89") == "+33 "
+    assert one(spark, masking.extract_country_code("v"), "0123456789") is None
+
+
+def test_normalize_and_validate_phone(spark):
+    assert one(spark, masking.normalize_phone("v"), " +33 1-23.45(67 89 ") == "+33123456789"
+    assert one(spark, masking.is_valid_phone("v"), "+33 1 23 45 67 89", "string") is True
+    assert one(spark, masking.is_valid_phone("v"), "0123456789") is True
+    assert one(spark, masking.is_valid_phone("v"), "12345") is False
+    assert one(spark, masking.is_valid_phone("v"), "+33 1") is False
+
+
+def test_email_validation_and_domain(spark):
+    assert one(spark, masking.is_valid_email("v"), "a@b.fr") is True
+    assert one(spark, masking.is_valid_email("v"), "a@b") is False
+    assert one(spark, masking.extract_email_domain("v"), "Jean@Mairie.FR") == "mairie.fr"
+    assert one(spark, masking.extract_email_domain("v"), "not-an-email") is None
+
+
+def test_valid_coordinates(spark):
+    df = spark.createDataFrame(
+        [(48.8, 2.3), (91.0, 0.0), (0.0, 181.0), (None, 2.0)],
+        "lat double, lon double",
+    )
+    r = [x["ok"] for x in df.select(masking.are_valid_coordinates("lat", "lon").alias("ok")).collect()]
+    assert r == [True, False, False, None] or r == [True, False, False, False]
+
+
+def test_surrogate_key(spark):
+    expected = hashlib.md5(b"TEST001").hexdigest()
+    assert one(spark, masking.surrogate_key("v"), "TEST001") == expected
+    null_sentinel = hashlib.md5(b"_dbt_utils_surrogate_key_null_").hexdigest()
+    assert one(spark, masking.surrogate_key("v"), None) == null_sentinel
+
+
+def test_suppress(spark):
+    assert one(spark, masking.suppress("v"), "anything") is None

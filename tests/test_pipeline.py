@@ -1,0 +1,107 @@
+"""End-to-end 4-layer pipeline tests on the CI golden fixture (SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from dbt_gdpr_anonymizer_spark.config import EngineSettings
+from dbt_gdpr_anonymizer_spark.operators.validate import (
+    assert_no_pii_in_mart,
+    check_anonymization_quality,
+    k_anonymity_violations,
+    scan_for_pii,
+)
+from dbt_gdpr_anonymizer_spark.plans import pipeline
+
+CONF = EngineSettings(salt_key="dev_salt_UNSAFE")
+
+
+def layers(ci_raw):
+    return pipeline.run_pipeline(ci_raw, conf=CONF)
+
+
+def test_staging(spark, ci_raw):
+    st = pipeline.staging(ci_raw)
+    rows = {r["service_id"]: r for r in st.collect()}
+    a = rows["TEST001"]
+    assert a["service_key"] == hashlib.md5(b"TEST001").hexdigest()
+    assert a["last_updated"] == datetime.date(2025, 1, 1)
+    assert isinstance(a["latitude"], float)
+    assert (a["has_email"], a["has_phone"], a["has_address"], a["has_coordinates"]) == (
+        1,
+        1,
+        1,
+        1,
+    )
+    # null-filter: drop rows missing service_id/name
+    extra = spark.createDataFrame(
+        [(None, "x") + (None,) * 13], ci_raw.schema
+    )
+    assert pipeline.staging(ci_raw.unionByName(extra)).count() == 2
+
+
+def test_anonymize_layer(spark, ci_raw):
+    anon = layers(ci_raw)["anonymized"]
+    r = {x["service_id_anon"]: x for x in anon.collect()}["TEST001"]
+    assert r["anonymization_version"] == "1.0.0"
+    assert r["gps_anonymization_method"] == "round_2_decimals"
+    assert r["contact_email_anon"].endswith("@anonymized.gouv.fr")
+    assert r["anonymized_at"] is not None
+
+
+def test_enrich_layer(spark, ci_raw):
+    enr = layers(ci_raw)["enriched"]
+    r = {x["service_id_anon"]: x for x in enr.collect()}
+    assert r["TEST001"]["organization_category"] == "autres"  # 'ministere' not in map
+    assert r["TEST002"]["organization_category"] == "operateurs"
+    assert r["TEST001"]["department_code_anon"] == "75"
+    assert r["TEST001"]["geohash_anon"] == "geo_48.86_2.35"
+    assert r["TEST001"]["is_email_properly_anonymized"] == 1
+    assert r["TEST001"]["is_phone_properly_anonymized"] == 1
+
+
+def test_mart_layer(spark, ci_raw):
+    m = layers(ci_raw)["mart"]
+    r = {x["service_id"]: x for x in m.collect()}
+    assert set(r) == {"TEST001", "TEST002"}
+    a = r["TEST001"]
+    assert a["region"] == "Île-de-France"
+    assert r["TEST002"]["region"] == "Provence-Alpes-Côte d'Azur"
+    assert a["organization_type_label"] == "Ministère"
+    assert r["TEST002"]["organization_type_label"] == "Établissement Public"
+    assert a["data_completeness_score"] == 4
+    assert a["data_quality_level"] == "Complet"
+    assert a["processing_pipeline"] == "GDPR Anonymizer v1.0.0"
+    # mart never exposes street_address
+    assert "street_address" not in m.columns
+
+
+def test_no_pii_in_mart(spark, ci_raw):
+    m = layers(ci_raw)["mart"]
+    assert assert_no_pii_in_mart(m).count() == 0
+    assert scan_for_pii(m, "mart").count() == 0
+
+
+def test_pii_detected_in_raw_martlike(spark, ci_raw):
+    # sanity: the scanners DO fire on un-anonymized data
+    fake_mart = pipeline.staging(ci_raw).selectExpr(
+        "contact_email", "contact_phone", "latitude", "longitude", "street_address"
+    )
+    assert assert_no_pii_in_mart(fake_mart).count() > 0
+    assert scan_for_pii(fake_mart, "raw").count() > 0
+
+
+def test_quality_metrics(spark, ci_raw):
+    metrics = check_anonymization_quality(layers(ci_raw)["enriched"])
+    assert metrics.emails["success_rate"] == 100.0
+    assert metrics.phones["success_rate"] == 100.0
+    assert metrics.coordinates["success_rate"] == 100.0
+
+
+def test_k_anonymity(spark, ci_raw):
+    enr = layers(ci_raw)["enriched"]
+    viol = k_anonymity_violations(enr, ["organization_category"], k=5)
+    # 2-row fixture: both groups are below k=5
+    assert viol.count() == 2
+    assert k_anonymity_violations(enr, ["organization_category"], k=1).count() == 0
