@@ -1,0 +1,869 @@
+"""Driver-contract query registry: SURVEY §2 operators on the TPC-H-ish tables.
+
+Each entry pairs a PySpark implementation with an equivalent DuckDB oracle
+SQL string. Cross-engine determinism rules used throughout:
+
+  * Precision reduction / rounding: ``cast(decimal(p,s))`` on both sides —
+    measured bit-exact between Spark and DuckDB (plain ``round`` is not).
+  * Aggregating doubles: quantize each term to decimal FIRST, sum decimals
+    (exact, order-independent — safe under Spark partial aggregation), cast
+    the final result to double.
+  * Hashing: md5/sha256 hex strings only (engine-native ``hash()`` differs).
+  * No ``current_timestamp``/``rand()`` in compared outputs; "random" samples
+    order by md5 of the key — deterministic in both engines.
+  * Regexes restricted to RE2-compatible syntax (DuckDB); negations written
+    as ``AND NOT LIKE`` instead of lookaheads.
+
+Every aggregate/computed column is aliased identically in Spark and SQL (the
+driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.functions import masking, text as tx
+
+SALT = "dev_salt_UNSAFE"  # pinned for reproducible hashes (reference default)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Synthesized PII columns on `customer` (the TPC-H tables carry no real PII,
+# so identifiers are derived deterministically from key columns).
+# ---------------------------------------------------------------------------
+
+# email: NULL every 10th key, invalid (no '@') every 5th, else name-derived
+_EMAIL_SQL = (
+    "case when c_custkey % 10 = 0 then null "
+    "when c_custkey % 5 = 0 then 'invalid-email-' || cast(c_custkey as varchar) "
+    "else lower(replace(c_name, ' ', '.')) || '@example.fr' end"
+)
+# phone: NULL every 7th, short-invalid every 5th, national 0X / intl +33
+_PHONE_SQL = (
+    "case when c_custkey % 7 = 0 then null "
+    "when c_custkey % 5 = 0 then '12345' "
+    "when c_custkey % 3 = 0 then '0' || lpad(cast(c_custkey % 1000000000 as varchar), 9, '5') "
+    "else '+33 ' || lpad(cast(c_custkey % 1000000000 as varchar), 9, '5') end"
+)
+# coordinates: fmod keeps sign of dividend in both engines (exact operation)
+_LAT_SQL = "cast(c_acctbal % 90 as double)"
+_LON_SQL = "cast((c_acctbal * 2) % 180 as double)"
+# intentionally out-of-range variants for the validity check
+_LAT_BAD_SQL = "cast(c_acctbal % 100 as double)"
+_LON_BAD_SQL = "cast((c_acctbal * 2) % 200 as double)"
+
+
+def _email_col() -> F.Column:
+    k = F.col("c_custkey")
+    return (
+        F.when(k % 10 == 0, F.lit(None).cast("string"))
+        .when(k % 5 == 0, F.concat(F.lit("invalid-email-"), k.cast("string")))
+        .otherwise(
+            F.concat(
+                F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+                F.lit("@example.fr"),
+            )
+        )
+    )
+
+
+def _phone_col() -> F.Column:
+    k = F.col("c_custkey")
+    digits = F.lpad((k % 1000000000).cast("string"), 9, "5")
+    return (
+        F.when(k % 7 == 0, F.lit(None).cast("string"))
+        .when(k % 5 == 0, F.lit("12345"))
+        .when(k % 3 == 0, F.concat(F.lit("0"), digits))
+        .otherwise(F.concat(F.lit("+33 "), digits))
+    )
+
+
+def _lat_col() -> F.Column:
+    return (F.col("c_acctbal") % 90).cast("double")
+
+
+def _lon_col() -> F.Column:
+    return ((F.col("c_acctbal") * 2) % 180).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# M1 mask_email
+# ---------------------------------------------------------------------------
+@register(
+    "mask_email_hash",
+    f"""
+    select c_custkey,
+           case when email is not null and email != '' then
+             'user_' || substr(sha256(lower(trim(email)) || '{SALT}'), 1, 16)
+                     || '@anonymized.gouv.fr'
+           end as email_anon
+    from (select c_custkey, {_EMAIL_SQL} as email from customer)
+    order by c_custkey
+    """,
+)
+def mask_email_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", _email_col().alias("email"))
+    return c.select(
+        "c_custkey", masking.mask_email("email", SALT).alias("email_anon")
+    ).orderBy("c_custkey")
+
+
+# M2 mask_phone
+@register(
+    "mask_phone_partial",
+    f"""
+    select c_custkey,
+           case when phone is not null and phone != '' then
+             substr(trim(phone), 1, 6) || ' XX XX XX XX'
+           end as phone_anon
+    from (select c_custkey, {_PHONE_SQL} as phone from customer)
+    order by c_custkey
+    """,
+)
+def mask_phone_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", _phone_col().alias("phone"))
+    return c.select(
+        "c_custkey", masking.mask_phone("phone").alias("phone_anon")
+    ).orderBy("c_custkey")
+
+
+# M3 mask_coordinates (precision reduction via decimal cast, both engines)
+@register(
+    "mask_coordinates_round",
+    f"""
+    select c_custkey,
+           cast(cast({_LAT_SQL} as decimal(18,2)) as double) as lat_anon,
+           cast(cast({_LON_SQL} as decimal(18,2)) as double) as lon_anon
+    from customer
+    order by c_custkey
+    """,
+)
+def mask_coordinates_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        masking.mask_coordinates(_lat_col()).alias("lat_anon"),
+        masking.mask_coordinates(_lon_col()).alias("lon_anon"),
+    ).orderBy("c_custkey")
+
+
+# M4 suppress
+@register(
+    "suppress_column",
+    """
+    select c_custkey, cast(null as varchar) as c_name_anon, c_mktsegment
+    from customer order by c_custkey
+    """,
+)
+def suppress_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", masking.suppress("c_name").alias("c_name_anon"), "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+# M7 mask_model — the policy-driven rewriter over a whole table (flagship)
+@register(
+    "mask_model_customer",
+    f"""
+    select
+      c_custkey as c_custkey_anon,
+      case when c_name is not null and c_name != '' then
+        'user_' || substr(sha256(lower(trim(c_name)) || '{SALT}'), 1, 16)
+                || '@anonymized.gouv.fr'
+      end as c_name_anon,
+      c_nationkey as c_nationkey_anon,
+      cast(cast(c_acctbal as decimal(18,2)) as double) as c_acctbal_anon,
+      c_mktsegment as c_mktsegment_anon
+    from customer
+    order by c_custkey_anon
+    """,
+)
+def mask_model_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.config import EngineSettings
+    from dbt_gdpr_anonymizer_spark.policy import ColumnPolicy, TablePolicy, mask_model
+
+    conf = EngineSettings(salt_key=SALT)
+    policy = TablePolicy(
+        name="customer",
+        columns={
+            "c_name": ColumnPolicy(
+                pii=True,
+                pii_type="direct_identifier",
+                anonymization_method="hash_sha256",
+            ),
+            "c_acctbal": ColumnPolicy(
+                pii=True,
+                pii_type="quasi_identifier",
+                anonymization_method="round_2_decimals",
+            ),
+        },
+    )
+    return mask_model(_t(spark, sf_dir, "customer"), policy, conf).orderBy(
+        "c_custkey_anon"
+    )
+
+
+# M8 create_geohash
+@register(
+    "geohash",
+    f"""
+    select c_custkey,
+           'geo_' || cast(cast({_LAT_SQL} as decimal(18,2)) as varchar)
+                  || '_'
+                  || cast(cast({_LON_SQL} as decimal(18,2)) as varchar) as geohash
+    from customer order by c_custkey
+    """,
+)
+def geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        masking.create_geohash(_lat_col(), _lon_col()).alias("geohash"),
+    ).orderBy("c_custkey")
+
+
+# M9 haversine_distance (result quantized to 6 decimals on both sides)
+@register(
+    "haversine",
+    f"""
+    select c_custkey,
+           cast(cast(
+             6371 * 2 * asin(sqrt(
+               pow(sin(radians((48.8566 - lat)) / 2), 2) +
+               cos(radians(lat)) * cos(radians(48.8566)) *
+               pow(sin(radians((2.3522 - lon)) / 2), 2)
+             )) as decimal(18,6)) as double) as dist_km
+    from (select c_custkey, {_LAT_SQL} as lat, {_LON_SQL} as lon from customer)
+    order by c_custkey
+    """,
+)
+def haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _lat_col().alias("lat"), _lon_col().alias("lon")
+    )
+    d = masking.haversine_distance(
+        F.col("lat"), F.col("lon"), F.lit(48.8566), F.lit(2.3522)
+    )
+    return c.select(
+        "c_custkey", d.cast("decimal(18,6)").cast("double").alias("dist_km")
+    ).orderBy("c_custkey")
+
+
+# M10-M12 phone helpers
+@register(
+    "phone_functions",
+    f"""
+    select c_custkey,
+           case when phone like '+%'
+                then substr(phone, 1, strpos(phone, ' ')) end as country_code,
+           case when phone is null then null else
+             replace(replace(replace(replace(trim(phone), ' ', ''), '-', ''), '.', ''), '(', '')
+           end as phone_norm,
+           case when phone is null then null else
+             (phone like '+%' or phone like '0%')
+             and length(replace(replace(replace(replace(trim(phone), ' ', ''), '-', ''), '.', ''), '(', '')) >= 10
+           end as phone_valid
+    from (select c_custkey, {_PHONE_SQL} as phone from customer)
+    order by c_custkey
+    """,
+)
+def phone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", _phone_col().alias("phone"))
+    return c.select(
+        "c_custkey",
+        masking.extract_country_code("phone").alias("country_code"),
+        masking.normalize_phone("phone").alias("phone_norm"),
+        masking.is_valid_phone("phone").alias("phone_valid"),
+    ).orderBy("c_custkey")
+
+
+# M13-M14 email helpers
+@register(
+    "email_functions",
+    f"""
+    select c_custkey,
+           case when email is null then null else
+             email like '%@%.%' and email not like '%@%.@%' and length(email) >= 5
+           end as email_valid,
+           case when email like '%@%.%' and email not like '%@%.@%' and length(email) >= 5
+                then lower(substr(email, strpos(email, '@') + 1)) end as email_domain
+    from (select c_custkey, {_EMAIL_SQL} as email from customer)
+    order by c_custkey
+    """,
+)
+def email_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", _email_col().alias("email"))
+    return c.select(
+        "c_custkey",
+        masking.is_valid_email("email").alias("email_valid"),
+        masking.extract_email_domain("email").alias("email_domain"),
+    ).orderBy("c_custkey")
+
+
+# M15 are_valid_coordinates
+@register(
+    "valid_coordinates",
+    f"""
+    select c_custkey,
+           (lat is not null and lon is not null
+            and lat between -90 and 90 and lon between -180 and 180) as coords_valid
+    from (select c_custkey, {_LAT_BAD_SQL} as lat, {_LON_BAD_SQL} as lon from customer)
+    order by c_custkey
+    """,
+)
+def valid_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") % 100).cast("double").alias("lat"),
+        ((F.col("c_acctbal") * 2) % 200).cast("double").alias("lon"),
+    )
+    return c.select(
+        "c_custkey",
+        masking.are_valid_coordinates("lat", "lon").alias("coords_valid"),
+    ).orderBy("c_custkey")
+
+
+# M17 surrogate key
+@register(
+    "surrogate_key",
+    """
+    select c_custkey,
+           md5(coalesce(cast(c_custkey as varchar), '_dbt_utils_surrogate_key_null_'))
+             as service_key
+    from customer order by c_custkey
+    """,
+)
+def surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", masking.surrogate_key("c_custkey").alias("service_key")
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# P2/P4 staging-style projection+filter+flags; P5 CASE categorization;
+# P6 LIKE; P7 regex scan (RE2-safe)
+# ---------------------------------------------------------------------------
+@register(
+    "staging_flags",
+    f"""
+    select c_custkey,
+           case when email is not null then 1 else 0 end as has_email,
+           case when phone is not null then 1 else 0 end as has_phone,
+           (case when email is not null then 1 else 0 end
+            + case when phone is not null then 1 else 0 end) as completeness
+    from (select c_custkey, {_EMAIL_SQL} as email, {_PHONE_SQL} as phone from customer)
+    where c_custkey is not null
+    order by c_custkey
+    """,
+)
+def staging_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _email_col().alias("email"), _phone_col().alias("phone")
+    )
+    has_email = F.when(F.col("email").isNotNull(), 1).otherwise(0)
+    has_phone = F.when(F.col("phone").isNotNull(), 1).otherwise(0)
+    return (
+        c.filter(F.col("c_custkey").isNotNull())
+        .select(
+            "c_custkey",
+            has_email.alias("has_email"),
+            has_phone.alias("has_phone"),
+            (has_email + has_phone).alias("completeness"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "case_categorization",
+    """
+    select c_custkey,
+           case when c_mktsegment in ('BUILDING', 'AUTOMOBILE') then 'industry'
+                when c_mktsegment in ('MACHINERY', 'FURNITURE') then 'manufacturing'
+                when c_mktsegment = 'HOUSEHOLD' then 'consumer'
+                else 'autres' end as segment_category
+    from customer order by c_custkey
+    """,
+)
+def case_categorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.when(seg.isin("BUILDING", "AUTOMOBILE"), "industry")
+        .when(seg.isin("MACHINERY", "FURNITURE"), "manufacturing")
+        .when(seg == "HOUSEHOLD", "consumer")
+        .otherwise("autres")
+        .alias("segment_category"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "like_filter",
+    f"""
+    select c_custkey, email from
+      (select c_custkey, {_EMAIL_SQL} as email from customer)
+    where email like '%@example.fr' and email not like '%@anonymized.gouv.fr'
+    order by c_custkey
+    """,
+)
+def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", _email_col().alias("email"))
+    return c.filter(
+        F.col("email").like("%@example.fr")
+        & ~F.col("email").like("%@anonymized.gouv.fr")
+    ).orderBy("c_custkey")
+
+
+@register(
+    "regex_pii_scan",
+    f"""
+    select c_custkey, email as value, 'non_anonymized_email' as issue_type
+    from (select c_custkey, {_EMAIL_SQL} as email from customer)
+    where email is not null
+      and regexp_matches(email, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')
+      and email not like '%@anonymized.gouv.fr'
+    order by c_custkey
+    """,
+)
+def regex_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", _email_col().alias("email"))
+    pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    return (
+        c.filter(
+            F.col("email").isNotNull()
+            & F.col("email").rlike(pat)
+            & ~F.col("email").like("%@anonymized.gouv.fr")
+        )
+        .select(
+            "c_custkey",
+            F.col("email").alias("value"),
+            F.lit("non_anonymized_email").alias("issue_type"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 k-anonymity; A2 quality metrics; A4 distinct counts
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity",
+    """
+    select c_mktsegment, n_name, count(*) as group_size
+    from customer join nation on c_nationkey = n_nationkey
+    group by c_mktsegment, n_name
+    having count(*) < 10
+    order by group_size asc, c_mktsegment, n_name
+    """,
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 10)
+        .orderBy("group_size", "c_mktsegment", "n_name")
+    )
+
+
+@register(
+    "quality_metrics",
+    f"""
+    with anon as (
+      select
+        case when email is not null and email != '' then
+          'user_' || substr(sha256(lower(trim(email)) || '{SALT}'), 1, 16)
+                  || '@anonymized.gouv.fr' end as email_anon,
+        case when phone is not null and phone != '' then
+          substr(trim(phone), 1, 6) || ' XX XX XX XX' end as phone_anon
+      from (select {_EMAIL_SQL} as email, {_PHONE_SQL} as phone from customer)
+    )
+    select
+      count(email_anon) as email_total,
+      cast(sum(case when email_anon like '%@anonymized.gouv.fr' then 1 else 0 end) as bigint) as email_ok,
+      count(phone_anon) as phone_total,
+      cast(sum(case when phone_anon like '%XX XX XX XX' then 1 else 0 end) as bigint) as phone_ok
+    from anon
+    """,
+)
+def quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        _email_col().alias("email"), _phone_col().alias("phone")
+    )
+    anon = c.select(
+        masking.mask_email("email", SALT).alias("email_anon"),
+        masking.mask_phone("phone").alias("phone_anon"),
+    )
+    return anon.agg(
+        F.count("email_anon").alias("email_total"),
+        F.sum(
+            F.when(F.col("email_anon").like("%@anonymized.gouv.fr"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("email_ok"),
+        F.count("phone_anon").alias("phone_total"),
+        F.sum(F.when(F.col("phone_anon").like("%XX XX XX XX"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("phone_ok"),
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+    select count(distinct c_mktsegment) as n_segments,
+           count(distinct c_nationkey) as n_nations,
+           count(c_acctbal) as n_acctbal,
+           count(*) as n_rows
+    from customer
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("c_acctbal").alias("n_acctbal"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1-O3 sorts / deterministic sampling; U1 union of violation checks
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_limit_sample",
+    """
+    select c_mktsegment from (select distinct c_mktsegment from customer)
+    order by c_mktsegment limit 100
+    """,
+)
+def distinct_limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct().orderBy("c_mktsegment").limit(100)
+
+
+@register(
+    "deterministic_sample",
+    """
+    select c_custkey from customer
+    order by md5(cast(c_custkey as varchar)), c_custkey limit 100
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey")
+        .orderBy(F.md5(F.col("c_custkey").cast("string")), "c_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "union_violations",
+    f"""
+    with src as (select c_custkey, {_EMAIL_SQL} as email, {_PHONE_SQL} as phone,
+                        {_LAT_SQL} as lat from customer)
+    select * from (
+      select 'customer' as table_name, 'email' as column_name,
+             email as value, 'Non-anonymized email detected' as issue_type
+      from src where email is not null and email not like '%@anonymized.gouv.fr'
+      union all
+      select 'customer', 'phone', phone, 'Non-masked phone number detected'
+      from src where phone is not null and phone not like '%XX%'
+      union all
+      select 'customer', 'lat', cast(lat as varchar), 'GPS coordinates too precise'
+      from src where lat is not null and (lat * 100) != floor(lat * 100)
+    )
+    order by table_name, column_name, value, issue_type
+    """,
+)
+def union_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _email_col().alias("email"),
+        _phone_col().alias("phone"),
+        _lat_col().alias("lat"),
+    )
+    email = src.filter(
+        F.col("email").isNotNull() & ~F.col("email").like("%@anonymized.gouv.fr")
+    ).select(
+        F.lit("customer").alias("table_name"),
+        F.lit("email").alias("column_name"),
+        F.col("email").alias("value"),
+        F.lit("Non-anonymized email detected").alias("issue_type"),
+    )
+    phone = src.filter(
+        F.col("phone").isNotNull() & ~F.col("phone").like("%XX%")
+    ).select(
+        F.lit("customer").alias("table_name"),
+        F.lit("phone").alias("column_name"),
+        F.col("phone").alias("value"),
+        F.lit("Non-masked phone number detected").alias("issue_type"),
+    )
+    gps = src.filter(
+        F.col("lat").isNotNull() & (F.col("lat") * 100 != F.floor(F.col("lat") * 100))
+    ).select(
+        F.lit("customer").alias("table_name"),
+        F.lit("lat").alias("column_name"),
+        F.col("lat").cast("string").alias("value"),
+        F.lit("GPS coordinates too precise").alias("issue_type"),
+    )
+    return (
+        email.unionByName(phone)
+        .unionByName(gps)
+        .orderBy("table_name", "column_name", "value", "issue_type")
+    )
+
+
+# D2 PII inventory (policy-driven literal rows; no timestamp in compared output)
+@register(
+    "pii_inventory",
+    """
+    select * from (values
+      ('stg_services_publics', 'contact_email', 'direct_identifier', 'hash_sha256', 730, 5),
+      ('stg_services_publics', 'contact_phone', 'direct_identifier', 'mask_partial', 730, 5),
+      ('stg_services_publics', 'latitude', 'quasi_identifier', 'round_2_decimals', 730, 5),
+      ('stg_services_publics', 'longitude', 'quasi_identifier', 'round_2_decimals', 730, 5),
+      ('stg_services_publics', 'street_address', 'quasi_identifier', 'aggregate_to_city', 730, 5)
+    ) as t(model_name, column_name, pii_type, anonymization_method, retention_days, k_anonymity_target)
+    order by model_name, column_name
+    """,
+)
+def pii_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.report import pii_inventory as inv
+    from dbt_gdpr_anonymizer_spark.policy import SERVICES_POLICY
+
+    df = inv(spark, [SERVICES_POLICY], with_timestamp=False)
+    return df.select(
+        "model_name",
+        "column_name",
+        "pii_type",
+        "anonymization_method",
+        "retention_days",
+        "k_anonymity_target",
+    ).orderBy("model_name", "column_name")
+
+
+# ---------------------------------------------------------------------------
+# Relational core at scale: TPC-H Q1 (decimal-exact), multi-join revenue,
+# window top-k, sessionization, hourly rollup, JSON extraction
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+    select l_returnflag, l_linestatus,
+      cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+      cast(sum(cast(l_extendedprice as decimal(12,2))) as double) as sum_base_price,
+      cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))) as double) as sum_disc_price,
+      cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))
+               * (1 + cast(l_tax as decimal(4,2)))) as double) as sum_charge,
+      count(*) as count_order
+    from lineitem
+    where l_shipdate <= timestamp '1998-09-02 00:00:00'
+    group by l_returnflag, l_linestatus
+    order by l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "join_revenue_by_nation",
+    """
+    select n_name,
+      cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))) as double) as revenue,
+      count(*) as n_lineitems
+    from lineitem
+      join orders on l_orderkey = o_orderkey
+      join customer on o_custkey = c_custkey
+      join nation on c_nationkey = n_nationkey
+    group by n_name
+    order by n_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "topk_orders_per_bucket",
+    """
+    select * from (
+      select o_custkey % 100 as bucket, o_orderkey, o_totalprice,
+             row_number() over (partition by o_custkey % 100
+                                order by o_totalprice desc, o_orderkey) as rn
+      from orders
+    ) where rn <= 3
+    order by bucket, rn
+    """,
+)
+def topk_orders_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").withColumn("bucket", F.col("o_custkey") % 100)
+    w = W.partitionBy("bucket").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("bucket", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("bucket", "rn")
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    with g as (
+      select user_id, ts,
+        case when epoch_us(ts::timestamp)
+                  - lag(epoch_us(ts::timestamp))
+                    over (partition by user_id order by ts, event_id)
+                  > 1800000000
+             or lag(ts) over (partition by user_id order by ts, event_id) is null
+             then 1 else 0 end as new_session
+      from events
+    )
+    select user_id,
+           cast(sum(new_session) as bigint) as n_sessions,
+           count(*) as n_events
+    from g group by user_id order by user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    new_session = F.when(
+        (us - F.lag(us).over(w) > 1800000000)
+        | F.lag(F.col("ts")).over(w).isNull(),
+        1,
+    ).otherwise(0)
+    return (
+        e.select("user_id", "ts", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "hourly_event_rollup",
+    """
+    select date_trunc('hour', ts::timestamp) as hour, event_type,
+           count(*) as n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) as total_value
+    from events
+    group by 1, 2
+    order by hour, event_type
+    """,
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    select cast(json_extract_string(props, '$.k') as bigint) as k_value,
+           count(*) as n
+    from events
+    group by 1 order by k_value
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_value")
+        )
+        .groupBy("k_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_value")
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLE)
