@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop write (full computation, no sink cost,
+result never collected to the driver — the honest distributed-execution
+timing). Value = total wall seconds across headline queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative of every operator family: masking pipeline, relational
+# agg/join/window, events (sessionize/rollup/json), validation union.
+HEADLINE = [
+    "mask_model_customer",
+    "union_violations",
+    "k_anonymity",
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "topk_orders_per_bucket",
+    "sessionize_events",
+    "hourly_event_rollup",
+    "json_props_extract",
+    "exact_dedup_documents",
+    "minhash_lsh_neardup",
+    "ann_cosine_topk",
+    "text_quality_profile",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dbt_gdpr_anonymizer_spark.queries import all_queries
+    from dbt_gdpr_anonymizer_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    spark.read.parquet(f"{sf_dir}/customer.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

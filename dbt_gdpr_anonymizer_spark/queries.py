@@ -48,6 +48,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark 4.x rejects.
+
+    ``nanosAsLong`` reads ``ts`` as bigint nanos; integer ``div 1000`` then
+    recovers microseconds exactly (a double-division would lose precision at
+    ~1.7e18 nanos, past the 2^53 exact-integer range). DuckDB truncates nanos
+    to micros on read, so both engines see identical microsecond timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
 # ---------------------------------------------------------------------------
 # Synthesized PII columns on `customer` (the TPC-H tables carry no real PII,
 # so identifiers are derived deterministically from key columns).
@@ -794,7 +809,7 @@ def topk_orders_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
     new_session = F.when(
@@ -825,7 +840,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return (
         e.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
@@ -850,7 +865,7 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    e = _events(spark, sf_dir)
     return (
         e.select(
             F.get_json_object("props", "$.k").cast("bigint").alias("k_value")

@@ -1,0 +1,112 @@
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet dir, then compares row count, column names, and
+an order-insensitive value hash (columns sorted by name, rows sorted, values
+rendered with repr-level precision). Usage::
+
+    python scripts/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import traceback
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as ent
+    from dbt_gdpr_anonymizer_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = ent.queries(), ent.oracle_sql()
+    npass = nfail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                print(f"  {name}: rows-only ({len(srows)} rows) OK")
+                npass += 1
+                continue
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            ok_cols = sorted(scols) == sorted(ocols)
+            ok_rows = len(srows) == len(orows)
+            sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+            ok = ok_cols and ok_rows and sh == oh
+            if ok:
+                npass += 1
+                print(f"  {name}: PASS ({len(srows)} rows)")
+            else:
+                nfail += 1
+                print(
+                    f"  {name}: FAIL cols={ok_cols} rows={len(srows)}/{len(orows)} "
+                    f"hash={'ok' if sh == oh else 'MISMATCH'}"
+                )
+                if not ok_cols:
+                    print(f"    spark={sorted(scols)}\n    duck ={sorted(ocols)}")
+                elif sh != oh:
+                    order = sorted(range(len(scols)), key=lambda i: scols[i])
+                    sset = sorted("|".join(norm_val(r[i]) for i in order) for r in srows)
+                    oord = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                    oset = sorted("|".join(norm_val(r[i]) for i in oord) for r in orows)
+                    for a, b in zip(sset, oset):
+                        if a != b:
+                            print(f"    spark: {a[:200]}\n    duck : {b[:200]}")
+                            break
+        except Exception:
+            nfail += 1
+            print(f"  {name}: ERROR")
+            traceback.print_exc(limit=3)
+    print(f"\n{npass} pass, {nfail} fail")
+    return 1 if nfail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
