@@ -9,6 +9,7 @@ no duplication.
 
 from __future__ import annotations
 
+import csv
 import json
 from pathlib import Path
 
@@ -113,18 +114,10 @@ def export_report(
         written.append(str(path))
     if "csv" in formats:
         path = out / "pii_report.csv"
-        if rows:
-            cols = list(rows[0].keys())
-            lines = [",".join(cols)]
-            for r in rows:
-                lines.append(
-                    ",".join(
-                        "" if r[c] is None else str(r[c]).replace(",", ";")
-                        for c in cols
-                    )
-                )
-            path.write_text("\n".join(lines))
-        else:
-            path.write_text("")
+        with path.open("w", newline="", encoding="utf-8") as fh:
+            if rows:
+                writer = csv.DictWriter(fh, fieldnames=list(rows[0].keys()))
+                writer.writeheader()
+                writer.writerows(rows)
         written.append(str(path))
     return written

@@ -9,13 +9,25 @@ only sees counts/samples — the design that survives a 100 TB mart.
 
 Java regex (unlike DuckDB's RE2) supports the reference's negative
 lookaheads, so the patterns are reproduced verbatim.
+
+Scale notes:
+  * ``validate()`` fuses every per-table check into one aggregation pass per
+    table (mart: 1 job; enriched: quality aggregates + the k-anonymity
+    shuffle) instead of re-running the full lineage per metric.
+  * ``scan_for_pii`` is a single scan: each row is exploded into its
+    (column × pattern) cells once, then filtered — not a union of N×P
+    subplans each re-reading the table.
+  * GPS precision uses a decimal round-trip, not ``x*100 == floor(x*100)``:
+    the float product of a correctly-rounded double (e.g. 4.35*100 =
+    434.99999999999994) fails the floor test, producing false violations.
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # validate_anonymization.py:23-35 — PII detection patterns (verbatim).
@@ -30,54 +42,63 @@ PII_PATTERNS = {
 }
 
 
+def too_precise(col: Column, precision: int = 2) -> Column:
+    """True when a coordinate carries more than ``precision`` decimals.
+
+    Decimal round-trip comparison: exact for any double that IS the rounded
+    value, immune to the ``x*100 != floor(x*100)`` float fragility (the
+    reference's string ``split_part`` check has the same intent).
+    """
+    return col != col.cast(f"decimal(18,{precision})").cast("double")
+
+
+def _mart_violation_conditions(mart: DataFrame) -> dict[str, Column]:
+    """The three singular-test conditions (assert_no_pii_in_marts.sql:18-58)."""
+    lat, lon = F.col("latitude"), F.col("longitude")
+    return {
+        "email": (
+            F.col("contact_email").isNotNull()
+            & ~F.col("contact_email").like("%@anonymized.gouv.fr")
+        ),
+        "phone": (
+            F.col("contact_phone").isNotNull()
+            & ~F.col("contact_phone").like("%XX%")
+        ),
+        "gps": (
+            lat.isNotNull()
+            & lon.isNotNull()
+            & (too_precise(lat) | too_precise(lon))
+        ),
+    }
+
+
 def assert_no_pii_in_mart(mart: DataFrame) -> DataFrame:
     """The singular end-to-end PII test (assert_no_pii_in_marts.sql:18-70).
 
     Returns the violations DataFrame (empty == pass): un-anonymized emails,
     unmasked phones, and >2-decimal GPS coordinates, UNION ALL'd with the
-    reference's 4-column shape. The GPS check is numeric
-    (``x*100 != floor(x*100)``) rather than string-split — same predicate,
-    no double-formatting fragility.
+    reference's 4-column shape.
     """
-    email = (
-        mart.filter(
-            F.col("contact_email").isNotNull()
-            & ~F.col("contact_email").like("%@anonymized.gouv.fr")
-        ).select(
-            F.lit("mart_services_open_data").alias("table_name"),
-            F.lit("contact_email").alias("column_name"),
-            F.col("contact_email").alias("value"),
-            F.lit("Non-anonymized email detected").alias("issue_type"),
-        )
+    cond = _mart_violation_conditions(mart)
+    email = mart.filter(cond["email"]).select(
+        F.lit("mart_services_open_data").alias("table_name"),
+        F.lit("contact_email").alias("column_name"),
+        F.col("contact_email").alias("value"),
+        F.lit("Non-anonymized email detected").alias("issue_type"),
     )
-    phone = (
-        mart.filter(
-            F.col("contact_phone").isNotNull()
-            & ~F.col("contact_phone").like("%XX%")
-        ).select(
-            F.lit("mart_services_open_data").alias("table_name"),
-            F.lit("contact_phone").alias("column_name"),
-            F.col("contact_phone").alias("value"),
-            F.lit("Non-masked phone number detected").alias("issue_type"),
-        )
+    phone = mart.filter(cond["phone"]).select(
+        F.lit("mart_services_open_data").alias("table_name"),
+        F.lit("contact_phone").alias("column_name"),
+        F.col("contact_phone").alias("value"),
+        F.lit("Non-masked phone number detected").alias("issue_type"),
     )
-    lat, lon = F.col("latitude"), F.col("longitude")
-    gps = (
-        mart.filter(
-            lat.isNotNull()
-            & lon.isNotNull()
-            & (
-                (lat * 100 != F.floor(lat * 100))
-                | (lon * 100 != F.floor(lon * 100))
-            )
-        ).select(
-            F.lit("mart_services_open_data").alias("table_name"),
-            F.lit("latitude/longitude").alias("column_name"),
-            F.concat_ws(", ", lat.cast("string"), lon.cast("string")).alias(
-                "value"
-            ),
-            F.lit("GPS coordinates too precise").alias("issue_type"),
-        )
+    gps = mart.filter(cond["gps"]).select(
+        F.lit("mart_services_open_data").alias("table_name"),
+        F.lit("latitude/longitude").alias("column_name"),
+        F.concat_ws(
+            ", ", F.col("latitude").cast("string"), F.col("longitude").cast("string")
+        ).alias("value"),
+        F.lit("GPS coordinates too precise").alias("issue_type"),
     )
     return email.unionByName(phone).unionByName(gps)
 
@@ -88,34 +109,55 @@ def scan_for_pii(
     patterns: dict[str, str] = PII_PATTERNS,
     sample_per_column: int = 100,
 ) -> DataFrame:
-    """Regex PII scan over every string column, fully distributed.
+    """Regex PII scan over every string column — ONE scan of the table.
 
-    For each (string column × pattern), emits up to ``sample_per_column``
-    matching values. The reference pulls DISTINCT values into the driver
-    first (validate_anonymization.py:96-134); this version pushes the regex
-    into the scan and limits after, so it is a union of filter plans.
+    Each row is exploded into its (column, value) string cells, cross-
+    producted with the (issue, pattern) list via a second explode, then
+    filtered with ``regexp_like(value, pattern)``. The table is read once;
+    the reference reads it once per column (validate_anonymization.py:96-134)
+    and the previous design here unioned N×P limited subplans.
+
+    ``sample_per_column`` caps output rows per (column, issue) via a window
+    over the (tiny) post-filter match set.
     """
-    string_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
-    pieces = []
-    for col in string_cols:
-        for issue, pat in patterns.items():
-            pieces.append(
-                df.select(F.col(col).alias("value"))
-                .filter(F.col("value").isNotNull() & F.col("value").rlike(pat))
-                .select(
-                    F.lit(table_name).alias("table_name"),
-                    F.lit(col).alias("column_name"),
-                    "value",
-                    F.lit(issue).alias("issue_type"),
-                )
-                .limit(sample_per_column)
-            )
-    if not pieces:
+    string_cols = [
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    if not string_cols:
         raise ValueError("no string columns to scan")
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
-    return out
+
+    cells = F.array(
+        *[
+            F.struct(F.lit(c).alias("column_name"), F.col(c).alias("value"))
+            for c in string_cols
+        ]
+    )
+    pats = F.array(
+        *[
+            F.struct(F.lit(issue).alias("issue_type"), F.lit(pat).alias("pattern"))
+            for issue, pat in patterns.items()
+        ]
+    )
+    from pyspark.sql import Window as W
+
+    matches = (
+        df.select(F.explode(cells).alias("cell"))
+        .filter(F.col("cell.value").isNotNull())
+        .select("cell.column_name", "cell.value", F.explode(pats).alias("p"))
+        .filter(F.expr("regexp_like(value, p.pattern)"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "column_name",
+            "value",
+            F.col("p.issue_type").alias("issue_type"),
+        )
+    )
+    w = W.partitionBy("column_name", "issue_type").orderBy("value")
+    return (
+        matches.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_per_column)
+        .drop("_rn")
+    )
 
 
 @dataclass
@@ -125,39 +167,33 @@ class QualityMetrics:
     coordinates: dict
 
 
-def check_anonymization_quality(enriched: DataFrame) -> QualityMetrics:
-    """Conditional-aggregate quality metrics (validate_anonymization.py:154-211).
-
-    One pass over the table computes all nine aggregates (the reference runs
-    three separate queries).
-    """
+def _quality_aggs() -> list[Column]:
+    """The nine conditional aggregates (validate_anonymization.py:154-211),
+    computable in one pass. ``bad`` counts are derived as total - ok so the
+    two can never disagree."""
     e, p = F.col("contact_email_anon"), F.col("contact_phone_anon")
     la, lo = F.col("latitude_anon"), F.col("longitude_anon")
-    row = enriched.agg(
+    return [
         F.count(F.when(e.isNotNull(), 1)).alias("email_total"),
-        F.sum(
-            F.when(e.like("%@anonymized.gouv.fr"), 1).otherwise(0)
-        ).alias("email_ok"),
-        F.sum(
-            F.when(~e.like("%@anonymized.gouv.fr") & e.isNotNull(), 1).otherwise(0)
-        ).alias("email_bad"),
+        F.sum(F.when(e.like("%@anonymized.gouv.fr"), 1).otherwise(0)).alias(
+            "email_ok"
+        ),
         F.count(F.when(p.isNotNull(), 1)).alias("phone_total"),
         F.sum(F.when(p.like("%XX XX XX XX"), 1).otherwise(0)).alias("phone_ok"),
-        F.sum(
-            F.when(~p.like("%XX XX XX XX") & p.isNotNull(), 1).otherwise(0)
-        ).alias("phone_bad"),
         F.count(F.when(la.isNotNull() & lo.isNotNull(), 1)).alias("coord_total"),
         F.sum(
             F.when(
                 la.isNotNull()
                 & lo.isNotNull()
-                & (la * 100 == F.floor(la * 100))
-                & (lo * 100 == F.floor(lo * 100)),
+                & ~too_precise(la)
+                & ~too_precise(lo),
                 1,
             ).otherwise(0)
         ).alias("coord_ok"),
-    ).collect()[0]
+    ]
 
+
+def _metrics_from_row(row) -> QualityMetrics:
     def rate(ok: int, total: int) -> float:
         return (ok / total * 100) if total else 0.0
 
@@ -165,13 +201,13 @@ def check_anonymization_quality(enriched: DataFrame) -> QualityMetrics:
         emails={
             "total": row["email_total"],
             "properly_anonymized": row["email_ok"],
-            "improperly_anonymized": row["email_bad"],
+            "improperly_anonymized": row["email_total"] - row["email_ok"],
             "success_rate": rate(row["email_ok"], row["email_total"]),
         },
         phones={
             "total": row["phone_total"],
             "properly_masked": row["phone_ok"],
-            "improperly_masked": row["phone_bad"],
+            "improperly_masked": row["phone_total"] - row["phone_ok"],
             "success_rate": rate(row["phone_ok"], row["phone_total"]),
         },
         coordinates={
@@ -182,8 +218,14 @@ def check_anonymization_quality(enriched: DataFrame) -> QualityMetrics:
     )
 
 
+def check_anonymization_quality(enriched: DataFrame) -> QualityMetrics:
+    """Conditional-aggregate quality metrics in one pass (the reference runs
+    three separate queries)."""
+    return _metrics_from_row(enriched.agg(*_quality_aggs()).collect()[0])
+
+
 def k_anonymity_violations(
-    df: DataFrame, quasi_identifiers: list[str], k: int = 5
+    df: DataFrame, quasi_identifiers: Sequence[str], k: int = 5
 ) -> DataFrame:
     """Groups smaller than ``k`` over the quasi-identifier set
     (validate_anonymization.py:229-243). Map-side partial aggregation makes
@@ -199,22 +241,52 @@ def k_anonymity_violations(
 def validate(
     enriched: DataFrame,
     mart: DataFrame,
-    quasi_identifiers: list[str] = ("organization_category",),
+    quasi_identifiers: Sequence[str] = ("organization_category",),
     k: int = 5,
 ) -> dict:
-    """Full validation run (validate_anonymization.py:311-374): PII assert +
-    scan, quality metrics, k-anonymity. Returns a report dict; caller decides
-    the exit code."""
-    pii_rows = assert_no_pii_in_mart(mart)
-    scan_rows = scan_for_pii(mart, "mart_services_open_data")
+    """Full validation run (validate_anonymization.py:311-374).
+
+    Exactly three Spark jobs regardless of table size:
+      1. one fused aggregation over ``mart`` — the three singular-test
+         violation counts AND every (string column × pattern) regex-scan hit
+         count in a single pass;
+      2. one fused aggregation over ``enriched`` — the nine quality metrics;
+      3. the k-anonymity group-by over ``enriched``.
+
+    (The previous design ran four actions that each recomputed the full
+    raw→mart lineage.) Returns a report dict; callers wanting the violating
+    ROWS use ``assert_no_pii_in_mart`` / ``scan_for_pii`` directly, and
+    ``run_validation_gate`` persists them + sets the exit code.
+    """
+    cond = _mart_violation_conditions(mart)
+    string_cols = [
+        f.name for f in mart.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    aggs = [
+        F.sum(F.when(c, 1).otherwise(0)).alias(f"viol_{name}")
+        for name, c in cond.items()
+    ]
+    for col in string_cols:
+        for issue, pat in PII_PATTERNS.items():
+            aggs.append(
+                F.sum(
+                    F.when(F.col(col).isNotNull() & F.col(col).rlike(pat), 1)
+                    .otherwise(0)
+                ).alias(f"scan__{col}__{issue}")
+            )
+    mrow = mart.agg(*aggs).collect()[0]
+    n_pii = mrow["viol_email"] + mrow["viol_phone"] + mrow["viol_gps"]
+    scan_hits = {
+        k_: v for k_, v in mrow.asDict().items() if k_.startswith("scan__") and v
+    }
+    n_scan = sum(scan_hits.values())
+
     metrics = check_anonymization_quality(enriched)
-    kviol = k_anonymity_violations(enriched, list(quasi_identifiers), k)
-    n_pii = pii_rows.count()
-    n_scan = scan_rows.count()
-    n_kviol = kviol.count()
+    n_kviol = k_anonymity_violations(enriched, list(quasi_identifiers), k).count()
     return {
-        "pii_violations": n_pii,
-        "pii_scan_hits": n_scan,
+        "pii_violations": int(n_pii),
+        "pii_scan_hits": int(n_scan),
+        "pii_scan_detail": {k_: int(v) for k_, v in scan_hits.items()},
         "quality": {
             "emails": metrics.emails,
             "phones": metrics.phones,
@@ -224,3 +296,36 @@ def validate(
         "k_anonymity_violating_groups": n_kviol,
         "passed": n_pii == 0 and n_scan == 0 and n_kviol == 0,
     }
+
+
+def run_validation_gate(
+    enriched: DataFrame,
+    mart: DataFrame,
+    quasi_identifiers: Sequence[str] = ("organization_category",),
+    k: int = 5,
+    failures_root: str | None = None,
+) -> int:
+    """CLI-style validation gate (D5): persist failing rows, return exit code.
+
+    Reference: ``+store_failures: true`` routes failing test rows to the
+    ``test_results`` schema (dbt_project.yml:144-154) and
+    validate_anonymization.py:353-374 exits 1 on any violation. With
+    ``failures_root`` set, violating rows (singular-test + k-anonymity
+    groups) are written as parquet under ``{failures_root}/<check>``; rows
+    are only computed when the fused ``validate()`` counts say they exist,
+    so the green path stays at three jobs.
+    """
+    report = validate(enriched, mart, quasi_identifiers, k)
+    if failures_root:
+        if report["pii_violations"] or report["pii_scan_hits"]:
+            assert_no_pii_in_mart(mart).write.mode("overwrite").parquet(
+                f"{failures_root}/assert_no_pii_in_mart"
+            )
+            scan_for_pii(mart, "mart_services_open_data").write.mode(
+                "overwrite"
+            ).parquet(f"{failures_root}/pii_scan")
+        if report["k_anonymity_violating_groups"]:
+            k_anonymity_violations(
+                enriched, list(quasi_identifiers), k
+            ).write.mode("overwrite").parquet(f"{failures_root}/k_anonymity")
+    return 0 if report["passed"] else 1

@@ -12,10 +12,12 @@ materializes at every model boundary. ``run_pipeline`` optionally persists
 intermediate layers (the dbt behavior) when an output root is given; at
 cluster scale you would partition those writes by e.g. ``department_code``.
 
-The dept→region and type→label lookups are broadcast joins over literal
-lookup DataFrames instead of hard-coded CASE chains: same semantics, but the
-mapping is data (editable, auditable) and the join is a zero-shuffle
-broadcast at any scale.
+The dept→region and type→label lookups are CASE-chain expressions built from
+mapping dicts (``_mapping_expr``): at their tiny cardinality an expression is
+cheaper than even a broadcast join (no exchange, stays inside whole-stage
+codegen), and the mapping stays data (editable, auditable). Swap to a
+``broadcast()`` lookup join only if a mapping ever grows past a few hundred
+entries.
 """
 
 from __future__ import annotations
@@ -94,12 +96,6 @@ def _mapping_expr(col, mapping: dict[str, str], default: str):
     return expr.otherwise(default) if expr is not None else F.lit(default)
 
 
-def _lookup_df(spark: SparkSession, mapping: dict[str, str], key: str, value: str):
-    return spark.createDataFrame(
-        [(k, v) for k, v in mapping.items()], f"{key} string, {value} string"
-    )
-
-
 def staging(raw: DataFrame) -> DataFrame:
     """Clean + type the raw seed (stg_services_publics.sql:39-95)."""
     df = raw.select(
@@ -142,13 +138,14 @@ def anonymize(
     policy: TablePolicy = SERVICES_POLICY,
     conf: EngineSettings | None = None,
     *,
-    compat_aggregate_to_city_passthrough: bool = True,
+    compat_aggregate_to_city_passthrough: bool = False,
 ) -> DataFrame:
     """Policy-driven masking + audit columns (int_services_anonymized.sql:41-50).
 
-    Default keeps the reference's pass-through behavior for
-    ``aggregate_to_city`` (behavior-compat); set the flag False to actually
-    aggregate street addresses to the city value.
+    Default actually aggregates street addresses to the city value. The
+    reference has NO dispatcher branch for ``aggregate_to_city``, so its
+    street addresses leak (pass-through) into every persisted layer —
+    set the flag True only to reproduce that bug-compat behavior.
     """
     conf = conf or settings()
     masked = mask_model(
@@ -245,31 +242,65 @@ def mart(enriched: DataFrame, conf: EngineSettings | None = None) -> DataFrame:
     )
 
 
+# dbt_project.yml:81,95,110 — staging materializes as a view; anonymized/
+# enriched/mart as tables. Mirrored here: view layers register a temp view,
+# table layers persist (parquet under output_root, or saveAsTable).
+MATERIALIZATION = {
+    "staging": "view",
+    "anonymized": "table",
+    "enriched": "table",
+    "mart": "table",
+}
+
+
 def run_pipeline(
     raw: DataFrame,
     policy: TablePolicy = SERVICES_POLICY,
     conf: EngineSettings | None = None,
     output_root: str | None = None,
+    *,
+    use_catalog: bool = False,
+    database: str | None = None,
 ) -> dict[str, DataFrame]:
-    """Run all four layers; optionally persist each table layer as parquet.
+    """Run all four layers with reference materialization semantics (S5).
 
     Returns every layer so callers (tests, validation, reports) can inspect
-    intermediates. With ``output_root`` set, anonymized/enriched/mart are
-    written (staging stays a view, matching the reference materialization).
+    intermediates. View layers (staging) register a temp view; table layers
+    persist — as parquet under ``output_root``, or into the session catalog
+    via ``saveAsTable`` when ``use_catalog`` is set (``database`` maps the
+    reference's per-layer ``+schema`` routing). With neither, everything
+    stays a lazy DataFrame and Catalyst optimizes across all four layers in
+    one plan — the preferred mode when downstream consumers are in-process.
     """
     conf = conf or settings()
     conf.require_safe_salt()
-    staged = staging(raw)
-    anon = anonymize(staged, policy, conf)
-    enriched = enrich(anon, conf)
-    final = mart(enriched, conf)
-    layers = {
-        "staging": staged,
-        "anonymized": anon,
-        "enriched": enriched,
-        "mart": final,
-    }
-    if output_root:
-        for name in ("anonymized", "enriched", "mart"):
-            layers[name].write.mode("overwrite").parquet(f"{output_root}/{name}")
+    spark = raw.sparkSession
+
+    def materialize(name: str, df: DataFrame) -> DataFrame:
+        """Apply the layer's materialization; returns the DataFrame the NEXT
+        stage should build on, so each table layer is computed once and
+        downstream stages scan it instead of recomputing the lineage (the
+        dbt barrier semantics)."""
+        if MATERIALIZATION[name] == "view":
+            df.createOrReplaceTempView(name)
+            return df
+        if use_catalog:
+            if database:
+                spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+            qualified = f"{database}.{name}" if database else name
+            df.write.mode("overwrite").saveAsTable(qualified)
+            return spark.table(qualified)
+        if output_root:
+            path = f"{output_root}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        return df
+
+    layers: dict[str, DataFrame] = {}
+    layers["staging"] = materialize("staging", staging(raw))
+    layers["anonymized"] = materialize(
+        "anonymized", anonymize(layers["staging"], policy, conf)
+    )
+    layers["enriched"] = materialize("enriched", enrich(layers["anonymized"], conf))
+    layers["mart"] = materialize("mart", mart(layers["enriched"], conf))
     return layers

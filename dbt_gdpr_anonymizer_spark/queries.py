@@ -134,14 +134,13 @@ def _lon_col() -> F.Column:
                      || '@anonymized.gouv.fr'
            end as email_anon
     from (select c_custkey, {_EMAIL_SQL} as email from customer)
-    order by c_custkey
     """,
 )
 def mask_email_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", _email_col().alias("email"))
     return c.select(
         "c_custkey", masking.mask_email("email", SALT).alias("email_anon")
-    ).orderBy("c_custkey")
+    )
 
 
 # M2 mask_phone
@@ -153,14 +152,13 @@ def mask_email_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
              substr(trim(phone), 1, 6) || ' XX XX XX XX'
            end as phone_anon
     from (select c_custkey, {_PHONE_SQL} as phone from customer)
-    order by c_custkey
     """,
 )
 def mask_phone_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select("c_custkey", _phone_col().alias("phone"))
     return c.select(
         "c_custkey", masking.mask_phone("phone").alias("phone_anon")
-    ).orderBy("c_custkey")
+    )
 
 
 # M3 mask_coordinates (precision reduction via decimal cast, both engines)
@@ -171,7 +169,6 @@ def mask_phone_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(cast({_LAT_SQL} as decimal(18,2)) as double) as lat_anon,
            cast(cast({_LON_SQL} as decimal(18,2)) as double) as lon_anon
     from customer
-    order by c_custkey
     """,
 )
 def mask_coordinates_round(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +177,7 @@ def mask_coordinates_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         masking.mask_coordinates(_lat_col()).alias("lat_anon"),
         masking.mask_coordinates(_lon_col()).alias("lon_anon"),
-    ).orderBy("c_custkey")
+    )
 
 
 # M4 suppress
@@ -188,14 +185,14 @@ def mask_coordinates_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     "suppress_column",
     """
     select c_custkey, cast(null as varchar) as c_name_anon, c_mktsegment
-    from customer order by c_custkey
+    from customer
     """,
 )
 def suppress_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey", masking.suppress("c_name").alias("c_name_anon"), "c_mktsegment"
-    ).orderBy("c_custkey")
+    )
 
 
 # M7 mask_model — the policy-driven rewriter over a whole table (flagship)
@@ -212,7 +209,6 @@ def suppress_column(spark: SparkSession, sf_dir: str) -> DataFrame:
       cast(cast(c_acctbal as decimal(18,2)) as double) as c_acctbal_anon,
       c_mktsegment as c_mktsegment_anon
     from customer
-    order by c_custkey_anon
     """,
 )
 def mask_model_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,9 +231,7 @@ def mask_model_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         },
     )
-    return mask_model(_t(spark, sf_dir, "customer"), policy, conf).orderBy(
-        "c_custkey_anon"
-    )
+    return mask_model(_t(spark, sf_dir, "customer"), policy, conf)
 
 
 # M8 create_geohash
@@ -248,7 +242,7 @@ def mask_model_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
            'geo_' || cast(cast({_LAT_SQL} as decimal(18,2)) as varchar)
                   || '_'
                   || cast(cast({_LON_SQL} as decimal(18,2)) as varchar) as geohash
-    from customer order by c_custkey
+    from customer
     """,
 )
 def geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,7 +250,7 @@ def geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         masking.create_geohash(_lat_col(), _lon_col()).alias("geohash"),
-    ).orderBy("c_custkey")
+    )
 
 
 # M9 haversine_distance (result quantized to 6 decimals on both sides)
@@ -271,7 +265,6 @@ def geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
                pow(sin(radians((2.3522 - lon)) / 2), 2)
              )) as decimal(18,6)) as double) as dist_km
     from (select c_custkey, {_LAT_SQL} as lat, {_LON_SQL} as lon from customer)
-    order by c_custkey
     """,
 )
 def haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,7 +276,7 @@ def haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.select(
         "c_custkey", d.cast("decimal(18,6)").cast("double").alias("dist_km")
-    ).orderBy("c_custkey")
+    )
 
 
 # M10-M12 phone helpers
@@ -301,7 +294,6 @@ def haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
              and length(replace(replace(replace(replace(trim(phone), ' ', ''), '-', ''), '.', ''), '(', '')) >= 10
            end as phone_valid
     from (select c_custkey, {_PHONE_SQL} as phone from customer)
-    order by c_custkey
     """,
 )
 def phone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +303,7 @@ def phone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         masking.extract_country_code("phone").alias("country_code"),
         masking.normalize_phone("phone").alias("phone_norm"),
         masking.is_valid_phone("phone").alias("phone_valid"),
-    ).orderBy("c_custkey")
+    )
 
 
 # M13-M14 email helpers
@@ -325,7 +317,6 @@ def phone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            case when email like '%@%.%' and email not like '%@%.@%' and length(email) >= 5
                 then lower(substr(email, strpos(email, '@') + 1)) end as email_domain
     from (select c_custkey, {_EMAIL_SQL} as email from customer)
-    order by c_custkey
     """,
 )
 def email_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +325,7 @@ def email_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         masking.is_valid_email("email").alias("email_valid"),
         masking.extract_email_domain("email").alias("email_domain"),
-    ).orderBy("c_custkey")
+    )
 
 
 # M15 are_valid_coordinates
@@ -345,7 +336,6 @@ def email_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            (lat is not null and lon is not null
             and lat between -90 and 90 and lon between -180 and 180) as coords_valid
     from (select c_custkey, {_LAT_BAD_SQL} as lat, {_LON_BAD_SQL} as lon from customer)
-    order by c_custkey
     """,
 )
 def valid_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,7 +347,7 @@ def valid_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         masking.are_valid_coordinates("lat", "lon").alias("coords_valid"),
-    ).orderBy("c_custkey")
+    )
 
 
 # M17 surrogate key
@@ -367,14 +357,14 @@ def valid_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
     select c_custkey,
            md5(coalesce(cast(c_custkey as varchar), '_dbt_utils_surrogate_key_null_'))
              as service_key
-    from customer order by c_custkey
+    from customer
     """,
 )
 def surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey", masking.surrogate_key("c_custkey").alias("service_key")
-    ).orderBy("c_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -391,7 +381,6 @@ def surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             + case when phone is not null then 1 else 0 end) as completeness
     from (select c_custkey, {_EMAIL_SQL} as email, {_PHONE_SQL} as phone from customer)
     where c_custkey is not null
-    order by c_custkey
     """,
 )
 def staging_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,7 +397,7 @@ def staging_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_phone.alias("has_phone"),
             (has_email + has_phone).alias("completeness"),
         )
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -420,7 +409,7 @@ def staging_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 when c_mktsegment in ('MACHINERY', 'FURNITURE') then 'manufacturing'
                 when c_mktsegment = 'HOUSEHOLD' then 'consumer'
                 else 'autres' end as segment_category
-    from customer order by c_custkey
+    from customer
     """,
 )
 def case_categorization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,7 +422,7 @@ def case_categorization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(seg == "HOUSEHOLD", "consumer")
         .otherwise("autres")
         .alias("segment_category"),
-    ).orderBy("c_custkey")
+    )
 
 
 @register(
@@ -442,7 +431,6 @@ def case_categorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     select c_custkey, email from
       (select c_custkey, {_EMAIL_SQL} as email from customer)
     where email like '%@example.fr' and email not like '%@anonymized.gouv.fr'
-    order by c_custkey
     """,
 )
 def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -450,7 +438,7 @@ def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(
         F.col("email").like("%@example.fr")
         & ~F.col("email").like("%@anonymized.gouv.fr")
-    ).orderBy("c_custkey")
+    )
 
 
 @register(
@@ -461,7 +449,6 @@ def like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     where email is not null
       and regexp_matches(email, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')
       and email not like '%@anonymized.gouv.fr'
-    order by c_custkey
     """,
 )
 def regex_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,7 +465,7 @@ def regex_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("email").alias("value"),
             F.lit("non_anonymized_email").alias("issue_type"),
         )
-        .orderBy("c_custkey")
+        
     )
 
 
@@ -616,7 +603,6 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       select 'customer', 'lat', cast(lat as varchar), 'GPS coordinates too precise'
       from src where lat is not null and (lat * 100) != floor(lat * 100)
     )
-    order by table_name, column_name, value, issue_type
     """,
 )
 def union_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,11 +636,7 @@ def union_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lat").cast("string").alias("value"),
         F.lit("GPS coordinates too precise").alias("issue_type"),
     )
-    return (
-        email.unionByName(phone)
-        .unionByName(gps)
-        .orderBy("table_name", "column_name", "value", "issue_type")
-    )
+    return email.unionByName(phone).unionByName(gps)
 
 
 # D2 PII inventory (policy-driven literal rows; no timestamp in compared output)
@@ -751,7 +733,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast("decimal(4,2)")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
