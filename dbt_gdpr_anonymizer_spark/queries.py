@@ -864,3 +864,225 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     return dict(ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline extension surface: dedup, near-dup, text analysis, similarity
+# over `documents` and `embeddings`. Spark plans are LSH-bucketed (no
+# all-pairs joins); oracles verify SEMANTICS with brute-force SQL where the
+# output is deterministic-equal (the planted near-dups are well-separated,
+# so LSH finds exactly the brute-force pair set — verified empirically).
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of functions/text.py normalize/words/shingles(3)
+_WORDS_SQL = (
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')"
+)
+_SHINGLES_SQL = (
+    "case when len(ws) >= 3 then "
+    "list_distinct(list_transform(range(1, len(ws)-1), "
+    "i -> array_to_string(ws[i:i+2], ' '))) "
+    "else [array_to_string(ws, ' ')] end"
+)
+
+
+def _sw_sql(stopwords: list[str]) -> str:
+    return "[" + ",".join(f"'{w}'" for w in stopwords) + "]"
+
+
+@register(
+    "exact_dedup_documents",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents)
+    select md5(array_to_string(list_sort(list_distinct(ws)), ' ')) as fingerprint,
+           min(doc_id) as doc_id
+    from w group by fingerprint
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh_neardup",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents),
+    s as (select doc_id, {_SHINGLES_SQL} as sh from w),
+    p as (
+      select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+             len(list_intersect(a.sh, b.sh))::double
+               / len(list_distinct(list_concat(a.sh, b.sh)))::double as j
+      from s a join s b on a.doc_id < b.doc_id
+    )
+    select doc_id_a, doc_id_b, cast(cast(j as decimal(18,6)) as double) as jaccard
+    from p where j >= 0.7
+    """,
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-dup; the oracle is all-pairs brute force (fine at
+    sf0.01; the Spark plan is the one that must scale)."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import neardup_pairs
+
+    return neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@register(
+    "dedup_corpus_survivors",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents),
+    keep as (
+      select min(doc_id) as doc_id
+      from (select doc_id, md5(array_to_string(list_sort(list_distinct(ws)), ' ')) as fp
+            from w)
+      group by fp
+    ),
+    s as (select doc_id, {_SHINGLES_SQL} as sh from w
+          where doc_id in (select doc_id from keep)),
+    pairs as (
+      select a.doc_id as ia, b.doc_id as ib,
+             len(list_intersect(a.sh, b.sh))::double
+               / len(list_distinct(list_concat(a.sh, b.sh)))::double as j
+      from s a join s b on a.doc_id < b.doc_id
+    )
+    select doc_id from keep
+    where doc_id not in (select ib from pairs where j >= 0.7)
+    """,
+)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.dedup import dedup_corpus
+
+    return dedup_corpus(_t(spark, sf_dir, "documents"), threshold=0.7).select(
+        "doc_id"
+    )
+
+
+@register(
+    "text_quality_profile",
+    f"""
+    with m as (
+      select doc_id, text, ws, len(ws) as nw, length(text) as n,
+             len(list_filter(ws, w -> list_contains({_sw_sql(tx.FR_STOPWORDS)}, w))) as fr_hits,
+             len(list_filter(ws, w -> list_contains({_sw_sql(tx.EN_STOPWORDS)}, w))) as en_hits,
+             len(list_filter(ws, w -> list_contains({_sw_sql(tx.FR_STOPWORDS + tx.EN_STOPWORDS)}, w))) as all_hits,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) as punct,
+             coalesce(list_sum(list_transform(ws, w -> length(w))), 0) as wchars
+      from (select doc_id, text, {_WORDS_SQL} as ws from documents)
+    )
+    select doc_id,
+      case when trim(text) = '' then 0
+           else len(string_split_regex(trim(text), '\\s+')) end as tokens_ws,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as tokens_bpe,
+      case when fr_hits > en_hits then 'fr'
+           when en_hits > fr_hits then 'en' else 'unknown' end as lang_pred,
+      cast(cast(case when n = 0 then 0.0 else punct::double / n end as decimal(18,6)) as double) as punct_ratio,
+      cast(
+        (case when n between 100 and 20000 then 1 else 0 end)
+        + (case when nw > 0 and all_hits::double / nw between 0.05 and 0.6 then 1 else 0 end)
+        + (case when (case when n = 0 then 0.0 else punct::double / n end) <= 0.2 then 1 else 0 end)
+        + (case when nw > 0 and wchars::double / nw between 2.0 and 12.0 then 1 else 0 end)
+      as double) / 4.0 as quality
+    from m
+    """,
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("tokens_ws"),
+        tx.token_count_regex("text").alias("tokens_bpe"),
+        tx.lang_id("text").alias("lang_pred"),
+        tx.punct_ratio("text")
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("punct_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "lang_id_accuracy",
+    f"""
+    select lang, lang_pred, count(*) as n
+    from (
+      select lang,
+        case when fr > en then 'fr' when en > fr then 'en' else 'unknown' end as lang_pred
+      from (
+        select lang,
+          len(list_filter(ws, w -> list_contains({_sw_sql(tx.FR_STOPWORDS)}, w))) as fr,
+          len(list_filter(ws, w -> list_contains({_sw_sql(tx.EN_STOPWORDS)}, w))) as en
+        from (select lang, {_WORDS_SQL} as ws from documents)
+      )
+    )
+    group by lang, lang_pred
+    """,
+)
+def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "simhash_fingerprint",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents)
+    select doc_id,
+      cast(coalesce(list_sum(list_transform(range(0, 16), j ->
+        case when coalesce(list_sum(list_transform(ws, t ->
+               2 * ((strpos('0123456789abcdef',
+                            substring(md5(t), (j // 4) + 1, 1)) - 1)
+                    // (case j % 4 when 0 then 8 when 1 then 4
+                                   when 2 then 2 else 1 end) % 2) - 1)), 0) > 0
+             then 1 << j else 0 end)), 0) as bigint) as simhash
+    from w
+    """,
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.simhash("text", 16).alias("simhash"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+               from embeddings where vec_id < 5),
+    v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    scored as (
+      select query_id, vec_id,
+             list_dot_product(qv, vv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv))) as c
+      from q join v on vec_id != query_id
+    ),
+    r as (select query_id, vec_id, c,
+                 row_number() over (partition by query_id
+                                    order by c desc, vec_id) as rn
+          from scored)
+    select query_id, vec_id, cast(cast(c as decimal(18,6)) as double) as cos_sim
+    from r where rn <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+@register("ann_lsh_topk")  # approximate by construction -> rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5, dim=64, bits=8)

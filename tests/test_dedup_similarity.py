@@ -1,0 +1,137 @@
+"""Tests for the corpus dedup and similarity operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.dedup import (
+    dedup_corpus,
+    exact_dedup,
+    lsh_candidate_pairs,
+    neardup_pairs,
+)
+from dbt_gdpr_anonymizer_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane_bucket,
+    lsh_topk,
+)
+
+BASE = (
+    "spark shuffles data between stages when a wide dependency requires "
+    "rows with the same key to meet on one executor and the optimizer "
+    "cannot avoid the exchange"
+)
+NEAR = BASE.replace("optimizer", "planner")  # one-word edit -> high jaccard
+DISTINCT = (
+    "completely different content about cooking pasta with tomatoes basil "
+    "garlic and olive oil in a large pot of salted boiling water tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1 (same words, same order)
+        (3, "  " + BASE.upper() + "!!"),  # normalizes to same fingerprint
+        (4, NEAR),  # near-dup of 1
+        (5, DISTINCT),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(corpus):
+    out = exact_dedup(corpus).collect()
+    survivors = sorted(r["doc_id"] for r in out)
+    # 1,2,3 share a fingerprint -> survivor 1; 4 and 5 unique
+    assert survivors == [1, 4, 5]
+    assert len({r["fingerprint"] for r in out}) == 3
+
+
+def test_lsh_candidates_cover_near_pairs_without_all_pairs(corpus):
+    cands = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in lsh_candidate_pairs(corpus).collect()
+    }
+    # identical docs must be candidates; near-dup pair must be found
+    assert (1, 2) in cands
+    assert (1, 4) in cands
+    # the unrelated doc should not pair with everything
+    assert (1, 5) not in cands
+
+
+def test_neardup_pairs_threshold_and_jaccard(corpus):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in neardup_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 <= pairs[(1, 4)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_dedup_corpus_end_to_end(corpus):
+    survivors = sorted(
+        r["doc_id"] for r in dedup_corpus(corpus, threshold=0.5).collect()
+    )
+    # exact dups 2,3 dropped; near-dup 4 loses to 1; 5 survives
+    assert survivors == [1, 5]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 4-dim unit-ish vectors with known geometry
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(vectors, q, k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 4]
+    expect = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(out[0]["cos_sim"] - expect) < 1e-6
+
+
+def test_cosine_topk_excludes_self(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert all(
+        r["vec_id"] != r["query_id"] for r in cosine_topk(vectors, q, k=5).collect()
+    )
+
+
+def test_hyperplane_bucket_deterministic(vectors):
+    a = vectors.select(hyperplane_bucket(F.col("embedding"), 4, 8).alias("b"))
+    assert a.collect() == a.collect()
+    # opposite vectors land in complementary buckets (all 8 bits flip)
+    vals = {
+        r["vec_id"]: r["b"]
+        for r in vectors.select(
+            "vec_id", hyperplane_bucket(F.col("embedding"), 4, 8).alias("b")
+        ).collect()
+    }
+    assert vals[0] == 255 - vals[3]
+
+
+def test_lsh_topk_subset_of_bucket(vectors):
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(vectors, q, k=5, dim=4, bits=2)
+    rows = out.collect()
+    # approximate: results come only from the query's bucket, never self
+    assert all(r["vec_id"] != 0 for r in rows)
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
