@@ -1,1 +1,2 @@
-"""Validation, audit, and large-scale corpus operators."""
+"""Operators: validation/audit (validate, report), corpus dedup (dedup),
+similarity search (similarity), multimodal plumbing (multimodal)."""

@@ -1086,3 +1086,85 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(emb, queries, k=5, dim=64, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 ingest: nested-JSON flattening proved by round-trip — Spark builds
+# the nested JSONL shape (geo/writeAddress structs, website array), parses it
+# back with the explicit schema, and flattens with struct/array accessors.
+# The oracle computes the expected projection directly from the source, so
+# any loss in the JSON round-trip or flattening surfaces as a mismatch.
+# ---------------------------------------------------------------------------
+@register(
+    "jsonl_flatten_roundtrip",
+    """
+    select cast(c_custkey as varchar) as service_id,
+           c_name as service_name,
+           cast(c_acctbal % 90 as double) as latitude,
+           c_mktsegment as commune,
+           'https://' || cast(c_custkey as varchar) || '.example.fr' as website
+    from customer
+    """,
+)
+def jsonl_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    c = _t(spark, sf_dir, "customer")
+    lines = c.select(
+        F.to_json(
+            F.struct(
+                F.col("c_custkey").cast("string").alias("id"),
+                F.col("c_name").alias("name"),
+                F.struct(
+                    _lat_col().alias("latitude"),
+                    F.col("c_mktsegment").alias("commune"),
+                ).alias("geo"),
+                F.array(
+                    F.concat(
+                        F.lit("https://"),
+                        F.col("c_custkey").cast("string"),
+                        F.lit(".example.fr"),
+                    )
+                ).alias("website"),
+            )
+        ).alias("line")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField(
+                "geo",
+                T.StructType(
+                    [
+                        T.StructField("latitude", T.DoubleType()),
+                        T.StructField("commune", T.StringType()),
+                    ]
+                ),
+            ),
+            T.StructField("website", T.ArrayType(T.StringType())),
+        ]
+    )
+    parsed = lines.select(F.from_json("line", schema).alias("r"))
+    return parsed.select(
+        F.col("r.id").alias("service_id"),
+        F.col("r.name").alias("service_name"),
+        F.col("r.geo.latitude").alias("latitude"),
+        F.col("r.geo.commune").alias("commune"),
+        F.element_at("r.website", 1).alias("website"),
+    )
+
+
+# S3/O3 deterministic exact-n sampling through the ingest helper
+@register(
+    "ingest_sample_deterministic",
+    """
+    select c_custkey, c_name from customer
+    order by md5(cast(c_custkey as varchar)), c_custkey limit 50
+    """,
+)
+def ingest_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.sources.ingest import deterministic_sample
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return deterministic_sample(c, 50, "c_custkey")

@@ -1,1 +1,2 @@
-"""Data sources: ingest readers and flattening."""
+"""Data sources: JSONL ingest, nested flattening, CSV seed round-trip
+(see ``ingest``)."""

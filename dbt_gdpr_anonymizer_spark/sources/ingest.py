@@ -1,0 +1,234 @@
+"""Ingest sources: JSONL read, nested-struct flattening, seeded sampling,
+CSV seed round-trip.
+
+Reference: src/dbt_gdpr_anonymizer/scripts/download_data.py:40-148 (HTTP JSONL
+fetch → per-line json.loads → pydantic flatten of nested ``geo`` /
+``writeAddress`` / ``website[0]`` → pandas → CSV seed) and
+dbt_project/dbt_project.yml:125-137 (seed column-type pins: id/email/phone/
+postal_code forced varchar to preserve leading zeros).
+
+Spark-first redesign: the driver-side Python parse loop becomes
+``spark.read.json`` (JSONL-native, distributed) + one projection of
+struct/array accessors — flattening runs on executors inside codegen, and a
+malformed line lands in ``_corrupt_record`` instead of killing the job.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "SEED_SCHEMA",
+    "fetch_jsonl",
+    "read_services_jsonl",
+    "flatten_services",
+    "deterministic_sample",
+    "write_seed_csv",
+    "read_seed_csv",
+]
+
+# dbt_project.yml:125-137 — seed schema with pinned varchar types. Explicit,
+# never inferred (a zip code must stay '07500', not 7500).
+SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("service_id", T.StringType(), True),
+        T.StructField("service_name", T.StringType(), True),
+        T.StructField("parent_organization", T.StringType(), True),
+        T.StructField("organization_type", T.StringType(), True),
+        T.StructField("contact_email", T.StringType(), True),
+        T.StructField("contact_phone", T.StringType(), True),
+        T.StructField("website", T.StringType(), True),
+        T.StructField("street_address", T.StringType(), True),
+        T.StructField("postal_code", T.StringType(), True),
+        T.StructField("city", T.StringType(), True),
+        T.StructField("commune", T.StringType(), True),
+        T.StructField("latitude", T.DoubleType(), True),
+        T.StructField("longitude", T.DoubleType(), True),
+        T.StructField("insee_code", T.StringType(), True),
+        T.StructField("last_updated", T.StringType(), True),
+    ]
+)
+
+# The nested shape of the public annuaire JSONL (download_data.py:83-118).
+SERVICES_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("parent_name", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("contact_email", T.StringType(), True),
+        T.StructField("contact_phone", T.StringType(), True),
+        T.StructField("website", T.ArrayType(T.StringType()), True),
+        T.StructField(
+            "writeAddress",
+            T.StructType(
+                [
+                    T.StructField("streetAddress", T.StringType(), True),
+                    T.StructField("postalCode", T.StringType(), True),
+                    T.StructField("addressLocality", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField(
+            "geo",
+            T.StructType(
+                [
+                    T.StructField("commune", T.StringType(), True),
+                    T.StructField("latitude", T.DoubleType(), True),
+                    T.StructField("longitude", T.DoubleType(), True),
+                    T.StructField("insee_comm", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("update", T.StringType(), True),
+    ]
+)
+
+
+def fetch_jsonl(
+    url: str, dest_path: str, timeout: int = 30, retries: int = 3
+) -> str:
+    """Fetch a JSONL resource to a local file with a retry loop
+    (download_data.py:40-81). Network-side only — parsing happens in Spark.
+    Stdlib urllib: no extra dependency."""
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
+                body = resp.read()
+            with open(dest_path, "wb") as fh:
+                fh.write(body)
+            return dest_path
+        except Exception as exc:  # pragma: no cover - network path
+            last = exc
+            time.sleep(min(2**attempt, 10))
+    raise ConnectionError(f"failed to fetch {url} after {retries} attempts: {last}")
+
+
+def read_services_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed JSONL read with the explicit nested schema; malformed
+    lines are kept in ``_corrupt_record`` (PERMISSIVE), mirroring the
+    reference's skip-and-warn per-record behavior without a driver loop."""
+    # StructType.add mutates in place — build a fresh copy per call.
+    schema = T.StructType(
+        list(SERVICES_JSON_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def flatten_services(raw: DataFrame) -> DataFrame:
+    """Nested → flat projection (S2), replacing parse_service
+    (download_data.py:83-118): struct field access and ``element_at`` for
+    ``website[0]`` — all codegen'd, no Python per row."""
+    return raw.filter(F.col("_corrupt_record").isNull()).select(
+        F.coalesce(F.col("id"), F.lit("")).alias("service_id"),
+        F.coalesce(F.col("name"), F.lit("")).alias("service_name"),
+        F.col("parent_name").alias("parent_organization"),
+        F.col("type").alias("organization_type"),
+        F.col("contact_email"),
+        F.col("contact_phone"),
+        F.when(
+            F.col("website").isNotNull() & (F.size("website") > 0),
+            F.element_at("website", 1),
+        ).alias("website"),
+        F.col("writeAddress.streetAddress").alias("street_address"),
+        F.col("writeAddress.postalCode").alias("postal_code"),
+        F.col("writeAddress.addressLocality").alias("city"),
+        F.col("geo.commune").alias("commune"),
+        F.col("geo.latitude").alias("latitude"),
+        F.col("geo.longitude").alias("longitude"),
+        F.col("geo.insee_comm").alias("insee_code"),
+        F.col("update").alias("last_updated"),
+    )
+
+
+def deterministic_sample(df: DataFrame, n: int, key: str) -> DataFrame:
+    """Exact-n deterministic sample (download_data.py:141-142 uses
+    ``pd.sample(random_state=42)``). Distributed equivalent: order by
+    ``md5(key)`` — a fixed pseudo-random permutation that is stable across
+    partitionings, engines, and runs (``F.rand(seed)`` is none of those) —
+    and take the first n. The sort is a top-n (TakeOrdered), not a full
+    global sort."""
+    return df.orderBy(F.md5(F.col(key).cast("string")), key).limit(n)
+
+
+def write_seed_csv(df: DataFrame, path: str) -> None:
+    """CSV seed sink (S3): header, UTF-8, minimal quoting — matches the
+    pandas ``to_csv`` output shape the reference's dbt seed consumes."""
+    df.write.mode("overwrite").option("header", True).option(
+        "emptyValue", ""
+    ).csv(path)
+
+
+def read_seed_csv(spark: SparkSession, path: str) -> DataFrame:
+    """CSV seed scan (S4) with the pinned schema — the dbt
+    ``+column_types`` contract (never infer; leading zeros survive)."""
+    return (
+        spark.read.schema(SEED_SCHEMA)
+        .option("header", True)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+
+
+def make_ci_fixture_jsonl(path: str) -> str:
+    """Write the reference CI workflow's 2-row fixture
+    (.github/workflows/ci.yml:57-64) in its nested JSONL source shape —
+    the golden round-trip input for ingest tests."""
+    rows = [
+        {
+            "id": "TEST001",
+            "name": "Service Test 1",
+            "parent_name": "Ministère A",
+            "type": "ministere",
+            "contact_email": "test1@example.fr",
+            "contact_phone": "+33 1 23 45 67 89",
+            "website": ["https://example.fr"],
+            "writeAddress": {
+                "streetAddress": "10 rue de Paris",
+                "postalCode": "75001",
+                "addressLocality": "Paris",
+            },
+            "geo": {
+                "commune": "Paris",
+                "latitude": 48.8566,
+                "longitude": 2.3522,
+                "insee_comm": "75056",
+            },
+            "update": "2025-01-01",
+        },
+        {
+            "id": "TEST002",
+            "name": "Service Test 2",
+            "parent_name": "Agence B",
+            "type": "etablissement-public",
+            "contact_email": "test2@example.fr",
+            "contact_phone": "+33 2 98 76 54 32",
+            "website": ["https://example2.fr"],
+            "writeAddress": {
+                "streetAddress": "20 avenue Victor Hugo",
+                "postalCode": "69001",
+                "addressLocality": "Lyon",
+            },
+            "geo": {
+                "commune": "Lyon",
+                "latitude": 45.764,
+                "longitude": 4.8357,
+                "insee_comm": "69123",
+            },
+            "update": "2025-01-02",
+        },
+    ]
+    with open(path, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(json.dumps(r, ensure_ascii=False) + "\n")
+    return path

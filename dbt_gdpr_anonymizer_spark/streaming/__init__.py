@@ -1,1 +1,2 @@
-"""Structured Streaming anonymization."""
+"""Structured Streaming anonymization: stream_anonymize, watermarked
+windowed rollups (see ``anonymize``)."""

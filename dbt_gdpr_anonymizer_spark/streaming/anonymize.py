@@ -1,0 +1,99 @@
+"""Structured Streaming anonymization.
+
+The masking surface is stateless per-row Column expressions (functions/
+masking.py), so the SAME ``mask_model`` rewriter applies unchanged to a
+streaming DataFrame — one code path for batch and streaming, the core
+promise of Structured Streaming. This module adds the stream plumbing:
+sources, sinks, and the watermarked windowed rollup for late events.
+
+No reference equivalent (the reference is batch-only dbt); this is the
+extension surface for continuous pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from dbt_gdpr_anonymizer_spark.config import EngineSettings, settings
+from dbt_gdpr_anonymizer_spark.policy import TablePolicy, mask_model
+from dbt_gdpr_anonymizer_spark.sources.ingest import SEED_SCHEMA
+
+__all__ = [
+    "read_seed_stream",
+    "stream_anonymize",
+    "write_stream_parquet",
+    "windowed_event_rollup",
+]
+
+
+def read_seed_stream(
+    spark: SparkSession, path: str, schema: T.StructType = SEED_SCHEMA
+) -> DataFrame:
+    """File-source stream of seed-shaped JSONL/CSV drops. Explicit schema —
+    streaming reads never infer."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def stream_anonymize(
+    stream: DataFrame,
+    policy: TablePolicy,
+    conf: EngineSettings | None = None,
+) -> DataFrame:
+    """Apply the policy rewriter to a streaming DataFrame.
+
+    Masking is a stateless projection, so this is exactly ``mask_model`` —
+    no state store, no watermark needed; every microbatch is masked
+    independently and the plan stays inside codegen.
+    """
+    return mask_model(stream, policy, conf or settings())
+
+
+def write_stream_parquet(
+    masked: DataFrame, out_path: str, checkpoint: str, *, available_now: bool = False
+) -> StreamingQuery:
+    """Append-mode parquet sink with checkpointing (exactly-once file sink).
+    ``available_now`` drains what exists then stops — batch-backfill mode."""
+    writer = (
+        masked.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup for late-arriving events.
+
+    The watermark bounds state: windows older than max(event time) -
+    ``watermark`` are finalized and evicted, so state size is O(active
+    windows), not O(stream length) — the property that keeps this runnable
+    forever on a cluster.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"), F.col(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            group_col,
+            "n_events",
+            "total_value",
+        )
+    )

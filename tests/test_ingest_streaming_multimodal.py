@@ -1,0 +1,172 @@
+"""Tests: ingest round-trip (S1-S4), streaming anonymization, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.config import EngineSettings
+from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+    decode_features,
+    fake_decoder,
+    real_decoder,
+    sample_frames,
+)
+from dbt_gdpr_anonymizer_spark.policy import SERVICES_POLICY
+from dbt_gdpr_anonymizer_spark.sources.ingest import (
+    SEED_SCHEMA,
+    deterministic_sample,
+    flatten_services,
+    make_ci_fixture_jsonl,
+    read_seed_csv,
+    read_services_jsonl,
+    write_seed_csv,
+)
+from dbt_gdpr_anonymizer_spark.streaming.anonymize import (
+    stream_anonymize,
+    windowed_event_rollup,
+)
+
+
+def test_jsonl_ingest_golden_roundtrip(spark, tmp_path):
+    """The reference CI 2-row fixture through read -> flatten -> CSV seed ->
+    read-back with pinned schema."""
+    src = make_ci_fixture_jsonl(str(tmp_path / "services.jsonl"))
+    flat = flatten_services(read_services_jsonl(spark, src))
+    rows = {r["service_id"]: r for r in flat.collect()}
+    assert set(rows) == {"TEST001", "TEST002"}
+    r1 = rows["TEST001"]
+    assert r1["street_address"] == "10 rue de Paris"
+    assert r1["postal_code"] == "75001"  # leading-zero-safe varchar
+    assert r1["website"] == "https://example.fr"  # website[0]
+    assert r1["latitude"] == 48.8566 and r1["commune"] == "Paris"
+
+    seed_dir = str(tmp_path / "seed_csv")
+    write_seed_csv(flat, seed_dir)
+    back = read_seed_csv(spark, seed_dir)
+    assert back.schema == SEED_SCHEMA
+    assert {r["service_id"]: r["postal_code"] for r in back.collect()} == {
+        "TEST001": "75001",
+        "TEST002": "69001",
+    }
+
+
+def test_corrupt_jsonl_line_isolated(spark, tmp_path):
+    src = tmp_path / "bad.jsonl"
+    src.write_text('{"id": "OK1", "name": "Svc"}\n{not json at all\n')
+    raw = read_services_jsonl(spark, str(src)).cache()
+    flat = flatten_services(raw)
+    assert [r["service_id"] for r in flat.collect()] == ["OK1"]
+    # Spark requires the parsed result to be cached before querying only
+    # the corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN).
+    assert raw.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    raw.unpersist()
+
+
+def test_deterministic_sample_stable_and_exact(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    s1 = [r["k"] for r in deterministic_sample(df, 37, "k").collect()]
+    s2 = [
+        r["k"]
+        for r in deterministic_sample(df.repartition(7), 37, "k").collect()
+    ]
+    assert len(s1) == 37 and s1 == s2  # exact n, partitioning-independent
+
+
+def test_stream_anonymize_masks_microbatches(spark, tmp_path):
+    """File-source stream -> mask_model -> memory sink: emails hashed,
+    phones partially masked, street addresses aggregated to city."""
+    import json
+
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    rec = {
+        "service_id": "S1",
+        "service_name": "Svc",
+        "contact_email": "someone@real.fr",
+        "contact_phone": "+33 1 22 33 44 55",
+        "street_address": "1 rue Vraie",
+        "city": "Paris",
+        "latitude": 48.85661,
+        "longitude": 2.35221,
+    }
+    (drop / "part1.jsonl").write_text(json.dumps(rec) + "\n")
+
+    stream = spark.readStream.schema(SEED_SCHEMA).json(str(drop))
+    masked = stream_anonymize(
+        stream, SERVICES_POLICY, EngineSettings(salt_key="dev_salt_UNSAFE")
+    )
+    q = (
+        masked.writeStream.format("memory")
+        .queryName("masked_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from masked_stream").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["contact_email_anon"].endswith("@anonymized.gouv.fr")
+    assert r["contact_phone_anon"].endswith(" XX XX XX XX")
+    assert r["street_address_anon"] == "Paris"
+    assert r["latitude_anon"] == 48.86
+
+
+def test_windowed_rollup_is_streaming_compatible(spark):
+    """The rollup plan must be accepted by the streaming planner (watermark
+    present, append-able aggregation) — checked by starting a noop sink."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+    )
+    events = stream.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 3).cast("string").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+    roll = windowed_event_rollup(events, window="10 seconds", watermark="5 seconds")
+    q = (
+        roll.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        assert q.isActive
+    finally:
+        q.stop()
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", (4, 4, None, "png")),
+        (2, "audio", b"RIFF fake", (None, None, 1200, "wav")),
+        (3, "image", None, (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:long,codec:string>",
+    )
+    out = {r["media_id"]: r for r in decode_features(df).collect()}
+    assert out[1]["n_bytes"] == 15 and len(out[1]["features"]) == 8
+    assert out[3]["n_bytes"] == 0 and out[3]["features"] == [0.0] * 8
+    # determinism: same payload -> same features
+    assert out[1]["features"] == [
+        pytest.approx(x) for x in fake_decoder(b"\x89PNG fake bytes")
+    ]
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"x")
+
+
+def test_sample_frames_filter(spark):
+    frames = spark.createDataFrame(
+        [(1, i, b"f") for i in range(25)],
+        "media_id long, frame_idx int, payload binary",
+    )
+    kept = sample_frames(frames, every_n=10).collect()
+    assert sorted(r["frame_idx"] for r in kept) == [0, 10, 20]
