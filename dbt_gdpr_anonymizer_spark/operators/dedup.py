@@ -198,3 +198,114 @@ def dedup_corpus(
     )
     losers = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
     return kept.join(losers, id_col, "left_anti")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 16,
+    max_hamming: int = 2,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: the ``bits``-wide fingerprint is split into ``chunks``
+    equal bit-chunks; by pigeonhole, any pair within Hamming distance
+    ``chunks - 1`` shares at least one exact chunk, so candidates come from
+    an equi-join on (chunk_index, chunk_value) — never all-pairs. Verify =
+    ``bit_count(a XOR b) <= max_hamming`` on candidates.
+
+    ``bits=16`` keeps the demo oracle cheap; production corpora want
+    bits=64, chunks=8 (same code — chunk width is bits/chunks).
+    """
+    if bits % chunks:
+        raise ValueError("bits must be divisible by chunks")
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            "pigeonhole banding only covers max_hamming <= chunks - 1"
+        )
+    width = bits // chunks
+    sh = df.select(F.col(id_col), tx.simhash(text_col, bits).alias("simhash"))
+    mask = (1 << width) - 1
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select(id_col, "simhash", "cv.chunk", "cv.val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ ``threshold``.
+
+    Scale path: sign-LSH bucket equi-join (high-cosine pairs land in the
+    same hyperplane bucket with high probability), exact cosine verify on
+    candidates. Approximate: a pair split by a hyperplane is missed —
+    acceptable at dedup thresholds (≥0.9 ⇒ angle ≤ 26°, missed by an
+    8-bit bucket with p ≈ 1-(1-θ/π)^8 per bit... in practice raise
+    ``bits`` or add multi-probe for recall; exactness is the oracle's job).
+    """
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        cosine_sim,
+        hyperplane_bucket,
+    )
+
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        hyperplane_bucket(F.col(vec_col), dim, bits).alias("_bucket"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_sim(F.col("a._v"), F.col("b._v"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+            cos.alias("_c"),
+        )
+        .filter(F.col("_c") >= threshold)
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.col("_c").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+        )
+        .distinct()
+    )

@@ -296,11 +296,19 @@ def run_pipeline(
             return spark.read.parquet(path)
         return df
 
+    # D4 run hooks: each layer's jobs carry a description in the Spark UI /
+    # event log (the reference's query-comment + on-run hooks,
+    # dbt_project.yml:186-204).
+    sc = spark.sparkContext
     layers: dict[str, DataFrame] = {}
-    layers["staging"] = materialize("staging", staging(raw))
-    layers["anonymized"] = materialize(
-        "anonymized", anonymize(layers["staging"], policy, conf)
-    )
-    layers["enriched"] = materialize("enriched", enrich(layers["anonymized"], conf))
-    layers["mart"] = materialize("mart", mart(layers["enriched"], conf))
+    stages = [
+        ("staging", lambda: staging(raw)),
+        ("anonymized", lambda: anonymize(layers["staging"], policy, conf)),
+        ("enriched", lambda: enrich(layers["anonymized"], conf)),
+        ("mart", lambda: mart(layers["enriched"], conf)),
+    ]
+    for name, build in stages:
+        sc.setJobDescription(f"gdpr-anonymizer layer={name}")
+        layers[name] = materialize(name, build())
+    sc.setJobDescription(None)
     return layers

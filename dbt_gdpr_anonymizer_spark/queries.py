@@ -1168,3 +1168,60 @@ def ingest_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return deterministic_sample(c, 50, "c_custkey")
+
+
+_SIMHASH_SQL = """
+      cast(coalesce(list_sum(list_transform(range(0, 16), j ->
+        case when coalesce(list_sum(list_transform(ws, t ->
+               2 * ((strpos('0123456789abcdef',
+                            substring(md5(t), (j // 4) + 1, 1)) - 1)
+                    // (case j % 4 when 0 then 8 when 1 then 4
+                                   when 2 then 2 else 1 end) % 2) - 1)), 0) > 0
+             then 1 << j else 0 end)), 0) as bigint)
+"""
+
+
+@register(
+    "simhash_neardup",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents),
+    s as (select doc_id, {_SIMHASH_SQL} as sh from w)
+    select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+           cast(bit_count(xor(a.sh, b.sh)) as int) as hamming
+    from s a join s b on a.doc_id < b.doc_id
+    where bit_count(xor(a.sh, b.sh)) <= 2
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-banded SimHash near-dup; oracle is all-pairs brute force.
+    Pigeonhole (4 chunks, hamming<=2) guarantees the banded plan finds
+    exactly the brute-force pair set — deterministic, not probabilistic."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_neardup",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    p as (
+      select a.vec_id as vec_id_a, b.vec_id as vec_id_b,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) as c
+      from v a join v b on a.vec_id < b.vec_id
+    )
+    select vec_id_a, vec_id_b,
+           cast(cast(c as decimal(18,6)) as double) as cos_sim
+    from p where c >= 0.9
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-LSH buckets; brute-force oracle.
+    The driver corpus has no pairs above 0.9 (verified max ~0.51), so both
+    sides return empty — the unit tests plant high-cosine vectors to prove
+    detection; this entry proves the distributed plan + threshold gate."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)

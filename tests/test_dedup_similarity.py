@@ -135,3 +135,39 @@ def test_lsh_topk_subset_of_bucket(vectors):
     # approximate: results come only from the query's bucket, never self
     assert all(r["vec_id"] != 0 for r in rows)
     assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+
+
+def test_simhash_neardup_finds_exact_and_near(spark, corpus):
+    from dbt_gdpr_anonymizer_spark.operators.dedup import simhash_neardup_pairs
+
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(corpus, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical docs -> identical simhash
+    assert (1, 4) in pairs  # one-word edit -> tiny hamming distance
+    assert pairs[(1, 4)] <= 3
+
+
+def test_simhash_neardup_pigeonhole_guard(spark, corpus):
+    from dbt_gdpr_anonymizer_spark.operators.dedup import simhash_neardup_pairs
+
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(corpus, max_hamming=4, chunks=4)
+
+
+def test_embedding_neardup_planted_pair(spark):
+    from dbt_gdpr_anonymizer_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0]),
+        (1, [0.99, 0.0, 0.01, 0.0]),  # cosine ~0.9999 with 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(v, threshold=0.9, dim=4, bits=4).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert all(2 not in p for p in pairs)
