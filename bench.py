@@ -53,9 +53,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # One untimed warm-up (plan compilation, code generation, parquet
+        # footer cache), then the timed steady-state run — the number that
+        # scales with data volume rather than with JVM warm-up.
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -84,9 +84,15 @@ def stopword_hits(ws: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
 
 
-def lang_id(c: Column | str) -> Column:
-    """Heuristic language ID: majority stopword vote fr/en, else 'unknown'."""
-    ws = words(c)
+def lang_id(c: Column | str, ws: Column | None = None) -> Column:
+    """Heuristic language ID: majority stopword vote fr/en, else 'unknown'.
+
+    Pass a pre-projected ``ws`` (words column) when scoring several
+    functions over one text column: lambda-captured expressions are
+    re-evaluated per element, so deriving words once in a projection and
+    sharing the COLUMN is the linear-cost shape.
+    """
+    ws = words(c) if ws is None else ws
     fr = stopword_hits(ws, FR_STOPWORDS)
     en = stopword_hits(ws, EN_STOPWORDS)
     return (
@@ -105,7 +111,7 @@ def punct_ratio(c: Column | str) -> Column:
     )
 
 
-def quality_score(c: Column | str) -> Column:
+def quality_score(c: Column | str, ws: Column | None = None) -> Column:
     """Composite quality in [0,1]: length, stopword, punctuation, word-shape.
 
     A deliberately simple, fully-deterministic heuristic: mean of
@@ -113,9 +119,11 @@ def quality_score(c: Column | str) -> Column:
       - stop_ok:     1 if stopword ratio in [0.05, 0.6] else 0
       - punct_ok:    1 if punct ratio <= 0.2 else 0
       - wordlen_ok:  1 if mean word length in [2, 12] else 0
+
+    ``ws``: optional pre-projected words column (see ``lang_id``).
     """
     c = _col(c)
-    ws = words(c)
+    ws = words(c) if ws is None else ws
     nw = F.size(ws)
     n = F.length(c)
     stop_ratio = F.when(nw == 0, F.lit(0.0)).otherwise(

@@ -987,17 +987,22 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # words pre-projected once and shared as a COLUMN: lambda-captured
+    # expressions re-evaluate per element (see operators/dedup._shingle_sets)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", tx.words("text").alias("_ws")
+    )
+    ws = F.col("_ws")
     return d.select(
         "doc_id",
         tx.token_count_ws("text").alias("tokens_ws"),
         tx.token_count_regex("text").alias("tokens_bpe"),
-        tx.lang_id("text").alias("lang_pred"),
+        tx.lang_id("text", ws).alias("lang_pred"),
         tx.punct_ratio("text")
         .cast("decimal(18,6)")
         .cast("double")
         .alias("punct_ratio"),
-        tx.quality_score("text").alias("quality"),
+        tx.quality_score("text", ws).alias("quality"),
     )
 
 
@@ -1019,9 +1024,11 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", "text", tx.words("text").alias("_ws")
+    )
     return (
-        d.select("lang", tx.lang_id("text").alias("lang_pred"))
+        d.select("lang", tx.lang_id("text", F.col("_ws")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
