@@ -249,7 +249,7 @@ def simhash_neardup_pairs(
             "pigeonhole banding only covers max_hamming <= chunks - 1"
         )
     width = bits // chunks
-    sh = df.select(F.col(id_col), tx.simhash(text_col, bits).alias("simhash"))
+    sh = simhash_table(df, text_col, id_col, bits=bits)
     mask = (1 << width) - 1
     chunked = sh.select(
         id_col,
@@ -330,4 +330,55 @@ def embedding_neardup_pairs(
             F.col("_c").cast("decimal(18,6)").cast("double").alias("cos_sim"),
         )
         .distinct()
+    )
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash per document via explode → one md5 per token → vote-sum agg.
+
+    Semantically identical to the per-row expression ``tx.simhash`` (same
+    md5-bit votes), but linear: the expression form re-evaluates the word
+    array per bit and re-hashes each token per bit (O(bits × tokens) md5
+    calls — measured 4s at 5k docs); here each token is hashed ONCE and all
+    ``bits`` votes are extracted arithmetically from the digest, with a
+    map-side-partial vote aggregation. Empty docs hash to 0, as in the
+    expression form.
+    """
+    pre = df.select(
+        F.col(id_col), F.explode_outer(tx.words(text_col)).alias("_w")
+    )
+    tok = pre.select(
+        id_col,
+        *[
+            (
+                F.lit(2)
+                * F.shiftright(
+                    F.call_function(
+                        "instr",
+                        F.lit("0123456789abcdef"),
+                        F.substring(F.md5("_w"), j // 4 + 1, 1),
+                    )
+                    - 1,
+                    3 - j % 4,
+                ).bitwiseAND(F.lit(1))
+                - 1
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        ],
+    )
+    votes = tok.groupBy(id_col).agg(
+        *[F.sum(f"_v{j}").alias(f"_v{j}") for j in range(bits)]
+    )
+    fingerprint = None
+    for j in range(bits):
+        contrib = F.when(F.col(f"_v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fingerprint = contrib if fingerprint is None else fingerprint + contrib
+    return votes.select(
+        F.col(id_col), fingerprint.cast("bigint").alias("simhash")
     )

@@ -1050,8 +1050,9 @@ def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", tx.simhash("text", 16).alias("simhash"))
+    from dbt_gdpr_anonymizer_spark.operators.dedup import simhash_table
+
+    return simhash_table(_t(spark, sf_dir, "documents"), bits=16)
 
 
 @register(
