@@ -1233,3 +1233,130 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.dedup import embedding_neardup_pairs
 
     return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage widening: as-of join (DuckDB native ASOF as oracle),
+# SCD2 snapshot, pivot, rollup, exact percentiles.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_purchase_signup",
+    """
+    select p.event_id, p.user_id, p.ts,
+           s.ts as ts_asof, s.event_id as event_id_asof
+    from (select * from events where event_type = 'purchase') p
+    asof left join (select * from events where event_type = 'signup') s
+      on p.user_id = s.user_id and p.ts >= s.ts
+    """,
+)
+def asof_join_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest signup at-or-before each purchase, per user. The Spark plan is
+    union+window (one shuffle); the oracle is DuckDB's native ASOF JOIN —
+    two entirely different algorithms, same rows."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(
+        purchases, signups, "user_id", right_cols=["event_id"]
+    )
+
+
+@register(
+    "scd2_user_event_history",
+    """
+    with c as (
+      select user_id, event_type, ts,
+             lag(event_type) over (partition by user_id order by ts, event_id) as prev
+      from events
+    ),
+    ch as (select user_id, event_type, ts from c
+           where prev is null or prev != event_type)
+    select user_id, event_type, ts as valid_from,
+           lead(ts) over (partition by user_id order by ts) as valid_to,
+           (lead(ts) over (partition by user_id order by ts) is null) as is_current
+    from ch
+    """,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.relational import scd2_from_changes
+
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    return scd2_from_changes(
+        e, "user_id", "ts", ["event_type"], order_cols=["event_id"]
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register(
+    "pivot_event_counts",
+    f"""
+    select user_id % 10 as bucket,
+           {", ".join(f"cast(sum(case when event_type = '{t}' then 1 else 0 end) as bigint) as {t}" for t in _EVENT_TYPES)}
+    from events group by bucket
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    p = (
+        e.select((F.col("user_id") % 10).alias("bucket"), "event_type")
+        .groupBy("bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for empty cells; the CASE-sum oracle yields 0
+    return p.select(
+        "bucket", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@register(
+    "rollup_pricing",
+    """
+    select l_returnflag, l_linestatus, count(*) as n,
+           cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty
+    from lineitem
+    group by rollup (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "event_value_percentiles",
+    """
+    select event_type,
+           cast(cast(quantile_cont(value, 0.5) as decimal(18,6)) as double) as p50,
+           cast(cast(quantile_cont(value, 0.95) as decimal(18,6)) as double) as p95,
+           count(*) as n
+    from events group by event_type
+    """,
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (not approx) so the linear-interpolation result is
+    engine-identical; quantized to decimal(18,6) on both sides."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.5)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("p50"),
+        F.percentile("value", 0.95)
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )

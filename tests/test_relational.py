@@ -1,0 +1,82 @@
+"""Tests for as-of join and SCD2 operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from dbt_gdpr_anonymizer_spark.operators.relational import (
+    asof_join,
+    scd2_from_changes,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "L1"),
+            (1, ts("2024-01-01 12:00:00"), "L2"),
+            (2, ts("2024-01-01 09:00:00"), "L3"),  # before any right row
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 09:30:00"), 100),
+            (1, ts("2024-01-01 12:00:00"), 200),  # equal ts -> inclusive
+            (2, ts("2024-01-01 11:00:00"), 300),
+        ],
+        "k long, ts timestamp, v int",
+    )
+    out = {
+        r["tag"]: (r["ts_asof"], r["v_asof"])
+        for r in asof_join(left, right, "k", right_cols=["v"]).collect()
+    }
+    assert out["L1"] == (ts("2024-01-01 09:30:00"), 100)
+    assert out["L2"] == (ts("2024-01-01 12:00:00"), 200)  # ties match
+    assert out["L3"] == (None, None)  # left-join: no earlier right row
+
+
+def test_asof_join_preserves_null_right_attrs(spark):
+    """A right row whose attribute is NULL must still win (the struct
+    carry must not skip it for an older non-null row)."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00:00"))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), "old"),
+            (1, ts("2024-01-01 11:00:00"), None),
+        ],
+        "k long, ts timestamp, v string",
+    )
+    [r] = asof_join(left, right, "k", right_cols=["v"]).collect()
+    assert r["ts_asof"] == ts("2024-01-01 11:00:00")
+    assert r["v_asof"] is None
+
+
+def test_scd2_compresses_and_versions(spark):
+    changes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 00:00:00"), "bronze"),
+            (1, ts("2024-02-01 00:00:00"), "bronze"),  # no-op -> compressed
+            (1, ts("2024-03-01 00:00:00"), "gold"),
+            (2, ts("2024-01-15 00:00:00"), "silver"),
+        ],
+        "user_id long, ts timestamp, tier string",
+    )
+    hist = {
+        (r["user_id"], r["tier"]): r
+        for r in scd2_from_changes(changes, "user_id", "ts", ["tier"]).collect()
+    }
+    assert len(hist) == 3  # the no-op change is gone
+    b = hist[(1, "bronze")]
+    assert b["valid_from"] == ts("2024-01-01 00:00:00")
+    assert b["valid_to"] == ts("2024-03-01 00:00:00")
+    assert b["is_current"] is False
+    g = hist[(1, "gold")]
+    assert g["valid_to"] is None and g["is_current"] is True
+    assert hist[(2, "silver")]["is_current"] is True
