@@ -1360,3 +1360,36 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p95"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "session_window_rollup",
+    """
+    with g as (
+      select user_id, ts, event_id,
+        case when lag(ts) over (partition by user_id order by ts, event_id) is null
+              or epoch_us(ts) - epoch_us(lag(ts) over
+                   (partition by user_id order by ts, event_id)) > 1800000000
+        then 1 else 0 end as new_s
+      from events
+    ),
+    s as (
+      select user_id, ts,
+             sum(new_s) over (partition by user_id order by ts, event_id
+                              rows unbounded preceding) as sid
+      from g
+    )
+    select user_id, min(ts) as session_start,
+           max(ts) + interval 30 minute as session_end,
+           count(*) as n_events
+    from s group by user_id, sid
+    """,
+)
+def session_window_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window (same code path batch/stream); the oracle
+    emulates gap-merging with lag + running-sum session ids."""
+    from dbt_gdpr_anonymizer_spark.streaming.sessionize import (
+        session_window_rollup,
+    )
+
+    return session_window_rollup(_events(spark, sf_dir), gap="30 minutes")
