@@ -27,7 +27,14 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_sim", "cosine_topk", "hyperplane_bucket", "lsh_topk"]
+__all__ = [
+    "cosine_sim",
+    "cosine_topk",
+    "hyperplane_bucket",
+    "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -144,6 +151,122 @@ def lsh_topk(
     )
     scored = (
         v.join(F.broadcast(q), "_bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_sim(F.col("_q"), F.col("_v")).alias("_cos"),
+        )
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_cos").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+        )
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine): broadcast
+    the (small) centroid table, score every (vector, centroid) pair
+    JVM-side, keep the argmax per vector via one window. Output:
+    (id, vector, cell)."""
+    from pyspark.sql import Window as W
+
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    c = centroids.select(
+        F.col(centroid_id_col), F.col(vec_col).cast("array<double>").alias("_c")
+    )
+    scored = v.join(F.broadcast(c)).select(
+        id_col,
+        "_v",
+        centroid_id_col,
+        cosine_sim(F.col("_v"), F.col("_c")).alias("_cos"),
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("_v"), F.col(centroid_id_col).alias("cell"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are partitioned into
+    ``nlist`` cells by nearest centroid; each query scans only its
+    ``nprobe`` nearest cells, exact cosine within them.
+
+    Centroids are seeded deterministically from the corpus (the first
+    ``nlist`` vectors by id — kmeans-free seeding keeps the operator a pure
+    Spark plan; plug in refined centroids for better recall). At scale the
+    cell assignment is computed once, written partitioned by ``cell``, and
+    the probe join prunes to nprobe/nlist of the corpus per query.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = (
+        vectors.orderBy(id_col)
+        .limit(nlist)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col),
+        )
+    )
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_q")
+    )
+    qc = q.join(
+        F.broadcast(
+            centroids.select(
+                "centroid_id", F.col(vec_col).cast("array<double>").alias("_c")
+            )
+        )
+    ).select(
+        query_id_col,
+        "_q",
+        "centroid_id",
+        cosine_sim(F.col("_q"), F.col("_c")).alias("_cos"),
+    )
+    wq = W.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_q", F.col("centroid_id").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,

@@ -1393,3 +1393,28 @@ def session_window_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return session_window_rollup(_events(spark, sf_dir), gap="30 minutes")
+
+
+@register("ann_ivf_topk")  # approximate by construction -> rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+
+
+@register("approx_distinct_sketch")  # HLL sketches differ per engine -> rows-only
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct + approximate quantile sketch per event type —
+    the constant-memory scale path for the exact aggregates covered by
+    distinct_counts / event_value_percentiles (exact twins ARE
+    oracle-checked; sketch internals are engine-specific by nature)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )
