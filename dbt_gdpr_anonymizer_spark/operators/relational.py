@@ -108,3 +108,68 @@ def scd2_from_changes(
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str | None = None,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range (point-in-interval) join without a nested-loop plan.
+
+    Catalyst executes a raw ``p.ts BETWEEN i.start AND i.end`` join as a
+    broadcast-nested-loop — O(|points|·|intervals|). Here both sides are
+    bucketized on a fixed time grid: each point maps to one bucket, each
+    interval explodes to the buckets it spans, and the join is a hash
+    equi-join on (bucket [, key]) followed by the exact range filter.
+
+    Pick ``bucket_seconds`` near the median interval length: shorter → more
+    explosion rows per interval; longer → more false candidates per bucket.
+    Inner-join semantics (only matched pairs); wrap with a left join against
+    the interval table for retain-unmatched semantics.
+    """
+    us = 1_000_000 * bucket_seconds
+    p = points.withColumn("_bucket", (F.unix_micros(F.col(point_ts)) / us).cast("long"))
+    i = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_col)) / us).cast("long"),
+                (F.unix_micros(F.col(end_col)) / us).cast("long"),
+            )
+        ),
+    )
+    keys = ["_bucket"] + ([on] if on else [])
+    return (
+        p.join(i, keys)
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
+def skew_safe_distinct_count(
+    df: DataFrame, keys: Sequence[str], value: str
+) -> DataFrame:
+    """COUNT(DISTINCT value) per key group for skewed keys.
+
+    Single-shuffle ``countDistinct`` builds a per-key distinct set on one
+    reducer — a hot key OOMs it. Two-phase shape: global distinct on
+    (keys, value) first (partial-aggregated map-side, so the hot key's
+    duplicates collapse before the shuffle), then a plain count per key.
+    Combine with AQE skew handling (enabled in session.py) for the join
+    case.
+    """
+    return (
+        df.select(*keys, value)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(f"n_distinct_{value}"))
+    )

@@ -261,6 +261,7 @@ def run_pipeline(
     *,
     use_catalog: bool = False,
     database: str | None = None,
+    partition_by: dict[str, list[str]] | None = None,
 ) -> dict[str, DataFrame]:
     """Run all four layers with reference materialization semantics (S5).
 
@@ -284,15 +285,25 @@ def run_pipeline(
         if MATERIALIZATION[name] == "view":
             df.createOrReplaceTempView(name)
             return df
+        # partition_by maps layer -> partition columns (e.g. mart by
+        # department_code): downstream reads filtered on those columns get
+        # partition pruning for free at cluster scale.
+        parts = (partition_by or {}).get(name)
         if use_catalog:
             if database:
                 spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
             qualified = f"{database}.{name}" if database else name
-            df.write.mode("overwrite").saveAsTable(qualified)
+            w = df.write.mode("overwrite")
+            if parts:
+                w = w.partitionBy(*parts)
+            w.saveAsTable(qualified)
             return spark.table(qualified)
         if output_root:
             path = f"{output_root}/{name}"
-            df.write.mode("overwrite").parquet(path)
+            w = df.write.mode("overwrite")
+            if parts:
+                w = w.partitionBy(*parts)
+            w.parquet(path)
             return spark.read.parquet(path)
         return df
 

@@ -1418,3 +1418,65 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "interval_join_clicks_before_purchase",
+    """
+    select p.event_id as purchase_id,
+           cast(count(c.event_id) as bigint) as n_clicks
+    from (select event_id, user_id, ts from events where event_type = 'purchase') p
+    left join (select event_id, user_id, ts from events where event_type = 'click') c
+      on c.user_id = p.user_id
+     and c.ts between p.ts - interval 1 hour and p.ts
+    group by p.event_id
+    """,
+)
+def interval_join_clicks_before_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clicks in the hour before each purchase. Spark side: bucketized
+    equi-join (operators/relational.interval_join) — DuckDB oracle is the
+    plain range join. Left-join semantics restored by re-joining purchases."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import interval_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("interval 1 hour")).alias("start"),
+        F.col("ts").alias("end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    matched = interval_join(clicks, purchases, on="user_id").groupBy(
+        "purchase_id"
+    ).agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (
+        purchases.select("purchase_id")
+        .join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
+        )
+    )
+
+
+@register(
+    "skew_safe_distinct_users",
+    """
+    select event_type, cast(count(distinct user_id) as bigint) as n_distinct_user_id
+    from events group by event_type
+    """,
+)
+def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        skew_safe_distinct_count,
+    )
+
+    return skew_safe_distinct_count(
+        _events(spark, sf_dir), ["event_type"], "user_id"
+    ).select(
+        "event_type", F.col("n_distinct_user_id").cast("bigint").alias("n_distinct_user_id")
+    )

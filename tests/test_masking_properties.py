@@ -64,8 +64,13 @@ def test_mask_email_deterministic_and_case_insensitive(spark, values):
         [v.upper() if v else v for v in values],
         masking.mask_email("v", SALT),
     )
-    # lower(trim(...)) inside the hash -> case never changes the output
-    assert a == upper
+    # lower(trim(...)) inside the hash -> case never changes the output.
+    # Only for case-round-trip-stable strings: Unicode has characters whose
+    # upper() is a genuinely different string even after lowering again
+    # (µ -> Μ -> μ, ß -> SS -> ss), and those SHOULD mask differently.
+    for v, x, y in zip(values, a, upper):
+        if not v or v.upper().lower() == v.lower():
+            assert x == y, v
 
 
 @settings(max_examples=15, deadline=None)

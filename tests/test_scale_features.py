@@ -1,0 +1,107 @@
+"""Tests for scale-oriented features: interval join, partitioned writes
+with pruning, bucketed co-located joins, skew-safe distincts."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.relational import (
+    interval_join,
+    skew_safe_distinct_count,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_interval_join_matches_range_semantics(spark):
+    points = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-01 10:30:00")),  # inside
+            (2, 10, ts("2024-01-01 09:59:59")),  # just before
+            (3, 10, ts("2024-01-01 12:00:00")),  # boundary end (inclusive)
+            (4, 99, ts("2024-01-01 10:30:00")),  # wrong key
+        ],
+        "pid long, k long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(7, 10, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))],
+        "iid long, k long, start timestamp, end timestamp",
+    )
+    out = interval_join(points, intervals, on="k")
+    assert sorted(r["pid"] for r in out.collect()) == [1, 3]
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    points = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:30:00"))], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(7, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))],
+        "iid long, start timestamp, end timestamp",
+    )
+    plan = (
+        interval_join(points, intervals)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_partitioned_mart_write_prunes(spark, ci_raw, tmp_path):
+    from dbt_gdpr_anonymizer_spark.config import EngineSettings
+    from dbt_gdpr_anonymizer_spark.plans.pipeline import run_pipeline
+
+    layers = run_pipeline(
+        ci_raw,
+        conf=EngineSettings(salt_key="dev_salt_UNSAFE"),
+        output_root=str(tmp_path),
+        partition_by={"mart": ["department_code"]},
+    )
+    # physical layout: one directory per department_code
+    mart_dir = tmp_path / "mart"
+    parts = {p.name for p in mart_dir.iterdir() if p.name.startswith("department_code=")}
+    assert parts == {"department_code=75", "department_code=13"}
+    # a filter on the partition column prunes to one partition's files
+    pruned = layers["mart"].filter(F.col("department_code") == "75")
+    explained = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 1
+    assert "department_code=13" not in explained
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """bucketBy co-locates both sides on the join key: the sort-merge join
+    plan must contain no shuffle Exchange."""
+    a = spark.range(1000).withColumnRenamed("id", "k").withColumn(
+        "va", F.col("k") * 2
+    )
+    b = spark.range(1000).withColumnRenamed("id", "k").withColumn(
+        "vb", F.col("k") * 3
+    )
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("drop table if exists bkt_a")
+        spark.sql("drop table if exists bkt_b")
+
+
+def test_skew_safe_distinct_count(spark):
+    rows = [(1, v) for v in [10, 10, 20, 30]] + [(2, v) for v in [10, 10]]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = {
+        r["k"]: r["n_distinct_v"]
+        for r in skew_safe_distinct_count(df, ["k"], "v").collect()
+    }
+    assert out == {1: 3, 2: 1}
