@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
 
-__all__ = ["exact_dedup", "lsh_candidate_pairs", "neardup_pairs", "dedup_corpus"]
+__all__ = [
+    "exact_dedup",
+    "lsh_candidate_pairs",
+    "neardup_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_corpus",
+]
 
 
 def exact_dedup(
@@ -183,6 +189,74 @@ def neardup_pairs(
             f"{id_col}_a",
             f"{id_col}_b",
             F.col("_jac_raw").cast("decimal(18,6)").cast("double").alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted-index join.
+
+    Complements MinHash-LSH (``neardup_pairs``): same output contract
+    (id_a, id_b, jaccard), but exact — full recall at the threshold, no
+    probabilistic banding. Scale shape: explode each doc's distinct
+    shingle set to (shingle → doc) postings, self-equi-join on the shingle
+    (only docs SHARING a gram ever meet — pairs with empty intersection,
+    the overwhelming majority, never materialize), count shared grams per
+    pair in one map-side-partial aggregation, then
+    ``jaccard = shared / (|A| + |B| - shared)``.
+
+    Cost is Σ df(g)² over grams g — dominated by high-document-frequency
+    grams (boilerplate, stopword runs). ``max_doc_freq`` is the scale
+    valve: drop postings for grams appearing in more than that many docs
+    (a standard df-cut inverted-index optimization). Sizes |A|,|B| keep
+    counting cut grams, so reported Jaccard becomes a lower bound — exact
+    when ``max_doc_freq=None`` (the default, used by the oracle-checked
+    registry query).
+    """
+    sets_ = _shingle_sets(df, text_col, id_col, shingle_n)
+    postings = sets_.select(
+        F.col(id_col),
+        F.size("sh").alias("_n"),
+        F.explode("sh").alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            postings.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        postings = postings.join(hot, "shingle", "left_anti")
+    a = postings.select(
+        F.col(id_col).alias(f"{id_col}_a"), F.col("_n").alias("_na"), "shingle"
+    )
+    b = postings.select(
+        F.col(id_col).alias(f"{id_col}_b"), F.col("_n").alias("_nb"), "shingle"
+    )
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .groupBy(f"{id_col}_a", f"{id_col}_b", "_na", "_nb")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    jac = F.col("_shared").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_shared")
+    ).cast("double")
+    return (
+        shared.select(f"{id_col}_a", f"{id_col}_b", jac.alias("_j"))
+        .filter(F.col("_j") >= threshold)
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            F.col("_j").cast("decimal(18,6)").cast("double").alias("jaccard"),
         )
     )
 

@@ -731,14 +731,29 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(4,2)")
+    # Pre-aggregate lineitem per orderkey BEFORE the join chain: the shuffle
+    # then carries one row per order (~4x fewer than raw lineitems, map-side
+    # partial), and the o_orderkey join reuses the same hash partitioning.
+    # Only nation (fixed 25 rows) is force-broadcast; orders/customer grow
+    # with the data, so their join strategy is left to AQE.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(price * (F.lit(1) - disc)).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        per_order.join(
+            o.select("o_orderkey", "o_custkey"),
+            per_order.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("cnt").alias("n_lineitems"),
         )
         .orderBy("n_name")
     )
@@ -926,6 +941,31 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.dedup import neardup_pairs
 
     return neardup_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+@register(
+    "ngram_jaccard_neardup",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents),
+    s as (select doc_id, {_SHINGLES_SQL} as sh from w),
+    p as (
+      select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+             len(list_intersect(a.sh, b.sh))::double
+               / len(list_distinct(list_concat(a.sh, b.sh)))::double as j
+      from s a join s b on a.doc_id < b.doc_id
+    )
+    select doc_id_a, doc_id_b, cast(cast(j as decimal(18,6)) as double) as jaccard
+    from p where j >= 0.7
+    """,
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT inverted-index n-gram Jaccard (operators/dedup.py
+    ngram_jaccard_pairs) vs the same all-pairs brute force oracle as the
+    LSH query — unlike LSH this plan guarantees full recall, so the match
+    is by construction, not by luck of the banding."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.7)
 
 
 @register(

@@ -73,6 +73,43 @@ def test_neardup_pairs_threshold_and_jaccard(corpus):
     assert (1, 5) not in pairs
 
 
+def test_ngram_jaccard_matches_neardup_pairs_exactly(corpus):
+    from dbt_gdpr_anonymizer_spark.operators.dedup import ngram_jaccard_pairs
+
+    inv = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    # exact Jaccard: identical docs 1.0, near pair in (0.5, 1), no junk
+    assert inv[(1, 2)] == 1.0
+    assert 0.5 <= inv[(1, 4)] < 1.0
+    assert (1, 5) not in inv
+    # inverted-index values agree with the LSH-verified path bit-exactly
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in neardup_pairs(corpus, threshold=0.5).collect()
+    }
+    assert inv == lsh
+
+
+def test_ngram_jaccard_df_cut_is_lower_bound(corpus):
+    from dbt_gdpr_anonymizer_spark.operators.dedup import ngram_jaccard_pairs
+
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.0).collect()
+    }
+    # grams shared by >2 docs are cut from postings; scores only shrink
+    cut = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            corpus, threshold=0.0, max_doc_freq=2
+        ).collect()
+    }
+    for pair, j in cut.items():
+        assert j <= exact[pair] + 1e-12
+
+
 def test_dedup_corpus_end_to_end(corpus):
     survivors = sorted(
         r["doc_id"] for r in dedup_corpus(corpus, threshold=0.5).collect()
