@@ -17,7 +17,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "scd2_from_changes"]
+__all__ = [
+    "asof_join",
+    "scd2_from_changes",
+    "interval_join",
+    "skew_safe_distinct_count",
+    "salted_join",
+]
 
 
 def asof_join(
@@ -173,3 +179,42 @@ def skew_safe_distinct_count(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias(f"n_distinct_{value}"))
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    *,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives a hot join key by key-salting.
+
+    A shuffle join sends every row of a hot key to ONE reducer; AQE's
+    skew-join split (enabled in session.py) fixes this at runtime for
+    sort-merge joins, but not when a deterministic partitioning must be
+    preserved or the skew is on the build side. Explicit salting is the
+    planned-ahead alternative: the fact side gets a deterministic salt in
+    ``[0, salts)`` (xxhash64 of the whole row — stable across retries,
+    unlike ``rand()``), the dim side is replicated once per salt value,
+    and the join key becomes (key…, salt). The hot key's rows spread over
+    ``salts`` reducers; cost is materializing dim ``salts`` times, so use
+    for fact⋈dim shapes where dim is far smaller but too big (or too
+    skew-prone) to broadcast.
+
+    Supported ``how``: inner / left (dim replication preserves exactly the
+    plain-join semantics for these; right/full would duplicate unmatched
+    dim rows per salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salts)
+    ).cast("int")
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return f.join(d, keys + ["_salt"], how).drop("_salt")

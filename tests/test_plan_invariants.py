@@ -1,0 +1,39 @@
+"""Global physical-plan invariants over the whole query registry.
+
+Every registered query is planned (not executed) at sf0.001 and its
+physical plan checked for patterns that would be scale-killers on a real
+cluster:
+
+* ``CartesianProduct`` — never acceptable.
+* ``BroadcastNestedLoopJoin`` — only for the brute-force ANN baselines,
+  whose build side is an explicitly broadcast, provably small query /
+  centroid set (that IS the brute-force contract; the LSH/IVF tiers are
+  the scale path).
+
+Catching these at plan level keeps a future query edit from silently
+reintroducing an all-pairs join that works at sf0.01 and dies at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from dbt_gdpr_anonymizer_spark.queries import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+
+# Brute-force-by-contract: small broadcast side joined to every row.
+BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_unbounded_join_in_plan(spark, name):
+    df = all_queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join outside the brute-force allowlist"
+        )

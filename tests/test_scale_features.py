@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.operators.relational import (
     interval_join,
+    salted_join,
     skew_safe_distinct_count,
 )
 
@@ -95,6 +96,36 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("drop table if exists bkt_a")
         spark.sql("drop table if exists bkt_b")
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key 1 carries 90% of the fact rows
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(2, i) for i in range(10)],
+        "k long, v long",
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")],
+                                "k long, name string")
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["k"], r["v"], r["name"])
+            for r in fact.join(dim, "k", how).collect()
+        )
+        salted = sorted(
+            (r["k"], r["v"], r["name"])
+            for r in salted_join(fact, dim, "k", salts=4, how=how).collect()
+        )
+        assert salted == plain
+
+
+def test_salted_join_spreads_hot_key_over_salt_buckets(spark):
+    fact = spark.createDataFrame([(1, i) for i in range(200)], "k long, v long")
+    dim = spark.createDataFrame([(1, "hot")], "k long, name string")
+    out = salted_join(fact, dim, "k", salts=4)
+    # the physical join key must include the salt column
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    assert out.count() == 200
 
 
 def test_skew_safe_distinct_count(spark):
