@@ -371,7 +371,9 @@ def simhash_neardup_pairs(
             "pigeonhole banding only covers max_hamming <= chunks - 1"
         )
     width = bits // chunks
-    sh = simhash_table(df, text_col, id_col, bits=bits)
+    # one bigint row per doc; persisted because the self-join otherwise
+    # re-runs the whole explode/md5/vote pipeline for each side
+    sh = simhash_table(df, text_col, id_col, bits=bits).persist()
     mask = (1 << width) - 1
     chunked = sh.select(
         id_col,

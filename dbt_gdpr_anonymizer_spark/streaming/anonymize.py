@@ -26,6 +26,7 @@ __all__ = [
     "stream_anonymize",
     "write_stream_parquet",
     "windowed_event_rollup",
+    "stream_exact_dedup",
 ]
 
 
@@ -65,6 +66,37 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop any document whose content fingerprint
+    was already seen within the watermark horizon.
+
+    The batch operator (``operators/dedup.exact_dedup``) groups the whole
+    corpus; a stream can't — unbounded state. ``dropDuplicatesWithinWatermark``
+    keyed on the fingerprint is the bounded-state primitive: fingerprint
+    state older than max(event time) − ``watermark`` is evicted, so memory
+    is O(docs per horizon), not O(stream length). (Plain ``dropDuplicates``
+    only evicts when the event-time column is PART of the keys — keying on
+    (fingerprint, ts) would defeat dedup.) Duplicates farther apart than
+    the horizon pass through — the documented deliberate trade; widen the
+    watermark, or run the batch operator over the sink, for stricter
+    guarantees.
+    """
+    from dbt_gdpr_anonymizer_spark.functions import text as tx
+
+    fingerprinted = stream.withColumn(
+        "fingerprint", tx.doc_fingerprint(text_col)
+    )
+    return fingerprinted.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["fingerprint"])
 
 
 def windowed_event_rollup(

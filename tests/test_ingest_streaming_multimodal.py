@@ -138,6 +138,43 @@ def test_windowed_rollup_is_streaming_compatible(spark):
         q.stop()
 
 
+def test_stream_exact_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """Same-fingerprint docs within one drain are deduped; state is
+    watermark-bounded (dropDuplicatesWithinWatermark plan accepted)."""
+    import json
+
+    from dbt_gdpr_anonymizer_spark.streaming.anonymize import stream_exact_dedup
+
+    drop = tmp_path / "docs"
+    drop.mkdir()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00", "text": "hello brave new world"},
+        {"doc_id": 2, "ts": "2024-01-01T10:00:01", "text": "Hello, brave NEW world!"},
+        {"doc_id": 3, "ts": "2024-01-01T10:00:02", "text": "an entirely different doc"},
+    ]
+    (drop / "batch1.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).json(str(drop))
+    deduped = stream_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select doc_id, fingerprint from dedup_stream").collect()
+    # docs 1 and 2 normalize to the same fingerprint -> one survivor; 3 kept
+    assert len(out) == 2
+    assert len({r["fingerprint"] for r in out}) == 2
+    assert {r["doc_id"] for r in out} <= {1, 2, 3}
+    assert 3 in {r["doc_id"] for r in out}
+
+
 def test_multimodal_decode_plumbing(spark):
     rows = [
         (1, "image", b"\x89PNG fake bytes", (4, 4, None, "png")),
