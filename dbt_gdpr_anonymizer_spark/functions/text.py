@@ -29,6 +29,7 @@ __all__ = [
     "punct_ratio",
     "quality_score",
     "doc_fingerprint",
+    "rolling_fingerprint",
     "shingles",
     "minhash_signature",
     "simhash",
@@ -150,6 +151,46 @@ def doc_fingerprint(c: Column | str) -> Column:
     """
     ws = words(c)
     return F.md5(F.array_join(F.array_sort(F.array_distinct(ws)), " "))
+
+
+def rolling_fingerprint(
+    c: Column | str, base: int = 131, mod: int = 2147483647
+) -> Column:
+    """Order-SENSITIVE Rabin-Karp polynomial fingerprint over word tokens.
+
+    Classic rolling-hash document fingerprint: Horner fold
+    ``acc = (acc*base + h(token)) % mod`` over the normalized token sequence,
+    where ``h(token)`` is the first 8 hex digits of md5(token) parsed
+    positionally (engine-portable; both Spark and DuckDB agree on md5 hex).
+    Unlike :func:`doc_fingerprint` (order-insensitive set hash), reordering
+    words changes this fingerprint — the shape used for exact-sequence dedup
+    and winnowing-style chunk fingerprints.
+
+    Arithmetic bound: acc < mod = 2^31-1 and h < mod, so acc*base + h <
+    2^38 + 2^31 — exact in a 64-bit integer in both engines (DuckDB BIGINT
+    errors on overflow rather than wrapping, so staying far below 2^63
+    matters). Empty/blank text folds over an empty array → 0.
+
+    Cost shape: one md5 per token (the inner ``transform`` materializes the
+    hex digest per element; the digit extraction references only the lambda
+    variable, so nothing is re-evaluated per digit — see the lambda-capture
+    note on :func:`lang_id`).
+    """
+    hashes = F.transform(words(c), F.md5)
+
+    def tval(h: Column) -> Column:
+        v: Column = F.lit(0).cast("bigint")
+        for i in range(1, 9):
+            v = v + _hex_val(F.substring(h, i, 1)).cast("bigint") * F.lit(
+                16 ** (8 - i)
+            )
+        return (v % F.lit(mod)).cast("bigint")
+
+    return F.aggregate(
+        F.transform(hashes, tval),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * F.lit(base) + v) % F.lit(mod),
+    )
 
 
 def shingles(c: Column | str, n: int = 3) -> Column:

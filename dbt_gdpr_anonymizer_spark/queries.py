@@ -1096,6 +1096,34 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_fingerprint_documents",
+    f"""
+    with w as (
+      select doc_id, list_filter({_WORDS_SQL}, t -> t <> '') as ws
+      from documents
+    )
+    select doc_id,
+      list_reduce(
+        list_prepend(0::BIGINT,
+          list_transform(ws, t ->
+            (list_sum(list_transform(range(1,9), i ->
+               (strpos('0123456789abcdef', substring(md5(t), i::int, 1)) - 1)::BIGINT
+                 << (4*(8-i))::int)) % 2147483647)::BIGINT)),
+        (acc, v) -> (acc * 131 + v) % 2147483647) as fingerprint
+    from w
+    """,
+)
+def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE Rabin-Karp fingerprint per document (functions/text.py
+    rolling_fingerprint). The oracle folds the same md5-derived token hashes
+    with list_reduce; ``list_filter(t <> '')`` mirrors Spark's empty-array-
+    for-blank-text words() against DuckDB's ``string_split('',' ') = ['']``."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+@register(
     "ann_cosine_topk",
     """
     with q as (select vec_id as query_id, embedding::DOUBLE[] as qv

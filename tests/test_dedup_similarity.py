@@ -239,3 +239,39 @@ def test_ivf_topk_recall_on_clustered_data(spark):
         for r in ivf_topk(v, q, k=3, nlist=2, nprobe=1).collect()
     }
     assert approx == exact  # full recall on separable clusters
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    """Rabin-Karp fingerprint: equal for same token sequence (regardless of
+    case/punctuation), different for reordered tokens, 0 for blank, and
+    bit-equal to an independent Python reference of the Horner fold."""
+    import hashlib
+
+    from dbt_gdpr_anonymizer_spark.functions.text import rolling_fingerprint
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "  ALPHA, beta -- gamma!"),  # same sequence after normalize
+        (3, "gamma beta alpha"),  # reordered -> must differ
+        (4, ""),
+        (5, "   \t "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", rolling_fingerprint("text").alias("fp")
+        ).collect()
+    }
+
+    def ref(tokens: list[str], base: int = 131, mod: int = 2147483647) -> int:
+        acc = 0
+        for t in tokens:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % mod
+            acc = (acc * base + h) % mod
+        return acc
+
+    assert out[1] == out[2] == ref(["alpha", "beta", "gamma"])
+    assert out[3] == ref(["gamma", "beta", "alpha"])
+    assert out[1] != out[3]
+    assert out[4] == 0 and out[5] == 0
