@@ -30,6 +30,7 @@ __all__ = [
     "quality_score",
     "doc_fingerprint",
     "rolling_fingerprint",
+    "md5_hex32",
     "shingles",
     "minhash_signature",
     "simhash",
@@ -177,20 +178,29 @@ def rolling_fingerprint(
     note on :func:`lang_id`).
     """
     hashes = F.transform(words(c), F.md5)
-
-    def tval(h: Column) -> Column:
-        v: Column = F.lit(0).cast("bigint")
-        for i in range(1, 9):
-            v = v + _hex_val(F.substring(h, i, 1)).cast("bigint") * F.lit(
-                16 ** (8 - i)
-            )
-        return (v % F.lit(mod)).cast("bigint")
-
     return F.aggregate(
-        F.transform(hashes, tval),
+        F.transform(hashes, lambda h: (md5_hex32(h) % F.lit(mod)).cast("bigint")),
         F.lit(0).cast("bigint"),
         lambda acc, v: (acc * F.lit(base) + v) % F.lit(mod),
     )
+
+
+def md5_hex32(h: Column) -> Column:
+    """First 8 hex digits of an md5 HEX-DIGEST column as bigint in [0, 2³²).
+
+    Engine-portable 32-bit hash value (Spark and DuckDB agree on md5 hex;
+    neither exposes a cross-compatible integer hash). Takes the already-
+    computed digest — materialize it first via ``F.transform(arr, F.md5)``
+    when mapping over arrays, so the md5 isn't re-evaluated per hex digit
+    (``h`` here is referenced 8 times; a lambda VARIABLE reference is cheap,
+    a captured expression is not — see :func:`lang_id`).
+    """
+    v: Column = F.lit(0).cast("bigint")
+    for i in range(1, 9):
+        v = v + _hex_val(F.substring(h, i, 1)).cast("bigint") * F.lit(
+            16 ** (8 - i)
+        )
+    return v
 
 
 def shingles(c: Column | str, n: int = 3) -> Column:

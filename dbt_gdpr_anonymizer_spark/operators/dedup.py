@@ -31,6 +31,8 @@ __all__ = [
     "neardup_pairs",
     "ngram_jaccard_pairs",
     "dedup_corpus",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
 ]
 
 
@@ -505,4 +507,110 @@ def simhash_table(
         fingerprint = contrib if fingerprint is None else fingerprint + contrib
     return votes.select(
         F.col(id_col), fingerprint.cast("bigint").alias("simhash")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    window: int = 4,
+    mod: int = 2147483647,
+) -> DataFrame:
+    """Winnowing chunk fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+
+    The local document fingerprinting scheme behind MOSS: hash every
+    POSITIONAL word ``k``-gram (order matters, duplicates kept — unlike the
+    distinct shingle sets used for Jaccard), slide a window of ``window``
+    consecutive gram hashes, and select each window's minimum. Guarantee:
+    any shared run of ``window + k - 1`` words between two documents yields
+    at least one shared selected fingerprint, while only ~``2/(window+1)``
+    of gram hashes are kept — a sparse, overlap-preserving sketch.
+
+    Output: (id_col, fingerprint) — the DISTINCT selected hashes per doc
+    (position-free, which is what overlap detection joins on). Docs shorter
+    than ``k`` words hash their whole token sequence as one gram; windows
+    shorter than ``window`` (short docs) take the min of what exists.
+
+    Everything is per-row expression work (zero shuffle before the final
+    distinct): grams, md5 hashes, and window minima are array transforms
+    over pre-projected columns — each stage materialized as a projection so
+    no lambda captures an expression (see ``_shingle_sets``). Hashes are
+    md5-derived 32-bit values mod ``mod``, bit-identical in DuckDB.
+    """
+    pre = df.select(F.col(id_col), tx.words(text_col).alias("_ws"))
+    grams = F.when(
+        F.size("_ws") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ws") - (k - 1)),
+            lambda i: F.array_join(F.slice(F.col("_ws"), i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join("_ws", " ")))
+    g = pre.select(F.col(id_col), grams.alias("_gs"))
+    h = g.select(
+        F.col(id_col),
+        F.transform(
+            F.transform("_gs", F.md5),
+            lambda d: (tx.md5_hex32(d) % F.lit(mod)).cast("bigint"),
+        ).alias("_hs"),
+    )
+    wins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("_hs") - (window - 1), F.lit(1))
+        ),
+        lambda i: F.array_min(F.slice(F.col("_hs"), i, window)),
+    )
+    return h.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fingerprint")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Document-overlap pairs by shared winnowing fingerprints.
+
+    Inverted-index self-equi-join on the selected fingerprints — the same
+    no-all-pairs shape as ``ngram_jaccard_pairs``: only docs sharing a
+    fingerprint ever meet, and the pair aggregation is map-side partial.
+    Because winnowing keeps ~2/(window+1) of grams, the postings list (and
+    the join) is ~4× smaller than the full inverted index at window=7 —
+    this is the scale path for contiguous-overlap (plagiarism/quote)
+    detection, where Jaccard over whole-doc shingle sets is the wrong
+    measure for a short shared passage inside two long documents.
+
+    ``min_shared``: require at least that many shared fingerprints (one
+    shared window-min can be a coincidence at 32-bit hash width).
+    ``max_doc_freq`` drops fingerprints present in more than that many docs
+    (boilerplate) from the index — the standard df-cut scale valve; shared
+    counts for surviving pairs are computed over the kept fingerprints.
+    """
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k=k, window=window
+    )
+    if max_doc_freq is not None:
+        keep = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("fingerprint")
+        )
+        fps = fps.join(keep, "fingerprint")
+    a = fps.select(F.col(id_col).alias(f"{id_col}_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias(f"{id_col}_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .groupBy(f"{id_col}_a", f"{id_col}_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
     )

@@ -1123,6 +1123,73 @@ def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# positional k=3 word grams (order kept, duplicates kept — winnowing needs
+# every occurrence, unlike the distinct shingle sets) and their 32-bit
+# md5-derived hashes, shared by the two winnowing oracles
+_POS_GRAMS_SQL = (
+    "case when len(ws) >= 3 then "
+    "list_transform(range(1, len(ws)-1), i -> array_to_string(ws[i:i+2], ' ')) "
+    "else [array_to_string(ws, ' ')] end"
+)
+_GRAM_HASH_SQL = (
+    "list_transform(gs, t -> (list_sum(list_transform(range(1,9), i -> "
+    "(strpos('0123456789abcdef', substring(md5(t), i::int, 1)) - 1)::BIGINT "
+    "<< (4*(8-i))::int)) % 2147483647)::BIGINT)"
+)
+_WINNOW_SQL = f"""
+    with w as (
+      select doc_id, list_filter({_WORDS_SQL}, t -> t <> '') as ws
+      from documents
+    ),
+    g as (select doc_id, {_POS_GRAMS_SQL} as gs from w),
+    h as (select doc_id, {_GRAM_HASH_SQL} as hs from g),
+    sel as (
+      select doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(hs) - 3, 1) + 1),
+          i -> list_min(hs[i:i+3]))) as fps
+      from h
+    )
+    select doc_id, unnest(fps) as fingerprint from sel
+"""
+
+
+@register("winnow_fingerprints_documents", _WINNOW_SQL)
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) selected fingerprints per doc (operators/dedup.py
+    winnow_fingerprints, k=3, window=4). The oracle replays gram hashing and
+    window minima with list_transform/list_min; window arithmetic is inlined
+    (hs[i:i+3] = 4 hashes, range bound len-3) for k=3, w=4."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=3, window=4
+    )
+
+
+@register(
+    "winnow_overlap_pairs",
+    f"""
+    with fps as ({_WINNOW_SQL})
+    select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+           count(*) as shared_fingerprints
+    from fps a join fps b
+      on a.fingerprint = b.fingerprint and a.doc_id < b.doc_id
+    group by 1, 2
+    having count(*) >= 2
+    """,
+)
+def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-overlap pairs by shared winnowing fingerprints — the
+    inverted-index join shape (no all-pairs); oracle is the same join in SQL
+    (safe at sf0.01 where the postings lists are small)."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), k=3, window=4, min_shared=2
+    )
+
+
 @register(
     "ann_cosine_topk",
     """

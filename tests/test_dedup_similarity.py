@@ -275,3 +275,50 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert out[3] == ref(["gamma", "beta", "alpha"])
     assert out[1] != out[3]
     assert out[4] == 0 and out[5] == 0
+
+
+def test_winnow_guarantee_shared_run_detected(spark):
+    """Winnowing guarantee: a shared run of window+k-1 words (here 4+3-1=6)
+    must yield at least one shared selected fingerprint; a disjoint doc
+    shares none. Selection must also be sparse (fewer fingerprints than
+    grams) on long docs."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = "quick brown foxes jump over lazy"  # 6-word shared run
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+        (2, "one two three " + shared + " four five six seven"),
+        (3, DISTINCT),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=3, window=4)
+    by_doc = {
+        i: {r["fingerprint"] for r in fps.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # sparsity: doc 3 (~24 words -> 22 grams) keeps well under half
+    assert len(by_doc[3]) < 11
+
+    pairs = winnow_overlap_pairs(df, k=3, window=4, min_shared=1).collect()
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_short_and_blank_docs(spark):
+    """Docs shorter than k hash the whole sequence; blank docs still get
+    exactly one fingerprint row (hash of '') rather than vanishing."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "two words"), (2, "")], "doc_id long, text string"
+    )
+    out = winnow_fingerprints(df, k=3, window=4).collect()
+    counts = {}
+    for r in out:
+        counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
+    assert counts == {1: 1, 2: 1}
