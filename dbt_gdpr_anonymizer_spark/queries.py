@@ -853,6 +853,75 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_rollup",
+    """
+    with x as (
+      select ts::timestamp as ts, event_type, value,
+             epoch_ms(((date_diff('second', timestamp '1970-01-01 00:00:00',
+                                  ts::timestamp) // 1800) * 1800) * 1000) as s0
+      from events
+    ),
+    u as (
+      select unnest([s0, s0 - interval 30 minute]) as window_start,
+             event_type, value
+      from x
+    )
+    select window_start, event_type, count(*) as n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) as total_value
+    from u group by 1, 2
+    """,
+)
+def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window rollup: 1-hour windows sliding every 30 minutes, so
+    each event lands in exactly two windows (native ``F.window`` — Catalyst
+    expands the window list per row, no self-union of shifted tumbles). The
+    oracle replays the epoch-floor alignment (windows align to the epoch in
+    UTC, duration/slide = 2 exactly) and unnests the two member windows."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "60 minutes", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stratified_sample_documents",
+    """
+    select doc_id, lang, source from (
+      select doc_id, lang, source,
+             row_number() over (
+               partition by lang, source
+               order by md5(cast(doc_id as varchar)), doc_id) as rk
+      from documents
+    ) where rk <= 5
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced sample: exactly 5 docs per
+    (lang, source) stratum via the md5-permutation window
+    (sources/ingest.py stratified_sample) — partitioning-independent,
+    engine-portable, one shuffle."""
+    from dbt_gdpr_anonymizer_spark.sources.ingest import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(d, ["lang", "source"], 5, "doc_id")
+
+
+@register(
     "json_props_extract",
     """
     select cast(json_extract_string(props, '$.k') as bigint) as k_value,

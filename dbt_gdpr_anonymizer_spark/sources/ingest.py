@@ -19,7 +19,7 @@ import json
 import time
 import urllib.request
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -29,6 +29,7 @@ __all__ = [
     "read_services_jsonl",
     "flatten_services",
     "deterministic_sample",
+    "stratified_sample",
     "write_seed_csv",
     "read_seed_csv",
 ]
@@ -159,6 +160,30 @@ def deterministic_sample(df: DataFrame, n: int, key: str) -> DataFrame:
     and take the first n. The sort is a top-n (TakeOrdered), not a full
     global sort."""
     return df.orderBy(F.md5(F.col(key).cast("string")), key).limit(n)
+
+
+def stratified_sample(
+    df: DataFrame, strata: list[str], n_per_stratum: int, key: str
+) -> DataFrame:
+    """Deterministic exact-n-per-group sample (class-balanced sampling, the
+    training-data shape: n docs per language/domain/quality bucket).
+
+    Same md5-permutation trick as :func:`deterministic_sample` but ranked
+    WITHIN each stratum via one window — a single hash-partition shuffle on
+    the strata columns, no driver-side group enumeration, no second pass.
+    ``df.sampleBy`` is fraction-based and nondeterministic across
+    partitionings; this is exact-n and stable across engines and runs.
+    Rows ranked beyond ``n_per_stratum`` are pruned before any downstream
+    work (rank filter pushes into the window stage).
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        F.md5(F.col(key).cast("string")), key
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
 
 
 def write_seed_csv(df: DataFrame, path: str) -> None:

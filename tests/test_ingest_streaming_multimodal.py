@@ -207,3 +207,20 @@ def test_sample_frames_filter(spark):
     )
     kept = sample_frames(frames, every_n=10).collect()
     assert sorted(r["frame_idx"] for r in kept) == [0, 10, 20]
+
+
+def test_stratified_sample_exact_per_group_and_stable(spark):
+    """Exactly n per stratum (or the whole stratum when smaller), identical
+    across partitionings — the class-balanced sampling contract."""
+    from dbt_gdpr_anonymizer_spark.sources.ingest import stratified_sample
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(84)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = stratified_sample(df, ["g"], 7, "k").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["g"], set()).add(r["k"])
+    assert len(per["big"]) == 7
+    assert len(per["small"]) == 4  # stratum smaller than n -> keep all
+    again = stratified_sample(df.repartition(13), ["g"], 7, "k").collect()
+    assert {(r["g"], r["k"]) for r in again} == {(r["g"], r["k"]) for r in out}
