@@ -34,6 +34,7 @@ __all__ = [
     "lsh_topk",
     "ivf_assign",
     "ivf_topk",
+    "kmeans_fit",
 ]
 
 
@@ -218,27 +219,32 @@ def ivf_topk(
     query_id_col: str = "query_id",
     nlist: int = 16,
     nprobe: int = 3,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are partitioned into
     ``nlist`` cells by nearest centroid; each query scans only its
     ``nprobe`` nearest cells, exact cosine within them.
 
-    Centroids are seeded deterministically from the corpus (the first
-    ``nlist`` vectors by id — kmeans-free seeding keeps the operator a pure
-    Spark plan; plug in refined centroids for better recall). At scale the
-    cell assignment is computed once, written partitioned by ``cell``, and
-    the probe join prunes to nprobe/nlist of the corpus per query.
+    By default centroids are seeded deterministically from the corpus (the
+    first ``nlist`` vectors by id — kmeans-free seeding keeps the operator
+    a pure Spark plan); pass ``centroids`` (e.g. from :func:`kmeans_fit`)
+    for refined cells and better recall. At scale the cell assignment is
+    computed once, written partitioned by ``cell``, and the probe join
+    prunes to nprobe/nlist of the corpus per query.
     """
     from pyspark.sql import Window as W
 
-    centroids = (
-        vectors.orderBy(id_col)
-        .limit(nlist)
-        .select(
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col),
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(id_col)
+            .limit(nlist)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col),
+            )
         )
-    )
+    else:
+        centroids = centroids.select("centroid_id", vec_col)
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
 
     q = queries.select(
@@ -286,3 +292,70 @@ def ivf_topk(
             F.col("_cos").cast("decimal(18,6)").cast("double").alias("cos_sim"),
         )
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    *,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over an embedding column; returns the
+    fitted centroid table (centroid_id, embedding array<double>), the
+    refined-centroid input for :func:`ivf_topk` / :func:`ivf_assign`.
+
+    Each iteration is one distributed job: assign every vector to its
+    nearest centroid (``ivf_assign`` — broadcast centroids, window argmax),
+    then per-cell elementwise means via ``dim`` column aggregates (single
+    map-side-partial shuffle; no posexplode row blow-up) and L2
+    normalization, which makes the mean the true spherical-k-means update
+    for the cosine assignment. Only the k×dim centroid MODEL crosses the
+    driver per iteration — that is state, not data; the corpus never
+    collects. Lineage stays flat because each iteration plans against a
+    fresh broadcast centroid table instead of chaining onto the previous
+    iteration's plan.
+
+    Seeding: first ``k`` vectors by id — deterministic and engine-free.
+    Empty cells keep their previous centroid. For a 100 TB corpus, fit on
+    a sample (e.g. ``deterministic_sample``); assignment is the part that
+    must scan everything, fitting is not.
+    """
+    spark = vectors.sparkSession
+    first = vectors.select(vec_col).first()
+    if first is None:
+        raise ValueError("kmeans_fit: empty vector table")
+    dim = len(first[0])
+
+    seed_rows = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    centroids = [list(r[0]) for r in seed_rows]
+
+    def _centroid_df(cents: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            f"centroid_id int, {vec_col} array<double>",
+        )
+
+    for _ in range(iters):
+        assigned = ivf_assign(
+            vectors, _centroid_df(centroids), id_col=id_col, vec_col=vec_col
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new_cents = list(centroids)
+        for row in means:
+            m = [row[f"m{i}"] for i in range(dim)]
+            norm = sum(x * x for x in m) ** 0.5
+            if norm > 0:
+                new_cents[row["cell"]] = [x / norm for x in m]
+        centroids = new_cents
+    return _centroid_df(centroids)

@@ -1289,6 +1289,28 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+@register("kmeans_embedding_clusters")  # iterative float means -> rows-only
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means fit + assignment over `embeddings` (operators/
+    similarity.py kmeans_fit): cluster cardinalities for k=8 after 3 Lloyd
+    iterations. Iterative float averaging is not SQL-expressible without
+    a recursive CTE replaying partial-sum order, so this is a rows-only
+    entry; the exact-recovery semantics are pinned by unit test on
+    separable clusters instead."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, iters=3)
+    return (
+        ivf_assign(emb, cents)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
 @register("ann_lsh_topk")  # approximate by construction -> rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.similarity import lsh_topk

@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Parallelism floor for file scans: without it a table smaller than
+        # maxPartitionBytes (128 MB) reads as ONE split and the scan + partial
+        # aggregation run on a single core regardless of cluster size. At
+        # 100 TB every table exceeds the split size and the floor is inert;
+        # at bench scale it spreads the scan across the cores (measured
+        # q1 1.2s -> 0.84s). Don't lower openCostInBytes alongside it —
+        # more sub-4MB tasks cost more in scheduling than they recover.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

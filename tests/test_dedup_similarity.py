@@ -322,3 +322,44 @@ def test_winnow_short_and_blank_docs(spark):
     for r in out:
         counts[r["doc_id"]] = counts.get(r["doc_id"], 0) + 1
     assert counts == {1: 1, 2: 1}
+
+
+def test_kmeans_recovers_separable_clusters(spark):
+    """On two well-separated direction clusters, kmeans_fit must converge to
+    one centroid per cluster and ivf_assign must split membership exactly;
+    refined centroids must give ivf_topk full recall with nprobe=1."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+        else:
+            rows.append((i, [0.0, 1.0, 0.001 * i, 0.0]))
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_fit(v, k=2, iters=3)
+    assigned = ivf_assign(v, cents).collect()
+    cells = {}
+    for r in assigned:
+        cells.setdefault(r["cell"], set()).add(r["vec_id"])
+    groups = sorted(frozenset(s) for s in cells.values())
+    assert groups == sorted(
+        [frozenset(range(0, 20, 2)), frozenset(range(1, 20, 2))]
+    )
+
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["vec_id"] for r in cosine_topk(v, q, k=3).collect()}
+    refined = {
+        r["vec_id"]
+        for r in ivf_topk(
+            v, q, k=3, nlist=2, nprobe=1, centroids=cents
+        ).collect()
+    }
+    assert refined == exact

@@ -24,8 +24,9 @@ from dbt_gdpr_anonymizer_spark.queries import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
 
-# Brute-force-by-contract: small broadcast side joined to every row.
-BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk"}
+# Brute-force-by-contract: small broadcast side joined to every row
+# (query sets / centroid tables — k·dim scale, not data scale).
+BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "kmeans_embedding_clusters"}
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
