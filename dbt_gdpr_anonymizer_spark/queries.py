@@ -1192,6 +1192,63 @@ def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _cc_rounds_sql(iters: int) -> str:
+    """Unrolled synchronous min-label propagation rounds over CTE ``bi``
+    (bidirected edges) — the SQL twin of operators/graph.py
+    connected_components, same round count, same synchronous update."""
+    parts = ["l0 as (select distinct a as node, a as label from bi)"]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""l{k} as (
+      select l.node,
+             least(l.label, coalesce(min(nb.label), l.label)) as label
+      from l{k - 1} l
+      left join bi on bi.a = l.node
+      left join l{k - 1} nb on nb.node = bi.b
+      group by l.node, l.label
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "neardup_components",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents),
+    s as (select doc_id, {_SHINGLES_SQL} as sh from w),
+    p as (
+      select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+             len(list_intersect(a.sh, b.sh))::double
+               / len(list_distinct(list_concat(a.sh, b.sh)))::double as j
+      from s a join s b on a.doc_id < b.doc_id
+    ),
+    pairs as (select doc_id_a, doc_id_b from p where j >= 0.7),
+    bi as (select doc_id_a as a, doc_id_b as b from pairs
+           union all
+           select doc_id_b as a, doc_id_a as b from pairs),
+    {_cc_rounds_sql(4)}
+    select node as doc_id, label as component from l4
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clusters: connected components (4 synchronous min-label rounds,
+    operators/graph.py) over the EXACT near-dup pair graph
+    (ngram_jaccard_pairs, full recall). The oracle unrolls the identical
+    rounds over the brute-force pair set, so the match is algorithmic
+    equality, not luck. Pairwise keep-the-lower-id can drop every member of
+    an A~B~C chain; components keep exactly one representative (the min id)
+    per transitive group."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import ngram_jaccard_pairs
+    from dbt_gdpr_anonymizer_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7
+    ).select("doc_id_a", "doc_id_b")
+    return connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b", iters=4
+    ).select(F.col("node").alias("doc_id"), "component")
+
+
 # positional k=3 word grams (order kept, duplicates kept — winnowing needs
 # every occurrence, unlike the distinct shingle sets) and their 32-bit
 # md5-derived hashes, shared by the two winnowing oracles
