@@ -33,6 +33,10 @@ HEADLINE = [
     "minhash_lsh_neardup",
     "ann_cosine_topk",
     "text_quality_profile",
+    "rolling_fingerprint_documents",
+    "winnow_overlap_pairs",
+    "tfidf_top_terms",
+    "sliding_window_rollup",
 ]
 
 

@@ -45,10 +45,22 @@ def connected_components(
     of a lost executor — stays flat instead of growing one join per round.
 
     Output: (node, component) for every node incident to an edge.
+
+    Plan-shape note: round k references round k-1's labels TWICE (own label
+    + neighbor lookup), so without materialization the logical plan doubles
+    per round — 2^iters copies of the edge-producing subplan, which for an
+    expensive edge source (a near-dup join) is a stage explosion long
+    before the data is big. Both the bidirected edge list and each round's
+    labels are therefore persisted: downstream rounds see a cached leaf,
+    the plan stays O(iters), and each cache materializes exactly once when
+    the final action runs.
     """
-    bi = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # Persist the DIRECTED edge projection, not the bidirected union: the
+    # union references the caller's edge plan twice, and for an expensive
+    # edge source (a near-dup join) an uncached double-scan costs a full
+    # extra pass before any round runs.
+    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    bi = ed.unionByName(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         bi.select(F.col("a").alias("node"))
         .distinct()
@@ -69,6 +81,11 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        if checkpoint:
-            labels = labels.localCheckpoint(eager=False)
+        # localCheckpoint also truncates the LINEAGE (replay after executor
+        # loss restarts from the checkpoint, not the source) at the cost of
+        # writing label snapshots; plain persist keeps lineage but is free
+        # until memory pressure. Either one flattens the plan.
+        labels = (
+            labels.localCheckpoint(eager=False) if checkpoint else labels.persist()
+        )
     return labels.select("node", F.col("label").alias("component"))

@@ -1317,6 +1317,76 @@ def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    f"""
+    with d as (
+      select doc_id, unnest(list_filter({_WORDS_SQL}, t -> t <> '')) as word
+      from documents
+    ),
+    tf as (select doc_id, word, count(*) as tf from d group by 1, 2),
+    dfq as (select word, count(*) as df
+            from (select distinct doc_id, word from d) group by 1),
+    n as (select count(*) as n_docs from documents),
+    scored as (
+      select tf.doc_id, tf.word,
+             tf.tf * (ln((n.n_docs + 1)::double / (dfq.df + 1)::double) + 1)
+               as score
+      from tf join dfq using (word) cross join n
+    ),
+    r as (select doc_id, word, score,
+                 row_number() over (partition by doc_id
+                                    order by score desc, word) as rank
+          from scored)
+    select doc_id, word, rank,
+           cast(cast(score as decimal(12,4)) as double) as tfidf
+    from r where rank <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document: exploded-token tf, distinct-doc df,
+    smooth idf ln((N+1)/(df+1))+1. Three map-side-partial aggregations plus
+    one per-doc top-k window; N enters as a broadcast 1-row cross join (no
+    driver collect). Score quantized to 4 decimals — coarse enough to
+    absorb any last-ulp ln() divergence between engines."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(tx.words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = (
+        d.distinct()
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log(
+            (F.col("n_docs") + 1).cast("double")
+            / (F.col("df") + 1).cast("double")
+        )
+        + 1
+    )
+    scored = (
+        tf.join(dfq, "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "word", score.alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc_id",
+            "word",
+            "rank",
+            F.col("score").cast("decimal(12,4)").cast("double").alias("tfidf"),
+        )
+    )
+
+
+@register(
     "ann_cosine_topk",
     """
     with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
