@@ -67,19 +67,17 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     for _ in range(iters):
-        nbr_min = (
-            bi.join(labels, bi["b"] == labels["node"])
-            .groupBy("a")
-            .agg(F.min("label").alias("_nl"))
+        # min(own label, min over neighbor labels) written as one
+        # min-of-union aggregation: a single map-side-partial shuffle per
+        # round, vs the textbook join + agg + left-join (three). Semantics
+        # identical and still synchronous — both branches read round k-1.
+        nbr = bi.join(labels, bi["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "label"
         )
         labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
-                ).alias("label"),
-            )
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
         # localCheckpoint also truncates the LINEAGE (replay after executor
         # loss restarts from the checkpoint, not the source) at the cost of

@@ -23,6 +23,7 @@ __all__ = [
     "interval_join",
     "skew_safe_distinct_count",
     "salted_join",
+    "incremental_merge",
 ]
 
 
@@ -218,3 +219,38 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return f.join(d, keys + ["_salt"], how).drop("_salt")
+
+
+def incremental_merge(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """dbt-style incremental merge (``unique_key`` upsert): rows from
+    ``updates`` replace same-key rows in ``existing``; new keys append.
+
+    The reference's dbt project materializes tables by full rebuild
+    (dbt_project/dbt_project.yml:81-110 — no incremental models); this is
+    the incremental-materialization counterpart a production deployment
+    adds first. One plan: priority-tag both sides, union, keep rank 1 per
+    key — a single hash shuffle on the key, no full outer join (which
+    shuffles both sides AND pays null-handling on every column).
+
+    At 100 TB the win comes from pairing this with a partitioned sink:
+    restrict ``existing`` to the partitions ``updates`` touches (partition
+    pruning on the read), merge, and write back with dynamic partition
+    overwrite — the merge then scans only the touched partitions, which is
+    exactly Delta/Iceberg MERGE minus the transaction log.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col("_prio").desc())
+    cols = existing.columns
+    if set(cols) != set(updates.columns):
+        raise ValueError("incremental_merge: schemas must match")
+    tagged = updates.select(*cols).withColumn(
+        "_prio", F.lit(1)
+    ).unionByName(existing.select(*cols).withColumn("_prio", F.lit(0)))
+    return (
+        tagged.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_prio", "_rk")
+    )

@@ -1192,6 +1192,75 @@ def rolling_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "incremental_merge_orders",
+    """
+    with updates as (
+      select o_orderkey,
+             cast(cast(o_totalprice as decimal(12,2)) * 2 as double)
+               as o_totalprice,
+             'REPRICED' as o_comment
+      from orders where o_orderkey % 7 = 0
+      union all
+      select o_orderkey + 100000000 as o_orderkey,
+             cast(cast(o_totalprice as decimal(12,2)) as double)
+               as o_totalprice,
+             'NEW' as o_comment
+      from orders where o_orderkey % 1000 = 0
+    ),
+    existing as (
+      select o_orderkey,
+             cast(cast(o_totalprice as decimal(12,2)) as double)
+               as o_totalprice,
+             'BASE' as o_comment
+      from orders
+    ),
+    tagged as (
+      select *, 1 as prio from updates
+      union all
+      select *, 0 as prio from existing
+    ),
+    r as (select o_orderkey, o_totalprice, o_comment,
+                 row_number() over (partition by o_orderkey
+                                    order by prio desc) as rk
+          from tagged)
+    select o_orderkey, o_totalprice, o_comment from r where rk = 1
+    """,
+)
+def incremental_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt incremental (unique_key upsert) semantics via operators/
+    relational.py incremental_merge: a repriced batch overwrites matching
+    orderkeys, genuinely-new keys append, untouched rows survive — one
+    priority-union + per-key rank, no full outer join."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        incremental_merge,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    existing = o.select(
+        "o_orderkey",
+        price.cast("double").alias("o_totalprice"),
+        F.lit("BASE").alias("o_comment"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            (price * 2).cast("double").alias("o_totalprice"),
+            F.lit("REPRICED").alias("o_comment"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 1000 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                price.cast("double").alias("o_totalprice"),
+                F.lit("NEW").alias("o_comment"),
+            )
+        )
+    )
+    return incremental_merge(existing, updates, keys=["o_orderkey"])
+
+
 def _cc_rounds_sql(iters: int) -> str:
     """Unrolled synchronous min-label propagation rounds over CTE ``bi``
     (bidirected edges) — the SQL twin of operators/graph.py

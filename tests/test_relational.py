@@ -80,3 +80,29 @@ def test_scd2_compresses_and_versions(spark):
     g = hist[(1, "gold")]
     assert g["valid_to"] is None and g["is_current"] is True
     assert hist[(2, "silver")]["is_current"] is True
+
+
+def test_incremental_merge_upsert_semantics(spark):
+    """Updates replace same-key rows, new keys append, untouched rows
+    survive; schema mismatch is rejected."""
+    import pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        incremental_merge,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k long, v string"
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in incremental_merge(existing, updates, keys=["k"]).collect()
+    }
+    assert out == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+    bad = spark.createDataFrame([(1, "x", 0)], "k long, v string, extra int")
+    with pytest.raises(ValueError):
+        incremental_merge(existing, bad, keys=["k"])
