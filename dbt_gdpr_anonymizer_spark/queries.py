@@ -1758,6 +1758,90 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_pricing",
+    """
+    select l_returnflag, l_linestatus, count(*) as n,
+           cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty
+    from lineitem
+    group by cube (l_returnflag, l_linestatus)
+    """,
+)
+def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) — same partial-agg shuffle
+    shape as rollup; Spark expands grouping sets map-side, no re-scan per
+    set."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "customers_without_urgent_orders",
+    """
+    select c_custkey, c_mktsegment
+    from customer c
+    where not exists (select 1 from orders o
+                      where o.o_custkey = c.c_custkey
+                        and o.o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_without_urgent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT ANTI join — the not-exists shape: the build-side filter is
+    pushed into the orders scan, then one hash join streams the probe side
+    and keeps only non-matches; no null-padded wide rows, no distinct
+    afterward (contrast left join + IS NULL filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+        c["c_custkey"] == o["o_custkey"],
+        "left_anti",
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "cumulative_revenue_per_customer",
+    """
+    select o_orderkey, o_custkey,
+           cast(sum(cast(o_totalprice as decimal(12,2)))
+                  over (partition by o_custkey
+                        order by o_orderdate, o_orderkey
+                        rows between unbounded preceding and current row)
+                as double) as cum_spend
+    from orders
+    """,
+)
+def cumulative_revenue_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running total per customer: decimal running-sum window (exact, so
+    the prefix sums match DuckDB bit-for-bit regardless of partial-agg
+    order). One hash-partition shuffle on the window key."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+@register(
     "event_value_percentiles",
     """
     select event_type,
