@@ -1456,6 +1456,54 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_features",
+    """
+    with m as (select doc_id, coalesce(text, '') as t from documents)
+    select doc_id as media_id,
+      case doc_id % 3 when 0 then 'image' when 1 then 'audio'
+           else 'video' end as kind,
+      octet_length(encode(t)) as n_bytes,
+      list_transform(range(1, 9), i ->
+        (strpos('0123456789abcdef', substring(md5(t), 2*i-1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(t), 2*i, 1)) - 1))
+        as feature_bytes
+    from m
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the multimodal Arrow/mapInPandas plumbing (operators/
+    multimodal.py decode_features) through the driver contract: documents
+    become binary media payloads, the deterministic fake decoder extracts
+    md5-derived features, and the float32 features are mapped back to their
+    exact byte values (round(f*255) — float32(b/255)*255 rounds to b
+    exactly) so the Python-side path is verifiable against a pure-SQL
+    oracle despite the float dtype."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 3
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(k == 0, F.lit("image"))
+        .when(k == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.encode(F.coalesce("text", F.lit("")), "UTF-8").alias("payload"),
+    )
+    feats = decode_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.transform(
+            "features", lambda f: F.round(f * 255).cast("int")
+        ).alias("feature_bytes"),
+    )
+
+
+@register(
     "ann_cosine_topk",
     """
     with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
