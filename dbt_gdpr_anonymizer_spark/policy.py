@@ -66,6 +66,44 @@ class TablePolicy:
         return {c: p for c, p in self.columns.items() if p.pii}
 
 
+_COLUMN_POLICY_FIELDS = {
+    "pii",
+    "pii_type",
+    "anonymization_method",
+    "legal_basis",
+    "retention_days",
+    "k_anonymity_target",
+    "data_owner",
+}
+
+
+def policies_from_schema_yaml(text: str) -> dict[str, "TablePolicy"]:
+    """Parse the reference's dbt ``schema.yml`` shape into TablePolicy
+    objects — the same metadata control plane, read at runtime instead of
+    Jinja compile time.
+
+    Expected shape (models/staging/schema.yml:49-64): ``models`` is a list
+    of ``{name, columns: [{name, meta: {pii, pii_type,
+    anonymization_method, ...}}]}``. Unknown meta keys are ignored (dbt
+    allows arbitrary metadata); columns without ``meta`` get the default
+    (non-PII) policy so the masking rewriter passes them through.
+    """
+    import yaml
+
+    doc = yaml.safe_load(text) or {}
+    out: dict[str, TablePolicy] = {}
+    for model in doc.get("models", []) or []:
+        cols: dict[str, ColumnPolicy] = {}
+        for col in model.get("columns", []) or []:
+            meta = col.get("meta") or {}
+            kwargs = {
+                k: v for k, v in meta.items() if k in _COLUMN_POLICY_FIELDS
+            }
+            cols[col["name"]] = ColumnPolicy(**kwargs)
+        out[model["name"]] = TablePolicy(name=model["name"], columns=cols)
+    return out
+
+
 class PolicyError(ValueError):
     """Raised when a policy fails validation (reference: raise_compiler_error,
     generate_pii_report.sql:147-176)."""

@@ -70,3 +70,49 @@ def test_mask_model_suppress_and_unknown(spark):
     row = mask_model(df, tp, CONF).collect()[0]
     assert row["a_anon"] is None
     assert row["b_anon"] == "y"  # unknown method -> pass-through
+
+
+def test_policies_from_schema_yaml_reference_shape(spark):
+    """Parses the reference's dbt schema.yml layout (models -> columns ->
+    meta) and the result drives mask_model identically to a hand-built
+    policy."""
+    from dbt_gdpr_anonymizer_spark.policy import (
+        mask_model,
+        policies_from_schema_yaml,
+    )
+
+    yml = """
+version: 2
+models:
+  - name: stg_services
+    columns:
+      - name: contact_email
+        meta:
+          pii: true
+          pii_type: direct_identifier
+          anonymization_method: hash_sha256
+          legal_basis: legitimate_interest
+          custom_dbt_field: ignored
+      - name: latitude
+        meta:
+          pii: true
+          pii_type: quasi_identifier
+          anonymization_method: round_2_decimals
+      - name: city
+"""
+    pols = policies_from_schema_yaml(yml)
+    assert set(pols) == {"stg_services"}
+    pol = pols["stg_services"]
+    assert pol.columns["contact_email"].anonymization_method == "hash_sha256"
+    assert pol.columns["latitude"].pii_type == "quasi_identifier"
+    assert pol.columns["city"].pii is False
+
+    df = spark.createDataFrame(
+        [("a@b.fr", 48.85661, "Paris")],
+        "contact_email string, latitude double, city string",
+    )
+    out = mask_model(df, pol).collect()[0]
+    assert out["contact_email_anon"].startswith("user_")
+    assert out["contact_email_anon"].endswith("@anonymized.gouv.fr")
+    assert out["latitude_anon"] == 48.86
+    assert out["city_anon"] == "Paris"
