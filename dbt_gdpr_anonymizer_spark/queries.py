@@ -1555,6 +1555,47 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_recall_report")  # measures approx tiers -> rows-only
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall metrology for the approximate ANN tiers: per query id, the
+    fraction of the exact cosine top-k recovered by LSH and by IVF — the
+    operational dial for bits/probes/nlist tuning. The exact baseline and
+    both approximate results run in one plan; recall is a join + ratio, so
+    quality measurement is itself a distributed query, not a driver loop."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries_df, k=5).select(
+        "query_id", F.col("vec_id").alias("exact_id")
+    )
+
+    def recall_of(approx: DataFrame, name: str) -> DataFrame:
+        hits = exact.join(
+            approx.select(
+                "query_id", F.col("vec_id").alias("exact_id")
+            ).withColumn("_hit", F.lit(1)),
+            ["query_id", "exact_id"],
+            "left",
+        )
+        return hits.groupBy("query_id").agg(
+            (F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)))
+            .cast("decimal(6,3)")
+            .cast("double")
+            .alias(name)
+        )
+
+    lsh = recall_of(lsh_topk(emb, queries_df, k=5, dim=64, bits=8), "lsh_recall")
+    ivf = recall_of(ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=3), "ivf_recall")
+    return lsh.join(ivf, "query_id")
+
+
 @register("ann_lsh_topk")  # approximate by construction -> rows-only check
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.similarity import lsh_topk

@@ -128,3 +128,44 @@ def test_normalize_phone_strips_separators(spark, values):
             assert o == v.strip(" ").replace(" ", "").replace("-", "").replace(
                 ".", ""
             ).replace("(", "")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FF
+                ),
+                max_size=60,
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_rolling_fingerprint_matches_python_reference(spark, values):
+    """The Spark Horner fold over md5 token hashes must equal an
+    independent Python implementation for arbitrary unicode text — the
+    cross-engine portability property the DuckDB oracle relies on."""
+    import hashlib
+    import re as _re
+
+    from dbt_gdpr_anonymizer_spark.functions.text import rolling_fingerprint
+
+    outs = run(spark, values, rolling_fingerprint("v"))
+
+    def ref(v):
+        if v is None:
+            return None
+        norm = _re.sub("[^a-z0-9]+", " ", v.lower()).strip()
+        toks = norm.split(" ") if norm else []
+        acc = 0
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 2147483647
+            acc = (acc * 131 + h) % 2147483647
+        return acc
+
+    assert outs == [ref(v) for v in values]
