@@ -105,3 +105,41 @@ def test_k_anonymity(spark, ci_raw):
     # 2-row fixture: both groups are below k=5
     assert viol.count() == 2
     assert k_anonymity_violations(enr, ["organization_category"], k=1).count() == 0
+
+
+def test_cli_end_to_end(spark, ci_raw, tmp_path):
+    """scripts/run_pipeline.py drives ingest -> 4 layers -> PII report ->
+    validation gate and exits 0 on the clean CI fixture — the `make run &&
+    make validate` contract."""
+    import importlib.util
+    import json
+    import os
+
+    raw_path = str(tmp_path / "raw")
+    ci_raw.write.mode("overwrite").parquet(raw_path)
+    out_root = str(tmp_path / "out")
+
+    spec = importlib.util.spec_from_file_location(
+        "run_pipeline_cli",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "run_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # k=1: a 2-row fixture can satisfy it -> clean exit
+    code = mod.main(["--input", raw_path, "--output", out_root, "--k", "1"])
+    assert code == 0
+    report = json.loads(
+        (tmp_path / "out" / "pii_report" / "pii_report.json").read_text()
+    )
+    assert any(r["column_name"] == "contact_email" for r in report)
+    # mart layer materialized as parquet
+    mart = spark.read.parquet(f"{out_root}/mart")
+    assert mart.count() == 2
+
+    # default k=5 cannot hold with 2 rows: gate exits 1 AND persists the
+    # violating groups (store_failures semantics)
+    code = mod.main(["--input", raw_path, "--output", out_root])
+    assert code == 1
+    viol = spark.read.parquet(f"{out_root}/test_results/k_anonymity")
+    assert viol.count() > 0

@@ -24,9 +24,19 @@ from dbt_gdpr_anonymizer_spark.queries import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
 
-# Brute-force-by-contract: small broadcast side joined to every row
-# (query sets / centroid tables — k·dim scale, not data scale).
-BNLJ_ALLOWED = {"ann_cosine_topk", "ann_ivf_topk", "kmeans_embedding_clusters"}
+# Allowed BroadcastNestedLoopJoin cases — every one has a broadcast side
+# whose size is bounded by CONSTRUCTION, not by data volume:
+#   ann_cosine_topk / ann_ivf_topk / kmeans_embedding_clusters /
+#   ann_recall_report — brute-force baselines and centroid tables
+#     (query-set / k·dim scale);
+#   tfidf_top_terms — a 1-row corpus-count aggregate cross-joined in.
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "kmeans_embedding_clusters",
+    "ann_recall_report",
+    "tfidf_top_terms",
+}
 
 
 @pytest.mark.parametrize("name", sorted(all_queries()))
