@@ -1456,6 +1456,78 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_search",
+    f"""
+    with d as (
+      select doc_id, unnest(list_filter({_WORDS_SQL}, t -> t <> '')) as word
+      from documents
+    ),
+    tf as (select doc_id, word, count(*) as tf from d group by 1, 2),
+    dl as (select doc_id, count(*) as dl from d group by 1),
+    dfq as (select word, count(*) as df
+            from (select distinct doc_id, word from d) group by 1),
+    stats as (select count(*) as n_docs,
+                     (select avg(dl) from dl) as avgdl
+              from documents),
+    scored as (
+      select tf.doc_id,
+             sum(
+               ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+             ) as score
+      from tf
+      join dfq using (word)
+      join dl using (doc_id)
+      cross join stats s
+      where tf.word in ('spark', 'data', 'shuffle')
+      group by tf.doc_id
+    )
+    select doc_id,
+           cast(cast(score as decimal(12,4)) as double) as bm25
+    from scored
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of a keyword query against every document
+    (k1=1.2, b=0.75): the retrieval-grade relevance function on top of the
+    same tf/df machinery as TF-IDF, plus per-doc length normalization.
+    Corpus stats (N, avgdl) ride along as a broadcast 1-row cross join;
+    the term filter prunes the tf table before any join. Score quantized
+    to 4 decimals for cross-engine ln()/division tolerance."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(tx.words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfq = d.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    k1, b = 1.2, 0.75
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.filter(F.col("word").isin("spark", "data", "shuffle"))
+        .join(dfq, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+        .select(
+            "doc_id",
+            F.col("score").cast("decimal(12,4)").cast("double").alias("bm25"),
+        )
+    )
+
+
+@register(
     "multimodal_decode_features",
     """
     with m as (select doc_id, coalesce(text, '') as t from documents)

@@ -29,13 +29,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
 #   ann_cosine_topk / ann_ivf_topk / kmeans_embedding_clusters /
 #   ann_recall_report — brute-force baselines and centroid tables
 #     (query-set / k·dim scale);
-#   tfidf_top_terms — a 1-row corpus-count aggregate cross-joined in.
+#   tfidf_top_terms / bm25_search — a 1-row corpus-stats aggregate
+#     cross-joined in.
 BNLJ_ALLOWED = {
     "ann_cosine_topk",
     "ann_ivf_topk",
     "kmeans_embedding_clusters",
     "ann_recall_report",
     "tfidf_top_terms",
+    "bm25_search",
 }
 
 
