@@ -31,6 +31,9 @@ __all__ = [
     "doc_fingerprint",
     "rolling_fingerprint",
     "md5_hex32",
+    "scrub_pii",
+    "SCRUB_EMAIL_RE",
+    "SCRUB_FR_PHONE_RE",
     "shingles",
     "minhash_signature",
     "simhash",
@@ -196,6 +199,28 @@ def md5_hex32(h: Column) -> Column:
     bit-equal to, and ~2× faster than, a per-digit positional fold).
     """
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+# RE2-compatible (no lookaheads/backrefs) so DuckDB's regexp_replace scrubs
+# byte-identically — unlike the validation patterns (operators/validate.py),
+# which keep the reference's lookaheads and therefore run Spark-side only.
+SCRUB_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SCRUB_FR_PHONE_RE = r"(\+33[ .-]?|0)[1-9]([ .-]?[0-9]{2}){4}"
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Redact PII inside FREE TEXT: emails → ``[EMAIL]``, French phone
+    numbers → ``[PHONE]``.
+
+    The reference masks structured columns only; for an LLM training
+    corpus the PII lives in the text itself, and scrubbing must run
+    distributed over every document. Two chained ``regexp_replace`` calls —
+    JVM-side, whole-stage-codegen, no UDF. Email first, so a phone-like
+    digit run inside an address's local part is already gone when the
+    phone pass runs.
+    """
+    out = F.regexp_replace(_col(c), SCRUB_EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, SCRUB_FR_PHONE_RE, "[PHONE]")
 
 
 def shingles(c: Column | str, n: int = 3) -> Column:

@@ -1528,6 +1528,53 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scrub_text_pii",
+    f"""
+    with injected as (
+      select doc_id,
+        coalesce(text, '') || ' contact: user' || cast(doc_id as varchar)
+          || '@mairie-exemple.fr tel +33 ' || cast(doc_id % 9 + 1 as varchar)
+          || ' 23 45 67 ' || lpad(cast(doc_id % 100 as varchar), 2, '0')
+          || ' merci' as t
+      from documents
+    )
+    select doc_id,
+      len(regexp_extract_all(t, '{tx.SCRUB_EMAIL_RE}')) as n_emails,
+      len(regexp_extract_all(t, '{tx.SCRUB_FR_PHONE_RE}')) as n_phones,
+      md5(regexp_replace(regexp_replace(t, '{tx.SCRUB_EMAIL_RE}', '[EMAIL]', 'g'),
+                         '{tx.SCRUB_FR_PHONE_RE}', '[PHONE]', 'g'))
+        as scrubbed_md5
+    from injected
+    """,
+)
+def scrub_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text PII redaction (functions/text.py scrub_pii) — the LLM-
+    corpus anonymization the reference's column masking can't express.
+    Synthetic email+phone are injected deterministically per doc, counted
+    pre-scrub, and the scrubbed text md5 proves byte-identical replacement
+    against DuckDB running the same RE2-safe regexes."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.coalesce("text", F.lit("")),
+        F.lit(" contact: user"),
+        k.cast("string"),
+        F.lit("@mairie-exemple.fr tel +33 "),
+        (k % 9 + 1).cast("string"),
+        F.lit(" 23 45 67 "),
+        F.lpad((k % 100).cast("string"), 2, "0"),
+        F.lit(" merci"),
+    )
+    t = d.select("doc_id", injected.alias("t"))
+    return t.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(tx.SCRUB_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("t", F.lit(tx.SCRUB_FR_PHONE_RE)).alias("n_phones"),
+        F.md5(tx.scrub_pii("t")).alias("scrubbed_md5"),
+    )
+
+
+@register(
     "multimodal_decode_features",
     """
     with m as (select doc_id, coalesce(text, '') as t from documents)

@@ -363,3 +363,25 @@ def test_kmeans_recovers_separable_clusters(spark):
         ).collect()
     }
     assert refined == exact
+
+
+def test_scrub_pii_redacts_emails_and_phones(spark):
+    """Emails and FR phone formats are replaced; surrounding text and
+    non-PII digits survive; clean text passes through unchanged."""
+    from dbt_gdpr_anonymizer_spark.functions.text import scrub_pii
+
+    rows = [
+        (1, "Contact jean.dupont@mairie.fr ou au +33 1 23 45 67 89 svp"),
+        (2, "Appelez le 06.12.34.56.78 avant 2030"),
+        (3, "Aucune donnee sensible ici, budget 12345 euros"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", scrub_pii("text").alias("s")).collect()
+    }
+    assert out[1] == "Contact [EMAIL] ou au [PHONE] svp"
+    assert out[2] == "Appelez le [PHONE] avant 2030"
+    assert out[3] == "Aucune donnee sensible ici, budget 12345 euros"
+    assert out[4] is None
