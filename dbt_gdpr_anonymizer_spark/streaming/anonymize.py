@@ -27,6 +27,7 @@ __all__ = [
     "write_stream_parquet",
     "windowed_event_rollup",
     "stream_exact_dedup",
+    "stream_scrub_text",
 ]
 
 
@@ -129,3 +130,17 @@ def windowed_event_rollup(
             "total_value",
         )
     )
+
+
+def stream_scrub_text(
+    stream: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Scrub free-text PII (emails, FR phones → redaction tags) on a
+    stream. Like masking, scrubbing is a stateless projection
+    (functions/text.py ``scrub_pii``), so the batch operator applies to a
+    streaming DataFrame verbatim — no state, no watermark; each microbatch
+    is scrubbed independently inside codegen.
+    """
+    from dbt_gdpr_anonymizer_spark.functions.text import scrub_pii
+
+    return stream.withColumn(text_col, scrub_pii(text_col))

@@ -224,3 +224,44 @@ def test_stratified_sample_exact_per_group_and_stable(spark):
     assert len(per["small"]) == 4  # stratum smaller than n -> keep all
     again = stratified_sample(df.repartition(13), ["g"], 7, "k").collect()
     assert {(r["g"], r["k"]) for r in again} == {(r["g"], r["k"]) for r in out}
+
+
+def test_stream_scrub_text_redacts_microbatches(spark, tmp_path):
+    """scrub_pii applies to a readStream verbatim (stateless projection):
+    the drained sink holds redacted text."""
+    import json
+    import os
+
+    from dbt_gdpr_anonymizer_spark.streaming.anonymize import (
+        stream_scrub_text,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "mail a@b.fr et tel +33 1 22 33 44 55"},
+        {"doc_id": 2, "text": "rien de sensible"},
+    ]
+    p = src / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    os.utime(p, (1_700_000_000, 1_700_000_000))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    q = (
+        stream_scrub_text(stream)
+        .writeStream.format("memory")
+        .queryName("scrub_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("select * from scrub_stream").collect()
+    }
+    assert out[1] == "mail [EMAIL] et tel [PHONE]"
+    assert out[2] == "rien de sensible"
