@@ -1582,9 +1582,9 @@ def scrub_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
       case doc_id % 3 when 0 then 'image' when 1 then 'audio'
            else 'video' end as kind,
       octet_length(encode(t)) as n_bytes,
-      list_transform(range(1, 9), i ->
+      array_to_string(list_transform(range(1, 9), i ->
         (strpos('0123456789abcdef', substring(md5(t), 2*i-1, 1)) - 1) * 16
-        + (strpos('0123456789abcdef', substring(md5(t), 2*i, 1)) - 1))
+        + (strpos('0123456789abcdef', substring(md5(t), 2*i, 1)) - 1)), ',')
         as feature_bytes
     from m
     """,
@@ -1596,7 +1596,10 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived features, and the float32 features are mapped back to their
     exact byte values (round(f*255) — float32(b/255)*255 rounds to b
     exactly) so the Python-side path is verifiable against a pure-SQL
-    oracle despite the float dtype."""
+    oracle despite the float dtype.  The byte array is serialized to a
+    comma-joined string in BOTH engines: harness canonicalizers hash
+    scalar columns, and pandas cannot sort/factorize list cells
+    (CORRECTNESS_r02 TypeError), so the compared column must be flat."""
     from dbt_gdpr_anonymizer_spark.operators.multimodal import (
         decode_features,
     )
@@ -1616,8 +1619,12 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "n_bytes",
-        F.transform(
-            "features", lambda f: F.round(f * 255).cast("int")
+        F.array_join(
+            F.transform(
+                "features",
+                lambda f: F.round(f * 255).cast("int").cast("string"),
+            ),
+            ",",
         ).alias("feature_bytes"),
     )
 
