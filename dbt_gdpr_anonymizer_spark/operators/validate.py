@@ -173,22 +173,30 @@ def _quality_aggs() -> list[Column]:
     two can never disagree."""
     e, p = F.col("contact_email_anon"), F.col("contact_phone_anon")
     la, lo = F.col("latitude_anon"), F.col("longitude_anon")
+    # F.sum over zero rows is NULL — coalesce to 0 so an empty table
+    # produces 0-count metrics rather than None arithmetic.
     return [
         F.count(F.when(e.isNotNull(), 1)).alias("email_total"),
-        F.sum(F.when(e.like("%@anonymized.gouv.fr"), 1).otherwise(0)).alias(
-            "email_ok"
-        ),
+        F.coalesce(
+            F.sum(F.when(e.like("%@anonymized.gouv.fr"), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("email_ok"),
         F.count(F.when(p.isNotNull(), 1)).alias("phone_total"),
-        F.sum(F.when(p.like("%XX XX XX XX"), 1).otherwise(0)).alias("phone_ok"),
+        F.coalesce(
+            F.sum(F.when(p.like("%XX XX XX XX"), 1).otherwise(0)), F.lit(0)
+        ).alias("phone_ok"),
         F.count(F.when(la.isNotNull() & lo.isNotNull(), 1)).alias("coord_total"),
-        F.sum(
-            F.when(
-                la.isNotNull()
-                & lo.isNotNull()
-                & ~too_precise(la)
-                & ~too_precise(lo),
-                1,
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    la.isNotNull()
+                    & lo.isNotNull()
+                    & ~too_precise(la)
+                    & ~too_precise(lo),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("coord_ok"),
     ]
 
@@ -262,16 +270,24 @@ def validate(
     string_cols = [
         f.name for f in mart.schema.fields if f.dataType.simpleString() == "string"
     ]
+    # F.sum over ZERO rows is NULL, not 0 — coalesce so an empty mart
+    # yields clean zero counts instead of None arithmetic errors.
     aggs = [
-        F.sum(F.when(c, 1).otherwise(0)).alias(f"viol_{name}")
+        F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0)).alias(
+            f"viol_{name}"
+        )
         for name, c in cond.items()
     ]
     for col in string_cols:
         for issue, pat in PII_PATTERNS.items():
             aggs.append(
-                F.sum(
-                    F.when(F.col(col).isNotNull() & F.col(col).rlike(pat), 1)
-                    .otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col(col).isNotNull() & F.col(col).rlike(pat), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias(f"scan__{col}__{issue}")
             )
     mrow = mart.agg(*aggs).collect()[0]

@@ -143,3 +143,23 @@ def test_cli_end_to_end(spark, ci_raw, tmp_path):
     assert code == 1
     viol = spark.read.parquet(f"{out_root}/test_results/k_anonymity")
     assert viol.count() > 0
+
+
+def test_validate_empty_mart_yields_zero_counts(spark, ci_raw):
+    """F.sum over zero rows is NULL; validate() must coalesce so an empty
+    mart/enriched produces clean zero counts, not None arithmetic."""
+    from dbt_gdpr_anonymizer_spark.operators.validate import validate
+
+    ls = layers(ci_raw)
+    empty_mart = ls["mart"].limit(0)
+    empty_enr = ls["enriched"].limit(0)
+    report = validate(empty_enr, empty_mart)
+    assert report["pii_violations"] == 0
+    assert report["pii_scan_hits"] == 0
+    assert report["quality"]["emails"] == {
+        "total": 0,
+        "properly_anonymized": 0,
+        "improperly_anonymized": 0,
+        "success_rate": 0.0,
+    }
+    assert report["passed"] is True
