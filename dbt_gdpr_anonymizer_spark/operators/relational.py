@@ -43,10 +43,13 @@ def asof_join(
     a match keep NULLs (left-join behavior).
 
     Plan: tag and union both sides, then one window per key ordered by
-    (ts, side) carrying the last-seen right row forward as a struct
-    (``ignorenulls`` over the struct, so NULL attribute values inside a
-    right row are preserved, not skipped). Cost = one shuffle on ``on`` +
-    one sort — no quadratic range join, no driver involvement.
+    (ts, side, right-row struct) carrying the last-seen right row forward
+    as a struct (``ignorenulls`` over the struct, so NULL attribute values
+    inside a right row are preserved, not skipped). The struct itself is
+    the tiebreaker: when several right rows share (key, ts) the field-wise
+    max row wins, deterministically across runs — a bare (ts, side) order
+    would let F.last pick an arbitrary tied row. Cost = one shuffle on
+    ``on`` + one sort — no quadratic range join, no driver involvement.
     """
     right_cols = list(
         right_cols
@@ -68,7 +71,7 @@ def asof_join(
     u = l.unionByName(r, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))

@@ -106,3 +106,22 @@ def test_incremental_merge_upsert_semantics(spark):
     bad = spark.createDataFrame([(1, "x", 0)], "k long, v string, extra int")
     with pytest.raises(ValueError):
         incremental_merge(existing, bad, keys=["k"])
+
+
+def test_asof_join_deterministic_on_tied_right_rows(spark):
+    """Several right rows sharing (key, ts): the field-wise max right row
+    must win, identically across runs (the window tiebreaks on the carried
+    struct, not on input order)."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 12:00:00"))], "k long, ts timestamp"
+    )
+    tied = [
+        (1, ts("2024-01-01 10:00:00"), v) for v in ("b", "c", "a")
+    ]
+    for attempt in range(3):
+        # vary input row order and partitioning — result must not change
+        right = spark.createDataFrame(
+            tied[attempt:] + tied[:attempt], "k long, ts timestamp, v string"
+        ).repartition(2 + attempt)
+        [r] = asof_join(left, right, "k", right_cols=["v"]).collect()
+        assert r["v_asof"] == "c"
