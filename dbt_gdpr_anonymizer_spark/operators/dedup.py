@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
+from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
 __all__ = [
     "exact_dedup",
@@ -170,6 +171,9 @@ def neardup_pairs(
     Output: (id_a, id_b, jaccard) with jaccard quantized to decimal(18,6)
     for cross-engine determinism. The Jaccard join touches only candidate
     pairs — at sane thresholds a vanishing fraction of n².
+
+    The persisted shingle sets are tracked on the result (``cached_deps``);
+    call ``operators.caching.release_caches(result)`` after consuming it.
     """
     # One cached copy of the shingle sets feeds LSH banding AND both
     # verification sides — without it the regex/shingle chain re-executes
@@ -188,7 +192,7 @@ def neardup_pairs(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")).cast("double")
     )
-    return (
+    out = (
         cands.join(a_sets, f"{id_col}_a")
         .join(b_sets, f"{id_col}_b")
         .select(
@@ -203,6 +207,7 @@ def neardup_pairs(
             F.col("_jac_raw").cast("decimal(18,6)").cast("double").alias("jaccard"),
         )
     )
+    return track_caches(out, sets_)
 
 
 def ngram_jaccard_pairs(
@@ -298,7 +303,7 @@ def ngram_jaccard_pairs(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b")).cast("double")
     )
-    return (
+    out = (
         cands.join(a_sets, f"{id_col}_a")
         .join(b_sets, f"{id_col}_b")
         .select(f"{id_col}_a", f"{id_col}_b", jac.alias("_j"))
@@ -309,6 +314,7 @@ def ngram_jaccard_pairs(
             F.col("_j").cast("decimal(18,6)").cast("double").alias("jaccard"),
         )
     )
+    return track_caches(out, sized)
 
 
 def dedup_corpus(
@@ -343,7 +349,10 @@ def dedup_corpus(
         bands=bands,
     )
     losers = pairs.select(F.col(f"{id_col}_b").alias(id_col)).distinct()
-    return kept.join(losers, id_col, "left_anti")
+    out = kept.join(losers, id_col, "left_anti")
+    # propagate the pair plan's tracked caches (attributes don't survive
+    # plan transforms) so one release_caches(out) frees everything
+    return track_caches(out, *getattr(pairs, "cached_deps", ()))
 
 
 def simhash_neardup_pairs(
@@ -398,7 +407,7 @@ def simhash_neardup_pairs(
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    out = (
         a.join(b, ["chunk", "val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .filter(ham <= max_hamming)
@@ -409,6 +418,7 @@ def simhash_neardup_pairs(
         )
         .distinct()
     )
+    return track_caches(out, sh)
 
 
 def embedding_neardup_pairs(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
 __all__ = ["connected_components"]
 
 
@@ -59,7 +61,9 @@ def connected_components(
     # union references the caller's edge plan twice, and for an expensive
     # edge source (a near-dup join) an uncached double-scan costs a full
     # extra pass before any round runs.
+    cached: list[DataFrame] = []
     ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
+    cached.append(ed)
     bi = ed.unionByName(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         bi.select(F.col("a").alias("node"))
@@ -83,7 +87,13 @@ def connected_components(
         # loss restarts from the checkpoint, not the source) at the cost of
         # writing label snapshots; plain persist keeps lineage but is free
         # until memory pressure. Either one flattens the plan.
-        labels = (
-            labels.localCheckpoint(eager=False) if checkpoint else labels.persist()
-        )
-    return labels.select("node", F.col("label").alias("component"))
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+        else:
+            labels = labels.persist()
+            cached.append(labels)
+    # tracked on the result so release_caches() can free the edge cache and
+    # every round's label cache once the caller has consumed the output
+    return track_caches(
+        labels.select("node", F.col("label").alias("component")), *cached
+    )
