@@ -61,14 +61,33 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_corpus_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine (self-matches excluded).
 
     ``queries`` must be small (it is broadcast to every partition —
     the standard brute-force ANN baseline shape). Output:
     (query_id, vec_id, cos_sim) with cos_sim quantized to decimal(18,6).
+
+    This is the O(|corpus| × |queries|) exactness anchor, not the scale
+    tier: ``max_corpus_rows`` fails fast when the corpus exceeds the cap
+    so a full-corpus run can't be launched by accident — use
+    :func:`lsh_topk` / :func:`ivf_topk` there, or pass ``None`` to
+    deliberately run exhaustively. The guard probes via
+    ``limit(cap+1).count()``, which short-circuits after cap+1 rows
+    instead of sweeping the corpus it is protecting against.
     """
     from pyspark.sql import Window as W
+
+    if max_corpus_rows is not None:
+        probed = vectors.limit(max_corpus_rows + 1).count()
+        if probed > max_corpus_rows:
+            raise ValueError(
+                f"cosine_topk is the brute-force exact tier and the corpus "
+                f"exceeds max_corpus_rows={max_corpus_rows}; use lsh_topk "
+                f"or ivf_topk at this scale, or pass max_corpus_rows=None "
+                f"to force an exhaustive scan"
+            )
 
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
@@ -301,6 +320,7 @@ def kmeans_fit(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fit_sample_n: int | None = 100_000,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over an embedding column; returns the
     fitted centroid table (centroid_id, embedding array<double>), the
@@ -318,11 +338,27 @@ def kmeans_fit(
     iteration's plan.
 
     Seeding: first ``k`` vectors by id — deterministic and engine-free.
-    Empty cells keep their previous centroid. For a 100 TB corpus, fit on
-    a sample (e.g. ``deterministic_sample``); assignment is the part that
-    must scan everything, fitting is not.
+    Empty cells keep their previous centroid.
+
+    ``fit_sample_n`` (default 100k) caps the rows the FIT touches, via
+    ``deterministic_sample`` on ``id_col``: at 100 TB the per-iteration
+    global scans (seed TakeOrdered + assignment + means) must not sweep
+    the corpus — assignment over everything is ``ivf_assign``'s job after
+    fitting, not the fit's. A 100k sample pins centroids to the same
+    cluster structure; pass ``None`` to fit on the full corpus.
     """
     spark = vectors.sparkSession
+    sampled = None
+    if fit_sample_n is not None:
+        from dbt_gdpr_anonymizer_spark.sources.ingest import (
+            deterministic_sample,
+        )
+
+        # persisted: every iteration's assignment/means job reads the
+        # sample, and an uncached TakeOrdered plan would re-sweep the
+        # corpus once per iteration; released before returning.
+        sampled = deterministic_sample(vectors, fit_sample_n, id_col).persist()
+        vectors = sampled
     first = vectors.select(vec_col).first()
     if first is None:
         raise ValueError("kmeans_fit: empty vector table")
@@ -358,4 +394,6 @@ def kmeans_fit(
             if norm > 0:
                 new_cents[row["cell"]] = [x / norm for x in m]
         centroids = new_cents
+    if sampled is not None:
+        sampled.unpersist()
     return _centroid_df(centroids)

@@ -385,3 +385,79 @@ def test_scrub_pii_redacts_emails_and_phones(spark):
     assert out[2] == "Appelez le [PHONE] avant 2030"
     assert out[3] == "Aucune donnee sensible ici, budget 12345 euros"
     assert out[4] is None
+
+
+def test_cache_tracking_and_release(corpus):
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+
+    pairs = neardup_pairs(corpus, threshold=0.5)
+    deps = getattr(pairs, "cached_deps", [])
+    assert deps, "neardup_pairs must track its persisted shingle sets"
+    pairs.collect()
+    assert all(d.storageLevel.useMemory or d.storageLevel.useDisk for d in deps)
+    release_caches(pairs)
+    assert all(
+        not (d.storageLevel.useMemory or d.storageLevel.useDisk) for d in deps
+    )
+    assert pairs.cached_deps == []
+    release_caches(pairs)  # idempotent
+
+
+def test_cosine_topk_guard_blocks_oversized_corpus(vectors):
+    """The brute-force tier must fail fast past max_corpus_rows with a
+    pointer to the scale tiers, and run when capped corpora fit."""
+    import pytest as _pytest
+
+    q = vectors.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with _pytest.raises(ValueError, match="lsh_topk"):
+        cosine_topk(vectors, q, k=2, max_corpus_rows=2)
+    assert cosine_topk(vectors, q, k=2, max_corpus_rows=None).count() == 2
+
+
+def test_kmeans_sample_fit_matches_full_fit(spark):
+    """Sample-fit (fit_sample_n) and full-corpus fit must recover the same
+    cluster structure on the separable fixture: identical cell membership
+    and near-identical normalized centroids."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+        else:
+            rows.append((i, [0.0, 1.0, 0.001 * i, 0.0]))
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    full = kmeans_fit(v, k=2, iters=3, fit_sample_n=None)
+    sampled = kmeans_fit(v, k=2, iters=3, fit_sample_n=20)
+
+    def membership(cents):
+        cells = {}
+        for r in ivf_assign(v, cents).collect():
+            cells.setdefault(r["cell"], set()).add(r["vec_id"])
+        return sorted(frozenset(s) for s in cells.values())
+
+    expected = sorted(
+        [frozenset(range(0, 40, 2)), frozenset(range(1, 40, 2))]
+    )
+    assert membership(full) == expected
+    assert membership(sampled) == expected
+
+    fc = {r["centroid_id"]: r["embedding"] for r in full.collect()}
+    sc = {r["centroid_id"]: r["embedding"] for r in sampled.collect()}
+    # centroid ids may map to opposite clusters; compare per dominant axis
+    def by_axis(cents):
+        return {
+            max(range(4), key=lambda d: abs(c[d])): c
+            for c in cents.values()
+        }
+
+    fa, sa = by_axis(fc), by_axis(sc)
+    assert set(fa) == set(sa)
+    for axis in fa:
+        assert all(abs(a - b) < 0.02 for a, b in zip(fa[axis], sa[axis]))
