@@ -26,6 +26,9 @@ from pyspark.sql import types as T
 __all__ = [
     "SEED_SCHEMA",
     "fetch_jsonl",
+    "fetch_dataset_metadata",
+    "select_json_resource",
+    "fetch_dataset_resource",
     "read_services_jsonl",
     "flatten_services",
     "deterministic_sample",
@@ -112,6 +115,68 @@ def fetch_jsonl(
             last = exc
             time.sleep(min(2**attempt, 10))
     raise ConnectionError(f"failed to fetch {url} after {retries} attempts: {last}")
+
+
+def fetch_dataset_metadata(
+    api_url: str, dataset_id: str, timeout: int = 30, retries: int = 3
+) -> dict:
+    """Fetch dataset metadata JSON from a data.gouv.fr-style API
+    (download_data.py:40-56): ``GET {api_url}/datasets/{dataset_id}/`` with
+    the same retry loop as the payload fetch."""
+    url = f"{api_url.rstrip('/')}/datasets/{dataset_id}/"
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
+                return json.loads(resp.read().decode("utf-8"))
+        except Exception as exc:  # pragma: no cover - network path
+            last = exc
+            time.sleep(min(2**attempt, 10))
+    raise ConnectionError(
+        f"failed to fetch metadata {url} after {retries} attempts: {last}"
+    )
+
+
+def select_json_resource(
+    dataset_info: dict, preferred_format: str = "json"
+) -> str:
+    """Pick the download URL of the first resource whose ``format`` matches
+    (download_data.py:209-216: the reference takes the first
+    ``format == "json"`` resource and aborts when none exists). Raises
+    ``LookupError`` listing the available formats so callers can retry with
+    another ``preferred_format``."""
+    resources = dataset_info.get("resources", []) or []
+    hit = next(
+        (r for r in resources if r.get("format") == preferred_format), None
+    )
+    if hit is None or not hit.get("url"):
+        formats = sorted({str(r.get("format")) for r in resources})
+        raise LookupError(
+            f"no '{preferred_format}' resource with a url in dataset "
+            f"metadata (available formats: {formats or 'none'})"
+        )
+    return hit["url"]
+
+
+def fetch_dataset_resource(
+    api_url: str,
+    dataset_id: str,
+    dest_path: str,
+    *,
+    preferred_format: str = "json",
+    timeout: int = 30,
+    retries: int = 3,
+) -> str:
+    """Full reference download flow (download_data.py:196-246 steps 1-2):
+    metadata → resource selection → payload fetch to ``dest_path``.
+    Everything downstream (parse, flatten, seed write) is the distributed
+    path: ``read_services_jsonl`` → ``flatten_services`` →
+    ``write_seed_csv``."""
+    info = fetch_dataset_metadata(
+        api_url, dataset_id, timeout=timeout, retries=retries
+    )
+    url = select_json_resource(info, preferred_format)
+    return fetch_jsonl(url, dest_path, timeout=timeout, retries=retries)
 
 
 def read_services_jsonl(spark: SparkSession, path: str) -> DataFrame:

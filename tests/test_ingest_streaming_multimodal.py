@@ -265,3 +265,61 @@ def test_stream_scrub_text_redacts_microbatches(spark, tmp_path):
     }
     assert out[1] == "mail [EMAIL] et tel [PHONE]"
     assert out[2] == "rien de sensible"
+
+
+def test_resource_negotiation_against_canned_metadata(monkeypatch, tmp_path):
+    """download_data.py:196-216 parity: metadata fetch -> pick the first
+    format=='json' resource -> download its url. Driven fully offline
+    against a canned metadata payload (the reference CI never hits the
+    network either)."""
+    import io
+    import json as _json
+    import urllib.request as _url
+
+    from dbt_gdpr_anonymizer_spark.sources.ingest import (
+        fetch_dataset_resource,
+        select_json_resource,
+    )
+
+    meta = {
+        "resources": [
+            {"format": "csv", "url": "https://example.org/data.csv"},
+            {"format": "json", "url": "https://example.org/data.json"},
+            {"format": "json", "url": "https://example.org/other.json"},
+        ]
+    }
+    payload = b'{"id": "S1"}\n'
+    calls = []
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(url, timeout=None):
+        calls.append(url)
+        if url.endswith("/datasets/api-mairie/"):
+            return FakeResp(_json.dumps(meta).encode())
+        assert url == "https://example.org/data.json"  # FIRST json resource
+        return FakeResp(payload)
+
+    monkeypatch.setattr(_url, "urlopen", fake_urlopen)
+    dest = str(tmp_path / "raw.jsonl")
+    out = fetch_dataset_resource(
+        "https://api.example.org/1", "api-mairie", dest
+    )
+    assert out == dest
+    assert open(dest, "rb").read() == payload
+    assert calls == [
+        "https://api.example.org/1/datasets/api-mairie/",
+        "https://example.org/data.json",
+    ]
+
+    # no matching format -> LookupError listing what IS available
+    with pytest.raises(LookupError, match="csv"):
+        select_json_resource({"resources": [{"format": "csv", "url": "u"}]})
+    # resource without a url is skipped the same way
+    with pytest.raises(LookupError):
+        select_json_resource({"resources": [{"format": "json"}]})
