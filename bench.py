@@ -37,6 +37,10 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "tfidf_top_terms",
     "sliding_window_rollup",
+    # iterative + inverted-index + exact-similarity plans
+    "ngram_jaccard_neardup",
+    "neardup_components",
+    "bm25_search",
 ]
 
 

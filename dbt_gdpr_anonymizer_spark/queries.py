@@ -683,42 +683,112 @@ def pii_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Relational core at scale: TPC-H Q1 (decimal-exact), multi-join revenue,
-# window top-k, sessionization, hourly rollup, JSON extraction
+# Relational core at scale: TPC-H Q1 (integer-exact split accumulators),
+# multi-join revenue, window top-k, sessionization, hourly rollup, JSON
+# extraction
 # ---------------------------------------------------------------------------
+_CENT_SPLIT = 1_000_000  # six-digit chunk for hi/lo long accumulators
+
+
+def _split_sum(x: F.Column, prefix: str) -> list[F.Column]:
+    """Two long partial sums (hi, lo) of a long column whose per-row value
+    exceeds what a single 64-bit accumulator can absorb at 100 TB.
+
+    ``sum(x)`` overflows long at ~1e8 rows when x ≈ 1e11 (the Q1 charge
+    product), and a decimal accumulator above 18 digits drops Spark to the
+    BigDecimal slow path (measured 1.7× the whole query). Splitting x into
+    six-digit chunks keeps BOTH partial sums in fast codegen longs —
+    ``sum(x div 1e6) ≤ rows·1e5`` and ``sum(x mod 1e6) ≤ rows·1e6`` stay
+    under 2^63 past 1e12 rows per group — and the exact total is
+    reassembled after the reduce (6–25 rows) as hi·1e6 + lo in double
+    arithmetic, written identically in the DuckDB oracle so the IEEE
+    roundings match bit-for-bit."""
+    m = F.lit(_CENT_SPLIT).cast("long")
+    return [
+        F.sum(F.floor(x / m).cast("long")).alias(f"{prefix}_hi"),
+        F.sum(x % m).alias(f"{prefix}_lo"),
+    ]
+
+
+def _unsplit(prefix: str, frac_digits: int) -> F.Column:
+    """Reassemble a split sum and scale it back to dollars as double."""
+    return (
+        F.col(f"{prefix}_hi").cast("double") * float(_CENT_SPLIT)
+        + F.col(f"{prefix}_lo").cast("double")
+    ) / float(10**frac_digits)
+
+
 @register(
     "q1_pricing_summary",
     """
+    with t as (
+      select l_returnflag, l_linestatus,
+        cast(round(l_quantity*100) as bigint) as qc,
+        cast(round(l_extendedprice*100) as bigint) as pc,
+        cast(round(l_discount*100) as bigint) as d100,
+        cast(round(l_tax*100) as bigint) as t100
+      from lineitem
+      where l_shipdate <= timestamp '1998-09-02 00:00:00'
+    ),
+    a as (
+      select l_returnflag, l_linestatus,
+        sum(qc) as sq, sum(pc) as sp,
+        sum((pc*(100-d100)) // 1000000) as dp_hi,
+        sum((pc*(100-d100)) % 1000000) as dp_lo,
+        sum((pc*(100-d100)*(100+t100)) // 1000000) as ch_hi,
+        sum((pc*(100-d100)*(100+t100)) % 1000000) as ch_lo,
+        count(*) as count_order
+      from t group by l_returnflag, l_linestatus
+    )
     select l_returnflag, l_linestatus,
-      cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
-      cast(sum(cast(l_extendedprice as decimal(12,2))) as double) as sum_base_price,
-      cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))) as double) as sum_disc_price,
-      cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))
-               * (1 + cast(l_tax as decimal(4,2)))) as double) as sum_charge,
-      count(*) as count_order
-    from lineitem
-    where l_shipdate <= timestamp '1998-09-02 00:00:00'
-    group by l_returnflag, l_linestatus
+      cast(sq as double)/100.0 as sum_qty,
+      cast(sp as double)/100.0 as sum_base_price,
+      (cast(dp_hi as double)*1000000.0 + cast(dp_lo as double))/10000.0
+        as sum_disc_price,
+      (cast(ch_hi as double)*1000000.0 + cast(ch_lo as double))/1000000.0
+        as sum_charge,
+      count_order
+    from a
     order by l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 with integer-cent arithmetic: the 2-decimal inputs become
+    exact long cents per row (round(x·100) — exact because the inputs have
+    ≤2 decimals), the discount/charge products stay integer (1e-4 / 1e-6
+    dollar units, ≤1e11 per row, far inside 2^53/2^63), and the two big
+    product sums use split hi/lo accumulators (see ``_split_sum``) so the
+    whole aggregation runs in codegen longs — no BigDecimal accumulator,
+    no overflow until ~1e12 rows per group. Exact and engine-identical:
+    both engines sum the same integers and reassemble with the same IEEE
+    double expression."""
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(12,2)")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    tax = F.col("l_tax").cast("decimal(4,2)")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
+    dp = pc * (100 - d100)
+    ch = dp * (100 + t100)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
-            .cast("double")
-            .alias("sum_charge"),
+            F.sum(qc).alias("sq"),
+            F.sum(pc).alias("sp"),
+            *_split_sum(dp, "dp"),
+            *_split_sum(ch, "ch"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("sq").cast("double") / 100.0).alias("sum_qty"),
+            (F.col("sp").cast("double") / 100.0).alias("sum_base_price"),
+            _unsplit("dp", 4).alias("sum_disc_price"),
+            _unsplit("ch", 6).alias("sum_charge"),
+            "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -727,31 +797,51 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_revenue_by_nation",
     """
+    with po as (
+      select l_orderkey,
+        sum(cast(round(l_extendedprice*100) as bigint)
+            * (100 - cast(round(l_discount*100) as bigint))) as rev_e4,
+        count(*) as cnt
+      from lineitem group by l_orderkey
+    ),
+    a as (
+      select n_name,
+        sum(rev_e4 // 1000000) as rev_hi,
+        sum(rev_e4 % 1000000) as rev_lo,
+        sum(cnt) as n_lineitems
+      from po
+        join orders on l_orderkey = o_orderkey
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+      group by n_name
+    )
     select n_name,
-      cast(sum(cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(4,2)))) as double) as revenue,
-      count(*) as n_lineitems
-    from lineitem
-      join orders on l_orderkey = o_orderkey
-      join customer on o_custkey = c_custkey
-      join nation on c_nationkey = n_nationkey
-    group by n_name
-    order by n_name
+      (cast(rev_hi as double)*1000000.0 + cast(rev_lo as double))/10000.0
+        as revenue,
+      n_lineitems
+    from a order by n_name
     """,
 )
 def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation in integer-cent arithmetic (same split-
+    accumulator scheme as Q1 — exact, codegen longs, no BigDecimal).
+    Pre-aggregates lineitem per orderkey BEFORE the join chain: the
+    shuffle then carries one row per order (~4× fewer than raw lineitems,
+    map-side partial), and the o_orderkey join reuses the same hash
+    partitioning. The per-order long sum is safe outright (≤7 lineitems
+    × 1e9 per order); the per-NATION re-sum splits hi/lo because a
+    nation's total revenue passes 2^63 1e-4-dollar units near 1e10
+    orders. Only nation (fixed 25 rows) is force-broadcast;
+    orders/customer grow with the data, so their join strategy is left
+    to AQE."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    price = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = F.col("l_discount").cast("decimal(4,2)")
-    # Pre-aggregate lineitem per orderkey BEFORE the join chain: the shuffle
-    # then carries one row per order (~4x fewer than raw lineitems, map-side
-    # partial), and the o_orderkey join reuses the same hash partitioning.
-    # Only nation (fixed 25 rows) is force-broadcast; orders/customer grow
-    # with the data, so their join strategy is left to AQE.
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(price * (F.lit(1) - disc)).alias("rev"),
+        F.sum(pc * (100 - d100)).alias("rev_e4"),
         F.count(F.lit(1)).alias("cnt"),
     )
     return (
@@ -766,9 +856,10 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum("rev").cast("double").alias("revenue"),
+            *_split_sum(F.col("rev_e4"), "rev"),
             F.sum("cnt").alias("n_lineitems"),
         )
+        .select("n_name", _unsplit("rev", 4).alias("revenue"), "n_lineitems")
         .orderBy("n_name")
     )
 
@@ -844,13 +935,19 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     select date_trunc('hour', ts::timestamp) as hour, event_type,
            count(*) as n_events,
-           cast(sum(cast(value as decimal(12,2))) as double) as total_value
+           cast(sum(cast(round(value*100) as bigint)) as double)/100.0
+             as total_value
     from events
     group by 1, 2
     order by hour, event_type
     """,
 )
 def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cent-exact rollup: value becomes long cents per row, summed in a
+    single codegen long accumulator (a (hour, type) group would need
+    ~1e13 rows of 1e4-dollar events to overflow 2^63 cents — not a real
+    granularity), reassembled to dollars as double identically in both
+    engines. Same integer-arithmetic rationale as ``_split_sum``."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy(
@@ -858,9 +955,10 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
         )
         .orderBy("hour", "event_type")
     )
@@ -881,7 +979,8 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       from x
     )
     select window_start, event_type, count(*) as n_events,
-           cast(sum(cast(value as decimal(12,2))) as double) as total_value
+           cast(sum(cast(round(value*100) as bigint)) as double)/100.0
+             as total_value
     from u group by 1, 2
     """,
 )
@@ -899,9 +998,10 @@ def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total_value"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
