@@ -23,6 +23,7 @@ from dbt_gdpr_anonymizer_spark.sources.ingest import SEED_SCHEMA
 
 __all__ = [
     "read_seed_stream",
+    "read_rate_events_stream",
     "stream_anonymize",
     "write_stream_parquet",
     "windowed_event_rollup",
@@ -37,6 +38,53 @@ def read_seed_stream(
     """File-source stream of seed-shaped JSONL/CSV drops. Explicit schema —
     streaming reads never infer."""
     return spark.readStream.schema(schema).json(path)
+
+
+def read_rate_events_stream(
+    spark: SparkSession,
+    rows_per_second: int = 1000,
+    *,
+    micro_batch: bool = False,
+) -> DataFrame:
+    """Unbounded message-bus-shaped source: Spark's built-in ``rate``
+    source (monotonic ``timestamp``/``value`` at a fixed rate) projected
+    into the events shape (event_id, user_id, event_type, ts, value).
+
+    This is the stand-in for a Kafka/queue source in environments without
+    one: swapping in Kafka is only ``format("kafka")`` + payload parsing —
+    every downstream operator (``windowed_event_rollup``,
+    ``stream_exact_dedup``, ``stream_anonymize``) consumes the same
+    unbounded DataFrame contract. The synthetic columns are deterministic
+    functions of ``value``, so tests can assert exact results.
+
+    ``micro_batch=True`` switches to the ``rate-micro-batch`` source,
+    which emits a fixed ``rows_per_second`` rows PER BATCH from a pinned
+    start timestamp — fully deterministic and immediate, where the plain
+    wall-clock ``rate`` source emits nothing until real time elapses
+    (an ``availableNow`` drain right after start sees zero rows)."""
+    if micro_batch:
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", str(rows_per_second))
+            .option("startTimestamp", "0")
+            .load()
+        )
+    else:
+        src = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(rows_per_second))
+            .load()
+        )
+    return src.select(
+        F.col("value").alias("event_id"),
+        (F.col("value") % 97).alias("user_id"),
+        F.when(F.col("value") % 3 == 0, F.lit("click"))
+        .when(F.col("value") % 3 == 1, F.lit("view"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+        F.col("timestamp").alias("ts"),
+        ((F.col("value") % 1000).cast("double") / 10.0).alias("value"),
+    )
 
 
 def stream_anonymize(
