@@ -62,12 +62,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         # One untimed warm-up (plan compilation, code generation, parquet
-        # footer cache), then the timed steady-state run — the number that
-        # scales with data volume rather than with JVM warm-up.
+        # footer cache), then the MEDIAN of three timed steady-state runs —
+        # single-sample local-JVM timings jitter by 50-80% from GC and
+        # scheduler noise; the median is the number that scales with data
+        # volume rather than with warm-up or a stray pause.
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -2165,7 +2165,8 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_pricing",
     """
     select l_returnflag, l_linestatus, count(*) as n,
-           cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty
+           cast(sum(cast(round(l_quantity*100) as bigint)) as double)/100.0
+             as sum_qty
     from lineitem
     group by rollup (l_returnflag, l_linestatus)
     """,
@@ -2174,9 +2175,12 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("sum_qty"),
+        (
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("sum_qty"),
     )
 
 
@@ -2184,7 +2188,8 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_pricing",
     """
     select l_returnflag, l_linestatus, count(*) as n,
-           cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty
+           cast(sum(cast(round(l_quantity*100) as bigint)) as double)/100.0
+             as sum_qty
     from lineitem
     group by cube (l_returnflag, l_linestatus)
     """,
@@ -2192,13 +2197,18 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets (all 4 combinations) — same partial-agg shuffle
     shape as rollup; Spark expands grouping sets map-side, no re-scan per
-    set."""
+    set. Long-cent sums (see ``_split_sum`` rationale): quantity cents
+    fit one 64-bit accumulator even for the grand-total group past 1e12
+    rows."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("sum_qty"),
+        (
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("sum_qty"),
     )
 
 
@@ -2232,20 +2242,22 @@ def customers_without_urgent_orders(
     "cumulative_revenue_per_customer",
     """
     select o_orderkey, o_custkey,
-           cast(sum(cast(o_totalprice as decimal(12,2)))
+           cast(sum(cast(round(o_totalprice*100) as bigint))
                   over (partition by o_custkey
                         order by o_orderdate, o_orderkey
                         rows between unbounded preceding and current row)
-                as double) as cum_spend
+                as double)/100.0 as cum_spend
     from orders
     """,
 )
 def cumulative_revenue_per_customer(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Running total per customer: decimal running-sum window (exact, so
-    the prefix sums match DuckDB bit-for-bit regardless of partial-agg
-    order). One hash-partition shuffle on the window key."""
+    """Running total per customer in exact long cents (a customer's
+    lifetime spend is nowhere near 2^63 cents), so prefix sums match
+    DuckDB bit-for-bit regardless of evaluation order — without the
+    BigDecimal accumulator a decimal window sum would pay. One
+    hash-partition shuffle on the window key."""
     from pyspark.sql import Window as W
 
     o = _t(spark, sf_dir, "orders")
@@ -2257,10 +2269,12 @@ def cumulative_revenue_per_customer(
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .over(w)
-        .cast("double")
-        .alias("cum_spend"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .over(w)
+            .cast("double")
+            / 100.0
+        ).alias("cum_spend"),
     )
 
 
