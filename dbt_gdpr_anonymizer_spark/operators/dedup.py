@@ -31,6 +31,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "neardup_pairs",
     "ngram_jaccard_pairs",
+    "edit_distance_pairs",
     "dedup_corpus",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
@@ -624,3 +625,124 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_distance: int = 8,
+    q: int = 3,
+) -> DataFrame:
+    """EXACT edit-distance near-dup pairs: q-gram prefix-filtered candidates
+    + Levenshtein verification (the Ed-Join / Pass-Join family, built from
+    the same df-ordered-prefix machinery as ``ngram_jaccard_pairs``).
+
+    Guarantee chain (full recall at the threshold, no probabilistic step):
+
+    * each edit destroys at most ``q`` positional q-grams, so
+      ed(s,t) ≤ d ⇒ multiset q-gram overlap ≥ max(L_s, L_t) − q·d
+      (Gravano et al., VLDB 2001 count filter), with L = #grams;
+    * multisets become sets by numbering repeats — token (gram, occ) —
+      so set intersection equals multiset overlap exactly;
+    * the Chaudhuri prefix lemma then says qualifying pairs must share a
+      token among each doc's first ``q·d + 1`` tokens under any global
+      total order. Ordering by document frequency ascending (rarest
+      first) makes those prefixes the LEAST-joinable tokens — the
+      inverted-index self-join stays sparse while the prefix length is a
+      CONSTANT (25 at q=3, d=8), independent of document length;
+    * strings with ≤ q·d grams can sit within distance d sharing no gram
+      (the bound is vacuous), so short docs also meet ALL docs within the
+      ±d length band via a bucketized equi-join on ⌊len/(d+1)⌋ (one side
+      explodes its bucket ±1 — a hash join, never a nested loop);
+    * the free |Δlen| ≤ d filter applies to every candidate, and
+      verification is ``levenshtein(a, b, threshold=d)`` — Spark's
+      banded O(d·L) early-exit form — on candidates only.
+
+    Returns (id_a, id_b, edit_distance) with id_a < id_b, distance ≤ d.
+    """
+    t = F.col(text_col)
+    docs = df.select(
+        F.col(id_col), t.alias("_t"), F.length(t).alias("_len")
+    ).persist()
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(_t) - {q - 1}, 0)),"
+        f" i -> substring(_t, i, {q}))"
+    )
+    g = docs.select(
+        F.col(id_col), "_len", F.posexplode(grams).alias("_pos", "_gram")
+    )
+    occ_w = Window.partitionBy(id_col, "_gram").orderBy("_pos")
+    tokens = g.select(
+        F.col(id_col),
+        "_len",
+        "_gram",
+        F.row_number().over(occ_w).alias("_occ"),
+    )
+    dfreq = tokens.groupBy("_gram", "_occ").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    rank_w = Window.partitionBy(id_col).orderBy("_df", "_gram", "_occ")
+    prefix = (
+        tokens.join(dfreq, ["_gram", "_occ"])
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .filter(F.col("_rk") <= q * max_distance + 1)
+        .select(id_col, "_len", "_gram", "_occ")
+    )
+    a = prefix.select(
+        F.col(id_col).alias("_ida"), F.col("_len").alias("_la"), "_gram", "_occ"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("_idb"), F.col("_len").alias("_lb"), "_gram", "_occ"
+    )
+    cands = (
+        a.join(b, ["_gram", "_occ"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_distance)
+        .select("_ida", "_idb")
+    )
+    # short-doc completeness branch: grams ≤ q·d ⇔ len ≤ q·d + q − 1; any
+    # in-threshold partner is within d of that, so both sides of a missed
+    # pair live under this cap — meet them on adjacent length buckets
+    short_cap = q * max_distance + q - 1 + max_distance
+    bucket = (F.col("_len") / (max_distance + 1)).cast("int")
+    sx = docs.filter(F.col("_len") <= short_cap).select(
+        F.col(id_col).alias("_ida"),
+        F.col("_len").alias("_la"),
+        bucket.alias("_bk"),
+    )
+    sy = docs.filter(F.col("_len") <= short_cap).select(
+        F.col(id_col).alias("_idb"),
+        F.col("_len").alias("_lb"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("_bk"),
+    )
+    short_cands = (
+        sx.join(sy, "_bk")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_distance)
+        .select("_ida", "_idb")
+    )
+    ed = F.levenshtein(F.col("_ta"), F.col("_tb"), max_distance)
+    out = (
+        cands.unionByName(short_cands)
+        .distinct()
+        .join(
+            docs.select(F.col(id_col).alias("_ida"), F.col("_t").alias("_ta")),
+            "_ida",
+        )
+        .join(
+            docs.select(F.col(id_col).alias("_idb"), F.col("_t").alias("_tb")),
+            "_idb",
+        )
+        .withColumn("_ed", ed)
+        .filter(F.col("_ed") >= 0)
+        .select(
+            F.col("_ida").alias(f"{id_col}_a"),
+            F.col("_idb").alias(f"{id_col}_b"),
+            F.col("_ed").cast("bigint").alias("edit_distance"),
+        )
+    )
+    return track_caches(out, docs)

@@ -1,0 +1,197 @@
+"""Privacy risk metrics beyond k-anonymity: l-diversity, t-closeness, and
+differentially-private noisy counts.
+
+The reference stops at k-anonymity group sizes
+(validate_anonymization.py:229-243); re-identification literature pairs that
+with l-diversity (Machanavajjhala et al., ICDE 2006) and t-closeness
+(Li/Li/Venkatasubramanian, ICDE 2007), and release pipelines add calibrated
+noise (the geometric mechanism of Ghosh/Roughgarden/Sundararajan, STOC 2009).
+All three are implemented as declarative aggregation plans:
+
+* one hash shuffle on the quasi-identifier key, map-side partial aggregation;
+* t-closeness avoids float summation entirely (exact integer/decimal
+  arithmetic until one final division) so results are bit-identical across
+  engines and partitionings;
+* the DP noise is a DETERMINISTIC function of the group key + salt (inverse
+  CDF over an md5-derived 52-bit uniform), so a release is reproducible and
+  the whole plan stays inside whole-stage codegen — no RNG, no UDF.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "l_diversity_violations",
+    "t_closeness_report",
+    "dp_noisy_counts",
+    "geometric_noise_thresholds",
+]
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Quasi-identifier groups whose sensitive attribute takes fewer than
+    ``l`` distinct values (distinct l-diversity).
+
+    A group can satisfy k-anonymity (size ≥ k) and still leak: if every
+    member shares one sensitive value, membership reveals it. Plan shape:
+    Spark rewrites ``count_distinct`` per group into a two-phase
+    partial-distinct aggregation (expand + two hash aggregates), so the
+    only full shuffle is on the QI key — same scale profile as the
+    k-anonymity scan it complements.
+    """
+    return (
+        df.groupBy(*quasi_identifiers)
+        .agg(F.count_distinct(F.col(sensitive_col)).alias("distinct_sensitive"))
+        .filter(F.col("distinct_sensitive") < l)
+        .orderBy("distinct_sensitive", *quasi_identifiers)
+    )
+
+
+def t_closeness_report(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Per-QI-group total-variation distance between the group's sensitive
+    distribution and the corpus-wide one (t-closeness, categorical case).
+
+    TVD(g) = ½ Σ_s |n_gs/n_g − n_s/N|. Summing doubles is partition-order
+    dependent, so the plan keeps everything rational until the end:
+
+        |n_gs/n_g − n_s/N| = |n_gs·N − n_s·n_g| / (n_g·N)
+
+    The numerators are integers; they are summed as decimal(38,0) (exact,
+    order-independent, overflow-safe past 1e18 — n_gs·N reaches ~1e22 at
+    corpus scale) and divided once per group. Sensitive values ABSENT from
+    a group still contribute n_s/N, so the plan builds the full
+    group × sensitive-value grid: both factors are post-aggregation tables
+    (bounded by key cardinality, not data volume), and the 1-row corpus
+    total rides a broadcast cross join — the same bounded-side pattern as
+    the tf-idf corpus stats.
+    """
+    qis = [F.col(c) for c in quasi_identifiers]
+    base = df.select(*qis, F.col(sensitive_col).alias("_s"))
+    cell = base.groupBy(*quasi_identifiers, "_s").agg(
+        F.count(F.lit(1)).alias("_n_gs")
+    )
+    g_tot = cell.groupBy(*quasi_identifiers).agg(F.sum("_n_gs").alias("_n_g"))
+    s_tot = cell.groupBy("_s").agg(F.sum("_n_gs").alias("_n_s"))
+    total = s_tot.agg(F.sum("_n_s").alias("_N"))
+
+    grid = (
+        g_tot.join(F.broadcast(s_tot), how="cross")
+        .join(F.broadcast(total), how="cross")
+        .join(cell, [*quasi_identifiers, "_s"], "left")
+        .withColumn("_n_gs", F.coalesce("_n_gs", F.lit(0)))
+    )
+    term = F.abs(
+        F.col("_n_gs").cast("decimal(38,0)") * F.col("_N")
+        - F.col("_n_s").cast("decimal(38,0)") * F.col("_n_g")
+    )
+    return (
+        grid.groupBy(*quasi_identifiers, "_n_g", "_N")
+        .agg(F.sum(term).alias("_num"))
+        .select(
+            *quasi_identifiers,
+            F.col("_n_g").alias("group_size"),
+            # the one inexact step: numerator summed exactly above, then a
+            # single double division — identical IEEE operand order on both
+            # engines (2.0·n_g first, then ·N), quantized to 6 decimals
+            (
+                F.col("_num").cast("double")
+                / (
+                    (F.lit(2.0) * F.col("_n_g").cast("double"))
+                    * F.col("_N").cast("double")
+                )
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("t_distance"),
+        )
+        .orderBy(*quasi_identifiers)
+    )
+
+
+def geometric_noise_thresholds(epsilon: float, bound: int) -> list[int]:
+    """Inverse-CDF thresholds for the truncated two-sided geometric
+    (discrete Laplace) distribution, as integers on the 52-bit lattice.
+
+    P(k) ∝ exp(−ε|k|) for k in [−bound, bound], the truncated tail mass
+    folded into the extremes (the bounded geometric mechanism; truncation
+    keeps the noise range — and therefore the released value's distortion —
+    finite). Returns the 2·bound cumulative cut points T_k = ⌈P(noise ≤ k)
+    · 2^52⌉ for k = −bound … bound−1; a uniform 52-bit integer h maps to
+
+        noise(h) = −bound + #{T : h ≥ T}
+
+    Everything downstream compares integers against these literals —
+    bit-identical in any engine, no floating point at query time.
+    """
+    a = math.exp(-epsilon)
+    p0 = (1.0 - a) / (1.0 + a)
+    probs = [p0 * a ** abs(k) for k in range(-bound, bound + 1)]
+    tail = (1.0 - sum(probs)) / 2.0
+    probs[0] += tail
+    probs[-1] += tail
+    out: list[int] = []
+    cum = 0.0
+    for p in probs[:-1]:
+        cum += p
+        out.append(math.ceil(cum * (1 << 52)))
+    return out
+
+
+def uniform52(key: Column) -> Column:
+    """Deterministic uniform 52-bit integer from a string key: the first 13
+    hex digits of md5, parsed JVM-side (``conv``) — one call, codegen."""
+    return F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    epsilon: float = 1.0,
+    bound: int = 8,
+    salt: str = "dp_salt",
+) -> DataFrame:
+    """Differentially-private group counts via the (truncated) geometric
+    mechanism — counts have sensitivity 1, so noise ~ DiscreteLaplace(ε).
+
+    The noise is pseudo-random but DETERMINISTIC: each group's 52-bit
+    uniform comes from md5(group key ‖ salt), mapped through the inverse
+    CDF as a ladder of integer comparisons (no RNG state, no UDF, plan
+    stays in whole-stage codegen, releases are reproducible). Floor at 0:
+    a count release below zero only leaks that the true count is small
+    (post-processing preserves DP). One hash shuffle on the group key;
+    the ladder is O(bound) integer compares per GROUP, not per row.
+    """
+    thresholds = geometric_noise_thresholds(epsilon, bound)
+    # unit separator between key parts: ("ab","c") and ("a","bc") must not
+    # collide into one noise draw (the oracle mirrors this via chr(31))
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols], F.lit(salt))
+    h = uniform52(key)
+    noise = F.lit(-bound)
+    for t in thresholds:
+        noise = noise + F.when(h >= F.lit(t), 1).otherwise(0)
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            F.greatest(F.lit(0).cast("bigint"), (F.col("_n") + noise).cast("bigint")).alias(
+                "noisy_count"
+            ),
+        )
+        .orderBy(*group_cols)
+    )

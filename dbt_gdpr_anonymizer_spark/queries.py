@@ -508,6 +508,160 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Privacy triad beyond k-anonymity (operators/privacy.py): l-diversity,
+# t-closeness, DP noisy counts — plus exact edit-distance near-dup.
+# Sensitive attribute for the first two: an account-balance band (the
+# TPC-H-ish tables carry no real medical/financial category, so one is
+# derived deterministically from c_acctbal).
+# ---------------------------------------------------------------------------
+_BAND_SQL = (
+    "case when c_acctbal < 0 then 'negative' when c_acctbal < 3000 then 'low' "
+    "when c_acctbal < 7000 then 'mid' else 'high' end"
+)
+
+
+def _band_col() -> F.Column:
+    b = F.col("c_acctbal")
+    return (
+        F.when(b < 0, "negative")
+        .when(b < 3000, "low")
+        .when(b < 7000, "mid")
+        .otherwise("high")
+    )
+
+
+def _cust_nation_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_mktsegment", "n_name", _band_col().alias("band")
+    )
+
+
+@register(
+    "l_diversity",
+    f"""
+    select c_mktsegment, n_name, count(distinct band) as distinct_sensitive
+    from (select c_mktsegment, n_name, {_BAND_SQL} as band
+          from customer join nation on c_nationkey = n_nationkey)
+    group by c_mktsegment, n_name
+    having count(distinct band) < 4
+    order by distinct_sensitive, c_mktsegment, n_name
+    """,
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.privacy import l_diversity_violations
+
+    return l_diversity_violations(
+        _cust_nation_band(spark, sf_dir), ["c_mktsegment", "n_name"], "band", l=4
+    )
+
+
+@register(
+    "t_closeness_segments",
+    f"""
+    with cell as (
+      select c_mktsegment, n_name, {_BAND_SQL} as band, count(*) as n_gs
+      from customer join nation on c_nationkey = n_nationkey
+      group by c_mktsegment, n_name, band
+    ), g as (
+      select c_mktsegment, n_name, sum(n_gs) as n_g from cell
+      group by c_mktsegment, n_name
+    ), s as (
+      select band, sum(n_gs) as n_s from cell group by band
+    ), tot as (
+      select sum(n_s) as n_all from s
+    ), grid as (
+      select g.c_mktsegment, g.n_name, g.n_g, s.band, s.n_s, tot.n_all,
+             coalesce(cell.n_gs, 0) as n_gs
+      from g cross join s cross join tot
+      left join cell on cell.c_mktsegment = g.c_mktsegment
+                    and cell.n_name = g.n_name and cell.band = s.band
+    )
+    select c_mktsegment, n_name, n_g as group_size,
+           cast(cast(sum(abs(n_gs * n_all - n_s * n_g)) as double)
+                / ((2.0 * cast(n_g as double)) * cast(n_all as double))
+                as decimal(18,6))::double as t_distance
+    from grid
+    group by c_mktsegment, n_name, n_g, n_all
+    order by c_mktsegment, n_name
+    """,
+)
+def t_closeness_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.privacy import t_closeness_report
+
+    return t_closeness_report(
+        _cust_nation_band(spark, sf_dir), ["c_mktsegment", "n_name"], "band"
+    )
+
+
+def _h52_sql(key_sql: str) -> str:
+    """DuckDB twin of privacy.uniform52: first 13 md5 hex nibbles → 52-bit
+    int, via positional nibble parse (the established cross-engine idiom)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring(md5({key_sql}), {i}, 1)) - 1)::BIGINT"
+        f" * {16 ** (13 - i)}"
+        for i in range(1, 14)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dp_oracle_sql() -> str:
+    from dbt_gdpr_anonymizer_spark.operators.privacy import (
+        geometric_noise_thresholds,
+    )
+
+    thresholds = geometric_noise_thresholds(1.0, 8)
+    ladder = " + ".join(
+        f"(case when _h >= {t} then 1 else 0 end)" for t in thresholds
+    )
+    return f"""
+    with g as (
+      select o_orderpriority, count(*) as n from orders group by o_orderpriority
+    ), h as (
+      select o_orderpriority, n,
+             {_h52_sql("o_orderpriority || chr(31) || 'dp_salt'")} as _h
+      from g
+    )
+    select o_orderpriority,
+           greatest(0, n - 8 + {ladder}) as noisy_count
+    from h order by o_orderpriority
+    """
+
+
+@register("dp_noisy_order_counts", _dp_oracle_sql())
+def dp_noisy_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        epsilon=1.0,
+        bound=8,
+        salt="dp_salt",
+    )
+
+
+@register(
+    "edit_distance_neardup",
+    """
+    select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+           levenshtein(a.text, b.text) as edit_distance
+    from documents a join documents b
+      on a.doc_id < b.doc_id and abs(a.n_chars - b.n_chars) <= 8
+    where levenshtein(a.text, b.text) <= 8
+    order by doc_id_a, doc_id_b
+    """,
+)
+def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbt_gdpr_anonymizer_spark.operators.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_distance=8
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
 @register(
     "quality_metrics",
     f"""

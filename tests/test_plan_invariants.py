@@ -30,8 +30,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
 #   ann_recall_report — brute-force baselines and centroid tables
 #     (query-set / k·dim scale);
 #   tfidf_top_terms / bm25_search — a 1-row corpus-stats aggregate
-#     cross-joined in.
+#     cross-joined in;
+#   t_closeness_segments — group × sensitive-value grid: both cross-join
+#     sides are post-aggregation tables bounded by key cardinality (the
+#     sensitive-value dim and a 1-row corpus total), never data volume.
 BNLJ_ALLOWED = {
+    "t_closeness_segments",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "kmeans_embedding_clusters",

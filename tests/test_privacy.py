@@ -1,0 +1,147 @@
+"""Unit tests for operators/privacy.py (l-diversity, t-closeness, DP noisy
+counts) and the exact edit-distance near-dup (operators/dedup.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from dbt_gdpr_anonymizer_spark.operators.dedup import edit_distance_pairs
+from dbt_gdpr_anonymizer_spark.operators.privacy import (
+    dp_noisy_counts,
+    geometric_noise_thresholds,
+    l_diversity_violations,
+    t_closeness_report,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    # QI = (zip, age_band); sensitive = condition. Group ("75", "a") is
+    # 3-anonymous but 1-diverse (everyone shares "flu").
+    rows = [
+        ("75", "a", "flu"),
+        ("75", "a", "flu"),
+        ("75", "a", "flu"),
+        ("75", "b", "flu"),
+        ("75", "b", "cold"),
+        ("69", "a", "cold"),
+        ("69", "a", "flu"),
+        ("69", "a", "ulcer"),
+    ]
+    return spark.createDataFrame(rows, ["zip", "age_band", "condition"])
+
+
+def test_l_diversity_flags_homogeneous_groups(people):
+    out = l_diversity_violations(people, ["zip", "age_band"], "condition", l=2)
+    rows = [(r.zip, r.age_band, r.distinct_sensitive) for r in out.collect()]
+    assert rows == [("75", "a", 1)]
+
+    out3 = l_diversity_violations(people, ["zip", "age_band"], "condition", l=3)
+    got = {(r.zip, r.age_band): r.distinct_sensitive for r in out3.collect()}
+    assert got == {("75", "a"): 1, ("75", "b"): 2}
+
+
+def test_t_closeness_exact_tvd(people):
+    out = t_closeness_report(people, ["zip", "age_band"], "condition")
+    got = {(r.zip, r.age_band): (r.group_size, r.t_distance) for r in out.collect()}
+    # global: flu 5/8, cold 2/8, ulcer 1/8
+    # ("75","a"): p=(1,0,0)    TVD = ½(|1-5/8| + 2/8 + 1/8) = 0.375
+    # ("75","b"): p=(½,½,0)    TVD = ½(1/8 + 2/8 + 1/8) = 0.25
+    # ("69","a"): p=(⅓,⅓,⅓)    TVD = ½(|⅓-5/8| + |⅓-2/8| + |⅓-1/8|) = 0.291667
+    assert got[("75", "a")] == (3, 0.375)
+    assert got[("75", "b")] == (2, 0.25)
+    assert got[("69", "a")][0] == 3
+    assert abs(got[("69", "a")][1] - 0.291667) < 1e-6
+
+
+def test_geometric_thresholds_monotone_and_complete():
+    th = geometric_noise_thresholds(1.0, 8)
+    assert len(th) == 16
+    assert th == sorted(th)
+    assert 0 < th[0] and th[-1] < 2**52
+    # symmetric distribution: the middle cut (P(noise <= -1)) mirrors
+    # 1 - P(noise <= 0)
+    p_le_m1 = th[7] / 2**52
+    p_le_0 = th[8] / 2**52
+    assert abs(p_le_m1 - (1 - p_le_0)) < 1e-12
+
+
+def _expected_noise(key: str, epsilon: float = 1.0, bound: int = 8) -> int:
+    th = geometric_noise_thresholds(epsilon, bound)
+    h = int(hashlib.md5(key.encode()).hexdigest()[:13], 16)
+    return -bound + sum(1 for t in th if h >= t)
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    rows = [(f"g{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g"])
+    a = {(r.g): r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+    b = {(r.g): r.noisy_count for r in dp_noisy_counts(df, ["g"]).collect()}
+    assert a == b  # reproducible release
+    true = {f"g{i}": (200 + 6 - i) // 7 for i in range(7)}
+    for g, noisy in a.items():
+        exp = max(0, true[g] + _expected_noise(f"{g}\x1fdp_salt"))
+        assert noisy == exp
+        assert abs(noisy - true[g]) <= 8  # truncated noise is bounded
+
+    # a different salt redraws the noise (same mechanism, fresh release)
+    c = {r.g: r.noisy_count for r in dp_noisy_counts(df, ["g"], salt="other").collect()}
+    assert any(c[g] != a[g] for g in c) or all(
+        _expected_noise(f"{g}\x1fother") == _expected_noise(f"{g}\x1fdp_salt")
+        for g in c
+    )
+
+
+def test_dp_noise_distribution_roughly_centered():
+    # inverse-CDF sanity over many keys: mean ≈ 0, spread ≈ discrete Laplace
+    noises = [_expected_noise(f"key-{i}\x1fdp_salt") for i in range(2000)]
+    mean = sum(noises) / len(noises)
+    assert abs(mean) < 0.2
+    var = sum(n * n for n in noises) / len(noises)
+    a = math.exp(-1.0)
+    expected_var = 2 * a / (1 - a) ** 2
+    assert 0.5 * expected_var < var < 1.7 * expected_var
+
+
+@pytest.fixture(scope="module")
+def edit_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow waltz under heavy september rain in the old town square"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("quick", "quack", 1)),  # distance 1 (i→a)
+        (3, base + " again"),  # distance 6 (appended)
+        (4, "completely unrelated content about database query planners"),
+        (5, "abcdefgh"),  # short pair sharing NO 3-gram, distance 8
+        (6, "ijklmnop"),
+        (7, base.replace("the", "xxx")),  # many edits, > 8
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_edit_distance_pairs_exact(edit_docs):
+    out = edit_distance_pairs(edit_docs, "text", "doc_id", max_distance=8)
+    got = {(r.doc_id_a, r.doc_id_b): r.edit_distance for r in out.collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 6
+    assert got[(2, 3)] == 7
+    # short-doc branch: no shared gram, still found (distance exactly 8)
+    assert got[(5, 6)] == 8
+    assert (1, 7) not in got  # beyond threshold
+    assert (1, 4) not in got
+    assert all(d <= 8 for d in got.values())
+
+
+def test_edit_distance_zero_threshold_finds_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world one"), (2, "hello world one"), (3, "hello world two")],
+        ["doc_id", "text"],
+    )
+    out = edit_distance_pairs(df, "text", "doc_id", max_distance=0)
+    got = [(r.doc_id_a, r.doc_id_b, r.edit_distance) for r in out.collect()]
+    assert got == [(1, 2, 0)]
