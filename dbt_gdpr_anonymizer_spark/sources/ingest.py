@@ -35,6 +35,7 @@ __all__ = [
     "stratified_sample",
     "write_seed_csv",
     "read_seed_csv",
+    "write_range_sorted",
 ]
 
 # dbt_project.yml:125-137 — seed schema with pinned varchar types. Explicit,
@@ -322,3 +323,33 @@ def make_ci_fixture_jsonl(path: str) -> str:
         for r in rows:
             fh.write(json.dumps(r, ensure_ascii=False) + "\n")
     return path
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    *,
+    num_files: int | None = None,
+) -> None:
+    """Zone-map-friendly parquet write: range-partition on ``sort_cols``
+    (disjoint key ranges per output file) then sort within each partition.
+
+    Parquet stores per-row-group min/max statistics; when the file-level
+    key ranges are disjoint AND rows are sorted inside each file, a reader
+    filtering on ``sort_cols`` skips whole files and row groups instead of
+    scanning them — the storage-layout half of predicate pushdown, and the
+    layout a 100 TB time-ordered corpus should land in (query patterns
+    like "this week's events" then touch days, not the archive).
+
+    ``repartitionByRange`` samples the key distribution, so output files
+    are balanced even under skew (unlike hash partitioning on a hot key).
+    One shuffle + local sort; ``num_files`` caps output file count
+    (default: ``spark.sql.shuffle.partitions``).
+    """
+    parted = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

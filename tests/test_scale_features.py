@@ -136,3 +136,44 @@ def test_skew_safe_distinct_count(spark):
         for r in skew_safe_distinct_count(df, ["k"], "v").collect()
     }
     assert out == {1: 3, 2: 1}
+
+
+def test_write_range_sorted_produces_disjoint_zone_maps(spark, tmp_path):
+    """write_range_sorted: per-file key ranges are disjoint and a filtered
+    read pushes the predicate to the scan — the zone-map layout a
+    time-ordered corpus needs for file/row-group skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbt_gdpr_anonymizer_spark.sources.ingest import write_range_sorted
+
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") * 7 % 10_000).alias("key")
+    )
+    out = str(tmp_path / "sorted")
+    write_range_sorted(df, out, ["key"], num_files=4)
+
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "key"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
+
+    back = spark.read.parquet(out).filter(F.col("key") < 100)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(key), LessThan(key,100)" in plan
+    assert back.count() == 100
