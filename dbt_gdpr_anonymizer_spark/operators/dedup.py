@@ -746,3 +746,42 @@ def edit_distance_pairs(
         )
     )
     return track_caches(out, docs)
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Test-set decontamination: flag corpus documents sharing any word
+    ``n``-gram with a held-out benchmark set (the GPT-3 / PaLM
+    contamination check — training corpora must not contain eval data).
+
+    ``benchmark_ids`` is a (small) DataFrame with one ``id_col`` column.
+    Returns ``(id_col, n_shared_grams)`` for every NON-benchmark document
+    that shares at least one distinct n-gram with any benchmark document.
+
+    Scale design: the benchmark gram set is tiny (|eval suites| ≪ corpus),
+    so the contamination check is a BROADCAST semi-style equi-join on the
+    gram — the corpus side streams through map-side, no shuffle of corpus
+    grams, no all-pairs doc comparison. Grams are distinct per doc before
+    the join, so ``count(*)`` per doc is exactly the number of distinct
+    shared grams. Benchmark membership is removed with a broadcast
+    left-anti join for the same reason.
+    """
+    grams = F.array_distinct(tx.shingles(text_col, n))
+    bench = benchmark_ids.select(F.col(id_col))
+    bench_grams = (
+        docs.join(F.broadcast(bench), id_col)
+        .select(F.explode(grams).alias("_gram"))
+        .distinct()
+    )
+    corpus = docs.join(F.broadcast(bench), id_col, "left_anti")
+    return (
+        corpus.select(id_col, F.explode(grams).alias("_gram"))
+        .join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

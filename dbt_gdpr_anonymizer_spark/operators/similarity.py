@@ -397,3 +397,43 @@ def kmeans_fit(
     if sampled is not None:
         sampled.unpersist()
     return _centroid_df(centroids)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the standard ANN-index
+    compression: 4× smaller than float32, distance error bounded by the
+    per-vector range).
+
+    Each vector is affine-mapped from ``[min, max]`` to ``[-128, 127]``:
+    ``q = floor((v - min) · 255 / (max - min)) - 128`` (max lands exactly
+    on 127, min on -128); constant vectors quantize to all zeros.
+
+    Determinism: every step is IEEE-754 double arithmetic in a fixed
+    order — float→double widening is exact, and ``floor`` (never
+    ``round``, whose half-way ties differ across engines) makes the result
+    bit-identical in any engine. Per-row expressions only (no shuffle, no
+    UDF, whole-stage codegen); the quantized bytes are emitted both as an
+    ``array<int>`` for downstream use and as a CSV string so the result
+    can be hash-compared across engines.
+    """
+    v = F.col(vec_col)
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    q = F.when(
+        mx > mn,
+        F.transform(
+            v,
+            lambda x: (
+                F.floor((x.cast("double") - mn) * 255.0 / (mx - mn)) - 128
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        id_col,
+        mn.alias("v_min"),
+        mx.alias("v_max"),
+        q.alias("q_vec"),
+        F.array_join(q.cast("array<string>"), ",").alias("q_csv"),
+    )

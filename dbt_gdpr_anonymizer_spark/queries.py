@@ -2577,3 +2577,139 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", F.col("n_distinct_user_id").cast("bigint").alias("n_distinct_user_id")
     )
+
+
+# DuckDB words-with-empty-guard: string_split('') yields [''] in DuckDB but
+# [] in functions/text.words — guard so word COUNTS agree on blank docs.
+_WORDS_G_SQL = (
+    "case when trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''"
+    " then cast([] as varchar[]) else "
+    "string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),"
+    " ' ') end"
+)
+
+
+@register(
+    "repetition_profile_documents",
+    f"""
+    with w as (select doc_id, {_WORDS_G_SQL} as ws from documents),
+    s as (select doc_id, len(ws) as n, len(list_distinct(ws)) as nd, ws
+          from w),
+    b as (select doc_id, ws[i] || ' ' || ws[i + 1] as bg
+          from (select doc_id, ws, unnest(range(1, len(ws))) as i
+                from s where n >= 2)),
+    bc as (select doc_id, bg, count(*) as c from b group by 1, 2),
+    bm as (select doc_id, max(c) as maxc from bc group by 1)
+    select s.doc_id,
+           cast(n as bigint) as n_words,
+           cast(case when n > 0 then (1000000 * (n - nd)) // n
+                else 0 end as bigint) as dup_word_ppm,
+           cast(case when n > 1 then (1000000 * coalesce(maxc, 0)) // (n - 1)
+                else 0 end as bigint) as top_bigram_ppm
+    from s left join bm using (doc_id)
+    order by doc_id
+    """,
+)
+def repetition_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (X45): duplicate-word and
+    top-bigram fractions as exact integer ppm — the boilerplate /
+    generation-loop signal every LLM corpus pipeline filters on. Linear
+    explode+groupBy (no O(len²) per-doc aggregation), map-side partials."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import repetition_profile
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_profile(d).orderBy("doc_id")
+
+
+@register(
+    "decontaminate_documents",
+    f"""
+    with w as (select doc_id, {_WORDS_G_SQL} as ws from documents),
+    g as (select doc_id,
+                 case when len(ws) >= 5 then list_distinct(list_transform(
+                        range(1, len(ws) - 3),
+                        i -> array_to_string(ws[i:i + 4], ' ')))
+                      else [array_to_string(ws, ' ')] end as gs
+          from w),
+    bench as (select doc_id from documents
+              order by md5(cast(doc_id as varchar)), doc_id limit 20),
+    bg as (select distinct unnest(gs) as gram from g
+           where doc_id in (select doc_id from bench)),
+    c as (select doc_id, unnest(gs) as gram from g
+          where doc_id not in (select doc_id from bench))
+    select c.doc_id, count(*) as n_shared_grams
+    from c join bg using (gram)
+    group by c.doc_id
+    order by doc_id
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (X46): flag corpus docs sharing any word
+    5-gram with a deterministic 20-doc "benchmark" split — the GPT-3/PaLM
+    eval-contamination check as a broadcast gram equi-join (benchmark gram
+    set ≪ corpus; the corpus side never shuffles its grams)."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    from dbt_gdpr_anonymizer_spark.sources.ingest import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = deterministic_sample(d, 20, "doc_id").select("doc_id")
+    return benchmark_contamination(d, bench, n=5).orderBy("doc_id")
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    with m as (
+      select vec_id, embedding,
+             cast(list_aggregate(embedding, 'min') as double) as v_min,
+             cast(list_aggregate(embedding, 'max') as double) as v_max
+      from embeddings
+    )
+    select vec_id, v_min, v_max,
+           case when v_max > v_min then array_to_string(list_transform(
+                  embedding, x -> cast(floor((cast(x as double) - v_min)
+                                             * 255.0 / (v_max - v_min))
+                                       - 128 as bigint)), ',')
+                else array_to_string(list_transform(embedding, x -> 0), ',')
+           end as q_csv
+    from m order by vec_id
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus (X47): affine map
+    to [-128, 127] with floor (never round — half-way ties differ across
+    engines), all IEEE double steps, so the quantized bytes hash-match a
+    pure-SQL oracle. Emitted as a CSV string — the driver canonicalizer
+    cannot hash array columns (the multimodal_decode_features lesson)."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(e).select("vec_id", "v_min", "v_max", "q_csv").orderBy(
+        "vec_id"
+    )
+
+
+@register(
+    "priority_sample_documents",
+    f"""
+    select doc_id, n_chars,
+           cast({_h52_sql("cast(doc_id as varchar) || chr(31) || 'ps_salt'")}
+                as double) / cast(n_chars as double) as priority
+    from documents
+    order by priority, doc_id limit 200
+    """,
+)
+def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sample (X48): Duffield-Lund-Thorup
+    priority sampling with md5-derived 52-bit uniforms — longer documents
+    (weight = n_chars) win proportionally more often, the sample is
+    reproducible across engines/partitionings, and execution is a
+    distributed top-n, not a global sort."""
+    from dbt_gdpr_anonymizer_spark.sources.ingest import priority_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return priority_sample(d, "n_chars", 200, "doc_id").select(
+        "doc_id", "n_chars", F.col("_priority").alias("priority")
+    )

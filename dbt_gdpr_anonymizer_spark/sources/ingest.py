@@ -353,3 +353,40 @@ def write_range_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key: str,
+    salt: str = "ps_salt",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``n`` rows — priority
+    sampling (Duffield, Lund & Thorup, JACM 2007): each row draws a
+    uniform ``u`` and gets priority ``u / w``; the ``n`` smallest
+    priorities win, so heavier rows win proportionally more often while
+    any fixed sample stays unbiased for subset-sum estimates.
+
+    The uniform is NOT an RNG draw: it is the 52-bit integer from
+    ``md5(key ‖ salt)`` (same construction as privacy.uniform52), so the
+    sample is reproducible across runs, partitionings, and engines.
+    ``u`` is an exact integer and the priority is one IEEE double
+    division — bit-identical everywhere. Execution is a distributed
+    top-n (TakeOrdered) on the priority, not a global sort.
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col(key).cast("string"), F.lit(salt))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pr = u.cast("double") / F.col(weight_col).cast("double")
+    return (
+        df.withColumn("_priority", pr)
+        .orderBy("_priority", key)
+        .limit(n)
+    )

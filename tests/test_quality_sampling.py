@@ -1,0 +1,113 @@
+"""Round-3 training-pipeline operators: repetition quality filters (X45),
+benchmark decontamination (X46), int8 quantization (X47), and priority
+sampling (X48)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.dedup import benchmark_contamination
+from dbt_gdpr_anonymizer_spark.operators.quality import repetition_profile
+from dbt_gdpr_anonymizer_spark.operators.similarity import quantize_int8
+from dbt_gdpr_anonymizer_spark.sources.ingest import priority_sample
+
+
+def test_repetition_profile_exact_fractions(spark):
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 2 distinct -> dup = 1e6*4//6; bigram "a b" occurs
+            # 3 times of 5 -> 1e6*3//5
+            (1, "a b a b a b"),
+            # all distinct words, all distinct bigrams
+            (2, "one two three four"),
+            # single word: no bigrams, no duplicates
+            (3, "solo"),
+            # blank text -> zero words
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in repetition_profile(docs).orderBy("doc_id").collect()
+    }
+    assert rows[1]["n_words"] == 6
+    assert rows[1]["dup_word_ppm"] == 1_000_000 * 4 // 6
+    assert rows[1]["top_bigram_ppm"] == 1_000_000 * 3 // 5
+    assert rows[2]["dup_word_ppm"] == 0
+    assert rows[2]["top_bigram_ppm"] == 1_000_000 // 3
+    assert rows[3] ["n_words"] == 1
+    assert rows[3]["top_bigram_ppm"] == 0
+    assert rows[4]["n_words"] == 0
+    assert rows[4]["dup_word_ppm"] == 0
+
+
+def test_benchmark_contamination_flags_overlap_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # benchmark
+            (2, "unrelated words entirely different content here"),
+            # shares the 5-gram "beta gamma delta epsilon zeta" with doc 1
+            (3, "prefix beta gamma delta epsilon zeta suffix"),
+            # shares two distinct 5-grams with doc 1
+            (4, "alpha beta gamma delta epsilon zeta tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(1,)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in benchmark_contamination(docs, bench, n=5).collect()
+    }
+    assert got == {3: 1, 4: 2}
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, 1.0]), (2, [2.0, 2.0, 2.0]), (3, [-1.0, 1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # min -> -128, max -> 127 exactly
+    assert rows[1]["q_vec"][0] == -128
+    assert rows[1]["q_vec"][2] == 127
+    assert rows[1]["q_vec"][1] == math.floor(0.5 * 255.0) - 128
+    # constant vector -> all zeros, not NaN/div-by-zero
+    assert rows[2]["q_vec"] == [0, 0, 0]
+    assert rows[3]["q_vec"] == [-128, 127, math.floor(1.0 * 255.0 / 2.0) - 128]
+    # CSV rendering matches the array (cross-engine hash form)
+    assert rows[3]["q_csv"] == ",".join(str(v) for v in rows[3]["q_vec"])
+    # dequantization error bounded by one step of the per-vector range
+    step = (rows[1]["v_max"] - rows[1]["v_min"]) / 255.0
+    for orig, q in zip([0.0, 0.5, 1.0], rows[1]["q_vec"]):
+        deq = rows[1]["v_min"] + (q + 128) * step
+        assert abs(deq - orig) <= step
+
+
+def test_priority_sample_weighted_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, 1 if i < 900 else 1000) for i in range(1000)], ["k", "w"]
+    )
+    s1 = priority_sample(df, "w", 100, "k")
+    s2 = priority_sample(df, "w", 100, "k")
+    ids1 = sorted(r["k"] for r in s1.collect())
+    assert ids1 == sorted(r["k"] for r in s2.collect())
+    # the 100 heavy rows (w=1000, 10% of rows) should dominate the sample:
+    # a heavy row beats a light one unless its uniform is ~1000x larger
+    heavy = sum(1 for k in ids1 if k >= 900)
+    assert heavy >= 90
+    # exact-n, and priorities are u/w
+    assert len(ids1) == 100
+    row = s1.orderBy("_priority").limit(1).collect()[0]
+    assert row["_priority"] >= 0.0
+
+
+def test_priority_sample_partitioning_independent(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(500)], ["k", "w"])
+    a = sorted(r["k"] for r in priority_sample(df, "w", 50, "k").collect())
+    b = sorted(
+        r["k"]
+        for r in priority_sample(df.repartition(7), "w", 50, "k").collect()
+    )
+    assert a == b
