@@ -46,6 +46,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
     from dbt_gdpr_anonymizer_spark.queries import all_queries
     from dbt_gdpr_anonymizer_spark.session import get_spark
 
@@ -66,12 +67,20 @@ def main() -> None:
         # single-sample local-JVM timings jitter by 50-80% from GC and
         # scheduler noise; the median is the number that scales with data
         # volume rather than with warm-up or a stray pause.
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Tracked persist()s are released after every run: without this the
+        # dedup/components queries leave identical cached blocks behind on
+        # each re-invocation ("already cached" warnings, growing executor
+        # memory pressure) and later queries pay the eviction cost.
+        warm = qs[name](spark, sf_dir)
+        warm.write.format("noop").mode("overwrite").save()
+        release_caches(warm)
         runs = []
         for _ in range(3):
+            df = qs[name](spark, sf_dir)
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            release_caches(df)
         timings[name] = round(sorted(runs)[1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

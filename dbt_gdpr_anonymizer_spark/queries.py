@@ -1220,6 +1220,19 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence).
 _CHECK_LAST = [
     # oracled twins, green in CORRECTNESS_r02
+    # r3 rotation: the scalar-masking twins below all hold green r2 driver
+    # rows and mask_model_customer (checked) composes every one of them;
+    # rotating them back pulls interval_join, skew_safe_distinct_users,
+    # event_value_percentiles, and the four X45-X48 flagships — families
+    # with no driver row yet — inside the driver's ~50-entry window.
+    "mask_email_hash",
+    "mask_phone_partial",
+    "mask_coordinates_round",
+    "geohash",
+    "phone_functions",
+    "email_functions",
+    "surrogate_key",
+    "session_window_rollup",  # twin of sessionize_events (checked)
     "suppress_column",  # mask family (mask_email/phone/coords checked)
     "haversine",  # geo family (geohash, valid_coordinates' twin checked)
     "valid_coordinates",

@@ -41,11 +41,14 @@ def get_spark(
         # Parallelism floor for file scans: without it a table smaller than
         # maxPartitionBytes (128 MB) reads as ONE split and the scan + partial
         # aggregation run on a single core regardless of cluster size. At
-        # 100 TB every table exceeds the split size and the floor is inert;
-        # at bench scale it spreads the scan across the cores (measured
-        # q1 1.2s -> 0.84s). Don't lower openCostInBytes alongside it —
-        # more sub-4MB tasks cost more in scheduling than they recover.
-        .config("spark.sql.files.minPartitionNum", str(cpus))
+        # 100 TB every table exceeds the split size and the floor is inert.
+        # cores/2 beats cores at bench scale (q1 median 0.50s vs 0.69s,
+        # join_revenue 0.85s vs 0.95s at sf0.1/32 cores): a ~340 KB-per-task
+        # split spends more on scheduling than it recovers, while cores/2
+        # still keeps every core busy through the partial-agg stage (2
+        # waves). Don't lower openCostInBytes alongside it — more sub-4MB
+        # tasks cost more in scheduling than they recover.
+        .config("spark.sql.files.minPartitionNum", str(max(2, cpus // 2)))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
