@@ -1,0 +1,64 @@
+"""Sequence packing: length-bucketed deterministic batch assignment.
+
+Pretraining dataloaders pack variable-length documents into fixed token
+budgets; done naively (random order) every batch mixes a 10-token doc with
+a 4000-token one and pads to the max. The standard fix is length-bucketed
+packing: group documents into coarse length buckets, order them
+deterministically within the bucket, and cut batches by running token
+count. This module computes that assignment as a DataFrame op so the
+batch plan itself is reproducible, auditable, and engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.functions import text as tx
+
+__all__ = ["pack_sequences"]
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    bucket_width: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document a ``(bucket, batch_id)``.
+
+    * ``n_tokens``: whitespace token count (tx.token_count_ws).
+    * ``bucket = n_tokens div bucket_width`` — coarse length class, so a
+      batch only ever mixes documents within ``bucket_width`` tokens of
+      each other (bounded padding waste).
+    * within a bucket, documents are ordered by the md5 permutation of
+      their id (deterministic shuffle — length-sorted order would
+      correlate adjacent batches) and cut greedily:
+      ``batch_id = cum_tokens_before div max_tokens``. A batch's token sum
+      is ≤ max_tokens + the bucket's max document length; exact-budget
+      bin packing is NP-hard and needs no distributed exactness here.
+
+    One shuffle (the per-bucket window). Long-corpus skew valve: buckets
+    are contiguous length classes, so a corpus dominated by one length
+    class serializes in that bucket's window — shard the input first
+    (e.g. partition by a path/date column and pack per shard, which is
+    what a multi-host dataloader needs anyway) if one bucket exceeds an
+    executor. All arithmetic is integer (exact window cumsum of longs);
+    the assignment is bit-identical across engines and partitionings.
+    """
+    d = docs.select(
+        id_col, tx.token_count_ws(text_col).cast("long").alias("n_tokens")
+    ).withColumn("bucket", F.expr(f"n_tokens div {bucket_width}"))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.withColumn("_cum", cum_before).select(
+        id_col,
+        "n_tokens",
+        "bucket",
+        F.expr(f"_cum div cast({max_tokens} as bigint)").alias("batch_id"),
+    )

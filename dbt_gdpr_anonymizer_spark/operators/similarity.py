@@ -437,3 +437,100 @@ def quantize_int8(
         q.alias("q_vec"),
         F.array_join(q.cast("array<string>"), ",").alias("q_csv"),
     )
+
+
+def sparse_cosine_topk(
+    docs: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale_bits: int = 16,
+) -> DataFrame:
+    """Exact sparse TF-IDF cosine top-k, query-by-document: for each query
+    document, the k most similar corpus documents under cosine over the
+    tf·idf term-weight vectors (the classic sparse-retrieval baseline that
+    complements dense ANN (cosine_topk tiers) and BM25 keyword search).
+
+    Scale design: an inverted-index join — per-(doc, term) weights joined
+    to the QUERY side's weights on the term (query set ≪ corpus, so the
+    query postings broadcast and corpus postings never shuffle for the
+    join), then one map-side-partial sum per (query, doc) and a per-query
+    top-k window over candidates only. Documents sharing no term with a
+    query never materialize. Σ over a pair's shared terms is the only
+    superlinear spot and is bounded by the query document's length.
+
+    Determinism: double sums are partition-order-dependent, so weights are
+    quantized to integers (``floor(w · 2^scale_bits)``) BEFORE the dot
+    product — integer sums are exact and order-independent, and the one
+    double division at the end is bit-identical everywhere. idf uses the
+    same smoothed form as the tfidf_top_terms registry query.
+    """
+    from dbt_gdpr_anonymizer_spark.functions import text as tx
+
+    q = query_ids.select(F.col(id_col).alias("_qid"))
+    toks = docs.select(
+        id_col,
+        F.explode(
+            F.filter(tx.words(text_col), lambda w: w != F.lit(""))
+        ).alias("_w"),
+    )
+    tf = toks.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_tf"))
+    dfq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    # integer-quantized tf·idf weight; exact and engine-identical
+    w_scaled = F.floor(
+        F.col("_tf").cast("double")
+        * (F.log((F.col("_n") + 1.0) / (F.col("_df") + 1.0)) + 1.0)
+        * F.lit(float(1 << scale_bits))
+    ).cast("long")
+    weights = (
+        tf.join(dfq, "_w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, "_w", w_scaled.alias("_ws"))
+    )
+    norms = weights.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("_ws") * F.col("_ws")).cast("double")).alias("_nrm")
+    )
+    qw = weights.join(
+        F.broadcast(q), weights[id_col] == F.col("_qid")
+    ).select("_qid", "_w", F.col("_ws").alias("_qws"))
+    dots = (
+        weights.filter(F.col(id_col).isNotNull())
+        .join(F.broadcast(qw), "_w")
+        .filter(F.col(id_col) != F.col("_qid"))
+        .groupBy("_qid", id_col)
+        .agg(F.sum(F.col("_ws") * F.col("_qws")).alias("_dot"))
+    )
+    qn = norms.select(F.col(id_col).alias("_qid"), F.col("_nrm").alias("_qnrm"))
+    scored = (
+        dots.join(norms, id_col)
+        .join(F.broadcast(qn), "_qid")
+        .select(
+            "_qid",
+            id_col,
+            (
+                F.col("_dot").cast("double")
+                / (F.col("_nrm") * F.col("_qnrm"))
+            ).alias("_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("_qid").orderBy(
+            F.col("_score").desc(), F.col(id_col)
+        )
+    )
+    return (
+        scored.withColumn("_rk", rk)
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(f"query_{id_col}"),
+            F.col(id_col).alias(f"match_{id_col}"),
+            F.col("_score").cast("decimal(18,6)").cast("double").alias("score"),
+            F.col("_rk").cast("bigint").alias("rank"),
+        )
+    )

@@ -2726,3 +2726,131 @@ def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(d, "n_chars", 200, "doc_id").select(
         "doc_id", "n_chars", F.col("_priority").alias("priority")
     )
+
+
+_TOKENS_WS_SQL = (
+    "case when trim(text) = '' then 0 "
+    "else len(string_split_regex(trim(text), '\\s+')) end"
+)
+
+
+@register(
+    "sparse_cosine_search",
+    f"""
+    with q as (select doc_id as qid from documents
+               order by md5(cast(doc_id as varchar)), doc_id limit 5),
+    toks as (select doc_id,
+                    unnest(list_filter({_WORDS_SQL}, t -> t <> '')) as w
+             from documents),
+    tf as (select doc_id, w, count(*) as tf from toks group by 1, 2),
+    dfq as (select w, count(*) as df from tf group by 1),
+    n as (select count(*)::double as n from documents),
+    wt as (select tf.doc_id, tf.w,
+                  cast(floor(tf.tf::double
+                             * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0)
+                             * 65536.0) as bigint) as ws
+           from tf join dfq using (w) cross join n),
+    nrm as (select doc_id, sqrt(cast(sum(ws * ws) as double)) as nrm
+            from wt group by 1),
+    qw as (select q.qid, wt.w, wt.ws as qws
+           from wt join q on wt.doc_id = q.qid),
+    dots as (select qw.qid, wt.doc_id, sum(wt.ws * qw.qws) as dot
+             from wt join qw using (w)
+             where wt.doc_id <> qw.qid group by 1, 2),
+    s as (select d.qid, d.doc_id,
+                 cast(d.dot as double) / (nrm.nrm * qn.nrm) as score
+          from dots d
+          join nrm on d.doc_id = nrm.doc_id
+          join (select q.qid, nrm.nrm from q
+                join nrm on nrm.doc_id = q.qid) qn on d.qid = qn.qid),
+    r as (select qid, doc_id, score,
+                 row_number() over (partition by qid
+                                    order by score desc, doc_id) as rk
+          from s)
+    select qid as query_doc_id, doc_id as match_doc_id,
+           cast(cast(score as decimal(18,6)) as double) as score,
+           cast(rk as bigint) as rnk
+    from r where rk <= 5
+    order by query_doc_id, rnk
+    """,
+)
+def sparse_cosine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse TF-IDF cosine retrieval (X49): for 5 deterministic
+    query documents, the 5 nearest corpus docs by cosine over tf·idf
+    weight vectors — inverted-index join (query postings broadcast,
+    corpus postings never shuffle for the join), integer-quantized
+    weights so the dot-product sums are order-independent and
+    cross-engine exact."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        sparse_cosine_topk,
+    )
+    from dbt_gdpr_anonymizer_spark.sources.ingest import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    q = deterministic_sample(d, 5, "doc_id").select("doc_id")
+    return (
+        sparse_cosine_topk(d, q, k=5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_doc_id", "rnk")
+    )
+
+
+@register(
+    "leakage_safe_split_documents",
+    f"""
+    with fp as (
+      select doc_id,
+             md5(array_to_string(list_sort(list_distinct({_WORDS_SQL})), ' '))
+               as fingerprint
+      from documents
+    )
+    select doc_id, fingerprint,
+           case when {_h52_sql("fingerprint || chr(31) || 'split_salt'")}
+                     < {(1 << 52) * 90 // 100}
+                then 'train' else 'eval' end as split
+    from fp order by doc_id
+    """,
+)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split (X50): the split is keyed on the
+    content FINGERPRINT (md5 of sorted distinct words), so byte-different
+    duplicates of the same content always land on the same side — the
+    train-on-test contamination a row-hash split produces. Pure per-row
+    integer compare on a 52-bit md5 uniform; no shuffle."""
+    from dbt_gdpr_anonymizer_spark.sources.ingest import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return leakage_safe_split(d, train_pct=90).orderBy("doc_id")
+
+
+@register(
+    "pack_sequences_documents",
+    f"""
+    with t as (
+      select doc_id, cast({_TOKENS_WS_SQL} as bigint) as n_tokens
+      from documents
+    ),
+    b as (select doc_id, n_tokens, n_tokens // 128 as bucket from t),
+    c as (select doc_id, n_tokens, bucket,
+                 coalesce(sum(n_tokens) over (
+                   partition by bucket
+                   order by md5(cast(doc_id as varchar)), doc_id
+                   rows between unbounded preceding and 1 preceding
+                 ), 0) as cum
+          from b)
+    select doc_id, n_tokens, bucket, cum // 2048 as batch_id
+    from c order by doc_id
+    """,
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (X51): length-bucketed deterministic batch
+    assignment — documents grouped into 128-token length classes, ordered
+    within each class by the md5 permutation, cut greedily at a
+    2048-token budget via an exact integer window cumsum. The pretraining
+    dataloader batch plan as one reproducible shuffle."""
+    from dbt_gdpr_anonymizer_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(d, max_tokens=2048, bucket_width=128).orderBy(
+        "doc_id"
+    )

@@ -390,3 +390,36 @@ def priority_sample(
         .orderBy("_priority", key)
         .limit(n)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    salt: str = "split_salt",
+) -> DataFrame:
+    """Train/eval split that cannot leak duplicates across the boundary:
+    the split is assigned per CONTENT FINGERPRINT (md5 of sorted distinct
+    words — functions/text.doc_fingerprint), not per row, so byte-different
+    copies of the same content always land on the same side (the
+    train-on-test contamination a row-hash split produces).
+
+    Assignment is a 52-bit md5 uniform of (fingerprint ‖ salt) compared to
+    ``train_pct`` of 2^52 — pure integer compare, reproducible across
+    engines/partitionings/runs; changing the salt re-rolls the split.
+    Per-row expressions only: no shuffle, no fingerprint table join.
+    """
+    from dbt_gdpr_anonymizer_spark.functions.text import doc_fingerprint
+    from dbt_gdpr_anonymizer_spark.operators.privacy import uniform52
+
+    fp = doc_fingerprint(text_col)
+    u = uniform52(F.concat_ws("\x1f", fp, F.lit(salt)))
+    cut = (1 << 52) * train_pct // 100
+    return df.select(
+        id_col,
+        fp.alias("fingerprint"),
+        F.when(u < F.lit(cut), F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )

@@ -111,3 +111,97 @@ def test_priority_sample_partitioning_independent(spark):
         for r in priority_sample(df.repartition(7), "w", 50, "k").collect()
     )
     assert a == b
+
+
+def test_sparse_cosine_topk_identical_docs_rank_first(spark):
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        sparse_cosine_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (3, "quick brown fox"),  # partial overlap
+            (4, "completely unrelated astronomy telescope nebula"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([(1,)], ["doc_id"])
+    rows = sparse_cosine_topk(docs, q, k=3).orderBy("rank").collect()
+    # the exact duplicate is rank 1 with score ~1.0
+    assert rows[0]["match_doc_id"] == 2
+    assert abs(rows[0]["score"] - 1.0) < 1e-4
+    # the partial overlap ranks above the unrelated doc
+    assert rows[1]["match_doc_id"] == 3
+    # no-shared-term doc never materializes
+    assert all(r["match_doc_id"] != 4 for r in rows)
+    # query never matches itself
+    assert all(r["match_doc_id"] != 1 for r in rows)
+
+
+def test_leakage_safe_split_duplicates_same_side(spark):
+    from dbt_gdpr_anonymizer_spark.sources.ingest import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "Alpha,  beta GAMMA!"),  # same content, different bytes
+            (3, "gamma beta alpha"),  # same words, different order
+            (4, "something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in leakage_safe_split(docs).collect()}
+    assert rows[1]["fingerprint"] == rows[2]["fingerprint"] == rows[3]["fingerprint"]
+    assert rows[1]["split"] == rows[2]["split"] == rows[3]["split"]
+    assert rows[1]["split"] in ("train", "eval")
+
+
+def test_leakage_safe_split_ratio(spark):
+    from dbt_gdpr_anonymizer_spark.sources.ingest import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"unique document number {i} content word{i}") for i in range(1000)],
+        ["doc_id", "text"],
+    )
+    frac = (
+        leakage_safe_split(docs, train_pct=90)
+        .filter("split = 'train'")
+        .count()
+        / 1000
+    )
+    assert 0.85 < frac < 0.95
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from dbt_gdpr_anonymizer_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (50 + (i * 37) % 200))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    out = pack_sequences(docs, max_tokens=1000, bucket_width=64)
+    rows = out.collect()
+    # every doc assigned exactly once
+    assert len(rows) == 300
+    # bucket is the length class
+    for r in rows:
+        assert r["bucket"] == r["n_tokens"] // 64
+    # batch token sums stay within budget + one bucket-max doc
+    import collections
+
+    sums = collections.Counter()
+    for r in rows:
+        sums[(r["bucket"], r["batch_id"])] += r["n_tokens"]
+    for (bucket, _), s in sums.items():
+        assert s <= 1000 + (bucket + 1) * 64
+    # deterministic under repartitioning
+    a = sorted((r["doc_id"], r["bucket"], r["batch_id"]) for r in rows)
+    b = sorted(
+        (r["doc_id"], r["bucket"], r["batch_id"])
+        for r in pack_sequences(
+            docs.repartition(7), max_tokens=1000, bucket_width=64
+        ).collect()
+    )
+    assert a == b
