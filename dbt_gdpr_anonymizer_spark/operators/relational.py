@@ -144,13 +144,19 @@ def interval_join(
     the interval table for retain-unmatched semantics.
     """
     us = 1_000_000 * bucket_seconds
-    p = points.withColumn("_bucket", (F.unix_micros(F.col(point_ts)) / us).cast("long"))
+
+    def _micros(c: str) -> F.Column:
+        # cast first: unix_micros rejects TIMESTAMP_NTZ inputs, and with the
+        # session timezone pinned to UTC the cast is value-preserving
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    p = points.withColumn("_bucket", (_micros(point_ts) / us).cast("long"))
     i = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start_col)) / us).cast("long"),
-                (F.unix_micros(F.col(end_col)) / us).cast("long"),
+                (_micros(start_col) / us).cast("long"),
+                (_micros(end_col) / us).cast("long"),
             )
         ),
     )

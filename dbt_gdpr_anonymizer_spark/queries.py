@@ -67,8 +67,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(key, "true")
     try:
         e = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(e.dtypes).get("ts") == "bigint":
+        ts_type = dict(e.dtypes).get("ts")
+        if ts_type == "bigint":
             e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Plain micros parquet (isAdjustedToUTC=false) reads as
+            # TIMESTAMP_NTZ, which unix_micros & friends reject. The session
+            # timezone is pinned to UTC, so the cast is value-preserving and
+            # every consumer keeps seeing the TIMESTAMP type it was built for.
+            e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     finally:
         if prior is None:
             spark.conf.unset(key)
