@@ -169,9 +169,11 @@ def neardup_pairs(
     """Verified near-duplicate pairs: LSH candidates filtered by true shingle
     Jaccard ≥ ``threshold``.
 
-    Output: (id_a, id_b, jaccard) with jaccard quantized to decimal(18,6)
-    for cross-engine determinism. The Jaccard join touches only candidate
-    pairs — at sane thresholds a vanishing fraction of n².
+    Output: (id_a, id_b, jaccard_ppm) with jaccard_ppm = floor(J·1e6) as
+    BIGINT — floor is an exact IEEE op on the bit-identical quotient both
+    engines compute, so the compared value has no decimal-cast tie
+    rounding an engine version could diverge on. The Jaccard join touches
+    only candidate pairs — at sane thresholds a vanishing fraction of n².
 
     The persisted shingle sets are tracked on the result (``cached_deps``);
     call ``operators.caching.release_caches(result)`` after consuming it.
@@ -205,7 +207,7 @@ def neardup_pairs(
         .select(
             f"{id_col}_a",
             f"{id_col}_b",
-            F.col("_jac_raw").cast("decimal(18,6)").cast("double").alias("jaccard"),
+            F.floor(F.col("_jac_raw") * 1000000).cast("bigint").alias("jaccard_ppm"),
         )
     )
     return track_caches(out, sets_)
@@ -224,8 +226,8 @@ def ngram_jaccard_pairs(
     candidates + full-set verification (the AllPairs/PPJoin shape).
 
     Complements MinHash-LSH (``neardup_pairs``): same output contract
-    (id_a, id_b, jaccard), but exact — full recall at the threshold, no
-    probabilistic banding. A naive inverted-index join costs Σ df(g)² over
+    (id_a, id_b, jaccard_ppm), but exact — full recall at the threshold,
+    no probabilistic banding. A naive inverted-index join costs Σ df(g)² over
     grams g, dominated by boilerplate grams shared by thousands of docs.
     Prefix filtering removes that hot spot WITHOUT losing exactness:
 
@@ -312,7 +314,7 @@ def ngram_jaccard_pairs(
         .select(
             f"{id_col}_a",
             f"{id_col}_b",
-            F.col("_j").cast("decimal(18,6)").cast("double").alias("jaccard"),
+            F.floor(F.col("_j") * 1000000).cast("bigint").alias("jaccard_ppm"),
         )
     )
     return track_caches(out, sized)
@@ -464,7 +466,8 @@ def embedding_neardup_pairs(
         .select(
             f"{id_col}_a",
             f"{id_col}_b",
-            F.col("_c").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+            # floor-only ppm: exact IEEE step, no decimal-cast tie rounding
+            F.floor(F.col("_c") * 1000000).cast("bigint").alias("cos_sim_ppm"),
         )
         .distinct()
     )

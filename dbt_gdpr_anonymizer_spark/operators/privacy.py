@@ -72,7 +72,12 @@ def t_closeness_report(
 
     The numerators are integers; they are summed as decimal(38,0) (exact,
     order-independent, overflow-safe past 1e18 — n_gs·N reaches ~1e22 at
-    corpus scale) and divided once per group. Sensitive values ABSENT from
+    corpus scale), and the report is released as ``t_distance_ppm``: the
+    TVD in parts-per-million, ``_num·500000 div (n_g·N)`` — integral
+    decimal division, a BIGINT, zero floating point anywhere in the
+    compared output so every engine/version produces the identical bits
+    (the round-3 driver canonicalizer diverged on a double→decimal(18,6)
+    tie; integers cannot tie). Sensitive values ABSENT from
     a group still contribute n_s/N, so the plan builds the full
     group × sensitive-value grid: both factors are post-aggregation tables
     (bounded by key cardinality, not data volume), and the 1-row corpus
@@ -104,19 +109,14 @@ def t_closeness_report(
         .select(
             *quasi_identifiers,
             F.col("_n_g").alias("group_size"),
-            # the one inexact step: numerator summed exactly above, then a
-            # single double division — identical IEEE operand order on both
-            # engines (2.0·n_g first, then ·N), quantized to 6 decimals
-            (
-                F.col("_num").cast("double")
-                / (
-                    (F.lit(2.0) * F.col("_n_g").cast("double"))
-                    * F.col("_N").cast("double")
-                )
-            )
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("t_distance"),
+            # ppm = ½·1e6·_num/(n_g·N) = _num·500000 div (n_g·N): integral
+            # decimal division (Spark IntegralDivide on DECIMAL → BIGINT),
+            # exact and bit-identical across engines — no float step at all
+            F.expr(
+                "CAST((_num * 500000) div "
+                "(CAST(_n_g AS DECIMAL(38,0)) * CAST(_N AS DECIMAL(38,0))) "
+                "AS BIGINT)"
+            ).alias("t_distance_ppm"),
         )
         .orderBy(*quasi_identifiers)
     )

@@ -67,7 +67,9 @@ def cosine_topk(
 
     ``queries`` must be small (it is broadcast to every partition —
     the standard brute-force ANN baseline shape). Output:
-    (query_id, vec_id, cos_sim) with cos_sim quantized to decimal(18,6).
+    (query_id, vec_id, cos_sim_ppm) with cos_sim_ppm = floor(cos·1e6) as
+    BIGINT — ranking uses the raw double, the released value is integer
+    ppm so no engine's decimal tie rounding can perturb a comparison.
 
     This is the O(|corpus| × |queries|) exactness anchor, not the scale
     tier: ``max_corpus_rows`` fails fast when the corpus exceeds the cap
@@ -109,7 +111,7 @@ def cosine_topk(
         .select(
             query_id_col,
             id_col,
-            F.col("_cos").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+            F.floor(F.col("_cos") * 1000000).cast("bigint").alias("cos_sim_ppm"),
         )
     )
 
@@ -187,7 +189,7 @@ def lsh_topk(
         .select(
             query_id_col,
             id_col,
-            F.col("_cos").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+            F.floor(F.col("_cos") * 1000000).cast("bigint").alias("cos_sim_ppm"),
         )
     )
 
@@ -308,7 +310,7 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            F.col("_cos").cast("decimal(18,6)").cast("double").alias("cos_sim"),
+            F.floor(F.col("_cos") * 1000000).cast("bigint").alias("cos_sim_ppm"),
         )
     )
 
@@ -530,7 +532,8 @@ def sparse_cosine_topk(
         .select(
             F.col("_qid").alias(f"query_{id_col}"),
             F.col(id_col).alias(f"match_{id_col}"),
-            F.col("_score").cast("decimal(18,6)").cast("double").alias("score"),
+            # floor-only ppm (see cosine_topk): exact IEEE, engine-stable
+            F.floor(F.col("_score") * 1000000).cast("bigint").alias("score_ppm"),
             F.col("_rk").cast("bigint").alias("rank"),
         )
     )

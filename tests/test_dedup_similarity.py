@@ -65,11 +65,11 @@ def test_lsh_candidates_cover_near_pairs_without_all_pairs(corpus):
 
 def test_neardup_pairs_threshold_and_jaccard(corpus):
     pairs = {
-        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard_ppm"]
         for r in neardup_pairs(corpus, threshold=0.5).collect()
     }
-    assert pairs[(1, 2)] == 1.0
-    assert 0.5 <= pairs[(1, 4)] < 1.0
+    assert pairs[(1, 2)] == 1_000_000
+    assert 500_000 <= pairs[(1, 4)] < 1_000_000
     assert (1, 5) not in pairs
 
 
@@ -77,16 +77,16 @@ def test_ngram_jaccard_matches_neardup_pairs_exactly(corpus):
     from dbt_gdpr_anonymizer_spark.operators.dedup import ngram_jaccard_pairs
 
     inv = {
-        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard_ppm"]
         for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()
     }
     # exact Jaccard: identical docs 1.0, near pair in (0.5, 1), no junk
-    assert inv[(1, 2)] == 1.0
-    assert 0.5 <= inv[(1, 4)] < 1.0
+    assert inv[(1, 2)] == 1_000_000
+    assert 500_000 <= inv[(1, 4)] < 1_000_000
     assert (1, 5) not in inv
     # inverted-index values agree with the LSH-verified path bit-exactly
     lsh = {
-        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard_ppm"]
         for r in neardup_pairs(corpus, threshold=0.5).collect()
     }
     assert inv == lsh
@@ -96,13 +96,13 @@ def test_ngram_jaccard_df_cut_trades_recall_not_accuracy(corpus):
     from dbt_gdpr_anonymizer_spark.operators.dedup import ngram_jaccard_pairs
 
     exact = {
-        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard_ppm"]
         for r in ngram_jaccard_pairs(corpus, threshold=0.4).collect()
     }
     # grams shared by >2 docs are cut from the candidate index: pairs may
     # be MISSED (recall), but any surviving pair's score is still exact
     cut = {
-        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard_ppm"]
         for r in ngram_jaccard_pairs(
             corpus, threshold=0.4, max_doc_freq=2
         ).collect()
@@ -140,7 +140,7 @@ def test_cosine_topk_exact(vectors):
     out = cosine_topk(vectors, q, k=2).collect()
     assert [r["vec_id"] for r in out] == [1, 4]
     expect = 0.9 / math.sqrt(0.81 + 0.01)
-    assert abs(out[0]["cos_sim"] - expect) < 1e-6
+    assert abs(out[0]["cos_sim_ppm"] - expect * 1e6) <= 1
 
 
 def test_cosine_topk_excludes_self(vectors):
@@ -173,7 +173,7 @@ def test_lsh_topk_subset_of_bucket(vectors):
     rows = out.collect()
     # approximate: results come only from the query's bucket, never self
     assert all(r["vec_id"] != 0 for r in rows)
-    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+    assert all(-1_000_000 <= r["cos_sim_ppm"] <= 1_000_000 for r in rows)
 
 
 def test_simhash_neardup_finds_exact_and_near(spark, corpus):
@@ -205,10 +205,10 @@ def test_embedding_neardup_planted_pair(spark):
     ]
     v = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = {
-        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim"]
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_sim_ppm"]
         for r in embedding_neardup_pairs(v, threshold=0.9, dim=4, bits=4).collect()
     }
-    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 1) in pairs and pairs[(0, 1)] > 990_000
     assert all(2 not in p for p in pairs)
 
 

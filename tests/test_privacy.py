@@ -46,15 +46,16 @@ def test_l_diversity_flags_homogeneous_groups(people):
 
 def test_t_closeness_exact_tvd(people):
     out = t_closeness_report(people, ["zip", "age_band"], "condition")
-    got = {(r.zip, r.age_band): (r.group_size, r.t_distance) for r in out.collect()}
-    # global: flu 5/8, cold 2/8, ulcer 1/8
+    got = {
+        (r.zip, r.age_band): (r.group_size, r.t_distance_ppm) for r in out.collect()
+    }
+    # global: flu 5/8, cold 2/8, ulcer 1/8; released as exact TVD ppm
     # ("75","a"): p=(1,0,0)    TVD = ½(|1-5/8| + 2/8 + 1/8) = 0.375
     # ("75","b"): p=(½,½,0)    TVD = ½(1/8 + 2/8 + 1/8) = 0.25
-    # ("69","a"): p=(⅓,⅓,⅓)    TVD = ½(|⅓-5/8| + |⅓-2/8| + |⅓-1/8|) = 0.291667
-    assert got[("75", "a")] == (3, 0.375)
-    assert got[("75", "b")] == (2, 0.25)
-    assert got[("69", "a")][0] == 3
-    assert abs(got[("69", "a")][1] - 0.291667) < 1e-6
+    # ("69","a"): p=(⅓,⅓,⅓)    TVD = 7/24 → floor(1e6·7/24) = 291666
+    assert got[("75", "a")] == (3, 375000)
+    assert got[("75", "b")] == (2, 250000)
+    assert got[("69", "a")] == (3, 291666)
 
 
 def test_geometric_thresholds_monotone_and_complete():

@@ -129,9 +129,9 @@ def test_sparse_cosine_topk_identical_docs_rank_first(spark):
     )
     q = spark.createDataFrame([(1,)], ["doc_id"])
     rows = sparse_cosine_topk(docs, q, k=3).orderBy("rank").collect()
-    # the exact duplicate is rank 1 with score ~1.0
+    # the exact duplicate is rank 1 with score_ppm ~1e6
     assert rows[0]["match_doc_id"] == 2
-    assert abs(rows[0]["score"] - 1.0) < 1e-4
+    assert rows[0]["score_ppm"] >= 999_999
     # the partial overlap ranks above the unrelated doc
     assert rows[1]["match_doc_id"] == 3
     # no-shared-term doc never materializes
