@@ -142,13 +142,25 @@ def interval_join(
     explosion rows per interval; longer → more false candidates per bucket.
     Inner-join semantics (only matched pairs); wrap with a left join against
     the interval table for retain-unmatched semantics.
+
+    Timestamps: bucket values are derived via ``timestamp_ntz``, so they are
+    a pure function of each column's WALL-CLOCK value — identical in any
+    session timezone (an earlier ``cast("timestamp")`` shifted NTZ inputs
+    by the session offset in non-UTC sessions, silently dropping matches at
+    bucket boundaries). Mixing a TZ column on one side with an NTZ column
+    on the other is still inherently ambiguous — use matching types.
     """
     us = 1_000_000 * bucket_seconds
 
     def _micros(c: str) -> F.Column:
-        # cast first: unix_micros rejects TIMESTAMP_NTZ inputs, and with the
-        # session timezone pinned to UTC the cast is value-preserving
-        return F.unix_micros(F.col(c).cast("timestamp"))
+        # NTZ-based micros: timestampdiff on timestamp_ntz operands is pure
+        # value arithmetic, no session-timezone dependency; TZ inputs are
+        # rendered in the session tz consistently on both join sides
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            "timestamp_ntz'1970-01-01 00:00:00', "
+            f"cast(`{c}` as timestamp_ntz))"
+        )
 
     p = points.withColumn("_bucket", (_micros(point_ts) / us).cast("long"))
     i = intervals.withColumn(

@@ -1290,6 +1290,11 @@ _CHECK_LAST = [
     "rollup_pricing",
     "distinct_counts",
     "embedding_neardup",
+    # makes room for stream_rate_windowed_rollup (the unbounded-source
+    # streaming row): hourly_event_rollup keeps green rows in the r1-r3
+    # artifacts and the windowed-agg family stays represented by the new
+    # streaming entry + sessionize_events + sliding twin
+    "hourly_event_rollup",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -1992,6 +1997,69 @@ def stream_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(f"{tmp}/out")
+
+
+@register(
+    "stream_rate_windowed_rollup",
+    """
+    with e as (
+      select t.range as v,
+             case when t.range % 3 = 0 then 'click'
+                  when t.range % 3 = 1 then 'view'
+                  else 'purchase' end as event_type,
+             cast(t.range % 1000 as double) / 10.0 as value
+      from range(1000) t
+    )
+    select timestamp '1970-01-01 00:00:00' as window_start,
+           timestamp '1970-01-01 01:00:00' as window_end,
+           event_type,
+           count(*) as n_events,
+           cast(floor(sum(value) * 10 + 0.5) as bigint) as total_value_e1
+    from e group by event_type
+    """,
+)
+def stream_rate_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED-source streaming correctness probe (X37 end-to-end):
+    the ``rate-micro-batch`` source (the message-bus stand-in — swapping
+    in Kafka is ``format("kafka")`` + ``parse_kafka_events``) flows
+    through the watermarked ``windowed_event_rollup`` and drains via an
+    ``availableNow`` complete-mode memory sink. The drain is exactly one
+    deterministic batch (event_id 0-999, one shared epoch-0 timestamp →
+    one 1h window), so a plain SQL oracle regenerates the synthetic
+    columns with ``range``. The float sum is released as
+    floor(sum·10 + 0.5) BIGINT: the true total is a multiple of 0.1, so
+    the +0.5 floor snaps both engines' last-ulp-different sums to the
+    same integer — no order-dependent float in the compared output.
+    ``sf_dir`` is unused: the source is a generator, the point is the
+    unbounded-source plumbing (complements stream_scrub_documents'
+    file-source path)."""
+    import uuid
+
+    from dbt_gdpr_anonymizer_spark.streaming.anonymize import (
+        read_rate_events_stream,
+        windowed_event_rollup,
+    )
+
+    ev = read_rate_events_stream(spark, rows_per_second=1000, micro_batch=True)
+    rolled = windowed_event_rollup(ev)
+    name = f"rate_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        F.floor(F.col("total_value") * 10 + F.lit(0.5))
+        .cast("bigint")
+        .alias("total_value_e1"),
+    )
 
 
 @register(

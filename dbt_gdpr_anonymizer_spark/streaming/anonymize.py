@@ -24,6 +24,8 @@ from dbt_gdpr_anonymizer_spark.sources.ingest import SEED_SCHEMA
 __all__ = [
     "read_seed_stream",
     "read_rate_events_stream",
+    "parse_kafka_events",
+    "EVENTS_PAYLOAD_SCHEMA",
     "stream_anonymize",
     "write_stream_parquet",
     "windowed_event_rollup",
@@ -85,6 +87,57 @@ def read_rate_events_stream(
         F.col("timestamp").alias("ts"),
         ((F.col("value") % 1000).cast("double") / 10.0).alias("value"),
     )
+
+
+# JSON payload contract for message-bus event records (the producer-side
+# twin of read_rate_events_stream's projection). `ts` travels as an
+# ISO-8601 string — the portable wire form; parsed to TIMESTAMP here.
+EVENTS_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def parse_kafka_events(
+    records: DataFrame,
+    *,
+    payload_schema: T.StructType = EVENTS_PAYLOAD_SCHEMA,
+) -> DataFrame:
+    """Kafka record batch → the events contract.
+
+    ``read_rate_events_stream`` documents that swapping in Kafka is
+    "format + payload parsing only" — this is that parsing: it takes the
+    Kafka wire shape (``value`` as binary JSON; key/topic/partition/offset
+    ignored), casts binary → string, ``from_json`` with the EXPLICIT
+    payload schema (streams never infer), and projects to the exact
+    columns every downstream streaming operator consumes
+    (event_id, user_id, event_type, ts timestamp, value double).
+
+    Malformed payloads parse to a NULL struct under from_json's default
+    PERMISSIVE handling and are dropped by the ``event_id IS NOT NULL``
+    gate — a poison message skips one record, never kills the query.
+    Works identically on batch and streaming DataFrames (so the unit test
+    drives it with a literal byte fixture, no broker needed)::
+
+        spark.readStream.format("kafka")...load()           # wire shape
+          |> parse_kafka_events                              # this parser
+          |> windowed_event_rollup / stream_anonymize / ...  # unchanged
+    """
+    parsed = records.select(
+        F.from_json(F.col("value").cast("string"), payload_schema).alias("_p")
+    )
+    return parsed.select(
+        F.col("_p.event_id").alias("event_id"),
+        F.col("_p.user_id").alias("user_id"),
+        F.col("_p.event_type").alias("event_type"),
+        F.to_timestamp(F.col("_p.ts")).alias("ts"),
+        F.col("_p.value").alias("value"),
+    ).filter(F.col("event_id").isNotNull())
 
 
 def stream_anonymize(

@@ -36,6 +36,30 @@ def test_interval_join_matches_range_semantics(spark):
     assert sorted(r["pid"] for r in out.collect()) == [1, 3]
 
 
+def test_interval_join_timezone_independent(spark):
+    """Bucketization is a pure function of the wall-clock value: NTZ inputs
+    under a non-UTC session timezone must match exactly as under UTC (the
+    old timestamp cast shifted NTZ buckets by the session offset)."""
+    points = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:30:00")),  # inside
+            (2, ts("2024-01-01 09:59:59")),  # just before start
+        ],
+        "pid long, ts timestamp_ntz",
+    )
+    intervals = spark.createDataFrame(
+        [(7, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00"))],
+        "iid long, start timestamp_ntz, end timestamp_ntz",
+    )
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Kathmandu"):  # +05:45 — off-hour offset
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert [r["pid"] for r in interval_join(points, intervals).collect()] == [1]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+
 def test_interval_join_plan_has_no_nested_loop(spark):
     points = spark.createDataFrame(
         [(1, ts("2024-01-01 10:30:00"))], "pid long, ts timestamp"
