@@ -56,6 +56,35 @@ def exact_dedup(
     )
 
 
+def dedup_against_index(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: production corpora grow by DELTAS, and
+    re-deduplicating the whole corpus per delta is O(corpus) per batch.
+    Survivors of a delta are docs whose content fingerprint is (a) absent
+    from the accumulated index — a LEFT ANTI equi-join on the fingerprint
+    (hash join; broadcast when the delta's fingerprint set is small,
+    shuffle otherwise — AQE picks) — and (b) the first occurrence within
+    the delta (same min-id reduce as :func:`exact_dedup`).
+
+    Returns (fingerprint, survivor id): append it to the index table and
+    the next delta dedups against corpus ∪ delta without ever rescanning
+    the corpus. Pairs with :func:`~dbt_gdpr_anonymizer_spark.streaming.
+    anonymize.stream_exact_dedup`, which is the same contract under a
+    watermark horizon.
+    """
+    fp = new_docs.select(
+        tx.doc_fingerprint(text_col).alias("fingerprint"), F.col(id_col)
+    )
+    fresh = fp.join(
+        seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    return fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+
+
 def _shingle_sets(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
@@ -673,15 +702,22 @@ def edit_distance_pairs(
         f"transform(sequence(1, greatest(length(_t) - {q - 1}, 0)),"
         f" i -> substring(_t, i, {q}))"
     )
-    g = docs.select(
-        F.col(id_col), "_len", F.posexplode(grams).alias("_pos", "_gram")
-    )
-    occ_w = Window.partitionBy(id_col, "_gram").orderBy("_pos")
-    tokens = g.select(
-        F.col(id_col),
-        "_len",
-        "_gram",
-        F.row_number().over(occ_w).alias("_occ"),
+    g = docs.select(F.col(id_col), "_len", F.explode(grams).alias("_gram"))
+    # (gram, occ) multiset→set tokens: any CONSISTENT numbering of repeats
+    # works for the count filter, so regenerate occ = 1..count via a
+    # hash groupBy + sequence explode instead of a row_number window —
+    # same shuffle width, but hash aggregation replaces the window's
+    # full sort of the exploded gram table (O(n) vs O(n log n) at the
+    # widest stage; wall-clock parity at sf0.1 where the stage is small)
+    tokens = (
+        g.groupBy(id_col, "_len", "_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            F.col(id_col),
+            "_len",
+            "_gram",
+            F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("_occ"),
+        )
     )
     dfreq = tokens.groupBy("_gram", "_occ").agg(
         F.count(F.lit(1)).alias("_df")

@@ -2958,3 +2958,128 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, max_tokens=2048, bucket_width=128).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "temperature_resample_documents",
+    f"""
+    with sizes as (
+      select lang,
+             cast(floor(sqrt(cast(count(*) as double)) * 1048576) as bigint)
+               as s
+      from documents group by lang
+    ),
+    q as (
+      select lang, cast(200 as bigint) * s // (select sum(s) from sizes)
+               as quota
+      from sizes
+    ),
+    r as (
+      select doc_id, lang,
+             row_number() over (
+               partition by lang
+               order by md5(cast(doc_id as varchar)), doc_id) as rk
+      from documents
+    )
+    select r.doc_id, r.lang from r join q using (lang) where rk <= quota
+    order by doc_id
+    """,
+)
+def temperature_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (X53, the mT5/XLM-R
+    α-sampling step, α=1/2): per-language quotas ∝ sqrt(n_lang), drawn
+    via the md5-permutation window. Quota arithmetic is exact cross-engine
+    — IEEE sqrt is correctly rounded, floor-scaled to a 2^20 integer
+    lattice, then pure integer div. One tiny group-size aggregate
+    broadcast back + one window shuffle."""
+    from dbt_gdpr_anonymizer_spark.sources.ingest import temperature_resample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_resample(d, "lang", 200).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_documents",
+    f"""
+    with w as (
+      select doc_id,
+             md5(array_to_string(list_sort(list_distinct({_WORDS_SQL})), ' '))
+               as fingerprint
+      from documents
+    ),
+    idx as (select distinct fingerprint from w where doc_id < 250),
+    delta as (select * from w where doc_id >= 250)
+    select fingerprint, min(doc_id) as doc_id
+    from delta
+    where fingerprint not in (select fingerprint from idx)
+    group by fingerprint
+    order by doc_id
+    """,
+)
+def dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against an accumulated fingerprint index (X54):
+    the production corpus-growth shape — the delta (doc_id ≥ 250) dedups
+    against the index built from the existing corpus (doc_id < 250) via a
+    left-anti equi-join plus the exact-dedup min-id reduce, never
+    rescanning the corpus itself."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import (
+        dedup_against_index,
+        exact_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = exact_dedup(docs.filter(F.col("doc_id") < 250)).select("fingerprint")
+    delta = docs.filter(F.col("doc_id") >= 250)
+    return dedup_against_index(delta, seen).orderBy("doc_id")
+
+
+@register(
+    "erasure_cascade_documents",
+    f"""
+    with injected as (
+      select doc_id,
+             {_INJECT_PII_SQL} || ' cc user'
+               || cast((doc_id * 7) % 500 as varchar)
+               || '@mairie-exemple.fr' as t
+      from documents
+    ),
+    banned as (
+      select 'user' || cast(doc_id as varchar) || '@mairie-exemple.fr' as term
+      from documents where doc_id % 17 = 3
+    )
+    select i.doc_id from injected i
+    where not exists (select 1 from banned b where contains(i.t, b.term))
+    order by doc_id
+    """,
+)
+def erasure_cascade_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR Article-17 erasure cascade (X55): every document mentioning a
+    banned subject identifier is purged — not just the subject's own
+    rows. Each doc carries its owner's synthetic email plus a cc-mention
+    of another user; the deletion list (doc_id ≡ 3 mod 17) broadcasts
+    into a contains-any left-anti join (operators/erasure.py), so the
+    corpus is scanned once against m literals with no shuffle. Exact
+    substring semantics: user3@… never matches user31@…."""
+    from dbt_gdpr_anonymizer_spark.operators.erasure import erasure_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            _inject_pii_text(),
+            F.lit(" cc user"),
+            ((k * 7) % 500).cast("string"),
+            F.lit("@mairie-exemple.fr"),
+        ).alias("t"),
+    )
+    banned = docs.filter(k % 17 == 3).select(
+        F.concat(
+            F.lit("user"), k.cast("string"), F.lit("@mairie-exemple.fr")
+        ).alias("term")
+    )
+    return (
+        erasure_survivors(injected, banned, text_col="t")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )

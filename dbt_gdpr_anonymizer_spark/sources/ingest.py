@@ -252,6 +252,57 @@ def stratified_sample(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    n_target: int,
+    *,
+    key: str = "doc_id",
+    sqrt_temperature: bool = True,
+) -> DataFrame:
+    """Temperature-based group rebalancing (the mT5/XLM-R α-sampling step):
+    draw ``n_target`` rows total with per-group quotas ∝ n_g^α, flattening
+    the head groups so low-resource languages/domains aren't drowned out.
+
+    α is fixed at 1/2 (``sqrt_temperature=True``, the common choice) or 1
+    (plain proportional) because those keep the quota arithmetic EXACT:
+    IEEE-754 ``sqrt`` is correctly rounded (unlike ``pow(x, α)``), so
+    ``s_g = floor(sqrt(n_g)·2^20)`` is a bit-identical integer in every
+    engine, and ``quota_g = n_target·s_g div Σs_g`` is pure integer
+    arithmetic. One aggregation for group sizes (tiny — group-cardinality
+    rows, broadcast back), one window shuffle for the md5-permutation
+    ranks (same deterministic-permutation idiom as
+    :func:`stratified_sample`); rank ≤ quota prunes before downstream
+    work. Hot-group caveat as stratified_sample: a single giant group
+    serializes in its window partition — pre-shard if one group exceeds an
+    executor.
+    """
+    alpha_scaled = (
+        F.floor(F.sqrt(F.col("_n").cast("double")) * F.lit(float(1 << 20)))
+        if sqrt_temperature
+        else F.col("_n") * F.lit(1 << 20)
+    )
+    sizes = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(group_col, alpha_scaled.cast("long").alias("_s"))
+        .withColumn("_tot", F.sum("_s").over(Window.partitionBy()))
+        .select(
+            group_col,
+            F.expr(f"cast({n_target} as bigint) * _s div _tot").alias("_quota"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key).cast("string")), key
+    )
+    return (
+        df.join(F.broadcast(sizes), group_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .drop("_rk", "_quota")
+    )
+
+
 def write_seed_csv(df: DataFrame, path: str) -> None:
     """CSV seed sink (S3): header, UTF-8, minimal quoting — matches the
     pandas ``to_csv`` output shape the reference's dbt seed consumes."""

@@ -1,0 +1,107 @@
+"""Units for GDPR erasure cascade, temperature resampling, and incremental
+dedup — the round-4 corpus-governance additions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.dedup import (
+    dedup_against_index,
+    exact_dedup,
+)
+from dbt_gdpr_anonymizer_spark.operators.erasure import (
+    erase_keys,
+    erasure_matches,
+    erasure_survivors,
+)
+from dbt_gdpr_anonymizer_spark.sources.ingest import temperature_resample
+
+
+def test_erase_keys_purges_requested_subjects(spark):
+    events = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10), (4, 30)], ["event_id", "user_id"]
+    )
+    deletion = spark.createDataFrame([(10,), (30,)], ["user_id"])
+    kept = erase_keys(events, deletion, "user_id")
+    assert sorted(r["event_id"] for r in kept.collect()) == [2]
+
+
+def test_erasure_contains_is_exact_substring(spark):
+    """user3@x must never match user31@x — the term carries its own
+    delimiter, so substring containment is identifier-exact."""
+    docs = spark.createDataFrame(
+        [
+            (31, "mail user31@x.fr thanks"),
+            (3, "mail user3@x.fr thanks"),
+            (7, "mentions user3@x.fr in passing"),
+            (8, "clean document"),
+        ],
+        ["doc_id", "text"],
+    )
+    banned = spark.createDataFrame([("user3@x.fr",)], ["term"])
+    hit = sorted(r["doc_id"] for r in erasure_matches(docs, banned).collect())
+    assert hit == [3, 7]  # owner AND the mere mention; 31 untouched
+    kept = sorted(r["doc_id"] for r in erasure_survivors(docs, banned).collect())
+    assert kept == [8, 31]
+
+
+def test_erasure_max_terms_guard(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    terms = spark.range(5).select(F.col("id").cast("string").alias("term"))
+    with pytest.raises(ValueError):
+        erasure_survivors(docs, terms, max_terms=3)
+    # explicit opt-out runs
+    assert erasure_survivors(docs, terms, max_terms=None).count() == 1
+
+
+def test_temperature_resample_quotas_exact(spark):
+    """Quotas follow n_target·floor(sqrt(n_g)·2^20) div Σ — verify against
+    the same arithmetic computed in Python."""
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 1000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_resample(df, "lang", 100, key="doc_id")
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    s_big = math.floor(math.sqrt(900) * (1 << 20))
+    s_small = math.floor(math.sqrt(100) * (1 << 20))
+    tot = s_big + s_small
+    assert got == {"big": 100 * s_big // tot, "small": 100 * s_small // tot}
+    # sqrt temperature flattens: big gets 75, not the proportional 90
+    assert got["big"] == 75 and got["small"] == 25
+
+
+def test_temperature_resample_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], ["doc_id", "lang"]
+    )
+    a = sorted(r["doc_id"] for r in temperature_resample(df, "lang", 20).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_resample(df.repartition(7), "lang", 20).collect()
+    )
+    assert a == b  # stable across partitionings
+
+
+def test_dedup_against_index_only_fresh_survive(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),  # dup of indexed doc 1 -> dropped
+            (11, "eta theta iota"),  # fresh
+            (12, "eta theta iota"),  # dup WITHIN delta -> min-id wins
+        ],
+        ["doc_id", "text"],
+    )
+    index = exact_dedup(corpus).select("fingerprint")
+    got = sorted(r["doc_id"] for r in dedup_against_index(delta, index).collect())
+    assert got == [11]
