@@ -1295,6 +1295,21 @@ _CHECK_LAST = [
     # artifacts and the windowed-agg family stays represented by the new
     # streaming entry + sessionize_events + sliding twin
     "hourly_event_rollup",
+    # r4 additions rotation: each demoted row is green in r1-r3 artifacts
+    # and replaced by a strictly-stronger superset entry —
+    #   sessionize_events ⊂ stream_sessionize_events (same gap oracle +
+    #     stateful streaming emission arithmetic),
+    #   scrub_text_pii ⊂ stream_scrub_documents (identical scrub-md5
+    #     oracle, end-to-end through the stream) — frees a slot for
+    #     erasure_cascade_documents (text-PII erasure family),
+    #   exact_dedup_documents ⊂ dedup_incremental_documents (same min-id
+    #     reduce + the index anti-join),
+    #   ingest_sample_deterministic: sampling family keeps stratified +
+    #     priority reps — frees a slot for temperature_resample_documents.
+    "sessionize_events",
+    "scrub_text_pii",
+    "exact_dedup_documents",
+    "ingest_sample_deterministic",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -3083,3 +3098,105 @@ def erasure_cascade_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "stream_sessionize_events",
+    """
+    with e as (select user_id, ts::timestamp as ts from events),
+    g as (
+      select user_id, ts,
+        case when epoch_us(ts) - lag(epoch_us(ts))
+                    over (partition by user_id order by ts) > 1800000000
+             or lag(ts) over (partition by user_id order by ts) is null
+             then 1 else 0 end as ns
+      from e
+    ),
+    s as (
+      select user_id, ts,
+             sum(ns) over (partition by user_id order by ts
+                           rows unbounded preceding) as sid
+      from g
+    ),
+    sess as (
+      select user_id, sid, min(ts) as session_start, max(ts) as session_end,
+             count(*) as n_events
+      from s group by user_id, sid
+    ),
+    mx as (select max(ts) as mx from e),
+    lastsid as (select user_id, max(sid) as last_sid from sess group by user_id)
+    select sess.user_id, session_start, session_end, n_events
+    from sess
+    join lastsid using (user_id)
+    cross join mx
+    where sid < last_sid
+       or epoch_ms(session_end) + 3600001 < epoch_ms(mx)
+    order by user_id, session_start
+    """,
+)
+def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator, oracle-checked end to end
+    (X56): the events table replays as three ts-ranged arrival batches
+    (one file each, mtime-ordered, maxFilesPerTrigger=1 — so arrival is
+    time-ordered and nothing is late) through
+    ``streaming/sessionize.stream_sessionize`` — session windows built
+    with ``applyInPandasWithState`` (per-user (start,last,n) state,
+    event-time timeout wired to the watermark).
+
+    Emitted = every session closed in-stream (a later event of the same
+    user arrived > gap after it — always happens for non-final sessions
+    when arrival is time-ordered) plus each user's FINAL session iff its
+    timeout (last + gap, ms-floored, +1) lies strictly below the final
+    watermark (global max event time, ms-floored, − 30 min). The oracle
+    replays exactly that arithmetic on the batch gap-sessionization —
+    integer ms comparisons, nothing engine-divergent."""
+    import os
+    import tempfile
+
+    from dbt_gdpr_anonymizer_spark.streaming.sessionize import (
+        stream_sessionize,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("bigint").alias("user_id"), "ts"
+    )
+    us = F.unix_micros(F.col("ts"))
+    cuts = e.agg(
+        F.percentile(us, 1.0 / 3).alias("c1"),
+        F.percentile(us, 2.0 / 3).alias("c2"),
+    ).collect()[0]
+    c1, c2 = int(cuts["c1"]), int(cuts["c2"])
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    parts = [
+        e.filter(us <= c1),
+        e.filter((us > c1) & (us <= c2)),
+        e.filter(us > c2),
+    ]
+    for i, p in enumerate(parts):
+        path = f"{tmp}/f{i}"
+        p.coalesce(1).write.parquet(path)
+        mt = 1_000.0 * (i + 1)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (mt, mt))
+        os.utime(path, (mt, mt))
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/f*")
+    )
+    sessions = stream_sessionize(
+        stream, gap_minutes=30, watermark="30 minutes"
+    )
+    import uuid
+
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")

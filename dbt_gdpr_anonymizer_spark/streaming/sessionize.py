@@ -1,6 +1,6 @@
-"""Sessionization: native session windows + a custom stateful operator.
+"""Sessionization: native session windows + custom stateful operators.
 
-Two tiers, matching how real pipelines choose:
+Three tiers, matching how real pipelines choose:
 
 * ``session_window_rollup`` — Spark's native ``F.session_window`` (gap-based
   merging). Works identically on batch DataFrames and streams (with a
@@ -13,6 +13,11 @@ Two tiers, matching how real pipelines choose:
   Sessions close when a later event arrives past the gap; the open session
   stays in the state store. State per key is O(1) (just the open session's
   aggregates), so a million-key stream holds a million small rows of state.
+
+* ``stream_sessionize`` — the same custom state PLUS an event-time timeout
+  wired to the watermark: idle sessions close too, so state is evicted
+  and output is complete under bounded lateness. Oracle-checked end to
+  end by the ``stream_sessionize_events`` registry entry.
 """
 
 from __future__ import annotations
@@ -23,7 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["session_window_rollup", "streaming_sessionize_custom"]
+__all__ = [
+    "session_window_rollup",
+    "streaming_sessionize_custom",
+    "stream_sessionize",
+]
 
 
 def session_window_rollup(
@@ -136,4 +145,114 @@ def streaming_sessionize_custom(
         _SESSION_STATE,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Third tier: custom state + EVENT-TIME TIMEOUT. streaming_sessionize_custom
+# (above) closes sessions only when a later event arrives; with a watermark
+# wired to GroupStateTimeout.EventTimeTimeout, idle sessions also close —
+# bounded state AND complete output under bounded lateness. This is the
+# oracle-checked variant (`stream_sessionize_events` in the registry).
+# ---------------------------------------------------------------------------
+
+_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+_STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+
+def _session_fn(gap_micros: int):
+    """Per-group state transition (closure over the gap). State:
+    (start, last, n) in epoch MICROS — integers round-trip exactly
+    through the state store."""
+
+    def fn(key, pdfs, state) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        ts: list[int] = []
+        for pdf in pdfs:
+            # Arrow timestamps arrive as int64 NANOS → exact micros
+            ts.extend(
+                int(v) // 1000 for v in pdf["ts"].astype("int64").tolist()
+            )
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0] - 1, 0  # last < first event
+        closed = []
+        for t in ts:
+            if t - last > gap_micros and n > 0:
+                closed.append((start, last, n))
+                start, n = t, 0
+            last = max(last, t)
+            n += 1
+        state.update((start, last, n))
+        # the open session times out when the watermark passes last + gap
+        state.setTimeoutTimestamp((last + gap_micros) // 1000 + 1)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [n_ for _, _, n_ in closed],
+                }
+            )
+
+    return fn
+
+
+def stream_sessionize(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming session windows: one row per CLOSED session
+    (user_id, session_start, session_end, n_events).
+
+    A session closes two ways, both deterministic under the watermark:
+    in-stream (a later event of the same user arrives > gap after the
+    previous one — emitted with the triggering batch) or by EVENT-TIME
+    TIMEOUT (the watermark passes last_ts + gap with no new event —
+    emitted by the first trigger after the watermark advance; availableNow
+    drains run the final no-data batch, so finite replays flush eligible
+    timeouts). Sessions still open when a drain ends stay in state and are
+    NOT emitted — exactly what a resumed query needs.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = events.select(
+        F.col(user_col).cast("bigint").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+    ).withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_minutes * 60_000_000),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1,0 +1,114 @@
+"""Deterministic end-to-end test of the applyInPandasWithState session
+operator: a file-source stream drained file-by-file (maxFilesPerTrigger=1,
+arrival order pinned via mtimes) so watermark advancement — and therefore
+which sessions close — is exactly reproducible."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.streaming.sessionize import stream_sessionize
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _write_batch(spark, rows, path, mtime):
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    for root, _, files in os.walk(path):
+        for f in files:
+            os.utime(os.path.join(root, f), (mtime, mtime))
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_sessionize_closes_by_gap_and_timeout(spark, tmp_path):
+    src = tmp_path / "src"
+    # file 1: user 1 has a 2-event burst; user 2 a single event
+    _write_batch(
+        spark,
+        [
+            (1, ts("2024-01-01 10:00:00")),
+            (1, ts("2024-01-01 10:05:00")),
+            (2, ts("2024-01-01 10:00:00")),
+        ],
+        str(src / "f1"),
+        1_000,
+    )
+    # file 2: user 1 returns 3h later -> closes their first session
+    # in-stream and pushes the watermark far past user 2's timeout
+    _write_batch(
+        spark,
+        [(1, ts("2024-01-01 13:00:00"))],
+        str(src / "f2"),
+        2_000,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+    )
+    sessions = stream_sessionize(stream, gap_minutes=30, watermark="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sess_test").collect()
+    }
+    # user 1's burst closed in-stream by the 13:00 event; user 2's
+    # singleton closed by event-time timeout once the watermark passed
+    # 10:30. user 1's 13:00 session is still open -> NOT emitted.
+    assert got == {
+        (1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2),
+        (2, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1),
+    }
+
+
+def test_stream_sessionize_multiple_gaps_one_batch(spark, tmp_path):
+    """Several gap-separated bursts arriving in ONE batch close all but
+    the last immediately (in-stream closure needs no watermark)."""
+    src = tmp_path / "one"
+    _write_batch(
+        spark,
+        [
+            (5, ts("2024-01-01 08:00:00")),
+            (5, ts("2024-01-01 08:10:00")),
+            (5, ts("2024-01-01 09:30:00")),  # > 30 min after 08:10
+            (5, ts("2024-01-01 11:00:00")),  # > 30 min after 09:30
+        ],
+        str(src / "f1"),
+        1_000,
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(f"{src}/*")
+    )
+    sessions = stream_sessionize(stream, gap_minutes=30, watermark="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_one")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sess_one").collect()
+    )
+    assert got == [
+        (ts("2024-01-01 08:00:00"), ts("2024-01-01 08:10:00"), 2),
+        (ts("2024-01-01 09:30:00"), ts("2024-01-01 09:30:00"), 1),
+    ]
