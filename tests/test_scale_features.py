@@ -201,3 +201,22 @@ def test_write_range_sorted_produces_disjoint_zone_maps(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(key), LessThan(key,100)" in plan
     assert back.count() == 100
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/source parity: values round-trip exactly and a key filter
+    reaches the ORC scan as a pushed predicate (same pruned-scan contract
+    the parquet paths assert)."""
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("row-"), F.col("id").cast("string")).alias("name"),
+    )
+    path = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.orderBy("k").collect() == df.orderBy("k").collect()
+    filtered = back.filter(F.col("k") == 123).select("name")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "EqualTo(k,123)" in plan
+    assert filtered.collect()[0]["name"] == "row-123"

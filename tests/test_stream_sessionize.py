@@ -112,3 +112,65 @@ def test_stream_sessionize_multiple_gaps_one_batch(spark, tmp_path):
         (ts("2024-01-01 08:00:00"), ts("2024-01-01 08:10:00"), 2),
         (ts("2024-01-01 09:30:00"), ts("2024-01-01 09:30:00"), 1),
     ]
+
+
+def test_stream_sessionize_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Kill-and-resume: drain file 1 with a checkpoint, stop, then resume
+    the SAME checkpoint after file 2 lands. State (the open session) must
+    survive the restart and the final output must equal the single-run
+    result — no duplicated or lost sessions (exactly-once file sink)."""
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_batch(
+        spark,
+        [
+            (1, ts("2024-01-01 10:00:00")),
+            (1, ts("2024-01-01 10:05:00")),
+            (2, ts("2024-01-01 10:00:00")),
+        ],
+        str(src / "f1"),
+        1_000,
+    )
+
+    def run_drain():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        sessions = stream_sessionize(
+            stream, gap_minutes=30, watermark="30 minutes"
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_drain()  # drains f1; both sessions still open -> nothing final
+    first = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp,"
+        " n_events bigint"
+    ).parquet(out)
+    assert first.count() == 0
+
+    _write_batch(
+        spark,
+        [(1, ts("2024-01-01 13:00:00"))],
+        str(src / "f2"),
+        2_000,
+    )
+    run_drain()  # resume from checkpoint: state survived the restart
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2),
+        (2, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1),
+    }
