@@ -709,6 +709,10 @@ def edit_distance_pairs(
     # same shuffle width, but hash aggregation replaces the window's
     # full sort of the exploded gram table (O(n) vs O(n log n) at the
     # widest stage; wall-clock parity at sf0.1 where the stage is small)
+    # persisted: the gram explode + occurrence aggregation feeds TWO plan
+    # branches (the document-frequency table and the prefix-rank join) and
+    # Catalyst has no cross-branch subplan reuse — without the persist the
+    # widest stage of the query runs twice
     tokens = (
         g.groupBy(id_col, "_len", "_gram")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -718,7 +722,7 @@ def edit_distance_pairs(
             "_gram",
             F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("_occ"),
         )
-    )
+    ).persist()
     dfreq = tokens.groupBy("_gram", "_occ").agg(
         F.count(F.lit(1)).alias("_df")
     )
@@ -784,7 +788,7 @@ def edit_distance_pairs(
             F.col("_ed").cast("bigint").alias("edit_distance"),
         )
     )
-    return track_caches(out, docs)
+    return track_caches(out, docs, tokens)
 
 
 def benchmark_contamination(
