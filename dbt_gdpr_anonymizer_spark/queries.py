@@ -1310,6 +1310,9 @@ _CHECK_LAST = [
     "scrub_text_pii",
     "exact_dedup_documents",
     "ingest_sample_deterministic",
+    #   neardup_components ⊂ neardup_representatives (the representative
+    #     oracle unrolls the same component rounds, then argmaxes)
+    "neardup_components",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -3200,3 +3203,74 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@register(
+    "neardup_representatives",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents),
+    s as (select doc_id, {_SHINGLES_SQL} as sh from w),
+    p as (
+      select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+             len(list_intersect(a.sh, b.sh))::double
+               / len(list_distinct(list_concat(a.sh, b.sh)))::double as j
+      from s a join s b on a.doc_id < b.doc_id
+    ),
+    pairs as (select doc_id_a, doc_id_b from p where j >= 0.7),
+    bi as (select doc_id_a as a, doc_id_b as b from pairs
+           union all
+           select doc_id_b as a, doc_id_a as b from pairs),
+    {_cc_rounds_sql(4)},
+    m as (
+      select l4.label as component, l4.node as doc_id, d.n_chars
+      from l4 join documents d on d.doc_id = l4.node
+    ),
+    r as (
+      select component, doc_id, n_chars,
+             row_number() over (partition by component
+                                order by n_chars desc, doc_id) as rk,
+             count(*) over (partition by component) as n_members
+      from m
+    )
+    select component, doc_id as keep_doc_id, n_members
+    from r where rk = 1 order by component
+    """,
+)
+def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection (X57): pairwise near-dup output is
+    not a dedup DECISION — after grouping pairs into connected
+    components, keep the best member per cluster. "Best" here = longest
+    (ties → min id): the content-preserving choice production dedup
+    pipelines make (min-id keeps an arbitrary copy; longest keeps the
+    most complete one). One window argmax over the component labels —
+    same shuffle key the components already produced."""
+    from pyspark.sql import Window as W
+
+    from dbt_gdpr_anonymizer_spark.operators.dedup import ngram_jaccard_pairs
+    from dbt_gdpr_anonymizer_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.7).select(
+        "doc_id_a", "doc_id_b"
+    )
+    comps = connected_components(
+        pairs, src="doc_id_a", dst="doc_id_b", iters=4
+    )
+    m = comps.join(
+        docs.select("doc_id", "n_chars"),
+        comps["node"] == F.col("doc_id"),
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        m.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(W.partitionBy("component"))
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+        )
+        .orderBy("component")
+    )
