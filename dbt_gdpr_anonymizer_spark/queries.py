@@ -1,13 +1,24 @@
 """Driver-contract query registry: SURVEY §2 operators on the TPC-H-ish tables.
 
 Each entry pairs a PySpark implementation with an equivalent DuckDB oracle
-SQL string. Cross-engine determinism rules used throughout:
+SQL string. Cross-engine determinism rules used throughout (hardened in
+round 4 after a driver canonicalizer diverged on a double→decimal cast):
 
-  * Precision reduction / rounding: ``cast(decimal(p,s))`` on both sides —
-    measured bit-exact between Spark and DuckDB (plain ``round`` is not).
-  * Aggregating doubles: quantize each term to decimal FIRST, sum decimals
-    (exact, order-independent — safe under Spark partial aggregation), cast
-    the final result to double.
+  * NO FLOAT in any compared column. Nonlinear scores (cosine, jaccard,
+    tf-idf, bm25, percentiles, haversine) are released as
+    ``floor(x · 10^k)`` BIGINT (ppm / e4 / micro suffixes): floor is an
+    exact IEEE op on the bit-identical double both engines compute, with
+    no decimal tie-rounding an engine version can flip. Ratios from
+    integer counts are released the same way.
+  * Money / integer-unit sums: exact long (or split hi/lo long) integer
+    accumulators, released as exact ``decimal(38,s)`` via a decimal
+    MULTIPLY by 10^-s (``_cents_exact`` / ``_unsplit_exact``) — scale
+    pinned identically on both sides so decimals stringify identically.
+  * Pure-integer releases where possible: ``t_distance_ppm`` is integral
+    decimal division (Spark ``div`` ≡ DuckDB hugeint ``//``).
+  * Aggregating unavoidable per-row doubles (streaming rollup): release
+    ``floor(sum·10^k + 0.5)`` — the true value is a 10^-k multiple, so
+    the +0.5 floor snaps both engines' last-ulp sums to the same integer.
   * Hashing: md5/sha256 hex strings only (engine-native ``hash()`` differs).
   * No ``current_timestamp``/``rand()`` in compared outputs; "random" samples
     order by md5 of the key — deterministic in both engines.
