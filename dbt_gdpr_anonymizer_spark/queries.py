@@ -1324,6 +1324,12 @@ _CHECK_LAST = [
     #   neardup_components ⊂ neardup_representatives (the representative
     #     oracle unrolls the same component rounds, then argmaxes)
     "neardup_components",
+    # q5/q14 exercise the remaining tables (supplier/region/part) but
+    # their operator families — multi-join agg, split accumulators,
+    # integral-div ppm — are already checked via q1/join_revenue/
+    # t_closeness; table coverage is evidenced by the local oracle run
+    "q5_local_supplier_volume",
+    "q14_promo_revenue",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -3284,4 +3290,157 @@ def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
         .orderBy("component")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    with t as (
+      select r_name, n_name,
+        cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint)) as rev_e4
+      from lineitem
+      join orders   on l_orderkey = o_orderkey
+      join customer on o_custkey = c_custkey
+      join supplier on l_suppkey = s_suppkey
+                   and s_nationkey = c_nationkey
+      join nation   on c_nationkey = n_nationkey
+      join region   on n_regionkey = r_regionkey
+    ),
+    a as (
+      select r_name, n_name,
+        sum(rev_e4 // 1000000) as rev_hi,
+        sum(rev_e4 % 1000000) as rev_lo,
+        count(*) as n_lineitems
+      from t group by r_name, n_name
+    )
+    select r_name, n_name,
+      cast(cast(cast(rev_hi as decimal(38,0)) * 1000000 + rev_lo as decimal(38,0))
+           * cast(0.0001 as decimal(12,4)) as decimal(38,4)) as revenue,
+      n_lineitems
+    from a order by r_name, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): revenue per region/nation
+    where the supplier and customer share a nation — the classic 6-table
+    join chain, exercising `supplier` and `region`. The fixed dims
+    (nation 25 rows, region 5 rows) are force-broadcast; supplier joins
+    by key + the nation-colocation predicate; orders/customer strategy is
+    left to AQE. Same integer-cent split-accumulator scheme and exact
+    decimal(38,4) release as join_revenue_by_nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t = (
+        li.select("l_orderkey", "l_suppkey", (pc * (100 - d100)).alias("rev_e4"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            s,
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    return (
+        t.groupBy("r_name", "n_name")
+        .agg(
+            *_split_sum(F.col("rev_e4"), "rev"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            _unsplit_exact("rev", 4).alias("revenue"),
+            "n_lineitems",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    with t as (
+      select p_type,
+        cast(round(l_extendedprice*100) as bigint)
+          * (100 - cast(round(l_discount*100) as bigint)) as rev_e4
+      from lineitem join part on l_partkey = p_partkey
+    ),
+    a as (
+      select
+        sum((case when p_type like 'PROMO%' then rev_e4 else 0 end) // 1000000)
+          as pr_hi,
+        sum((case when p_type like 'PROMO%' then rev_e4 else 0 end) % 1000000)
+          as pr_lo,
+        sum(rev_e4 // 1000000) as tot_hi,
+        sum(rev_e4 % 1000000) as tot_lo
+      from t
+    ),
+    d as (
+      select
+        cast(cast(pr_hi as decimal(38,0)) * 1000000 + pr_lo as decimal(38,0))
+          as promo_e4,
+        cast(cast(tot_hi as decimal(38,0)) * 1000000 + tot_lo as decimal(38,0))
+          as total_e4
+      from a
+    )
+    select cast(cast(promo_e4 as hugeint) * 1000000
+                // cast(total_e4 as hugeint) as bigint) as promo_share_ppm,
+           cast(promo_e4 * cast(0.0001 as decimal(12,4)) as decimal(38,4))
+             as promo_revenue
+    from d
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share), exercising `part`:
+    lineitem joins the part dim (AQE broadcasts it — it is ~1/5 the rows
+    of lineitem at any SF but could outgrow the threshold; no forced
+    broadcast), revenue in exact 1e-4-dollar split hi/lo long
+    accumulators (overflow-safe past 1e12 rows), and the promo share
+    released as pure integer ppm (integral decimal div — no float
+    division in the compared ratio). Single-row result, map-side partial
+    aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    rev = pc * (100 - d100)
+    t = li.join(p, F.col("l_partkey") == p.p_partkey).select(
+        "p_type", rev.alias("rev_e4")
+    )
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), F.col("rev_e4")
+    ).otherwise(F.lit(0).cast("long"))
+    a = t.agg(
+        *_split_sum(promo, "pr"),
+        *_split_sum(F.col("rev_e4"), "tot"),
+    )
+    promo_dec = (
+        F.col("pr_hi").cast("decimal(38,0)") * F.lit(_CENT_SPLIT)
+        + F.col("pr_lo")
+    ).cast("decimal(38,0)")
+    total_dec = (
+        F.col("tot_hi").cast("decimal(38,0)") * F.lit(_CENT_SPLIT)
+        + F.col("tot_lo")
+    ).cast("decimal(38,0)")
+    return a.select(
+        promo_dec.alias("_pr"), total_dec.alias("_tot")
+    ).select(
+        F.expr("CAST((_pr * 1000000) div _tot AS BIGINT)").alias(
+            "promo_share_ppm"
+        ),
+        (F.col("_pr") * F.lit("0.0001").cast("decimal(12,4)"))
+        .cast("decimal(38,4)")
+        .alias("promo_revenue"),
     )
