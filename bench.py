@@ -44,6 +44,8 @@ HEADLINE = [
     # newest plan shapes: Gravano gram-filter join + codegen noise ladder
     "edit_distance_neardup",
     "dp_noisy_order_counts",
+    # 6-table broadcast/AQE join chain (TPC-H Q5 shape)
+    "q5_local_supplier_volume",
 ]
 
 # Timing policy: every tracked persist() is released after each run, so all
