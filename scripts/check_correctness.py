@@ -6,12 +6,18 @@ an order-insensitive value hash (columns sorted by name, rows sorted, values
 rendered with repr-level precision). Usage::
 
     python scripts/check_correctness.py [sf_dir] [query ...]
+
+Set ``CHECK_JSON=/path/out.json`` to also write a driver-shaped artifact
+({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
+err}}) for diffing against the driver's CORRECTNESS_r{N}.json.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
+import os
 import sys
 import traceback
 
@@ -61,6 +67,7 @@ def main():
         )
 
     qs, oracles = ent.queries(), ent.oracle_sql()
+    report: dict[str, dict] = {}
     npass = nfail = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -71,6 +78,14 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
                 print(f"  {name}: rows-only ({len(srows)} rows) OK")
+                report[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": len(srows),
+                    "oracle_rows": None,
+                    "err": None,
+                }
                 npass += 1
                 continue
             res = con.execute(oracles[name])
@@ -80,6 +95,14 @@ def main():
             ok_rows = len(srows) == len(orows)
             sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
             ok = ok_cols and ok_rows and sh == oh
+            report[name] = {
+                "rows_match": ok_rows,
+                "schema_match": ok_cols,
+                "hash_match": sh == oh,
+                "spark_rows": len(srows),
+                "oracle_rows": len(orows),
+                "err": None,
+            }
             if ok:
                 npass += 1
                 print(f"  {name}: PASS ({len(srows)} rows)")
@@ -100,10 +123,23 @@ def main():
                         if a != b:
                             print(f"    spark: {a[:200]}\n    duck : {b[:200]}")
                             break
-        except Exception:
+        except Exception as e:
             nfail += 1
+            report[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": repr(e)[:200],
+            }
             print(f"  {name}: ERROR")
             traceback.print_exc(limit=3)
+    out_path = os.environ.get("CHECK_JSON")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report written to {out_path}")
     print(f"\n{npass} pass, {nfail} fail")
     return 1 if nfail else 0
 
