@@ -93,3 +93,59 @@ def repetition_profile(
         .alias("top_bigram_ppm"),
     )
     return out
+
+
+def corpus_quality_gate(
+    docs: DataFrame,
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    max_dup_word_ppm: int = 300_000,
+    max_top_bigram_ppm: int = 180_000,
+    max_punct_ppm: int = 200_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The cleaning DECISION (C4/Gopher-style): combine the repetition and
+    punctuation signals into per-document keep/drop with an audit reason.
+
+    Rules evaluate in a fixed precedence (first failure wins, so the
+    reason column is deterministic): word-count bounds, duplicate-word
+    fraction, top-bigram fraction, punctuation density. All signals are
+    exact integers (ppm), so the gate reproduces bit-for-bit on any
+    engine. Output: (id, n_words, dup_word_ppm, top_bigram_ppm,
+    punct_ppm, reject_reason, keep) — keep the audit columns; dropping
+    silently is how corpus bugs hide.
+
+    Plan: ``repetition_profile``'s doc-keyed aggregates joined back to a
+    per-row punctuation projection — one hash join on the id. The word
+    arrays are computed once inside the profile; the punct scan is a
+    per-row regexp count on the raw text (codegen, no shuffle).
+    """
+    prof = repetition_profile(docs, id_col=id_col, text_col=text_col)
+    punct = docs.select(
+        F.col(id_col),
+        F.floor(tx.punct_ratio(text_col) * PPM)
+        .cast("long")
+        .alias("punct_ppm"),
+    )
+    j = prof.join(punct, id_col)
+    reason = (
+        F.when(F.col("n_words") < min_words, F.lit("too_short"))
+        .when(F.col("n_words") > max_words, F.lit("too_long"))
+        .when(F.col("dup_word_ppm") > max_dup_word_ppm, F.lit("dup_words"))
+        .when(
+            F.col("top_bigram_ppm") > max_top_bigram_ppm,
+            F.lit("repetitive_bigrams"),
+        )
+        .when(F.col("punct_ppm") > max_punct_ppm, F.lit("punct_heavy"))
+    )
+    return j.select(
+        id_col,
+        "n_words",
+        "dup_word_ppm",
+        "top_bigram_ppm",
+        "punct_ppm",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )

@@ -1324,6 +1324,10 @@ _CHECK_LAST = [
     #   neardup_components ⊂ neardup_representatives (the representative
     #     oracle unrolls the same component rounds, then argmaxes)
     "neardup_components",
+    #   repetition_profile_documents ⊂ corpus_quality_gate_documents (the
+    #     gate's oracle embeds the profile CTEs verbatim, plus the
+    #     decision precedence)
+    "repetition_profile_documents",
     # q5/q14 exercise the remaining tables (supplier/region/part) but
     # their operator families — multi-join agg, split accumulators,
     # integral-div ppm — are already checked via q1/join_revenue/
@@ -3444,3 +3448,62 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,4)")
         .alias("promo_revenue"),
     )
+
+
+@register(
+    "corpus_quality_gate_documents",
+    f"""
+    with w as (select doc_id, {_WORDS_G_SQL} as ws from documents),
+    s as (select doc_id, len(ws) as n, len(list_distinct(ws)) as nd, ws
+          from w),
+    b as (select doc_id, ws[i] || ' ' || ws[i + 1] as bg
+          from (select doc_id, ws, unnest(range(1, len(ws))) as i
+                from s where n >= 2)),
+    bc as (select doc_id, bg, count(*) as c from b group by 1, 2),
+    bm as (select doc_id, max(c) as maxc from bc group by 1),
+    prof as (
+      select s.doc_id,
+             cast(n as bigint) as n_words,
+             cast(case when n > 0 then (1000000 * (n - nd)) // n
+                  else 0 end as bigint) as dup_word_ppm,
+             cast(case when n > 1 then (1000000 * coalesce(maxc, 0)) // (n - 1)
+                  else 0 end as bigint) as top_bigram_ppm
+      from s left join bm using (doc_id)
+    ),
+    p as (
+      select doc_id,
+             cast(floor((case when length(text) = 0 then 0.0
+                         else len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::double
+                              / length(text) end) * 1000000) as bigint)
+               as punct_ppm
+      from documents
+    ),
+    g as (
+      select prof.*, p.punct_ppm,
+             case when n_words < 5 then 'too_short'
+                  when n_words > 100000 then 'too_long'
+                  when dup_word_ppm > 300000 then 'dup_words'
+                  when top_bigram_ppm > 180000 then 'repetitive_bigrams'
+                  when punct_ppm > 200000 then 'punct_heavy'
+             end as reject_reason
+      from prof join p using (doc_id)
+    )
+    select doc_id, n_words, dup_word_ppm, top_bigram_ppm, punct_ppm,
+           reject_reason, reject_reason is null as keep
+    from g order by doc_id
+    """,
+)
+def corpus_quality_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style corpus cleaning gate (X59): the keep/drop DECISION
+    composed from the exact-integer quality signals — word-count bounds,
+    duplicate-word and top-bigram ppm (Gopher thresholds 0.30 / 0.18),
+    punctuation-density ppm — with a fixed-precedence audit
+    ``reject_reason`` so drops are explainable, never silent. All compared
+    columns are integers/strings/booleans; the oracle replays the
+    identical precedence."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        corpus_quality_gate,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return corpus_quality_gate(d).orderBy("doc_id")

@@ -105,3 +105,26 @@ def test_dedup_against_index_only_fresh_survive(spark):
     index = exact_dedup(corpus).select("fingerprint")
     got = sorted(r["doc_id"] for r in dedup_against_index(delta, index).collect())
     assert got == [11]
+
+
+def test_corpus_quality_gate_reasons_and_precedence(spark):
+    from dbt_gdpr_anonymizer_spark.operators.quality import corpus_quality_gate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),  # < 5 words
+            (2, "spam spam spam spam spam spam"),  # dup words AND bigrams
+            (3, "a perfectly ordinary sentence about data pipelines"),
+            (4, "w@@@ %%% ### !!! ??? &&& *** $$$ ((( )))"),  # punct-heavy
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"])
+        for r in corpus_quality_gate(docs).collect()
+    }
+    assert got[1] == (False, "too_short")
+    # dup-word rule outranks the bigram rule in the fixed precedence
+    assert got[2] == (False, "dup_words")
+    assert got[3] == (True, None)
+    assert got[4][0] is False
