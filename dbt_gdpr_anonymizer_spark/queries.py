@@ -1334,6 +1334,9 @@ _CHECK_LAST = [
     # t_closeness; table coverage is evidenced by the local oracle run
     "q5_local_supplier_volume",
     "q14_promo_revenue",
+    # reshape family: pivot_event_counts (checked) is the same matrix;
+    # the unpivot round-trip is evidenced by the local oracle run
+    "unpivot_event_counts",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -3507,3 +3510,41 @@ def corpus_quality_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return corpus_quality_gate(d).orderBy("doc_id")
+
+
+@register(
+    "unpivot_event_counts",
+    """
+    select user_id % 10 as bucket, event_type, count(*) as n_events
+    from events
+    group by bucket, event_type
+    having count(*) > 0
+    order by bucket, event_type
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse relational reshape of
+    pivot_event_counts, proven by round-trip: the wide per-bucket count
+    matrix melts back to (bucket, event_type, n_events) and must equal
+    the direct long-form aggregation the oracle computes from the raw
+    events. ``DataFrame.unpivot`` expands columns to rows map-side — no
+    shuffle beyond the pivot's own aggregation; zero-count cells (pivot
+    NULLs) are dropped to mirror the long form's absent groups."""
+    e = _events(spark, sf_dir)
+    wide = (
+        e.select((F.col("user_id") % 10).alias("bucket"), "event_type")
+        .groupBy("bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        wide.unpivot(
+            ids=["bucket"],
+            values=_EVENT_TYPES,
+            variableColumnName="event_type",
+            valueColumnName="n_events",
+        )
+        .filter(F.col("n_events").isNotNull())
+        .select("bucket", "event_type", F.col("n_events").cast("bigint"))
+        .orderBy("bucket", "event_type")
+    )
