@@ -1337,6 +1337,9 @@ _CHECK_LAST = [
     # reshape family: pivot_event_counts (checked) is the same matrix;
     # the unpivot round-trip is evidenced by the local oracle run
     "unpivot_event_counts",
+    # exact-moment stats compose already-checked machinery (q1's split
+    # accumulators + t_closeness's integral div); local oracle evidence
+    "event_value_stats",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -3548,3 +3551,76 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "event_type", F.col("n_events").cast("bigint"))
         .orderBy("bucket", "event_type")
     )
+
+
+@register(
+    "event_value_stats",
+    """
+    with t as (select event_type,
+                      cast(round(value*100) as bigint) as c from events),
+    a as (select event_type, count(*) as n,
+            sum(c // 1000000) as sx_hi, sum(c % 1000000) as sx_lo,
+            sum((c*c) // 1000000) as sxx_hi, sum((c*c) % 1000000) as sxx_lo
+          from t group by event_type),
+    d as (select event_type, n,
+            cast(sx_hi as hugeint)*1000000 + sx_lo as sx,
+            cast(sxx_hi as hugeint)*1000000 + sxx_lo as sxx
+          from a)
+    select event_type, cast(n as bigint) as n,
+      cast((sx * 10000) // cast(n as hugeint) as bigint) as mean_micro,
+      cast(floor(10000.0
+                 * sqrt(cast(cast(n as hugeint)*sxx - sx*sx as double))
+                 / cast(n as double)) as bigint) as std_micro
+    from d order by event_type
+    """,
+)
+def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact second-moment statistics (X60): per-group mean and population
+    std of a money column without ``avg``/``stddev`` float accumulators —
+    cents and squared cents sum in split hi/lo codegen longs
+    (order-independent, overflow-safe past 1e12 rows/group), the mean
+    releases as integral-division micro-dollars, and the std's single
+    inexact chain (decimal→double, sqrt, one multiply, one divide, floor)
+    is deterministic IEEE on the identical exact integer both engines
+    reassemble. The ``stddev``-shaped aggregation a feature-engineering
+    pipeline (z-scoring, outlier gates) runs at corpus scale."""
+    e = _events(spark, sf_dir)
+    c = F.round(F.col("value") * 100).cast("long")
+    a = (
+        e.select("event_type", c.alias("_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *_split_sum(F.col("_c"), "sx"),
+            *_split_sum(F.col("_c") * F.col("_c"), "sxx"),
+        )
+    )
+    sx = (
+        F.col("sx_hi").cast("decimal(38,0)") * F.lit(_CENT_SPLIT)
+        + F.col("sx_lo")
+    ).cast("decimal(38,0)")
+    sxx = (
+        F.col("sxx_hi").cast("decimal(38,0)") * F.lit(_CENT_SPLIT)
+        + F.col("sxx_lo")
+    ).cast("decimal(38,0)")
+    d = a.select(
+        "event_type", "n", sx.alias("_sx"), sxx.alias("_sxx")
+    )
+    disc = (
+        F.col("n").cast("decimal(38,0)") * F.col("_sxx")
+        - F.col("_sx") * F.col("_sx")
+    )
+    return d.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST((_sx * 10000) div CAST(n AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("mean_micro"),
+        F.floor(
+            F.lit(10000.0)
+            * F.sqrt(disc.cast("double"))
+            / F.col("n").cast("double")
+        )
+        .cast("bigint")
+        .alias("std_micro"),
+    ).orderBy("event_type")
