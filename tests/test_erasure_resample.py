@@ -128,3 +128,18 @@ def test_corpus_quality_gate_reasons_and_precedence(spark):
     assert got[2] == (False, "dup_words")
     assert got[3] == (True, None)
     assert got[4][0] is False
+
+
+def test_temperature_resample_alpha_one_is_proportional(spark):
+    """sqrt_temperature=False (α=1): quotas stay proportional to group
+    size — the integer-lattice arithmetic, without the sqrt flattening."""
+    rows = [(i, "big") for i in range(90)] + [(i + 100, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = {
+        r["lang"]: r["n"]
+        for r in temperature_resample(df, "lang", 50, sqrt_temperature=False)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {"big": 45, "small": 5}
