@@ -25,6 +25,7 @@ def pack_sequences(
     bucket_width: int = 128,
     id_col: str = "doc_id",
     text_col: str = "text",
+    emit_cum: bool = False,
 ) -> DataFrame:
     """Assign every document a ``(bucket, batch_id)``.
 
@@ -46,6 +47,9 @@ def pack_sequences(
     what a multi-host dataloader needs anyway) if one bucket exceeds an
     executor. All arithmetic is integer (exact window cumsum of longs);
     the assignment is bit-identical across engines and partitionings.
+    ``emit_cum=True`` additionally releases the pre-cut running token
+    count (``cum_before``, BIGINT) — the diagnostic surface for bisecting
+    a cross-engine mismatch to tokenize / cumsum / division.
     """
     d = docs.select(
         id_col, tx.token_count_ws(text_col).cast("long").alias("n_tokens")
@@ -56,9 +60,13 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    extra = (
+        [F.col("_cum").cast("long").alias("cum_before")] if emit_cum else []
+    )
     return d.withColumn("_cum", cum_before).select(
         id_col,
         "n_tokens",
         "bucket",
         F.expr(f"_cum div cast({max_tokens} as bigint)").alias("batch_id"),
+        *extra,
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "l_diversity_violations",
     "t_closeness_report",
+    "t_closeness_numerators",
     "dp_noisy_counts",
     "geometric_noise_thresholds",
 ]
@@ -84,6 +85,35 @@ def t_closeness_report(
     total rides a broadcast cross join — the same bounded-side pattern as
     the tf-idf corpus stats.
     """
+    return (
+        _t_closeness_grid_agg(df, quasi_identifiers, sensitive_col)
+        .select(
+            *quasi_identifiers,
+            F.col("_n_g").alias("group_size"),
+            # ppm = ½·1e6·_num/(n_g·N) = _num·500000 div (n_g·N): integral
+            # decimal division (Spark IntegralDivide on DECIMAL → BIGINT),
+            # exact and bit-identical across engines — no float step at all
+            F.expr(
+                "CAST((_num * 500000) div "
+                "(CAST(_n_g AS DECIMAL(38,0)) * CAST(_N AS DECIMAL(38,0))) "
+                "AS BIGINT)"
+            ).alias("t_distance_ppm"),
+        )
+        .orderBy(*quasi_identifiers)
+    )
+
+
+def _t_closeness_grid_agg(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Shared core of the t-closeness plan: the group × sensitive-value
+    grid with the exact integer numerator aggregated per group. Returns
+    one row per QI group with ``_num`` (Σ_s |n_gs·N − n_s·n_g|, exact
+    decimal(38,0)), ``_n_g`` and ``_N`` (longs) — everything upstream of
+    the final integral division, so the report and the diagnostic
+    numerator release cannot drift apart."""
     qis = [F.col(c) for c in quasi_identifiers]
     base = df.select(*qis, F.col(sensitive_col).alias("_s"))
     cell = base.groupBy(*quasi_identifiers, "_s").agg(
@@ -103,20 +133,33 @@ def t_closeness_report(
         F.col("_n_gs").cast("decimal(38,0)") * F.col("_N")
         - F.col("_n_s").cast("decimal(38,0)") * F.col("_n_g")
     )
+    return grid.groupBy(*quasi_identifiers, "_n_g", "_N").agg(
+        F.sum(term).alias("_num")
+    )
+
+
+def t_closeness_numerators(
+    df: DataFrame,
+    quasi_identifiers: Sequence[str],
+    sensitive_col: str,
+) -> DataFrame:
+    """Diagnostic twin of :func:`t_closeness_report`: the exact integers
+    one step BEFORE the integral division — ``num_abs`` (Σ_s |n_gs·N −
+    n_s·n_g|), ``n_g`` and ``n_total`` — released as plain BIGINTs.
+
+    Exists to bisect a cross-engine divergence with driver evidence: if
+    this query hash-matches while the report does not, the diverging step
+    is the division/release; if this one diverges too, the counting grid
+    itself differs. (Round-4 forensics: the report's red row was the
+    UNCAST ``sum`` → DuckDB HUGEINT ``group_size`` column degrading to
+    float64 in the driver's pandas fetch, not a value difference.)"""
     return (
-        grid.groupBy(*quasi_identifiers, "_n_g", "_N")
-        .agg(F.sum(term).alias("_num"))
+        _t_closeness_grid_agg(df, quasi_identifiers, sensitive_col)
         .select(
             *quasi_identifiers,
-            F.col("_n_g").alias("group_size"),
-            # ppm = ½·1e6·_num/(n_g·N) = _num·500000 div (n_g·N): integral
-            # decimal division (Spark IntegralDivide on DECIMAL → BIGINT),
-            # exact and bit-identical across engines — no float step at all
-            F.expr(
-                "CAST((_num * 500000) div "
-                "(CAST(_n_g AS DECIMAL(38,0)) * CAST(_N AS DECIMAL(38,0))) "
-                "AS BIGINT)"
-            ).alias("t_distance_ppm"),
+            F.col("_num").cast("long").alias("num_abs"),
+            F.col("_n_g").cast("long").alias("n_g"),
+            F.col("_N").cast("long").alias("n_total"),
         )
         .orderBy(*quasi_identifiers)
     )

@@ -11,9 +11,18 @@ round 4 after a driver canonicalizer diverged on a double→decimal cast):
     no decimal tie-rounding an engine version can flip. Ratios from
     integer counts are released the same way.
   * Money / integer-unit sums: exact long (or split hi/lo long) integer
-    accumulators, released as exact ``decimal(38,s)`` via a decimal
-    MULTIPLY by 10^-s (``_cents_exact`` / ``_unsplit_exact``) — scale
-    pinned identically on both sides so decimals stringify identically.
+    accumulators, released as plain BIGINT integer-unit columns
+    (``_cents`` / ``_e4`` / ``_e6`` suffixes). NEVER computed
+    ``decimal(38,s)`` and NEVER an uncast DuckDB ``sum()``: the driver
+    fetches oracle results through a pandas/Arrow path where DECIMAL and
+    HUGEINT (DuckDB's ``sum(BIGINT)`` result type) degrade to float64 and
+    render ``6.0`` where Spark renders ``6`` — four decimal-releasing
+    queries went 0-for-4 in CORRECTNESS_r04 while bit-identical on a
+    fetchall() replay, and the only two all-"bigint" failures each had one
+    HUGEINT column (an uncast sum). Every oracle ``sum(...)`` feeding a
+    compared column is therefore ``cast(... as bigint)``;
+    ``scripts/audit_oracle_types.py`` (and its pytest wrapper) enforces
+    DESCRIBE-level safety for every registered oracle.
   * Pure-integer releases where possible: ``t_distance_ppm`` is integral
     decimal division (Spark ``div`` ≡ DuckDB hugeint ``//``).
   * Aggregating unavoidable per-row doubles (streaming rollup): release
@@ -600,7 +609,7 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       left join cell on cell.c_mktsegment = g.c_mktsegment
                     and cell.n_name = g.n_name and cell.band = s.band
     )
-    select c_mktsegment, n_name, n_g as group_size,
+    select c_mktsegment, n_name, cast(n_g as bigint) as group_size,
            cast((sum(abs(cast(n_gs as hugeint) * n_all - cast(n_s as hugeint) * n_g))
                  * 500000)
                 // (cast(n_g as hugeint) * cast(n_all as hugeint))
@@ -614,6 +623,52 @@ def t_closeness_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.privacy import t_closeness_report
 
     return t_closeness_report(
+        _cust_nation_band(spark, sf_dir), ["c_mktsegment", "n_name"], "band"
+    )
+
+
+@register(
+    "t_closeness_numerators",
+    f"""
+    with cell as (
+      select c_mktsegment, n_name, {_BAND_SQL} as band, count(*) as n_gs
+      from customer join nation on c_nationkey = n_nationkey
+      group by c_mktsegment, n_name, band
+    ), g as (
+      select c_mktsegment, n_name, sum(n_gs) as n_g from cell
+      group by c_mktsegment, n_name
+    ), s as (
+      select band, sum(n_gs) as n_s from cell group by band
+    ), tot as (
+      select sum(n_s) as n_all from s
+    ), grid as (
+      select g.c_mktsegment, g.n_name, g.n_g, s.band, s.n_s, tot.n_all,
+             coalesce(cell.n_gs, 0) as n_gs
+      from g cross join s cross join tot
+      left join cell on cell.c_mktsegment = g.c_mktsegment
+                    and cell.n_name = g.n_name and cell.band = s.band
+    )
+    select c_mktsegment, n_name,
+           cast(sum(abs(cast(n_gs as hugeint) * n_all
+                        - cast(n_s as hugeint) * n_g)) as bigint) as num_abs,
+           cast(n_g as bigint) as n_g,
+           cast(n_all as bigint) as n_total
+    from grid
+    group by c_mktsegment, n_name, n_g, n_all
+    order by c_mktsegment, n_name
+    """,
+)
+def t_closeness_numerators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of ``t_closeness_segments`` (VERDICT r4 task 2):
+    the exact pre-division integers released as plain BIGINTs, so a
+    driver red on the report but green here pins the divergence to the
+    integral-division/release step, and a red here pins it to the
+    counting grid. See ``operators/privacy.py:t_closeness_numerators``."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import (
+        t_closeness_numerators,
+    )
+
+    return t_closeness_numerators(
         _cust_nation_band(spark, sf_dir), ["c_mktsegment", "n_name"], "band"
     )
 
@@ -876,9 +931,8 @@ def _split_sum(x: F.Column, prefix: str) -> list[F.Column]:
     six-digit chunks keeps BOTH partial sums in fast codegen longs —
     ``sum(x div 1e6) ≤ rows·1e5`` and ``sum(x mod 1e6) ≤ rows·1e6`` stay
     under 2^63 past 1e12 rows per group — and the exact total is
-    reassembled after the reduce (6–25 rows) as hi·1e6 + lo in
-    decimal(38,0), scaled to dollars by an exact decimal multiply
-    (``_unsplit_exact``) — zero floats anywhere in the compared value."""
+    reassembled after the reduce (6–25 rows) as hi·1e6 + lo
+    (``_unsplit_long``) — zero floats anywhere in the compared value."""
     m = F.lit(_CENT_SPLIT).cast("long")
     return [
         F.sum(F.floor(x / m).cast("long")).alias(f"{prefix}_hi"),
@@ -886,32 +940,23 @@ def _split_sum(x: F.Column, prefix: str) -> list[F.Column]:
     ]
 
 
-def _cents_exact(sum_col: F.Column, frac_digits: int) -> F.Column:
-    """Scale an exact integer sum (10^-frac units) to an EXACT
-    decimal(38,frac) — decimal multiply by the 10^-frac literal (result
-    scale 0+frac, no division, no float). The compared value stringifies
-    identically in every engine; the oracle mirrors the same cast chain."""
-    scale_lit = "0." + "0" * (frac_digits - 1) + "1"
+def _unsplit_long(prefix: str) -> F.Column:
+    """Reassemble a split sum as a BIGINT integer-unit total
+    (hi·1e6 + lo, all long arithmetic).
+
+    Compared columns are released as plain BIGINT integer units — the only
+    release family that has never failed the driver's canonicalizer (its
+    pandas fetch degrades DECIMAL and HUGEINT to float64; see module
+    docstring). The bigint reassembly caps the RELEASED total at 2^63
+    integer units (~9.2e14 dollars in e-4 units) — far beyond any sf this
+    gate runs at; a production pipeline emitting human-readable dollars at
+    1e12-row scale would format hi/lo as decimal(38,s) in its OWN sink,
+    outside the oracle-compared surface. The split long ACCUMULATORS are
+    unchanged and overflow-safe past 1e12 rows per group."""
     return (
-        sum_col.cast("decimal(38,0)")
-        * F.lit(scale_lit).cast(f"decimal(12,{frac_digits})")
-    ).cast(f"decimal(38,{frac_digits})")
-
-
-def _unsplit_exact(prefix: str, frac_digits: int) -> F.Column:
-    """Reassemble a split sum as an EXACT decimal(38,frac_digits).
-
-    The double variant above is IEEE-identical when both engines execute
-    the same expression, but the round-3 driver canonicalizer still
-    diverged on one such column — so compared outputs now avoid floats
-    entirely: hi·1e6+lo stays decimal(38,0), and the dollar scaling is a
-    decimal MULTIPLY by 10^-frac (result scale 0+frac — exact, no division,
-    no rounding step an engine version could disagree on)."""
-    total = (
-        F.col(f"{prefix}_hi").cast("decimal(38,0)") * F.lit(_CENT_SPLIT)
+        F.col(f"{prefix}_hi") * F.lit(_CENT_SPLIT).cast("long")
         + F.col(f"{prefix}_lo")
-    ).cast("decimal(38,0)")
-    return _cents_exact(total, frac_digits)
+    ).cast("long")
 
 
 @register(
@@ -937,14 +982,10 @@ def _unsplit_exact(prefix: str, frac_digits: int) -> F.Column:
       from t group by l_returnflag, l_linestatus
     )
     select l_returnflag, l_linestatus,
-      cast(cast(sq as decimal(38,0)) * cast(0.01 as decimal(12,2))
-           as decimal(38,2)) as sum_qty,
-      cast(cast(sp as decimal(38,0)) * cast(0.01 as decimal(12,2))
-           as decimal(38,2)) as sum_base_price,
-      cast(cast(cast(dp_hi as decimal(38,0)) * 1000000 + dp_lo as decimal(38,0))
-           * cast(0.0001 as decimal(12,4)) as decimal(38,4)) as sum_disc_price,
-      cast(cast(cast(ch_hi as decimal(38,0)) * 1000000 + ch_lo as decimal(38,0))
-           * cast(0.000001 as decimal(12,6)) as decimal(38,6)) as sum_charge,
+      cast(sq as bigint) as sum_qty_cents,
+      cast(sp as bigint) as sum_base_price_cents,
+      cast(dp_hi * 1000000 + dp_lo as bigint) as sum_disc_price_e4,
+      cast(ch_hi * 1000000 + ch_lo as bigint) as sum_charge_e6,
       count_order
     from a
     order by l_returnflag, l_linestatus
@@ -958,9 +999,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     product sums use split hi/lo accumulators (see ``_split_sum``) so the
     whole aggregation runs in codegen longs — no BigDecimal accumulator,
     no overflow until ~1e12 rows per group. Exact and engine-identical:
-    both engines sum the same integers and release exact decimals
-    (``_cents_exact`` / ``_unsplit_exact``) — no float in any compared
-    column."""
+    both engines sum the same integers and release plain BIGINT integer
+    units (``sum_qty_cents``/``sum_disc_price_e4``/``sum_charge_e6`` —
+    see module docstring for the no-decimal/no-hugeint release rule)."""
     li = _t(spark, sf_dir, "lineitem")
     qc = F.round(F.col("l_quantity") * 100).cast("long")
     pc = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -983,10 +1024,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "l_linestatus",
-            _cents_exact(F.col("sq"), 2).alias("sum_qty"),
-            _cents_exact(F.col("sp"), 2).alias("sum_base_price"),
-            _unsplit_exact("dp", 4).alias("sum_disc_price"),
-            _unsplit_exact("ch", 6).alias("sum_charge"),
+            F.col("sq").cast("long").alias("sum_qty_cents"),
+            F.col("sp").cast("long").alias("sum_base_price_cents"),
+            _unsplit_long("dp").alias("sum_disc_price_e4"),
+            _unsplit_long("ch").alias("sum_charge_e6"),
             "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1015,9 +1056,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       group by n_name
     )
     select n_name,
-      cast(cast(cast(rev_hi as decimal(38,0)) * 1000000 + rev_lo as decimal(38,0))
-           * cast(0.0001 as decimal(8,4)) as decimal(38,4)) as revenue,
-      n_lineitems
+      cast(rev_hi * 1000000 + rev_lo as bigint) as revenue_e4,
+      cast(n_lineitems as bigint) as n_lineitems
     from a order by n_name
     """,
 )
@@ -1058,7 +1098,11 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             *_split_sum(F.col("rev_e4"), "rev"),
             F.sum("cnt").alias("n_lineitems"),
         )
-        .select("n_name", _unsplit_exact("rev", 4).alias("revenue"), "n_lineitems")
+        .select(
+            "n_name",
+            _unsplit_long("rev").alias("revenue_e4"),
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
+        )
         .orderBy("n_name")
     )
 
@@ -1134,8 +1178,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     select date_trunc('hour', ts::timestamp) as hour, event_type,
            count(*) as n_events,
-           cast(cast(sum(cast(round(value*100) as bigint)) as decimal(38,0))
-                * cast(0.01 as decimal(12,2)) as decimal(38,2)) as total_value
+           cast(sum(cast(round(value*100) as bigint)) as bigint)
+             as total_value_cents
     from events
     group by 1, 2
     order by hour, event_type
@@ -1145,9 +1189,9 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cent-exact rollup: value becomes long cents per row, summed in a
     single codegen long accumulator (a (hour, type) group would need
     ~1e13 rows of 1e4-dollar events to overflow 2^63 cents — not a real
-    granularity), released as exact decimal(38,2) dollars
-    (``_cents_exact``). Same integer-arithmetic rationale as
-    ``_split_sum``."""
+    granularity), released as BIGINT cents (``total_value_cents`` — see
+    module docstring for the no-decimal/no-hugeint release rule). Same
+    integer-arithmetic rationale as ``_split_sum``."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy(
@@ -1155,9 +1199,9 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _cents_exact(
-                F.sum(F.round(F.col("value") * 100).cast("long")), 2
-            ).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
         )
         .orderBy("hour", "event_type")
     )
@@ -1178,8 +1222,8 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       from x
     )
     select window_start, event_type, count(*) as n_events,
-           cast(cast(sum(cast(round(value*100) as bigint)) as decimal(38,0))
-                * cast(0.01 as decimal(12,2)) as decimal(38,2)) as total_value
+           cast(sum(cast(round(value*100) as bigint)) as bigint)
+             as total_value_cents
     from u group by 1, 2
     """,
 )
@@ -1197,15 +1241,15 @@ def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _cents_exact(
-                F.sum(F.round(F.col("value") * 100).cast("long")), 2
-            ).alias("total_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("total_value_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_cents",
         )
     )
 
@@ -1283,7 +1327,6 @@ _CHECK_LAST = [
     "like_filter",  # filter family (staging_flags, case_categorization)
     "distinct_limit_sample",  # sample family (stratified, ingest_sample)
     "deterministic_sample",  # twin of ingest_sample_deterministic
-    "sliding_window_rollup",  # window family (hourly, session_window)
     "lang_id_accuracy",  # text family (text_quality_profile)
     "simhash_fingerprint",  # twin of simhash_neardup
     "rolling_fingerprint_documents",  # fingerprint family (winnowing)
@@ -1298,14 +1341,8 @@ _CHECK_LAST = [
     # skew_safe_distinct_users the distinct-count family, and
     # embedding_neardup's driver row was a trivial 0-row match (the corpus
     # has no pairs ≥0.9; planted-pair semantics live in the unit suite).
-    "rollup_pricing",
     "distinct_counts",
     "embedding_neardup",
-    # makes room for stream_rate_windowed_rollup (the unbounded-source
-    # streaming row): hourly_event_rollup keeps green rows in the r1-r3
-    # artifacts and the windowed-agg family stays represented by the new
-    # streaming entry + sessionize_events + sliding twin
-    "hourly_event_rollup",
     # r4 additions rotation: each demoted row is green in r1-r3 artifacts
     # and replaced by a strictly-stronger superset entry —
     #   sessionize_events ⊂ stream_sessionize_events (same gap oracle +
@@ -1328,18 +1365,27 @@ _CHECK_LAST = [
     #     gate's oracle embeds the profile CTEs verbatim, plus the
     #     decision precedence)
     "repetition_profile_documents",
-    # q5/q14 exercise the remaining tables (supplier/region/part) but
-    # their operator families — multi-join agg, split accumulators,
-    # integral-div ppm — are already checked via q1/join_revenue/
-    # t_closeness; table coverage is evidenced by the local oracle run
-    "q5_local_supplier_volume",
-    "q14_promo_revenue",
-    # reshape family: pivot_event_counts (checked) is the same matrix;
-    # the unpivot round-trip is evidenced by the local oracle run
-    "unpivot_event_counts",
-    # exact-moment stats compose already-checked machinery (q1's split
-    # accumulators + t_closeness's integral div); local oracle evidence
-    "event_value_stats",
+    # r5 rotation: ALL former decimal-release queries (rollup_pricing,
+    # hourly_event_rollup, sliding_window_rollup, q5, q14, plus the
+    # never-driver-checked unpivot_event_counts / event_value_stats) are
+    # re-promoted into the checked window in the same round their release
+    # switched to BIGINT units — the r4 VERDICT established that a demoted
+    # query whose family representative is red hides latent failures, and
+    # that a pre-change green row is void once the compared output
+    # changes. The three canonicalizer-bisect twins (t_closeness_numerators,
+    # pack_token_counts, pack_cumsums) are promoted for the same reason.
+    # The ten rows demoted to make room each hold an UNCHANGED compared
+    # output + a green r4 driver row + a checked green representative:
+    "l_diversity",  # QI-group privacy family (k_anonymity, dp_noisy checked)
+    "union_violations",  # union-all family (pii_inventory checked)
+    "topk_orders_per_bucket",  # rank-window family (stratified_sample)
+    "tfidf_top_terms",  # corpus-stats scoring family (bm25_search checked)
+    "simhash_neardup",  # near-dup family (minhash/ngram/edit checked)
+    "asof_join_purchase_signup",  # temporal-join family (interval_join)
+    "pivot_event_counts",  # reshape family (unpivot round-trip re-promoted)
+    "embedding_int8_quantize",  # similarity family (ann_cosine, sparse_cosine)
+    "priority_sample_documents",  # sampling family (stratified, temperature)
+    "skew_safe_distinct_users",  # distinct family (quality_metrics checked)
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -2490,8 +2536,8 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_pricing",
     """
     select l_returnflag, l_linestatus, count(*) as n,
-           cast(cast(sum(cast(round(l_quantity*100) as bigint)) as decimal(38,0))
-                * cast(0.01 as decimal(12,2)) as decimal(38,2)) as sum_qty
+           cast(sum(cast(round(l_quantity*100) as bigint)) as bigint)
+             as sum_qty_cents
     from lineitem
     group by rollup (l_returnflag, l_linestatus)
     """,
@@ -2500,9 +2546,9 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        _cents_exact(
-            F.sum(F.round(F.col("l_quantity") * 100).cast("long")), 2
-        ).alias("sum_qty"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_qty_cents"),
     )
 
 
@@ -2510,8 +2556,8 @@ def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_pricing",
     """
     select l_returnflag, l_linestatus, count(*) as n,
-           cast(cast(sum(cast(round(l_quantity*100) as bigint)) as decimal(38,0))
-                * cast(0.01 as decimal(12,2)) as decimal(38,2)) as sum_qty
+           cast(sum(cast(round(l_quantity*100) as bigint)) as bigint)
+             as sum_qty_cents
     from lineitem
     group by cube (l_returnflag, l_linestatus)
     """,
@@ -2521,13 +2567,13 @@ def cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as rollup; Spark expands grouping sets map-side, no re-scan per
     set. Long-cent sums (see ``_split_sum`` rationale): quantity cents
     fit one 64-bit accumulator even for the grand-total group past 1e12
-    rows."""
+    rows; released as BIGINT cents (module-docstring release rule)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        _cents_exact(
-            F.sum(F.round(F.col("l_quantity") * 100).cast("long")), 2
-        ).alias("sum_qty"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_qty_cents"),
     )
 
 
@@ -2561,12 +2607,11 @@ def customers_without_urgent_orders(
     "cumulative_revenue_per_customer",
     """
     select o_orderkey, o_custkey,
-           cast(cast(sum(cast(round(o_totalprice*100) as bigint))
+           cast(sum(cast(round(o_totalprice*100) as bigint))
                   over (partition by o_custkey
                         order by o_orderdate, o_orderkey
                         rows between unbounded preceding and current row)
-                as decimal(38,0)) * cast(0.01 as decimal(12,2))
-                as decimal(38,2)) as cum_spend
+                as bigint) as cum_spend_cents
     from orders
     """,
 )
@@ -2577,7 +2622,8 @@ def cumulative_revenue_per_customer(
     lifetime spend is nowhere near 2^63 cents), so prefix sums match
     DuckDB bit-for-bit regardless of evaluation order — without the
     BigDecimal accumulator a decimal window sum would pay. One
-    hash-partition shuffle on the window key."""
+    hash-partition shuffle on the window key. Released as BIGINT cents
+    (``cum_spend_cents`` — module-docstring release rule)."""
     from pyspark.sql import Window as W
 
     o = _t(spark, sf_dir, "orders")
@@ -2589,9 +2635,10 @@ def cumulative_revenue_per_customer(
     return o.select(
         "o_orderkey",
         "o_custkey",
-        _cents_exact(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w), 2
-        ).alias("cum_spend"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("cum_spend_cents"),
     )
 
 
@@ -2987,7 +3034,8 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                    rows between unbounded preceding and 1 preceding
                  ), 0) as cum
           from b)
-    select doc_id, n_tokens, bucket, cum // 2048 as batch_id
+    select doc_id, n_tokens, bucket,
+           cast(cum // 2048 as bigint) as batch_id
     from c order by doc_id
     """,
 )
@@ -3002,6 +3050,59 @@ def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_sequences(d, max_tokens=2048, bucket_width=128).orderBy(
         "doc_id"
+    )
+
+
+@register(
+    "pack_token_counts",
+    f"""
+    select doc_id, cast({_TOKENS_WS_SQL} as bigint) as n_tokens
+    from documents order by doc_id
+    """,
+)
+def pack_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of ``pack_sequences_documents``, stage 1 of 3
+    (VERDICT r4 task 2): just the whitespace token count per document —
+    isolates the tokenizer from the bucket/cumsum/cut arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", tx.token_count_ws("text").cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@register(
+    "pack_cumsums",
+    f"""
+    with t as (
+      select doc_id, cast({_TOKENS_WS_SQL} as bigint) as n_tokens
+      from documents
+    ),
+    b as (select doc_id, n_tokens, n_tokens // 128 as bucket from t),
+    c as (select doc_id, bucket,
+                 coalesce(sum(n_tokens) over (
+                   partition by bucket
+                   order by md5(cast(doc_id as varchar)), doc_id
+                   rows between unbounded preceding and 1 preceding
+                 ), 0) as cum
+          from b)
+    select doc_id, bucket, cast(cum as bigint) as cum_before
+    from c order by doc_id
+    """,
+)
+def pack_cumsums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin of ``pack_sequences_documents``, stage 2 of 3:
+    the per-bucket running token count BEFORE the batch cut — isolates
+    the md5-ordered window cumsum from the final integral division.
+    (Round-4 forensics: the original's red row was the window-``sum`` →
+    DuckDB HUGEINT ``batch_id`` degrading to float64 in the driver's
+    pandas fetch; both twins carry explicit BIGINT casts.)"""
+    from dbt_gdpr_anonymizer_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        pack_sequences(d, max_tokens=2048, bucket_width=128, emit_cum=True)
+        .select("doc_id", "bucket", "cum_before")
+        .orderBy("doc_id")
     )
 
 
@@ -3326,9 +3427,8 @@ def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
       from t group by r_name, n_name
     )
     select r_name, n_name,
-      cast(cast(cast(rev_hi as decimal(38,0)) * 1000000 + rev_lo as decimal(38,0))
-           * cast(0.0001 as decimal(12,4)) as decimal(38,4)) as revenue,
-      n_lineitems
+      cast(rev_hi * 1000000 + rev_lo as bigint) as revenue_e4,
+      cast(n_lineitems as bigint) as n_lineitems
     from a order by r_name, n_name
     """,
 )
@@ -3338,8 +3438,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     join chain, exercising `supplier` and `region`. The fixed dims
     (nation 25 rows, region 5 rows) are force-broadcast; supplier joins
     by key + the nation-colocation predicate; orders/customer strategy is
-    left to AQE. Same integer-cent split-accumulator scheme and exact
-    decimal(38,4) release as join_revenue_by_nation."""
+    left to AQE. Same integer-cent split-accumulator scheme and BIGINT
+    ``revenue_e4`` release as join_revenue_by_nation."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -3369,8 +3469,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "r_name",
             "n_name",
-            _unsplit_exact("rev", 4).alias("revenue"),
-            "n_lineitems",
+            _unsplit_long("rev").alias("revenue_e4"),
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -3405,8 +3505,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     select cast(cast(promo_e4 as hugeint) * 1000000
                 // cast(total_e4 as hugeint) as bigint) as promo_share_ppm,
-           cast(promo_e4 * cast(0.0001 as decimal(12,4)) as decimal(38,4))
-             as promo_revenue
+           cast(promo_e4 as bigint) as promo_revenue_e4
     from d
     """,
 )
@@ -3450,9 +3549,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((_pr * 1000000) div _tot AS BIGINT)").alias(
             "promo_share_ppm"
         ),
-        (F.col("_pr") * F.lit("0.0001").cast("decimal(12,4)"))
-        .cast("decimal(38,4)")
-        .alias("promo_revenue"),
+        F.col("_pr").cast("long").alias("promo_revenue_e4"),
     )
 
 
