@@ -45,17 +45,22 @@ def _contains_join(
     term_col: str,
     max_terms: int | None,
 ) -> DataFrame:
+    # NOTE: the guard below runs a small Spark job EAGERLY at plan-build
+    # time (an exception after the broadcast kicked off would be too
+    # late); it counts DISTINCT terms — the set that actually broadcasts —
+    # so a deletion list with duplicate literals can't trip the cap.
+    distinct_terms = terms.select(term_col).distinct()
     if max_terms is not None:
-        probed = terms.limit(max_terms + 1).count()
+        probed = distinct_terms.limit(max_terms + 1).count()
         if probed > max_terms:
             raise ValueError(
-                f"erasure term list exceeds max_terms={max_terms}; a "
-                f"per-row contains scan is O(rows·terms) — extract "
-                f"identifiers and equi-join instead, or raise the cap "
-                f"deliberately with max_terms=None"
+                f"erasure term list exceeds max_terms={max_terms} distinct "
+                f"terms; a per-row contains scan is O(rows·terms) — "
+                f"extract identifiers and equi-join instead, or raise the "
+                f"cap deliberately with max_terms=None"
             )
     return docs.join(
-        F.broadcast(terms),
+        F.broadcast(distinct_terms),
         F.col(text_col).contains(F.col(term_col)),
         how,
     )

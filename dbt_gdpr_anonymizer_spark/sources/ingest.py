@@ -259,10 +259,23 @@ def temperature_resample(
     *,
     key: str = "doc_id",
     sqrt_temperature: bool = True,
+    exact_total: bool = False,
 ) -> DataFrame:
     """Temperature-based group rebalancing (the mT5/XLM-R α-sampling step):
-    draw ``n_target`` rows total with per-group quotas ∝ n_g^α, flattening
-    the head groups so low-resource languages/domains aren't drowned out.
+    draw up to ``n_target`` rows total with per-group quotas ∝ n_g^α,
+    flattening the head groups so low-resource languages/domains aren't
+    drowned out.
+
+    By default the per-group quotas are floored integer divisions with no
+    remainder redistribution (and a quota can exceed a small group's
+    size), so the drawn total is systematically ≤ ``n_target`` — by up to
+    the group cardinality. ``exact_total=True`` adds a largest-remainder
+    top-up computed over the (tiny, group-cardinality) sizes table on the
+    driver: capped base quotas, then +1 passes in descending-remainder
+    order over groups with spare rows until the total hits
+    ``min(n_target, len(df))``. Deterministic (pure integer arithmetic,
+    ties broken by group value) but driver-computed, so the registry's
+    oracle-checked entry keeps the default.
 
     α is fixed at 1/2 (``sqrt_temperature=True``, the common choice) or 1
     (plain proportional) because those keep the quota arithmetic EXACT:
@@ -277,21 +290,26 @@ def temperature_resample(
     serializes in its window partition — pre-shard if one group exceeds an
     executor.
     """
-    alpha_scaled = (
-        F.floor(F.sqrt(F.col("_n").cast("double")) * F.lit(float(1 << 20)))
-        if sqrt_temperature
-        else F.col("_n") * F.lit(1 << 20)
-    )
-    sizes = (
-        df.groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .select(group_col, alpha_scaled.cast("long").alias("_s"))
-        .withColumn("_tot", F.sum("_s").over(Window.partitionBy()))
-        .select(
-            group_col,
-            F.expr(f"cast({n_target} as bigint) * _s div _tot").alias("_quota"),
+    if exact_total:
+        sizes = _exact_total_quotas(df, group_col, n_target, sqrt_temperature)
+    else:
+        alpha_scaled = (
+            F.floor(F.sqrt(F.col("_n").cast("double")) * F.lit(float(1 << 20)))
+            if sqrt_temperature
+            else F.col("_n") * F.lit(1 << 20)
         )
-    )
+        sizes = (
+            df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(group_col, alpha_scaled.cast("long").alias("_s"))
+            .withColumn("_tot", F.sum("_s").over(Window.partitionBy()))
+            .select(
+                group_col,
+                F.expr(f"cast({n_target} as bigint) * _s div _tot").alias(
+                    "_quota"
+                ),
+            )
+        )
     w = Window.partitionBy(group_col).orderBy(
         F.md5(F.col(key).cast("string")), key
     )
@@ -300,6 +318,42 @@ def temperature_resample(
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
+    )
+
+
+def _exact_total_quotas(
+    df: DataFrame, group_col: str, n_target: int, sqrt_temperature: bool
+) -> DataFrame:
+    """Largest-remainder quota table summing to min(n_target, len(df)).
+
+    Driver-side on purpose: the sizes table is group-cardinality rows
+    (languages/domains — bounded, nothing like data volume), and the
+    capped redistribution is an iterative waterfill that SQL can't express
+    in one pass. Integer-exact: s_g = isqrt(n_g·2^40) ≡ floor(√n_g·2^20).
+    """
+    import math
+
+    rows = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    n = {r[group_col]: int(r["_n"]) for r in rows}
+    s = {
+        g: (math.isqrt(v << 40) if sqrt_temperature else v << 20)
+        for g, v in n.items()
+    }
+    tot = sum(s.values())
+    quota = {g: min(n[g], n_target * s[g] // tot) for g in n}
+    want = min(n_target, sum(n.values()))
+    # descending fractional remainder, group value breaking ties — one +1
+    # per pass over groups with spare rows, until the total lands exactly
+    order = sorted(n, key=lambda g: (-(n_target * s[g] % tot), str(g)))
+    while sum(quota.values()) < want:
+        for g in order:
+            if sum(quota.values()) >= want:
+                break
+            if quota[g] < n[g]:
+                quota[g] += 1
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(g, q) for g, q in quota.items()], [group_col, "_quota"]
     )
 
 

@@ -124,6 +124,9 @@ def streaming_sessionize_custom(
                     closed.append((user_id, start_us, last_us, n))
                     start_us, last_us, n = t, t, 1
                 else:
+                    # a late in-gap event can precede the open session's
+                    # start — the session extends BACKWARDS
+                    start_us = min(start_us, t)
                     last_us = max(last_us, t)
                     n += 1
         state.update((start_us, last_us, n))
@@ -201,11 +204,24 @@ def _session_fn(gap_micros: int):
             if t - last > gap_micros and n > 0:
                 closed.append((start, last, n))
                 start, n = t, 0
+            # applyInPandasWithState delivers LATE rows too (it does not
+            # watermark-filter the input): an in-gap event earlier than
+            # the open session's start extends the session backwards
+            start = min(start, t)
             last = max(last, t)
             n += 1
         state.update((start, last, n))
-        # the open session times out when the watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_micros) // 1000 + 1)
+        # the open session times out when the watermark passes last + gap.
+        # Clamp above the current watermark: for a session whose newest
+        # event is already older than watermark − gap (late rows again),
+        # the raw value would be ≤ the watermark, which Spark rejects with
+        # IllegalArgumentException and kills the query; the clamped
+        # timeout fires at the next watermark advance — exactly when an
+        # at-watermark timeout would have fired.
+        timeout_ms = (last + gap_micros) // 1000 + 1
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
         if closed:
             yield pd.DataFrame(
                 {
@@ -242,6 +258,16 @@ def stream_sessionize(
     drains run the final no-data batch, so finite replays flush eligible
     timeouts). Sessions still open when a drain ends stay in state and are
     NOT emitted — exactly what a resumed query needs.
+
+    Late rows: ``applyInPandasWithState`` does NOT drop events below the
+    watermark (unlike the native ``session_window`` aggregation), so the
+    transition function handles them explicitly — an in-gap late event
+    extends the open session backwards (``start = min(start, t)``), and
+    the timeout timestamp is clamped above the current watermark (a raw
+    ``last + gap`` for a very-late key would be ≤ the watermark, which
+    Spark rejects). Results therefore depend on arrival order only in the
+    way any watermarked stream does: what has already been EMITTED stays
+    emitted; a late event that misses its closed session starts a new one.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -143,3 +143,57 @@ def test_temperature_resample_alpha_one_is_proportional(spark):
         .collect()
     }
     assert got == {"big": 45, "small": 5}
+
+
+def test_temperature_resample_exact_total_hits_target(spark):
+    """exact_total=True: the largest-remainder waterfill lands on exactly
+    n_target even when floored quotas undershoot and a small group lacks
+    capacity; default mode documents (and shows) the undershoot."""
+    rows = (
+        [(i, "big") for i in range(903)]
+        + [(i + 2000, "mid") for i in range(93)]
+        + [(i + 4000, "tiny") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # default floors: total ≤ n_target
+    base = temperature_resample(df, "lang", 97, key="doc_id").count()
+    assert base <= 97
+    exact = temperature_resample(
+        df, "lang", 97, key="doc_id", exact_total=True
+    )
+    got = {
+        r["lang"]: r["n"]
+        for r in exact.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(got.values()) == 97
+    assert got["tiny"] <= 3  # capped at group size
+    # determinism across partitionings
+    a = sorted(r["doc_id"] for r in exact.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in temperature_resample(
+            df.repartition(11), "lang", 97, key="doc_id", exact_total=True
+        ).collect()
+    )
+    assert a == b
+
+
+def test_temperature_resample_exact_total_caps_at_corpus(spark):
+    """n_target beyond the corpus size: every row is drawn, no loop hang."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(10)], ["doc_id", "lang"]
+    )
+    assert (
+        temperature_resample(df, "lang", 50, exact_total=True).count() == 10
+    )
+
+
+def test_erasure_guard_counts_distinct_terms(spark):
+    """A deletion list with duplicate literals must not trip max_terms:
+    the cap guards what actually broadcasts (the distinct term set)."""
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    dup_terms = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",)], ["term"]
+    )
+    # 2 distinct terms under a cap of 3 — must run despite 5 raw rows
+    assert erasure_survivors(docs, dup_terms, max_terms=3).count() == 1

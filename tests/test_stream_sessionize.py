@@ -174,3 +174,71 @@ def test_stream_sessionize_checkpoint_resume_exactly_once(spark, tmp_path):
         (1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:05:00"), 2),
         (2, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"), 1),
     }
+
+
+def _drain(spark, src, name):
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+    )
+    sessions = stream_sessionize(stream, gap_minutes=30, watermark="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def test_stream_sessionize_late_ingap_event_extends_start_backwards(
+    spark, tmp_path
+):
+    """A late event that is EARLIER than the open session's first-seen
+    event but within the gap must pull session_start backwards (the state
+    function handles late rows itself — applyInPandasWithState does not
+    watermark-filter its input)."""
+    src = tmp_path / "late1"
+    # file 1: user 7 at 10:00 (watermark after this batch: 09:30)
+    _write_batch(spark, [(7, ts("2024-01-01 10:00:00"))], str(src / "f1"), 1_000)
+    # file 2: late 09:50 event — within the 30-min gap, before start
+    _write_batch(spark, [(7, ts("2024-01-01 09:50:00"))], str(src / "f2"), 2_000)
+    # file 3: 13:00 closes the session in-stream
+    _write_batch(spark, [(7, ts("2024-01-01 13:00:00"))], str(src / "f3"), 3_000)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in _drain(spark, src, "sess_late1").collect()
+    }
+    assert got == {
+        (7, ts("2024-01-01 09:50:00"), ts("2024-01-01 10:00:00"), 2),
+    }
+
+
+def test_stream_sessionize_very_late_new_key_does_not_kill_query(
+    spark, tmp_path
+):
+    """A NEW key arriving entirely below watermark − gap would compute a
+    timeout timestamp ≤ the current watermark — unclamped, Spark throws
+    IllegalArgumentException and kills the query. Clamped, the session
+    closes at the next watermark advance."""
+    src = tmp_path / "late2"
+    # file 1: user 1 at 12:00 pushes the watermark to 11:30
+    _write_batch(spark, [(1, ts("2024-01-01 12:00:00"))], str(src / "f1"), 1_000)
+    # file 2: user 9's only event at 08:00 — 08:30 timeout < 11:30 watermark
+    _write_batch(spark, [(9, ts("2024-01-01 08:00:00"))], str(src / "f2"), 2_000)
+    # file 3: 15:00 advances the watermark, flushing user 9's session
+    _write_batch(spark, [(1, ts("2024-01-01 15:00:00"))], str(src / "f3"), 3_000)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in _drain(spark, src, "sess_late2").collect()
+    }
+    # user 9's very-late singleton emitted (not crashed); user 1's first
+    # session closed in-stream by the 15:00 event
+    assert got == {
+        (1, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1),
+        (9, ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"), 1),
+    }
