@@ -31,14 +31,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
 #     (query-set / k·dim scale);
 #   tfidf_top_terms / bm25_search / sparse_cosine_search — a 1-row
 #     corpus-stats aggregate cross-joined in;
-#   t_closeness_segments — group × sensitive-value grid: both cross-join
-#     sides are post-aggregation tables bounded by key cardinality (the
-#     sensitive-value dim and a 1-row corpus total), never data volume.
+#   t_closeness_segments / t_closeness_numerators — group ×
+#     sensitive-value grid: both cross-join sides are post-aggregation
+#     tables bounded by key cardinality (the sensitive-value dim and a
+#     1-row corpus total), never data volume.
 #   erasure_cascade_documents — contains-any erasure join: the broadcast
 #     side is the deletion-request list (bounded by requests, max_terms
 #     fail-fast), the corpus side streams through once unshuffled.
 BNLJ_ALLOWED = {
     "t_closeness_segments",
+    "t_closeness_numerators",
     "erasure_cascade_documents",
     "ann_cosine_topk",
     "ann_ivf_topk",
