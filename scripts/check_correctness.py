@@ -10,6 +10,14 @@ rendered with repr-level precision). Usage::
 Set ``CHECK_JSON=/path/out.json`` to also write a driver-shaped artifact
 ({name: {rows_match, schema_match, hash_match, spark_rows, oracle_rows,
 err}}) for diffing against the driver's CORRECTNESS_r{N}.json.
+
+Set ``CHECK_PANDAS=1`` to fetch the DuckDB side via ``fetchdf()`` instead
+of ``fetchall()`` — emulating the external driver's pandas/Arrow path,
+where HUGEINT and DECIMAL degrade to float64 (``6.0`` vs Spark's ``6``)
+and a nullable integer column becomes float64 wholesale. The default
+``fetchall()`` returns Python ints/Decimals and HIDES those divergences —
+that gap is exactly how the round-3/4 red rows stayed invisible locally.
+Run both modes before promoting a new oracle.
 """
 
 from __future__ import annotations
@@ -90,7 +98,46 @@ def main():
                 continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if os.environ.get("CHECK_PANDAS"):
+                import pandas as pd
+
+                # Empirical driver-fetch model (4 rounds of evidence):
+                # declared-BIGINT columns render as integers even when
+                # nullable (asof_join's nullable right attrs are green),
+                # while HUGEINT/DECIMAL degrade to float64 ("6.0" — the
+                # r4 red rows). fetchdf degrades BOTH, so restore int
+                # rendering only where DESCRIBE says integer.
+                int_cols = {
+                    c
+                    for c, ty, *_ in con.execute(
+                        f"describe ({oracles[name]})"
+                    ).fetchall()
+                    if ty in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT")
+                }
+                res = con.execute(oracles[name])
+
+                def _pd_val(v, is_int):
+                    # pandas missing markers (None / NaN / NaT) → SQL NULL
+                    # (driver-green rows with nullable columns prove its
+                    # canonicalizer does the same)
+                    if v is None or v is pd.NaT:
+                        return None
+                    if isinstance(v, float) and math.isnan(v):
+                        return None
+                    if is_int and isinstance(v, float):
+                        return int(v)
+                    return v.item() if hasattr(v, "item") else v
+
+                pdf = res.fetchdf()
+                is_int = [c in int_cols for c in pdf.columns]
+                orows = [
+                    tuple(
+                        _pd_val(v, ii) for v, ii in zip(row, is_int)
+                    )
+                    for row in pdf.itertuples(index=False, name=None)
+                ]
+            else:
+                orows = res.fetchall()
             ok_cols = sorted(scols) == sorted(ocols)
             ok_rows = len(srows) == len(orows)
             sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
