@@ -1383,9 +1383,16 @@ _CHECK_LAST = [
     "simhash_neardup",  # near-dup family (minhash/ngram/edit checked)
     "asof_join_purchase_signup",  # temporal-join family (interval_join)
     "pivot_event_counts",  # reshape family (unpivot round-trip re-promoted)
-    "embedding_int8_quantize",  # similarity family (ann_cosine, sparse_cosine)
-    "priority_sample_documents",  # sampling family (stratified, temperature)
+    "embedding_int8_quantize",  # similarity family (ann_cosine checked)
+    "priority_sample_documents",  # sampling family (stratified checked)
     "skew_safe_distinct_users",  # distinct family (quality_metrics checked)
+    # r5 second rotation: pulls the three NEW queries (word_frequency_zipf,
+    # quality_deciles_documents, stream_dedup_documents — first driver
+    # exposure) inside the window. The three demoted each hold a green r4
+    # driver row, an UNCHANGED compared output, and a checked family rep:
+    "stream_rate_windowed_rollup",  # streaming keeps scrub + sessionize + dedup
+    "sparse_cosine_search",  # similarity family (ann_cosine_topk checked)
+    "temperature_resample_documents",  # sampling family (stratified checked)
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -3721,3 +3728,186 @@ def event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("std_micro"),
     ).orderBy("event_type")
+
+
+@register(
+    "word_frequency_zipf",
+    f"""
+    with d as (
+      select unnest(list_filter({_WORDS_SQL}, t -> t <> '')) as word
+      from documents
+    ),
+    c as (select word, count(*) as n from d group by 1),
+    tot as (select cast(sum(n) as bigint) as total,
+                   cast(count(*) as bigint) as vocab_size
+            from c),
+    top as (select word, n from c order by n desc, word limit 100),
+    r as (
+      select word, cast(n as bigint) as n_occurrences,
+             cast(row_number() over (order by n desc, word) as bigint)
+               as rank,
+             cast(sum(n) over (order by n desc, word
+                               rows between unbounded preceding
+                               and current row) as bigint) as cum
+      from top
+    )
+    select rank, word, n_occurrences,
+           cast((cast(cum as hugeint) * 1000000)
+                // cast(total as hugeint) as bigint) as cum_share_ppm,
+           vocab_size
+    from r cross join tot
+    order by rank
+    """,
+)
+def word_frequency_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-frequency profile (the Zipf table a pipeline derives
+    stopword lists and vocabulary-coverage cuts from): top-100 terms by
+    occurrence with their cumulative corpus share in ppm, plus the vocab
+    size riding along as a broadcast 1-row cross join.
+
+    Scale shape: explode → one word-keyed partial-agg shuffle, then the
+    top-100 via ``orderBy(...).limit`` — Catalyst plans that as
+    TakeOrderedAndProject (per-partition top-k, tiny merge on one
+    reducer), NOT a rank window over the full vocabulary (which would
+    single-task-sort 1e8+ terms at corpus scale). Only the 100 survivors
+    enter the rank/cumsum window. cum·1e6 passes 2^63 once the corpus
+    holds >9e12 tokens, so the share is integral decimal division
+    (Spark ``div`` on DECIMAL ≡ DuckDB ``//`` on HUGEINT), released as
+    BIGINT ppm per the module release rule."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(F.explode(tx.words("text")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    c = d.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    top = c.orderBy(F.col("n").desc(), "word").limit(100)
+    w = W.orderBy(F.col("n").desc(), "word")
+    cum = (
+        F.sum("n")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+    )
+    return (
+        top.select(
+            "word",
+            F.col("n").cast("long").alias("n_occurrences"),
+            F.row_number().over(w).cast("long").alias("rank"),
+            cum.alias("cum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "word",
+            "n_occurrences",
+            F.expr(
+                "CAST((CAST(cum AS DECIMAL(38,0)) * 1000000) div "
+                "CAST(total AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            "vocab_size",
+        )
+        .orderBy("rank")
+    )
+
+
+@register(
+    "quality_deciles_documents",
+    f"""
+    with t as (
+      select doc_id, lang, cast({_TOKENS_WS_SQL} as bigint) as n_tokens
+      from documents
+    )
+    select doc_id, lang, n_tokens,
+           cast(ntile(10) over (partition by lang
+                                order by n_tokens, doc_id) as bigint)
+             as decile
+    from t order by doc_id
+    """,
+)
+def quality_deciles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count deciles (NTILE calibration): the
+    bucketing a curation pipeline uses to set per-language length
+    cutoffs ("drop the bottom decile") without fixed thresholds that
+    misfire across languages. SQL-standard ntile (first n mod 10 buckets
+    take the extra row) over a deterministic total order (ties broken by
+    doc_id) is engine-identical. One hash shuffle on the partition key;
+    each language sorts independently — the window parallelizes across
+    languages instead of one global sort (a GLOBAL decile at corpus
+    scale would use approx percentile cutpoints instead)."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        tx.token_count_ws("text").cast("long").alias("n_tokens"),
+    )
+    w = W.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "stream_dedup_documents",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents)
+    select md5(array_to_string(list_sort(list_distinct(ws)), ' '))
+             as fingerprint,
+           cast(len(list_distinct(ws)) as bigint) as n_distinct_words
+    from w
+    group by 1, 2
+    order by fingerprint
+    """,
+)
+def stream_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup, oracle-checked end to end (the
+    dropDuplicatesWithinWatermark state op — bounded fingerprint state,
+    evicted past the watermark horizon; streaming/anonymize.py
+    stream_exact_dedup). Documents replay through a file-source stream
+    with a synthetic event time (epoch + doc_id seconds), survivors drain
+    into a parquet sink via availableNow.
+
+    WHICH duplicate survives is arrival-order-dependent, so the compared
+    output emits only fingerprint-INVARIANT columns: the fingerprint
+    (md5 of sorted distinct words) and the distinct-word count computed
+    from the same sorted set — identical for every member of a duplicate
+    group, making the result deterministic while the streaming path
+    (source → stateful dedup → checkpointed sink) stays fully real."""
+    import tempfile
+
+    from dbt_gdpr_anonymizer_spark.streaming.anonymize import (
+        stream_exact_dedup,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    with_ts = src.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    ).withColumn(
+        "n_distinct_words",
+        F.size(F.array_distinct(tx.words("text"))).cast("long"),
+    )
+    deduped = stream_exact_dedup(with_ts, watermark="24 hours")
+    out = deduped.select("fingerprint", "n_distinct_words")
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").orderBy("fingerprint")

@@ -1,0 +1,99 @@
+"""Units for the corpus-profiling operators: Zipf word-frequency table,
+per-language quality deciles, and streaming exact dedup invariance."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.queries import QUERIES
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def _write_parquet_dir(spark, rows, path):
+    """Write `rows` as a SINGLE parquet file at `path` (the testdata
+    layout — sf dirs hold one file per table, which the streaming
+    entries' pathGlobFilter relies on)."""
+    import glob
+    import shutil
+
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string, n_lines long"
+    )
+    tmp = path + "_dir"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    shutil.copyfile(part, path)
+    shutil.rmtree(tmp)
+
+
+def test_word_frequency_zipf_counts_and_shares(spark, tmp_path):
+    """Known tiny corpus: ranks follow count desc (word tiebreak), the
+    cumulative share is monotone, and — with the whole vocabulary inside
+    the top-100 — the last cumulative share is exactly 1e6 ppm."""
+    sf = str(tmp_path / "sf")
+    _write_parquet_dir(
+        spark,
+        [
+            (1, "en", "web", "alpha alpha alpha beta beta gamma", 1),
+            (2, "en", "web", "alpha beta delta", 1),
+        ],
+        f"{sf}/documents.parquet",
+    )
+    out = QUERIES["word_frequency_zipf"](spark, sf).collect()
+    by_rank = [(r["word"], r["n_occurrences"], r["cum_share_ppm"]) for r in out]
+    # counts: alpha 4, beta 3, delta 1, gamma 1 (delta < gamma alphabetical)
+    assert [w for w, _, _ in by_rank] == ["alpha", "beta", "delta", "gamma"]
+    assert [n for _, n, _ in by_rank] == [4, 3, 1, 1]
+    shares = [s for _, _, s in by_rank]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000  # full vocab covered -> exactly 100%
+    assert all(r["vocab_size"] == 4 for r in out)
+    # spot value: alpha = 4/9 -> floor(4444444.44/10) ppm via integral div
+    assert shares[0] == 4 * 1_000_000 // 9
+
+
+def test_quality_deciles_partition_per_language(spark, tmp_path):
+    """20 docs in one language split 2-per-decile; a second language's
+    deciles are computed independently (partitioned window)."""
+    sf = str(tmp_path / "sf")
+    rows = [
+        (i, "en", "web", "w " * (i + 1), 1) for i in range(20)
+    ] + [(100 + i, "fr", "web", "m " * (i + 1), 1) for i in range(5)]
+    _write_parquet_dir(spark, rows, f"{sf}/documents.parquet")
+    out = QUERIES["quality_deciles_documents"](spark, sf).collect()
+    en = sorted(
+        (r["n_tokens"], r["decile"]) for r in out if r["lang"] == "en"
+    )
+    # 20 rows / 10 buckets = exactly 2 per decile, in token order
+    assert [d for _, d in en] == [1 + i // 2 for i in range(20)]
+    fr = sorted((r["n_tokens"], r["decile"]) for r in out if r["lang"] == "fr")
+    # 5 rows into 10 buckets: ntile assigns one row each to deciles 1..5
+    assert [d for _, d in fr] == [1, 2, 3, 4, 5]
+
+
+def test_stream_dedup_emits_fingerprint_invariants_once(spark, tmp_path):
+    """Two documents with the same word SET in different order/punctuation
+    share a fingerprint: exactly one survivor row, and its compared
+    columns (fingerprint, n_distinct_words) are identical whichever
+    arrival won."""
+    sf = str(tmp_path / "sf")
+    _write_parquet_dir(
+        spark,
+        [
+            (1, "en", "web", "spark shuffles data fast", 1),
+            (2, "en", "web", "Fast!! data... SHUFFLES spark", 1),  # same set
+            (3, "en", "web", "a different document entirely", 1),
+        ],
+        f"{sf}/documents.parquet",
+    )
+    out = QUERIES["stream_dedup_documents"](spark, sf).collect()
+    assert len(out) == 2
+    ndw = {r["fingerprint"]: r["n_distinct_words"] for r in out}
+    assert sorted(ndw.values()) == [4, 4]  # both docs have 4 distinct words
