@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
 
 
 def pack_sequences(
@@ -69,4 +69,57 @@ def pack_sequences(
         "bucket",
         F.expr(f"_cum div cast({max_tokens} as bigint)").alias("batch_id"),
         *extra,
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into token-budget chunks with a sliding overlap —
+    the context-window segmentation step in front of embedding or training
+    (long docs can't enter a model whole; chunk boundaries that cut
+    mid-context lose retrieval recall, hence the overlap).
+
+    Pure per-row array arithmetic, fully parallel, NO shuffle: chunk
+    starts are ``sequence(0, n-1, step)`` with ``step = max_tokens −
+    overlap``, exploded and sliced from the normalized word array. Emits
+    ``(doc_id, chunk_id, n_chunk_tokens, chunk_md5)`` — the md5 stands in
+    for chunk text in oracle comparisons; real pipelines project the
+    slice itself. Empty documents emit no chunks; the final chunk may be
+    shorter than ``max_tokens``.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+    ws = F.filter(tx.words(text_col), lambda w: w != "")
+    d = docs.select(
+        id_col, ws.alias("_ws"), F.size(ws).cast("long").alias("_n")
+    ).filter(F.col("_n") > 0)
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.col("_n") - 1,
+        F.lit(step).cast("long"),
+    )
+    length = F.least(F.lit(max_tokens).cast("long"), F.col("_n") - F.col("_start"))
+    return (
+        d.select(id_col, "_ws", "_n", F.explode(starts).alias("_start"))
+        .select(
+            id_col,
+            (F.col("_start") / step).cast("long").alias("chunk_id"),
+            length.alias("n_chunk_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        F.col("_ws"),
+                        (F.col("_start") + 1).cast("int"),
+                        length.cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
     )

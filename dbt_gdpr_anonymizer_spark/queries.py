@@ -1393,6 +1393,8 @@ _CHECK_LAST = [
     "stream_rate_windowed_rollup",  # streaming keeps scrub + sessionize + dedup
     "sparse_cosine_search",  # similarity family (ann_cosine_topk checked)
     "temperature_resample_documents",  # sampling family (stratified checked)
+    # chunk_documents (new, first exposure) takes this slot:
+    "incremental_merge_orders",  # incremental/SCD family (scd2 checked)
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -3911,3 +3913,34 @@ def stream_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(f"{tmp}/out").orderBy("fingerprint")
+
+
+@register(
+    "chunk_documents",
+    f"""
+    with w as (
+      select doc_id, list_filter({_WORDS_SQL}, t -> t <> '') as ws
+      from documents
+    ),
+    x as (select doc_id, ws, len(ws) as n from w where len(ws) > 0),
+    c as (select doc_id, ws, n, unnest(range(0, n, 48)) as start from x)
+    select doc_id,
+           cast(start // 48 as bigint) as chunk_id,
+           cast(least(64, n - start) as bigint) as n_chunk_tokens,
+           md5(array_to_string(
+             ws[(start + 1)::int : (start + least(64, n - start))::int], ' '
+           )) as chunk_md5
+    from c order by doc_id, chunk_id
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/packing.chunk_documents):
+    64-token chunks sliding by 48 (16-token overlap) — the segmentation
+    step in front of embedding/training. Per-row sequence+slice+explode,
+    no shuffle; the chunk md5 stands in for the text in the compare."""
+    from dbt_gdpr_anonymizer_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, max_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )

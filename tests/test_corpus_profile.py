@@ -97,3 +97,29 @@ def test_stream_dedup_emits_fingerprint_invariants_once(spark, tmp_path):
     assert len(out) == 2
     ndw = {r["fingerprint"]: r["n_distinct_words"] for r in out}
     assert sorted(ndw.values()) == [4, 4]  # both docs have 4 distinct words
+
+
+def test_chunk_documents_overlap_and_boundaries(spark):
+    """Chunks slide by max_tokens − overlap: adjacent chunks share exactly
+    `overlap` tokens, the tail chunk is short, sub-budget docs emit one
+    chunk, and empty docs emit none."""
+    import pytest as _pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))  # 25 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "   ")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, max_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["n_chunk_tokens"])
+        )
+    # doc 1: starts 0,6,12,18,24 -> lengths 10,10,10,7,1
+    assert sorted(by_doc[1]) == [(0, 10), (1, 10), (2, 10), (3, 7), (4, 1)]
+    assert sorted(by_doc[2]) == [(0, 2)]
+    assert 3 not in by_doc  # empty doc: no chunks
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
