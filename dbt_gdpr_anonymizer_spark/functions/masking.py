@@ -51,6 +51,7 @@ __all__ = [
     "extract_email_domain",
     "are_valid_coordinates",
     "surrogate_key",
+    "luhn_check",
 ]
 
 
@@ -208,3 +209,37 @@ def surrogate_key(*cols: Column | str) -> Column:
     ]
     joined = parts[0] if len(parts) == 1 else F.concat_ws("-", *parts)
     return F.md5(joined)
+
+
+def luhn_check(c: Column | str) -> Column:
+    """True when the digit string passes the Luhn mod-10 checksum — the
+    validation layer a credit-card PII scan needs on top of a digit-run
+    regex (13-19 digit runs are common in invoices/ids; only
+    checksum-valid runs are actual card-number candidates, which keeps
+    the false-positive rate of an erasure/masking pass sane).
+
+    Pure higher-order Column expression (transform + aggregate over the
+    reversed digits, doubling every second one) — whole-stage codegen,
+    no UDF, and the identical arithmetic is expressible with DuckDB list
+    lambdas, so oracle queries verify the same checksum. The reversed
+    string is a captured expression re-evaluated per element (README
+    lambda-capture rule); at ≤19 elements per candidate that is cheaper
+    than a pre-projection shuffle column.
+    """
+    s = F.reverse(_col(c))
+
+    def digit(i: Column) -> Column:
+        return F.ascii(s.substr(i + F.lit(1), F.lit(1))) - F.lit(48)
+
+    def term(i: Column) -> Column:
+        doubled = digit(i) * 2
+        return F.when(i % 2 == 0, digit(i)).otherwise(
+            F.when(doubled > 9, doubled - 9).otherwise(doubled)
+        )
+
+    total = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.length(s) - 1), term),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return total % 10 == 0

@@ -1395,6 +1395,11 @@ _CHECK_LAST = [
     "temperature_resample_documents",  # sampling family (stratified checked)
     # chunk_documents (new, first exposure) takes this slot:
     "incremental_merge_orders",  # incremental/SCD family (scd2 checked)
+    # credit_card_luhn_scan (new, first exposure) takes this slot; the
+    # CASE+lookup-join ops stay checked via staging_flags (flags/CASE),
+    # corpus_quality_gate (precedence CASE) and the dim joins in
+    # q5/join_revenue; output unchanged and green r1-r4:
+    "case_categorization",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -3944,3 +3949,92 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, max_tokens=64, overlap=16).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+_TEST_PANS = [
+    "4539578763621486",
+    "4111111111111111",
+    "5500005555555559",
+    "340000000000009",
+    "6011000990139424",
+]
+
+_LUHN_SQL = (
+    "list_sum(list_transform(range(0, length(cand)), i -> "
+    "CASE WHEN i % 2 = 0 "
+    "THEN ascii(substr(reverse(cand), (i + 1)::int, 1)) - 48 "
+    "WHEN (ascii(substr(reverse(cand), (i + 1)::int, 1)) - 48) * 2 > 9 "
+    "THEN (ascii(substr(reverse(cand), (i + 1)::int, 1)) - 48) * 2 - 9 "
+    "ELSE (ascii(substr(reverse(cand), (i + 1)::int, 1)) - 48) * 2 "
+    "END)) % 10 = 0"
+)
+
+
+@register(
+    "credit_card_luhn_scan",
+    f"""
+    with pans as (
+      select * from (values {", ".join(f"({i}, '{p}')" for i, p in enumerate(_TEST_PANS))})
+        as t(slot, pan)
+    ),
+    injected as (
+      select d.doc_id,
+             coalesce(d.text, '') || ' card ' || p.pan
+               || ' ref ' || substr(p.pan, 1, length(p.pan) - 1)
+               || cast((ascii(substr(p.pan, length(p.pan), 1)) - 48 + 1) % 10
+                       as varchar) as t
+      from documents d join pans p on d.doc_id % 5 = p.slot
+    ),
+    cands as (
+      select doc_id, unnest(regexp_extract_all(t, '[0-9]{{13,19}}')) as cand
+      from injected
+    )
+    select doc_id, cand as candidate, {_LUHN_SQL} as luhn_valid
+    from cands
+    order by doc_id, candidate
+    """,
+)
+def credit_card_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated credit-card PII scan: the reference's regex scan
+    (validate_anonymization.py:60-139) extended with the Luhn mod-10 gate
+    — a 13-19 digit run is only a card-number FINDING when the checksum
+    passes, which is what keeps a masking/erasure pass from shredding
+    invoice ids. Each document gets one known test PAN and one
+    last-digit-corrupted twin injected deterministically; the scan
+    re-extracts every digit run and validates it JVM-side
+    (``functions/masking.luhn_check`` — higher-order transform/aggregate,
+    codegen, no UDF). Per-row work, no shuffle."""
+    from dbt_gdpr_anonymizer_spark.functions.masking import luhn_check
+
+    docs = _t(spark, sf_dir, "documents")
+    pan = F.element_at(
+        F.array(*[F.lit(p) for p in _TEST_PANS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    corrupted = F.concat(
+        F.expr("substr(_pan, 1, length(_pan) - 1)"),
+        (
+            (F.ascii(F.expr("substr(_pan, length(_pan), 1)")) - 48 + 1) % 10
+        ).cast("string"),
+    )
+    injected = docs.withColumn("_pan", pan).select(
+        "doc_id",
+        F.concat(
+            F.coalesce("text", F.lit("")),
+            F.lit(" card "),
+            F.col("_pan"),
+            F.lit(" ref "),
+            corrupted,
+        ).alias("t"),
+    )
+    cands = injected.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("t", F.lit("[0-9]{13,19}"), 0)
+        ).alias(
+            "candidate"
+        ),
+    )
+    return cands.select(
+        "doc_id", "candidate", luhn_check("candidate").alias("luhn_valid")
+    ).orderBy("doc_id", "candidate")

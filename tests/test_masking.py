@@ -115,3 +115,24 @@ def test_surrogate_key(spark):
 
 def test_suppress(spark):
     assert one(spark, masking.suppress("v"), "anything") is None
+
+
+def test_luhn_check_known_vectors(spark):
+    """Known-valid test PANs pass; any single-digit corruption fails; the
+    classic 79927398713 example validates."""
+    from dbt_gdpr_anonymizer_spark.functions.masking import luhn_check
+
+    valid = [
+        "4539578763621486",
+        "4111111111111111",
+        "5500005555555559",
+        "340000000000009",
+        "6011000990139424",
+        "79927398713",
+    ]
+    rows = [(v, True) for v in valid] + [
+        (v[:-1] + str((int(v[-1]) + 1) % 10), False) for v in valid
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in rows], ["cc"])
+    got = [r["ok"] for r in df.select(luhn_check("cc").alias("ok")).collect()]
+    assert got == [e for _, e in rows]
