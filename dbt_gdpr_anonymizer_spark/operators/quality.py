@@ -149,3 +149,67 @@ def corpus_quality_gate(
         reason.alias("reject_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+def boilerplate_line_filter(
+    docs: DataFrame,
+    min_doc_freq: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every LINE whose normalized form
+    appears in at least ``min_doc_freq`` distinct documents (navigation,
+    cookie banners, license footers — text that repeats across pages but
+    never within a page, which document-level dedup cannot touch).
+
+    Returns ``(id_col, clean_text, n_lines_kept, n_lines_dropped)`` with
+    the surviving lines rejoined in original order.
+
+    Scale shape: posexplode lines → distinct (doc, line) → line-keyed
+    partial-agg doc-frequency (two keyed shuffles, both map-side
+    combined); the boilerplate SET (lines with df ≥ threshold) is then
+    BROADCAST into a left join — by construction it is the heavy-tailed
+    head of the line distribution (bounded by corpus diversity, not
+    corpus size; the decontamination-style small-side pattern). Rebuild
+    is one doc-keyed ``collect_list`` of (pos, line) structs — Spark's
+    ``collect_list`` drops nulls, so flagged lines vanish without a
+    second filter pass — sorted per doc and rejoined. Blank lines are
+    never counted as boilerplate (paragraph structure survives).
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_norm", F.trim(F.lower(F.col("line"))))
+    freq = (
+        lines.filter(F.col("_norm") != "")
+        .select(id_col, "_norm")
+        .distinct()
+        .groupBy("_norm")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_doc_freq)
+        .select("_norm", F.lit(True).alias("_bp"))
+    )
+    flagged = lines.join(F.broadcast(freq), "_norm", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_bp").isNull(), F.struct("pos", "line"))
+                )
+            ).alias("_kept"),
+            F.sum(
+                F.when(F.col("_bp").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("_kept", lambda x: x["line"]), "\n"
+            ).alias("clean_text"),
+            F.size("_kept").cast("long").alias("n_lines_kept"),
+            "n_lines_dropped",
+        )
+    )

@@ -1400,6 +1400,11 @@ _CHECK_LAST = [
     # corpus_quality_gate (precedence CASE) and the dim joins in
     # q5/join_revenue; output unchanged and green r1-r4:
     "case_categorization",
+    # parked for r6 rotation (local + pandas-mode green; every remaining
+    # front row either needs first/renewed driver evidence this round or
+    # is its family's sole checked representative — once the r5 fixes are
+    # confirmed green, rotate this in against one of them):
+    "boilerplate_line_filter_documents",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -4038,3 +4043,73 @@ def credit_card_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select(
         "doc_id", "candidate", luhn_check("candidate").alias("luhn_valid")
     ).orderBy("doc_id", "candidate")
+
+
+@register(
+    "boilerplate_line_filter_documents",
+    """
+    with injected as (
+      select doc_id,
+             'NOTICE: shared corporate header' || chr(10)
+               || coalesce(text, '') || chr(10)
+               || 'footer for ' || source as t
+      from documents
+    ),
+    l as (
+      select doc_id,
+             unnest(string_split(t, chr(10))) as line,
+             unnest(range(0, len(string_split(t, chr(10))))) as pos
+      from injected
+    ),
+    n as (select doc_id, pos, line, trim(lower(line)) as nrm from l),
+    f as (
+      select nrm from (
+        select nrm, count(*) as line_df
+        from (select distinct doc_id, nrm from n where nrm <> '')
+        group by nrm
+      ) where line_df >= 25
+    ),
+    k as (
+      select n.doc_id, n.pos, n.line, (f.nrm is not null) as bp
+      from n left join f on n.nrm = f.nrm
+    )
+    select doc_id,
+           md5(coalesce(string_agg(case when not bp then line end,
+                                   chr(10) order by pos), '')) as clean_md5,
+           cast(sum(case when not bp then 1 else 0 end) as bigint)
+             as n_lines_kept,
+           cast(sum(case when bp then 1 else 0 end) as bigint)
+             as n_lines_dropped
+    from k group by doc_id order by doc_id
+    """,
+)
+def boilerplate_line_filter_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """C4-style cross-document boilerplate line removal (X66,
+    operators/quality.boilerplate_line_filter): a global header and a
+    per-source footer are injected into every document (the corpus has no
+    organic repeated lines — verified), then any line appearing in ≥25
+    distinct documents is dropped corpus-wide while unique content and
+    line ORDER survive. The compared output hashes the rebuilt text."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        boilerplate_line_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("NOTICE: shared corporate header\n"),
+            F.coalesce("text", F.lit("")),
+            F.lit("\nfooter for "),
+            F.col("source"),
+        ).alias("t"),
+    )
+    out = boilerplate_line_filter(injected, min_doc_freq=25, text_col="t")
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    ).orderBy("doc_id")

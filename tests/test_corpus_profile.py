@@ -123,3 +123,32 @@ def test_chunk_documents_overlap_and_boundaries(spark):
     assert 3 not in by_doc  # empty doc: no chunks
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_boilerplate_line_filter_drops_cross_doc_lines_keeps_order(spark):
+    """Lines shared by ≥ min_doc_freq docs vanish corpus-wide; unique
+    lines survive in original order; blank lines never count as
+    boilerplate; a doc of pure boilerplate rebuilds to ''. """
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        boilerplate_line_filter,
+    )
+
+    footer = "COPYRIGHT FOOTER"
+    rows = [
+        (1, f"unique alpha\n{footer}\nunique beta"),
+        (2, f"{footer}\n\nunique gamma"),
+        (3, footer),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_line_filter(df, min_doc_freq=3).collect()
+    }
+    assert out[1]["clean_text"] == "unique alpha\nunique beta"
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 1
+    # blank line kept (structure), footer dropped
+    assert out[2]["clean_text"] == "\nunique gamma"
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
+    # below threshold nothing drops
+    out2 = boilerplate_line_filter(df, min_doc_freq=4).collect()
+    assert all(r["n_lines_dropped"] == 0 for r in out2)
