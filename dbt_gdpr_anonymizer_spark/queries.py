@@ -1403,8 +1403,9 @@ _CHECK_LAST = [
     # parked for r6 rotation (local + pandas-mode green; every remaining
     # front row either needs first/renewed driver evidence this round or
     # is its family's sole checked representative — once the r5 fixes are
-    # confirmed green, rotate this in against one of them):
+    # confirmed green, rotate these in against proven rows):
     "boilerplate_line_filter_documents",
+    "event_value_drift_psi",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -4113,3 +4114,102 @@ def boilerplate_line_filter_documents(
         "n_lines_kept",
         "n_lines_dropped",
     ).orderBy("doc_id")
+
+
+@register(
+    "event_value_drift_psi",
+    """
+    with span as (
+      select min(epoch_us(ts::timestamp)) as t0, max(epoch_us(ts::timestamp)) as t1,
+             min(value) as lo, max(value) as hi
+      from events
+    ),
+    halves as (
+      select case when epoch_us(e.ts::timestamp) * 2 < s.t0 + s.t1
+                  then 0 else 1 end as half,
+             least(19, cast(floor((e.value - s.lo) * 20.0 / (s.hi - s.lo))
+                            as bigint)) as bucket
+      from events e cross join span s
+    ),
+    c as (
+      select bucket,
+             cast(sum(case when half = 0 then 1 else 0 end) as bigint) as ref_n,
+             cast(sum(case when half = 1 then 1 else 0 end) as bigint) as cur_n
+      from halves group by bucket
+    ),
+    tot as (
+      select cast(sum(ref_n) + 20 as bigint) as rt,
+             cast(sum(cur_n) + 20 as bigint) as ct
+      from c
+    )
+    select bucket, ref_n, cur_n,
+           cast(floor(
+             (( (ref_n + 1)::double / rt) - ((cur_n + 1)::double / ct))
+             * ln(((ref_n + 1)::double / rt) / ((cur_n + 1)::double / ct))
+             * 1000000) as bigint) as psi_term_micro
+    from c cross join tot
+    order by bucket
+    """,
+)
+def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift monitor: a 20-bucket fixed-width histogram of the
+    event value, split into reference/current time halves (events before
+    vs after the span midpoint — pure integer-micros arithmetic), with the
+    per-bucket Population Stability Index contribution
+    (p−q)·ln(p/q) under add-one smoothing. The drift gate a training-data
+    pipeline runs before trusting a new data drop; Σ psi_term > 0.2 is
+    the classic act threshold.
+
+    Scale shape: one pass for the 1-row span aggregate (broadcast cross
+    join), one bucket-keyed partial-agg shuffle for the histogram —
+    20-row output regardless of corpus size. Bucket ids are floor of the
+    same double expression both engines evaluate (IEEE-identical); PSI
+    terms release as floor-scaled micro BIGINTs over identical smoothed
+    integer ratios."""
+    e = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    span = e.agg(
+        F.min(us).alias("t0"),
+        F.max(us).alias("t1"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    halves = e.crossJoin(F.broadcast(span)).select(
+        F.when(us * 2 < F.col("t0") + F.col("t1"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * 20.0
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+        ).alias("bucket"),
+    )
+    c = halves.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ref_n"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cur_n"),
+    )
+    tot = c.agg(
+        (F.sum("ref_n") + 20).cast("long").alias("rt"),
+        (F.sum("cur_n") + 20).cast("long").alias("ct"),
+    )
+    p = (F.col("ref_n") + 1).cast("double") / F.col("rt")
+    q = (F.col("cur_n") + 1).cast("double") / F.col("ct")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "ref_n",
+            "cur_n",
+            F.floor((p - q) * F.log(p / q) * 1000000)
+            .cast("bigint")
+            .alias("psi_term_micro"),
+        )
+        .orderBy("bucket")
+    )

@@ -30,7 +30,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
 #   ann_recall_report — brute-force baselines and centroid tables
 #     (query-set / k·dim scale);
 #   tfidf_top_terms / bm25_search / sparse_cosine_search /
-#   word_frequency_zipf — a 1-row corpus-stats aggregate cross-joined in;
+#   word_frequency_zipf / event_value_drift_psi — a 1-row corpus-stats
+#     aggregate cross-joined in;
 #   t_closeness_segments / t_closeness_numerators — group ×
 #     sensitive-value grid: both cross-join sides are post-aggregation
 #     tables bounded by key cardinality (the sensitive-value dim and a
@@ -50,6 +51,7 @@ BNLJ_ALLOWED = {
     "bm25_search",
     "sparse_cosine_search",
     "word_frequency_zipf",
+    "event_value_drift_psi",
 }
 
 
