@@ -31,6 +31,7 @@ __all__ = [
     "t_closeness_numerators",
     "dp_noisy_counts",
     "geometric_noise_thresholds",
+    "generalize_to_k",
 ]
 
 
@@ -237,4 +238,90 @@ def dp_noisy_counts(
             ),
         )
         .orderBy(*group_cols)
+    )
+
+
+def generalize_to_k(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int,
+    widths: Sequence[int] = (10, 100, 1000, 10000),
+) -> DataFrame:
+    """ENFORCE k-anonymity by global recoding: coarsen ``value_col`` into
+    the FINEST band width whose every (group, band) cell holds ≥ k rows,
+    falling back to full suppression ('*') when no ladder level suffices.
+    The reference stops at reporting k-anonymity violations
+    (validate_anonymization.py:216-251); this is the remediation step —
+    the Samarati/Sweeney single-attribute generalization lattice walked
+    bottom-up.
+
+    One pass evaluates EVERY ladder level via GROUPING SETS (Catalyst
+    expands the sets map-side — one shuffle for all levels, not one scan
+    per level), the per-level minimum cell sizes aggregate to
+    ``len(widths)`` rows, and only that bounded vector crosses the driver
+    to pick the level (the k-means model-state precedent). Output: one
+    row per surviving cell with its band label, size, and the chosen
+    level — deterministic: identical integers → identical choice in any
+    engine.
+    """
+    bands = [
+        F.floor(F.col(value_col) / F.lit(float(w))).cast("long").alias(f"_b{i}")
+        for i, w in enumerate(widths)
+    ]
+    with_bands = df.select(F.col(group_col), *bands)
+    sets = [[group_col, f"_b{i}"] for i in range(len(widths))]
+    grouped = with_bands.groupingSets(
+        sets, group_col, *[F.col(f"_b{i}") for i in range(len(widths))]
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        # grouping() flags must be computed INSIDE the grouping-sets agg
+        *[
+            F.grouping(f"_b{i}").alias(f"_g{i}")
+            for i in range(len(widths))
+        ],
+    )
+    # level id from the grouping flags: row belongs to level i iff _bi is
+    # the (single) non-aggregated band column in its grouping set
+    level_of = None
+    for i in range(len(widths)):
+        cond = F.col(f"_g{i}") == 0
+        level_of = F.when(cond, i) if level_of is None else level_of.when(cond, i)
+    mins = (
+        grouped.select(level_of.alias("_lvl"), "_n")
+        .groupBy("_lvl")
+        .agg(F.min("_n").alias("_m"))
+        .collect()
+    )
+    min_by_level = {int(r["_lvl"]): int(r["_m"]) for r in mins}
+    chosen = next(
+        (
+            i
+            for i in range(len(widths))
+            if min_by_level.get(i, 0) >= k
+        ),
+        len(widths),
+    )
+    if chosen == len(widths):
+        out = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).select(
+            F.col(group_col),
+            F.lit("*").alias("band_label"),
+            F.col("n").cast("long").alias("n"),
+        )
+    else:
+        w = widths[chosen]
+        band = F.floor(F.col(value_col) / F.lit(float(w))).cast("long")
+        out = (
+            df.groupBy(F.col(group_col), band.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col(group_col),
+                F.concat(
+                    F.lit(f"{w}:"), F.col("_b").cast("string")
+                ).alias("band_label"),
+                F.col("n").cast("long").alias("n"),
+            )
+        )
+    return out.withColumn("level", F.lit(chosen).cast("long")).orderBy(
+        group_col, "band_label"
     )

@@ -1406,6 +1406,7 @@ _CHECK_LAST = [
     # confirmed green, rotate these in against proven rows):
     "boilerplate_line_filter_documents",
     "event_value_drift_psi",
+    "k_anonymity_generalize",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -4087,7 +4088,7 @@ def credit_card_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 def boilerplate_line_filter_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """C4-style cross-document boilerplate line removal (X66,
+    """C4-style cross-document boilerplate line removal (X67,
     operators/quality.boilerplate_line_filter): a global header and a
     per-source footer are injected into every document (the corpus has no
     organic repeated lines — verified), then any line appearing in ≥25
@@ -4212,4 +4213,60 @@ def event_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("psi_term_micro"),
         )
         .orderBy("bucket")
+    )
+
+
+_GEN_WIDTHS = (10, 100, 1000, 10000)
+_GEN_K = 5
+
+
+def _gen_k_oracle() -> str:
+    mins = ",\n      ".join(
+        f"(select min(n) from (select c_mktsegment, floor(c_acctbal/{w}.0) b,"
+        f" count(*) n from customer group by 1, 2)) as m{i}"
+        for i, w in enumerate(_GEN_WIDTHS)
+    )
+    lvl_case = " ".join(
+        f"when m{i} >= {_GEN_K} then {i}" for i in range(len(_GEN_WIDTHS))
+    )
+    levels = "\n    union all ".join(
+        f"select c_mktsegment, '{w}:' || cast(cast(floor(c_acctbal/{w}.0)"
+        f" as bigint) as varchar) as band_label, count(*) as n from customer"
+        f" group by 1, 2 having (select l from lvl) = {i}"
+        for i, w in enumerate(_GEN_WIDTHS)
+    )
+    return f"""
+    with m as (select {mins}),
+    lvl as (select case {lvl_case} else {len(_GEN_WIDTHS)} end as l from m),
+    u as (
+    {levels}
+    union all select c_mktsegment, '*' as band_label, count(*) as n
+      from customer group by 1
+      having (select l from lvl) = {len(_GEN_WIDTHS)}
+    )
+    select c_mktsegment, band_label, cast(n as bigint) as n,
+           cast((select l from lvl) as bigint) as level
+    from u order by c_mktsegment, band_label
+    """
+
+
+@register("k_anonymity_generalize", _gen_k_oracle())
+def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT (operators/privacy.generalize_to_k): the
+    account balance coarsens to the finest band width whose every
+    (segment, band) cell holds ≥ 5 customers — global recoding up the
+    Samarati/Sweeney generalization ladder, with full suppression as the
+    top. All ladder levels evaluate in ONE grouping-sets pass; only the
+    per-level minimum vector (4 integers) crosses the driver. At sf0.01
+    the 1000-wide band wins (min cell 18); at sf0.001 no level suffices
+    and every balance suppresses to '*' — the oracle replays the same
+    choice, so both branches are driver-exercisable."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import generalize_to_k
+
+    return generalize_to_k(
+        _t(spark, sf_dir, "customer"),
+        "c_mktsegment",
+        "c_acctbal",
+        _GEN_K,
+        widths=_GEN_WIDTHS,
     )

@@ -146,3 +146,32 @@ def test_edit_distance_zero_threshold_finds_exact_dups(spark):
     out = edit_distance_pairs(df, "text", "doc_id", max_distance=0)
     got = [(r.doc_id_a, r.doc_id_b, r.edit_distance) for r in out.collect()]
     assert got == [(1, 2, 0)]
+
+
+def test_generalize_to_k_picks_finest_sufficient_level(spark):
+    """k=2 over a crafted table: width-10 bands leave a singleton cell, so
+    the ladder must land on width 100 where every cell holds >= 2 rows."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import generalize_to_k
+
+    rows = (
+        [("A", 5.0), ("A", 7.0), ("A", 15.0), ("A", 17.0)]  # 10-bands ok
+        + [("B", 25.0), ("B", 35.0)]  # 10-bands: two singleton cells
+    )
+    df = spark.createDataFrame(rows, ["seg", "bal"])
+    out = generalize_to_k(df, "seg", "bal", 2, widths=(10, 100))
+    got = {(r["seg"], r["band_label"]): r["n"] for r in out.collect()}
+    assert all(r["level"] == 1 for r in out.collect())
+    assert got == {("A", "100:0"): 4, ("B", "100:0"): 2}
+
+
+def test_generalize_to_k_suppresses_when_no_level_suffices(spark):
+    from dbt_gdpr_anonymizer_spark.operators.privacy import generalize_to_k
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 5000.0), ("B", 2.0)], ["seg", "bal"]
+    )
+    out = generalize_to_k(df, "seg", "bal", 2, widths=(10, 100)).collect()
+    # segment B has one row at every width -> full suppression
+    assert {r["band_label"] for r in out} == {"*"}
+    assert {(r["seg"], r["n"]) for r in out} == {("A", 2), ("B", 1)}
+    assert all(r["level"] == 2 for r in out)
