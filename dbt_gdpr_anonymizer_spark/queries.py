@@ -1407,6 +1407,7 @@ _CHECK_LAST = [
     "boilerplate_line_filter_documents",
     "event_value_drift_psi",
     "k_anonymity_generalize",
+    "stream_upsert_events",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -4270,3 +4271,83 @@ def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _GEN_K,
         widths=_GEN_WIDTHS,
     )
+
+
+@register(
+    "stream_upsert_events",
+    """
+    select user_id, event_type as last_type, ts as last_ts,
+           event_id as last_event_id
+    from (
+      select user_id, event_type, ts::timestamp as ts, event_id,
+             row_number() over (partition by user_id
+                                order by ts desc, event_id desc) as rk
+      from events
+    ) where rk = 1
+    order by user_id
+    """,
+)
+def stream_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert, oracle-checked end to end
+    (streaming/upsert.py): events replay as three ts-ranged arrival
+    batches through a foreachBatch micro-batch MERGE (per-batch latest
+    per key, then incremental_merge over the newest committed versioned
+    state). The final state must equal the batch answer — latest event
+    per user — which is what makes the sink's exactly-once versioning
+    observable to the oracle."""
+    import os
+    import tempfile
+
+    from dbt_gdpr_anonymizer_spark.streaming.upsert import (
+        latest_state,
+        stream_upsert_parquet,
+    )
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        "ts",
+        F.col("event_id").cast("bigint").alias("event_id"),
+    )
+    us = F.unix_micros(F.col("ts"))
+    cuts = e.agg(
+        F.percentile(us, 1.0 / 3).alias("c1"),
+        F.percentile(us, 2.0 / 3).alias("c2"),
+    ).collect()[0]
+    c1, c2 = int(cuts["c1"]), int(cuts["c2"])
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_")
+    parts = [
+        e.filter(us <= c1),
+        e.filter((us > c1) & (us <= c2)),
+        e.filter(us > c2),
+    ]
+    for i, p in enumerate(parts):
+        path = f"{tmp}/src/f{i}"
+        p.coalesce(1).write.parquet(path)
+        mt = 1_000.0 * (i + 1)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (mt, mt))
+        os.utime(path, (mt, mt))
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_type string, ts timestamp, event_id bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/src/f*")
+    )
+    q = stream_upsert_parquet(
+        stream,
+        f"{tmp}/target",
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    final = latest_state(spark, f"{tmp}/target")
+    return final.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+    ).orderBy("user_id")
