@@ -52,6 +52,11 @@ HEADLINE = [
     # the broadcast contains-any erasure anti-join
     "stream_sessionize_events",
     "erasure_cascade_documents",
+    # r5 new plan shapes: full-vocabulary explode + TakeOrdered top-k,
+    # line-level explode/rebuild, and the one-pass grouping-sets ladder
+    "word_frequency_zipf",
+    "boilerplate_line_filter_documents",
+    "k_anonymity_generalize",
 ]
 
 # neardup_components drift note (r5, data-backed): decomposed timing at
