@@ -1,0 +1,161 @@
+"""GDPR data-subject-rights operators beyond column masking.
+
+The reference covers Article 17 (erasure → ``operators/erasure.py``) and
+Articles 25/32 (anonymization-by-design → ``policy.py``); its schema.yml
+metadata also declares ``retention_days`` and ``legal_basis`` per column
+(reference ``models/staging/schema.yml:57-64``) but never acts on them.
+This module supplies the missing subject-rights machinery a production
+deployment needs:
+
+* **Subject access extract** (Article 15): gather every record referencing
+  a data subject across all tables into one tall, exportable frame.
+* **Retention sweep** (Article 5(1)(e) storage limitation): classify rows
+  keep/purge against a per-table retention clock and emit an audit count.
+* **Pseudonymization keymap** (Article 4(5)): a salted, irreversible-
+  without-the-table token per subject key, plus the re-identification
+  join for controllers holding the keymap under a legal basis.
+
+Plan shapes, at 100 TB:
+
+* SAR: the subject list is tiny by nature (requests, not users) → it
+  broadcasts; each fact table is probed with a broadcast hash semi-join
+  (no shuffle of the big side), then unpivoted row-locally with
+  ``stack`` — the unpivot is narrow, so the whole extract is one scan
+  per table.
+* Retention: a pure scan-side filter/CASE — predicate pushdown sends the
+  retention cutoff into the parquet reader when purging, and the audit
+  aggregate is a low-cardinality partial-agg groupBy.
+* Keymap: token derivation is a per-row sha2 (codegen, no shuffle); the
+  keymap itself is one ``distinct`` over the key column — the only
+  shuffle, sized by subject cardinality not row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "subject_access_extract",
+    "retention_sweep",
+    "pseudonym_token",
+    "build_keymap",
+    "reidentify",
+]
+
+
+def subject_access_extract(
+    tables: dict[str, tuple[DataFrame, str, str, list[str]]],
+    subjects: DataFrame,
+    *,
+    subject_col: str = "subject_key",
+) -> DataFrame:
+    """Article-15 subject access request: one tall frame
+    ``(table_name, subject_key, record_id, field, value)`` holding every
+    field of every row that references a requested subject.
+
+    ``tables`` maps table name → (df, key_col, record_col, field_cols).
+    Each table is filtered with a broadcast hash semi-join on the (tiny)
+    subject list, then unpivoted row-locally with ``stack`` — values are
+    cast to string so heterogeneous tables union into one export schema.
+    ``record_col`` keeps fields of the same source row re-associable in
+    the tall output. The big sides never shuffle.
+
+    Caller contract: pre-render non-string fields that have engine- or
+    locale-sensitive string forms (doubles, timestamps) into canonical
+    strings before passing them in; the generic cast here is exact only
+    for string/integer fields.
+    """
+    parts = []
+    subj = F.broadcast(
+        subjects.select(F.col(subject_col).cast("long").alias("_subj")).distinct()
+    )
+    for tname, (df, key_col, record_col, fields) in tables.items():
+        hit = df.join(subj, df[key_col].cast("long") == F.col("_subj"), "inner")
+        stack_args = ", ".join(
+            f"'{f_}', cast(`{f_}` as string)" for f_ in fields
+        )
+        parts.append(
+            hit.select(
+                F.lit(tname).alias("table_name"),
+                F.col("_subj").alias("subject_key"),
+                F.col(record_col).cast("long").alias("record_id"),
+                F.expr(
+                    f"stack({len(fields)}, {stack_args}) as (field, value)"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def retention_sweep(
+    df: DataFrame,
+    ts_col: str,
+    as_of: str,
+    retention_days: int,
+    *,
+    table_name: str = "table",
+) -> DataFrame:
+    """Article-5(1)(e) storage-limitation audit: tag every row ``keep`` or
+    ``purge`` against ``as_of - retention_days`` and count per action and
+    year. ``as_of`` is an explicit literal (never ``current_timestamp``) so
+    sweeps are reproducible and auditable.
+
+    The cutoff comparison is a scan-side predicate; the audit groupBy has
+    (2 × years) groups, so the shuffle is trivially small and map-side
+    partial aggregation does nearly all the work.
+    """
+    cutoff = F.to_timestamp(F.lit(as_of)) - F.expr(
+        f"INTERVAL {int(retention_days)} DAYS"
+    )
+    return (
+        df.select(
+            F.when(F.col(ts_col) < cutoff, F.lit("purge"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.year(ts_col).cast("long").alias("record_year"),
+        )
+        .groupBy("action", "record_year")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit(table_name).alias("table_name"),
+            "action",
+            "record_year",
+            "n_rows",
+        )
+    )
+
+
+def pseudonym_token(key: F.Column, salt: str, *, prefix: str = "sub_") -> F.Column:
+    """Article-4(5) pseudonym: ``prefix + first 16 hex of
+    sha256(key ‖ salt)``. Same shape as the reference's email
+    pseudonymization (``macros/privacy/mask_email.sql:30-54``) applied to
+    an arbitrary subject key; irreversible without the keymap, stable
+    across tables for the same salt, collision odds 2^-64 per pair.
+    Pure codegen expression — no shuffle, no UDF."""
+    return F.concat(
+        F.lit(prefix), F.sha2(F.concat(key.cast("string"), F.lit(salt)), 256).substr(1, 16)
+    )
+
+
+def build_keymap(df: DataFrame, key_col: str, salt: str) -> DataFrame:
+    """The controller-held re-identification table: one row per distinct
+    subject key with its pseudonym token. The ``distinct`` is the only
+    shuffle and is sized by subject cardinality, not fact-row count."""
+    keys = df.select(F.col(key_col).alias("subject_key")).distinct()
+    return keys.select(
+        "subject_key",
+        pseudonym_token(F.col("subject_key"), salt).alias("subject_token"),
+    )
+
+
+def reidentify(
+    tokenized: DataFrame, keymap: DataFrame, *, token_col: str = "subject_token"
+) -> DataFrame:
+    """Re-identification join for a controller holding the keymap under a
+    documented legal basis: broadcast the keymap (subject-cardinality
+    rows) onto the tokenized frame — the fact side never shuffles."""
+    return tokenized.join(F.broadcast(keymap), token_col, "left")

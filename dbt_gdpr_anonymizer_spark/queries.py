@@ -1408,6 +1408,9 @@ _CHECK_LAST = [
     "event_value_drift_psi",
     "k_anonymity_generalize",
     "stream_upsert_events",
+    "subject_access_extract",
+    "retention_sweep_audit",
+    "pseudonym_spend_by_token",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -4351,3 +4354,225 @@ def stream_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.col("event_id").alias("last_event_id"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# GDPR subject-rights trio (operators/gdpr.py): Article-15 access extract,
+# Article-5(1)(e) retention sweep, Article-4(5) pseudonymization keymap.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subject_access_extract",
+    f"""
+    with subj as (
+      select distinct user_id as u from events where user_id % 50 = 7
+    ),
+    cust as (
+      select 'customer' as table_name, c_custkey as subject_key,
+             c_custkey as record_id, f.field, f.value
+      from customer join subj on c_custkey = u,
+      lateral (values
+        ('c_name', c_name),
+        ('c_mktsegment', c_mktsegment),
+        ('c_nationkey', cast(c_nationkey as varchar))
+      ) as f(field, value)
+    ),
+    ords as (
+      select 'orders' as table_name, o_custkey as subject_key,
+             o_orderkey as record_id, f.field, f.value
+      from orders join subj on o_custkey = u,
+      lateral (values
+        ('o_orderstatus', o_orderstatus),
+        ('o_orderpriority', o_orderpriority),
+        ('order_date', strftime(o_orderdate, '%Y-%m-%d')),
+        ('totalprice_cents', cast(cast(round(o_totalprice*100) as bigint) as varchar))
+      ) as f(field, value)
+    ),
+    ev as (
+      select 'events' as table_name, user_id as subject_key,
+             event_id as record_id, f.field, f.value
+      from events join subj on user_id = u,
+      lateral (values
+        ('event_type', event_type),
+        ('event_ts', strftime(ts::timestamp, '%Y-%m-%d %H:%M:%S')),
+        ('value_e6', cast(cast(floor(value * 1000000) as bigint) as varchar))
+      ) as f(field, value)
+    )
+    select * from (
+      select * from cust union all select * from ords union all select * from ev
+    ) order by table_name, subject_key, record_id, field, value
+    """,
+)
+def subject_access_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Article-15 SAR: every record for the requested subjects across
+    customer/orders/events, as one tall (table, subject, record, field,
+    value) export (``operators/gdpr.py:subject_access_extract``). The
+    subject list broadcasts; each fact table is probed with a broadcast
+    hash semi-join and unpivoted row-locally (``stack``) — one scan per
+    table, no big-side shuffle. Engine-sensitive field types are
+    pre-rendered: dates via ``date_format``, doubles as floor-e6 / cent
+    bigint strings (module-docstring release rules)."""
+    from dbt_gdpr_anonymizer_spark.operators.gdpr import subject_access_extract as sar
+
+    ev = _events(spark, sf_dir)
+    subjects = ev.filter(F.col("user_id") % 50 == 7).select(
+        F.col("user_id").alias("subject_key")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("string").alias("c_nationkey"),
+    )
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .cast("string")
+        .alias("totalprice_cents"),
+    )
+    evf = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        F.floor(F.col("value") * 1_000_000)
+        .cast("long")
+        .cast("string")
+        .alias("value_e6"),
+    )
+    out = sar(
+        {
+            "customer": (
+                cust,
+                "c_custkey",
+                "c_custkey",
+                ["c_name", "c_mktsegment", "c_nationkey"],
+            ),
+            "orders": (
+                ords,
+                "o_custkey",
+                "o_orderkey",
+                [
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    "order_date",
+                    "totalprice_cents",
+                ],
+            ),
+            "events": (
+                evf,
+                "user_id",
+                "event_id",
+                ["event_type", "event_ts", "value_e6"],
+            ),
+        },
+        subjects,
+    )
+    return out.orderBy("table_name", "subject_key", "record_id", "field", "value")
+
+
+@register(
+    "retention_sweep_audit",
+    """
+    select * from (
+      select 'orders' as table_name,
+             case when o_orderdate < timestamp '2000-01-01' - interval 730 day
+                  then 'purge' else 'keep' end as action,
+             cast(year(o_orderdate) as bigint) as record_year,
+             cast(count(*) as bigint) as n_rows
+      from orders group by 1, 2, 3
+      union all
+      select 'events' as table_name,
+             case when ts::timestamp < timestamp '2024-01-25' - interval 10 day
+                  then 'purge' else 'keep' end as action,
+             cast(year(ts::timestamp) as bigint) as record_year,
+             cast(count(*) as bigint) as n_rows
+      from events group by 1, 2, 3
+    ) order by table_name, action, record_year
+    """,
+)
+def retention_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Article-5(1)(e) storage-limitation sweep over two tables with
+    independent retention clocks (orders: 730 days from an explicit
+    as-of literal; events: 10 days) — the audit the reference's declared
+    ``retention_days`` metadata (schema.yml:57-64) never acts on. Pure
+    scan-side CASE + low-cardinality groupBy: map-side partial agg does
+    nearly all the work, the shuffle carries ≤ 2×years rows per table
+    (``operators/gdpr.py:retention_sweep``)."""
+    from dbt_gdpr_anonymizer_spark.operators.gdpr import retention_sweep
+
+    o = retention_sweep(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        "2000-01-01",
+        730,
+        table_name="orders",
+    )
+    e = retention_sweep(
+        _events(spark, sf_dir), "ts", "2024-01-25", 10, table_name="events"
+    )
+    return o.unionByName(e).orderBy("table_name", "action", "record_year")
+
+
+@register(
+    "pseudonym_spend_by_token",
+    f"""
+    with keymap as (
+      select distinct c_custkey as subject_key,
+        'sub_' || substr(sha256(cast(c_custkey as varchar) || '{SALT}'), 1, 16)
+          as subject_token
+      from customer
+    ),
+    spend as (
+      select
+        'sub_' || substr(sha256(cast(o_custkey as varchar) || '{SALT}'), 1, 16)
+          as subject_token,
+        cast(count(*) as bigint) as n_orders,
+        cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint)
+          as spend_cents
+      from orders group by 1
+    )
+    select s.subject_token, k.subject_key, s.n_orders, s.spend_cents
+    from spend s left join keymap k using (subject_token)
+    order by subject_token
+    """,
+)
+def pseudonym_spend_by_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Article-4(5) pseudonymization round trip: orders are tokenized with
+    the salted sha256 subject token (same construction as the reference's
+    email pseudonym, mask_email.sql:30-54, applied to the subject key),
+    aggregated per token in integer cents, then re-identified through the
+    controller-held keymap (``operators/gdpr.py``). Token derivation is
+    per-row codegen; the keymap is one subject-cardinality distinct and
+    broadcasts for the re-identification join — the fact side shuffles
+    once, on the token groupBy."""
+    from dbt_gdpr_anonymizer_spark.operators.gdpr import (
+        build_keymap,
+        pseudonym_token,
+        reidentify,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy(
+            pseudonym_token(F.col("o_custkey"), SALT).alias("subject_token")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+        )
+    )
+    keymap = build_keymap(_t(spark, sf_dir, "customer"), "c_custkey", SALT)
+    return (
+        reidentify(spend, keymap)
+        .select("subject_token", "subject_key", "n_orders", "spend_cents")
+        .orderBy("subject_token")
+    )

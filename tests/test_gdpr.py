@@ -1,0 +1,82 @@
+"""Unit tests for the GDPR subject-rights operators (operators/gdpr.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.gdpr import (
+    build_keymap,
+    pseudonym_token,
+    reidentify,
+    retention_sweep,
+    subject_access_extract,
+)
+
+SALT = "unit_salt"
+
+
+def test_subject_access_extract_gathers_all_tables(spark):
+    cust = spark.createDataFrame(
+        [(1, "Alice", "AUTO"), (2, "Bob", "BUILD")], "ck long, name string, seg string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O"), (11, 1, "F"), (12, 2, "O")], "ok long, ck long, st string"
+    )
+    subjects = spark.createDataFrame([(1,)], "subject_key long")
+    out = subject_access_extract(
+        {
+            "customer": (cust, "ck", "ck", ["name", "seg"]),
+            "orders": (orders, "ck", "ok", ["st"]),
+        },
+        subjects,
+    ).collect()
+    # subject 1: 2 customer fields + 2 order rows × 1 field
+    assert len(out) == 4
+    assert all(r.subject_key == 1 for r in out)
+    got = {(r.table_name, r.record_id, r.field, r.value) for r in out}
+    assert ("customer", 1, "name", "Alice") in got
+    assert ("orders", 10, "st", "O") in got
+    assert ("orders", 11, "st", "F") in got
+    # no leakage of the other subject
+    assert not any(r.value == "Bob" for r in out)
+
+
+def test_retention_sweep_boundary(spark):
+    df = spark.createDataFrame(
+        [("2019-12-31 23:59:59",), ("2020-01-01 00:00:00",), ("2021-06-01 00:00:00",)],
+        "ts string",
+    ).select(F.to_timestamp("ts").alias("ts"))
+    # as_of 2021-01-01, retention 366 days -> cutoff 2020-01-01 00:00:00
+    # (2020 is a 366-day leap year)
+    out = retention_sweep(df, "ts", "2021-01-01", 366, table_name="t")
+    rows = {(r.action, r.record_year): r.n_rows for r in out.collect()}
+    # one second before the cutoff purges; exactly AT the cutoff keeps
+    # (strict <); later rows keep
+    assert rows == {("purge", 2019): 1, ("keep", 2020): 1, ("keep", 2021): 1}
+    out2 = retention_sweep(df, "ts", "2021-01-01", 300, table_name="t")
+    rows2 = {(r.action, r.record_year): r.n_rows for r in out2.collect()}
+    assert rows2[("purge", 2019)] == 1 and rows2[("purge", 2020)] == 1
+    assert rows2[("keep", 2021)] == 1
+
+
+def test_pseudonym_token_stable_and_salted(spark):
+    df = spark.createDataFrame([(7,), (7,), (8,)], "k long")
+    toks = df.select(pseudonym_token(F.col("k"), SALT).alias("t")).collect()
+    assert toks[0].t == toks[1].t != toks[2].t
+    assert toks[0].t.startswith("sub_") and len(toks[0].t) == 20
+    other = df.select(pseudonym_token(F.col("k"), "other").alias("t")).collect()
+    assert other[0].t != toks[0].t  # salt actually enters the hash
+
+
+def test_keymap_roundtrip(spark):
+    facts = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "k long, v long")
+    keymap = build_keymap(facts, "k", SALT)
+    assert keymap.count() == 2
+    tokenized = facts.select(
+        pseudonym_token(F.col("k"), SALT).alias("subject_token"), "v"
+    )
+    back = reidentify(tokenized, keymap)
+    assert back.filter(F.col("subject_key").isNull()).count() == 0
+    # every value rejoins its original key
+    chk = back.groupBy("subject_key").agg(F.sum("v").alias("s")).collect()
+    assert {(r.subject_key, r.s) for r in chk} == {(1, 30), (2, 30)}
