@@ -30,6 +30,7 @@ __all__ = [
     "t_closeness_report",
     "t_closeness_numerators",
     "dp_noisy_counts",
+    "dp_noisy_sum",
     "geometric_noise_thresholds",
     "generalize_to_k",
 ]
@@ -324,4 +325,64 @@ def generalize_to_k(
         )
     return out.withColumn("level", F.lit(chosen).cast("long")).orderBy(
         group_col, "band_label"
+    )
+
+
+def dp_noisy_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    user_col: str,
+    value_col: str,
+    *,
+    clip: int,
+    epsilon: float = 1.0,
+    bound: int = 8,
+    salt: str = "dp_sum_salt",
+) -> DataFrame:
+    """Differentially-private group SUMS via per-user contribution clipping
+    + the clip-granular geometric mechanism (the SUM counterpart of
+    :func:`dp_noisy_counts`).
+
+    Sums have unbounded sensitivity until contributions are bounded: each
+    user's total within a group is first clipped to ``clip`` integer
+    units, making the per-user sensitivity exactly ``clip``. Noise is then
+    DiscreteLaplace(ε) drawn on the clip-granular lattice — ``k · clip``
+    with k from the same deterministic inverse-CDF ladder as the counts
+    mechanism (one md5-derived 52-bit uniform per group, integer
+    comparisons only, whole-stage codegen, reproducible releases). This
+    is the discretized Laplace with granularity = sensitivity; the
+    coarser lattice trades release precision (±bound·clip worst case) for
+    an all-integer plan with a fixed ladder size.
+
+    Floor at 0 is DP post-processing. Two shuffles, both partial-agg:
+    (group, user) for the clip, then group for the sum — the per-user
+    aggregate is the one that matters at scale and it collapses map-side.
+    """
+    thresholds = geometric_noise_thresholds(epsilon, bound)
+    per_user = (
+        df.groupBy(*group_cols, user_col)
+        .agg(F.sum(F.col(value_col)).alias("_v"))
+        .select(
+            *group_cols,
+            F.least(F.col("_v"), F.lit(clip).cast("long")).alias("_c"),
+        )
+    )
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols], F.lit(salt)
+    )
+    h = uniform52(key)
+    noise = F.lit(-bound)
+    for t in thresholds:
+        noise = noise + F.when(h >= F.lit(t), 1).otherwise(0)
+    return (
+        per_user.groupBy(*group_cols)
+        .agg(F.sum("_c").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                (F.col("_s") + noise * F.lit(clip).cast("long")).cast("bigint"),
+            ).alias("noisy_sum"),
+        )
+        .orderBy(*group_cols)
     )

@@ -24,6 +24,7 @@ __all__ = [
     "skew_safe_distinct_count",
     "salted_join",
     "incremental_merge",
+    "snapshot_diff",
 ]
 
 
@@ -274,4 +275,46 @@ def incremental_merge(
         tagged.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_prio", "_rk")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    fingerprint_col: str,
+) -> DataFrame:
+    """Dataset-version delta between two corpus snapshots: classify every
+    key as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    comparing a per-row content fingerprint (caller-supplied — md5 of the
+    payload, or a winnowing fingerprint for near-identity).
+
+    The shape a data-versioning layer (lakehouse time travel, training-set
+    release audits) needs before re-training: what moved between corpus
+    vN and vN+1, without diffing payloads row-by-row.
+
+    Plan: one key-keyed full-outer join — both sides hash-partition on the
+    key, the comparison is a row-local CASE. No fingerprint recompute here;
+    at 100 TB fingerprints are computed once per snapshot write, and the
+    diff only ever moves (key, fingerprint) pairs, not payloads.
+
+    Output: (key, status, old_fp, new_fp).
+    """
+    o = old.select(
+        F.col(key_col).alias("key"),
+        F.col(fingerprint_col).alias("old_fp"),
+    )
+    n = new.select(
+        F.col(key_col).alias("key"),
+        F.col(fingerprint_col).alias("new_fp"),
+    )
+    return o.join(n, "key", "full_outer").select(
+        "key",
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        "old_fp",
+        "new_fp",
     )

@@ -1411,6 +1411,10 @@ _CHECK_LAST = [
     "subject_access_extract",
     "retention_sweep_audit",
     "pseudonym_spend_by_token",
+    "corpus_snapshot_diff",
+    "vocab_oov_rate",
+    "dp_noisy_spend_by_priority",
+    "dataset_card_by_source",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -4575,4 +4579,254 @@ def pseudonym_spend_by_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         reidentify(spend, keymap)
         .select("subject_token", "subject_key", "n_orders", "spend_cents")
         .orderBy("subject_token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r5 batch 2: dataset versioning (snapshot diff), vocabulary coverage (OOV),
+# DP clipped sums, and the dataset-card rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    with old as (
+      select doc_id, md5(text) as fp from documents where doc_id % 7 <> 0
+    ), new as (
+      select doc_id,
+             md5(case when doc_id % 11 = 0 then text || ' rev2' else text end)
+               as fp
+      from documents where doc_id % 5 <> 0
+    )
+    select coalesce(o.doc_id, n.doc_id) as doc_id,
+           case when o.doc_id is null then 'added'
+                when n.doc_id is null then 'removed'
+                when o.fp <> n.fp then 'changed'
+                else 'unchanged' end as status,
+           o.fp as old_fp, n.fp as new_fp
+    from old o full outer join new n on o.doc_id = n.doc_id
+    order by doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version delta between two corpus snapshots
+    (``operators/relational.py:snapshot_diff``): every doc classified
+    added/removed/changed/unchanged by md5 fingerprint. The two snapshots
+    are deterministic projections of the documents table (mod-key
+    membership, a text revision planted on every 11th doc) so both
+    engines derive identical versions. Plan: one doc_id-keyed full-outer
+    sort-merge join moving only (key, fingerprint) pairs — at 100 TB the
+    payloads never travel, and the join co-partitions on the snapshot
+    key both sides already carry."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    return (
+        snapshot_diff(old, new, "doc_id", "fp")
+        .select(F.col("key").alias("doc_id"), "status", "old_fp", "new_fp")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    with vocab as (
+      select word from (
+        select unnest(list_filter({_WORDS_SQL}, t -> t <> '')) as word
+        from documents where doc_id % 2 = 0
+      ) group by word having count(*) >= 5
+    ), val as (
+      select doc_id, unnest(list_filter({_WORDS_SQL}, t -> t <> '')) as word
+      from documents where doc_id % 2 = 1
+    ), j as (
+      select v.doc_id,
+             case when vocab.word is null then 1 else 0 end as oov
+      from val v left join vocab on v.word = vocab.word
+    ), a as (
+      select doc_id, cast(count(*) as bigint) as n_tokens,
+             cast(sum(oov) as bigint) as n_oov
+      from j group by doc_id
+    )
+    select doc_id, n_tokens, n_oov,
+           cast((n_oov * 1000000) // n_tokens as bigint) as oov_ppm
+    from a order by doc_id
+    """,
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage check: build the tokenizer vocabulary from the
+    train half (terms with corpus frequency ≥ 5 on even doc_ids), then
+    score every validation doc's out-of-vocabulary token rate in ppm —
+    the pre-training gate that catches a val/test distribution the
+    tokenizer can't represent. Plan: one word-keyed shuffle builds the
+    vocab (map-side partial count), the val explode left-joins it on the
+    word hash key (AQE picks broadcast when the vocab is small; the
+    equi-join shape survives when it is not), then one doc-keyed
+    re-aggregate. Zero-token docs emit nothing (no division by zero;
+    documented, matches the oracle). OOV rate released as integral-div
+    ppm per the module release rule."""
+    docs = _t(spark, sf_dir, "documents")
+    words = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(tx.words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        words(docs.filter(F.col("doc_id") % 2 == 0))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 5)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    val = words(docs.filter(F.col("doc_id") % 2 == 1))
+    j = val.join(vocab, "word", "left").select(
+        "doc_id",
+        F.when(F.col("_in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("cast(n_oov * 1000000 div n_tokens as bigint)").alias(
+                "oov_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dp_sum_oracle_sql() -> str:
+    from dbt_gdpr_anonymizer_spark.operators.privacy import (
+        geometric_noise_thresholds,
+    )
+
+    thresholds = geometric_noise_thresholds(1.0, 8)
+    ladder = " + ".join(
+        f"(case when _h >= {t} then 1 else 0 end)" for t in thresholds
+    )
+    return f"""
+    with pu as (
+      select o_orderpriority, o_custkey,
+             least(cast(sum(cast(round(o_totalprice*100) as bigint)) as bigint),
+                   1000000) as c
+      from orders group by o_orderpriority, o_custkey
+    ), g as (
+      select o_orderpriority, cast(sum(c) as bigint) as s
+      from pu group by o_orderpriority
+    ), h as (
+      select o_orderpriority, s,
+             {_h52_sql("o_orderpriority || chr(31) || 'dp_sum_salt'")} as _h
+      from g
+    )
+    select o_orderpriority,
+           cast(greatest(0, s + (-8 + {ladder}) * 1000000) as bigint)
+             as noisy_sum
+    from h order by o_orderpriority
+    """
+
+
+@register("dp_noisy_spend_by_priority", _dp_sum_oracle_sql())
+def dp_noisy_spend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private spend totals per order priority
+    (``operators/privacy.py:dp_noisy_sum``): per-customer contributions
+    clipped at $10,000 (1e6 cents — the sensitivity bound), then
+    clip-granular deterministic discrete-Laplace noise from the same
+    md5-uniform inverse-CDF ladder as the DP counts — all-integer,
+    codegen, reproducible. Two partial-agg shuffles: (priority, customer)
+    for the clip, then priority for the release."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import dp_noisy_sum
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return dp_noisy_sum(
+        o,
+        ["o_orderpriority"],
+        "o_custkey",
+        "cents",
+        clip=1_000_000,
+        epsilon=1.0,
+        bound=8,
+        salt="dp_sum_salt",
+    )
+
+
+@register(
+    "dataset_card_by_source",
+    f"""
+    with d as (
+      select source, lang,
+             len(list_filter({_WORDS_SQL}, t -> t <> '')) as n_tokens,
+             n_chars
+      from documents
+    ), g as (
+      select source, lang,
+             cast(count(*) as bigint) as n_docs,
+             cast(sum(n_tokens) as bigint) as tokens_total,
+             cast(sum(n_chars) as bigint) as chars_total
+      from d group by source, lang
+    ), tot as (select cast(sum(n_docs) as bigint) as total_docs from g)
+    select source, lang, n_docs, tokens_total, chars_total,
+           cast((n_docs * 1000000) // total_docs as bigint) as docs_share_ppm,
+           cast(tokens_total // n_docs as bigint) as mean_tokens
+    from g cross join tot
+    order by source, lang
+    """,
+)
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup every corpus release ships: per
+    (source, language) document/token/char totals, corpus share in ppm,
+    and mean tokens per doc — all integer releases (integral division,
+    module release rule). Plan: per-row codegen token count (no explode —
+    ``size(filter(words))`` never materializes the token rows), one
+    low-cardinality (source, lang) shuffle with map-side partials, and
+    the 1-row corpus total rides a broadcast cross join exactly like the
+    tf-idf corpus stats."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.size(F.filter(tx.words("text"), lambda t: t != "")).alias("n_tokens"),
+        "n_chars",
+    )
+    g = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    tot = g.agg(F.sum("n_docs").cast("long").alias("total_docs"))
+    return (
+        g.join(F.broadcast(tot), how="cross")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "tokens_total",
+            "chars_total",
+            F.expr("cast(n_docs * 1000000 div total_docs as bigint)").alias(
+                "docs_share_ppm"
+            ),
+            F.expr("cast(tokens_total div n_docs as bigint)").alias(
+                "mean_tokens"
+            ),
+        )
+        .orderBy("source", "lang")
     )

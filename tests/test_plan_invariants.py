@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "sparse_cosine_search",
     "word_frequency_zipf",
     "event_value_drift_psi",
+    "dataset_card_by_source",
 }
 
 

@@ -175,3 +175,47 @@ def test_generalize_to_k_suppresses_when_no_level_suffices(spark):
     assert {r["band_label"] for r in out} == {"*"}
     assert {(r["seg"], r["n"]) for r in out} == {("A", 2), ("B", 1)}
     assert all(r["level"] == 2 for r in out)
+
+
+def test_dp_noisy_sum_clips_and_is_deterministic(spark):
+    from dbt_gdpr_anonymizer_spark.operators.privacy import dp_noisy_sum
+
+    # user 1 contributes 50+60=110 -> clipped to 100; user 2 contributes 30
+    df = spark.createDataFrame(
+        [("g", 1, 50), ("g", 1, 60), ("g", 2, 30)],
+        "grp string, uid long, v long",
+    )
+    kw = dict(clip=100, epsilon=1.0, bound=4, salt="s")
+    r1 = dp_noisy_sum(df, ["grp"], "uid", "v", **kw).collect()
+    r2 = dp_noisy_sum(df, ["grp"], "uid", "v", **kw).collect()
+    assert r1 == r2  # deterministic release
+    (row,) = r1
+    # true clipped sum 130; noise is k*clip for k in [-4, 4], floored at 0
+    assert row.noisy_sum % 100 == 30 or row.noisy_sum == 0
+    assert 0 <= row.noisy_sum <= 130 + 4 * 100
+
+
+def test_dp_noisy_sum_floor_at_zero(spark):
+    from dbt_gdpr_anonymizer_spark.operators.privacy import dp_noisy_sum
+    from dbt_gdpr_anonymizer_spark.operators.privacy import (
+        geometric_noise_thresholds,
+        uniform52,
+    )
+    from pyspark.sql import functions as F
+
+    # find a salt whose noise draw is negative for this group key so the
+    # floor branch is actually exercised
+    df = spark.createDataFrame([("g", 1, 5)], "grp string, uid long, v long")
+    for salt in ("a", "b", "c", "d", "e", "f"):
+        thresholds = geometric_noise_thresholds(1.0, 4)
+        h = spark.createDataFrame([("g",)], "grp string").select(
+            uniform52(F.concat_ws("\x1f", F.col("grp"), F.lit(salt))).alias("h")
+        ).collect()[0].h
+        noise = -4 + sum(1 for t in thresholds if h >= t)
+        if noise < 0:
+            (row,) = dp_noisy_sum(
+                df, ["grp"], "uid", "v", clip=100, epsilon=1.0, bound=4, salt=salt
+            ).collect()
+            assert row.noisy_sum == 0  # 5 + noise*100 < 0 -> floored
+            return
+    raise AssertionError("no salt produced negative noise (p < 1e-3)")

@@ -125,3 +125,24 @@ def test_asof_join_deterministic_on_tied_right_rows(spark):
         ).repartition(2 + attempt)
         [r] = asof_join(left, right, "k", right_cols=["v"]).collect()
         assert r["v_asof"] == "c"
+
+
+def test_snapshot_diff_statuses(spark):
+    from dbt_gdpr_anonymizer_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, fp string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, fp string"
+    )
+    out = {
+        r.key: (r.status, r.old_fp, r.new_fp)
+        for r in snapshot_diff(old, new, "doc_id", "fp").collect()
+    }
+    assert out == {
+        1: ("removed", "a", None),
+        2: ("unchanged", "b", "b"),
+        3: ("changed", "c", "C2"),
+        4: ("added", None, "d"),
+    }
