@@ -959,6 +959,18 @@ def _unsplit_long(prefix: str) -> F.Column:
     ).cast("long")
 
 
+def _unsplit_dec(prefix: str) -> F.Column:
+    """Reassemble a split sum as exact decimal(38,0) for INTERMEDIATE
+    integer arithmetic that exceeds 2^63 (second moments, cross products).
+    Never released directly — compared columns stay BIGINT per the module
+    rule; this feeds all-integer comparisons/divisions whose final output
+    is cast back to long."""
+    return (
+        F.col(f"{prefix}_hi").cast("decimal(38,0)") * F.lit(_CENT_SPLIT)
+        + F.col(f"{prefix}_lo")
+    ).cast("decimal(38,0)")
+
+
 @register(
     "q1_pricing_summary",
     """
@@ -1415,6 +1427,10 @@ _CHECK_LAST = [
     "vocab_oov_rate",
     "dp_noisy_spend_by_priority",
     "dataset_card_by_source",
+    "iban_pii_scan",
+    "funnel_conversion",
+    "cohort_retention",
+    "outlier_events_exact",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -4829,4 +4845,314 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r5 batch 3: financial-PII IBAN scan, ordered funnel, cohort retention,
+# all-integer outlier gate.
+# ---------------------------------------------------------------------------
+
+# Public ISO-13616 example IBANs (one per country format, all mod-97 valid).
+_TEST_IBANS = [
+    "GB29NWBK60161331926819",
+    "DE89370400440532013000",
+    "FR1420041010050500013M02606",
+    "ES9121000418450200051332",
+    "NL91ABNA0417164300",
+]
+
+_IBAN_SQL = """(
+  length(cand) between 15 and 34
+  and regexp_matches(cand, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$')
+  and list_reduce(
+        [0] || list_transform(
+          regexp_extract_all(substr(cand, 5) || substr(cand, 1, 4), '.'),
+          c -> case when c between '0' and '9' then ascii(c) - 48
+                    else ascii(c) - 55 end),
+        (acc, v) -> case when v < 10 then (acc * 10 + v) % 97
+                         else (acc * 100 + v) % 97 end) = 1
+)"""
+
+
+@register(
+    "iban_pii_scan",
+    f"""
+    with ibans as (
+      select * from (values {", ".join(f"({i}, '{p}')" for i, p in enumerate(_TEST_IBANS))})
+        as t(slot, iban)
+    ),
+    injected as (
+      select d.doc_id,
+             coalesce(d.text, '') || ' iban ' || p.iban
+               || ' ref ' || substr(p.iban, 1, length(p.iban) - 1)
+               || cast((ascii(substr(p.iban, length(p.iban), 1)) - 48 + 1) % 10
+                       as varchar) as t
+      from documents d join ibans p on d.doc_id % 5 = p.slot
+    ),
+    cands as (
+      select doc_id, unnest(regexp_extract_all(t, '[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}'))
+               as cand
+      from injected
+    )
+    select doc_id, cand as candidate, {_IBAN_SQL} as iban_valid
+    from cands
+    order by doc_id, candidate
+    """,
+)
+def iban_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Financial-PII scan with ISO-13616 mod-97 validation
+    (``functions/masking.iban_valid`` — the bank-account counterpart of
+    the Luhn gate): an uppercase alphanumeric run is only an IBAN finding
+    when the checksum passes. Each document gets one known-valid example
+    IBAN and one last-digit-corrupted twin injected deterministically;
+    the scan re-extracts candidates and validates JVM-side (higher-order
+    transform/aggregate, codegen, no UDF). Per-row work, no shuffle
+    beyond the tiny 5-row literal join (broadcast)."""
+    from dbt_gdpr_anonymizer_spark.functions.masking import iban_valid
+
+    docs = _t(spark, sf_dir, "documents")
+    iban = F.element_at(
+        F.array(*[F.lit(p) for p in _TEST_IBANS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    injected = docs.withColumn("_i", iban).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" iban "),
+            F.col("_i"),
+            F.lit(" ref "),
+            F.expr(
+                "substr(_i, 1, length(_i) - 1) || "
+                "cast((ascii(substr(_i, length(_i), 1)) - 48 + 1) % 10 as string)"
+            ),
+        ).alias("t"),
+    )
+    cands = injected.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("t"), F.lit("[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"), F.lit(0)
+            )
+        ).alias("candidate"),
+    )
+    return cands.select(
+        "doc_id", "candidate", iban_valid(F.col("candidate")).alias("iban_valid")
+    ).orderBy("doc_id", "candidate")
+
+
+@register(
+    "funnel_conversion",
+    """
+    with e as (select user_id, event_type, ts::timestamp as ts from events),
+    v as (select user_id, min(ts) as t1 from e where event_type = 'view'
+          group by user_id),
+    c as (select e.user_id, min(e.ts) as t2
+          from e join v on e.user_id = v.user_id
+          where e.event_type = 'click'
+            and e.ts >= v.t1 and e.ts <= v.t1 + interval 24 hour
+          group by e.user_id),
+    p as (select e.user_id, min(e.ts) as t3
+          from e join c on e.user_id = c.user_id
+          where e.event_type = 'purchase'
+            and e.ts >= c.t2 and e.ts <= c.t2 + interval 24 hour
+          group by e.user_id),
+    n as (select
+      (select cast(count(distinct user_id) as bigint) from e) as total_users,
+      (select cast(count(*) as bigint) from v) as s1,
+      (select cast(count(*) as bigint) from c) as s2,
+      (select cast(count(*) as bigint) from p) as s3)
+    select * from (
+      select cast(1 as bigint) as stage_order, 'view' as stage, s1 as n_users,
+             cast(s1 * 1000000 // greatest(total_users, 1) as bigint) as conv_ppm
+      from n
+      union all
+      select cast(2 as bigint), 'click_24h', s2,
+             cast(s2 * 1000000 // greatest(s1, 1) as bigint) from n
+      union all
+      select cast(3 as bigint), 'purchase_24h', s3,
+             cast(s3 * 1000000 // greatest(s2, 1) as bigint) from n
+    ) order by stage_order
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered, windowed funnel (view → click within 24h of first view →
+    purchase within 24h of first qualifying click) with per-stage user
+    counts and step-conversion ppm — the product-analytics shape over the
+    event stream. Each stage is one user-keyed min-aggregate joined to
+    the previous stage's anchor timestamp: three co-partitioned shuffles
+    on user_id (AQE reuses the partitioning), the stage counts are 1-row
+    aggregates stacked via broadcast cross joins (BNLJ allowlisted — the
+    broadcast sides are 1-row by construction). Integral-div ppm with a
+    greatest(,1) guard so an empty stage releases 0 instead of failing."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        e.agg(F.count_distinct("user_id").cast("long").alias("total_users"))
+        .crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).cast("long").alias("s1"))))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).cast("long").alias("s2"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).cast("long").alias("s3"))))
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, "
+            "cast(1 as bigint), 'view', s1, "
+            "  cast(s1 * 1000000 div greatest(total_users, 1) as bigint), "
+            "cast(2 as bigint), 'click_24h', s2, "
+            "  cast(s2 * 1000000 div greatest(s1, 1) as bigint), "
+            "cast(3 as bigint), 'purchase_24h', s3, "
+            "  cast(s3 * 1000000 div greatest(s2, 1) as bigint)"
+            ") as (stage_order, stage, n_users, conv_ppm)"
+        )
+    ).orderBy("stage_order")
+
+
+@register(
+    "cohort_retention",
+    """
+    with e as (select user_id, ts::timestamp as ts from events),
+    f as (select user_id, date_trunc('week', min(ts)) as cohort_week
+          from e group by user_id),
+    act as (select distinct e.user_id, f.cohort_week,
+                   date_trunc('week', e.ts) as w
+            from e join f on e.user_id = f.user_id),
+    g as (select cohort_week,
+                 cast(date_diff('day', cohort_week, w) // 7 as bigint)
+                   as week_index,
+                 cast(count(*) as bigint) as n_users
+          from act group by cohort_week, week_index),
+    c0 as (select cohort_week, n_users as cohort_size from g
+           where week_index = 0)
+    select strftime(g.cohort_week, '%Y-%m-%d') as cohort_week,
+           g.week_index, g.n_users,
+           cast(g.n_users * 1000000 // c0.cohort_size as bigint)
+             as retention_ppm
+    from g join c0 on g.cohort_week = c0.cohort_week
+    order by cohort_week, week_index
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-activity
+    week, per-week active-user counts and retention ppm vs the cohort's
+    week 0. Plan: one user-keyed min-aggregate for cohort assignment, a
+    co-partitioned user join + distinct for (user, week) activity, then
+    a (cohort, week)-keyed count — low-cardinality output regardless of
+    event volume; the week-0 sizes re-join on cohort_week (tiny, AQE
+    broadcasts). Week arithmetic is date_trunc('week') + day-diff div 7
+    — Monday-based and identical in both engines; ppm is integral div.
+    Week-0 membership makes cohort_size ≥ 1, so the division is safe."""
+    e = _events(spark, sf_dir).select("user_id", "ts")
+    f = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        e.join(f, "user_id")
+        .select(
+            "user_id", "cohort_week", F.date_trunc("week", "ts").alias("w")
+        )
+        .distinct()
+    )
+    g = act.groupBy(
+        "cohort_week",
+        F.expr("cast(datediff(w, cohort_week) div 7 as bigint)").alias(
+            "week_index"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    c0 = g.filter(F.col("week_index") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        g.join(c0, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_index",
+            "n_users",
+            F.expr(
+                "cast(n_users * 1000000 div cohort_size as bigint)"
+            ).alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_index")
+    )
+
+
+@register(
+    "outlier_events_exact",
+    """
+    with t as (select event_type, event_id,
+                      cast(round(value*100) as bigint) as c from events),
+    a as (select event_type, count(*) as n,
+            sum(c // 1000000) as sx_hi, sum(c % 1000000) as sx_lo,
+            sum((c*c) // 1000000) as sxx_hi, sum((c*c) % 1000000) as sxx_lo
+          from t group by event_type),
+    d as (select event_type, cast(n as hugeint) as n,
+            cast(sx_hi as hugeint)*1000000 + sx_lo as sx,
+            cast(sxx_hi as hugeint)*1000000 + sxx_lo as sxx
+          from a)
+    select t.event_type, t.event_id, t.c as value_cents
+    from t join d on t.event_type = d.event_type
+    where (t.c * d.n - d.sx) * (t.c * d.n - d.sx) > 9 * (d.n * d.sxx - d.sx * d.sx)
+    order by t.event_type, t.event_id
+    """,
+)
+def outlier_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier gate with ZERO floating point: the z-score
+    comparison |c − mean| > 3·std is squared into pure integer arithmetic
+    — (c·n − Σx)² > 9·(n·Σx² − (Σx)²) — over the same split hi/lo long
+    accumulators as ``event_value_stats``, so the decision is exact and
+    engine-identical (no sqrt, no division, no tie to round). Plan: one
+    per-type partial-agg shuffle for the moments (5 rows), broadcast back
+    onto the scan, per-row codegen compare in decimal(38,0) — overflow-
+    safe past 1e12 rows per group. The row-filter counterpart of the X60
+    stats release: stats tell you the spread, this emits the rows to
+    quarantine."""
+    t = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    a = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *_split_sum(F.col("c"), "sx"),
+        *_split_sum(F.col("c") * F.col("c"), "sxx"),
+    )
+    d = a.select(
+        "event_type",
+        F.col("n").cast("decimal(38,0)").alias("n"),
+        _unsplit_dec("sx").alias("sx"),
+        _unsplit_dec("sxx").alias("sxx"),
+    )
+    j = t.join(F.broadcast(d), "event_type")
+    diff = F.col("c").cast("decimal(38,0)") * F.col("n") - F.col("sx")
+    return (
+        j.filter(
+            diff * diff
+            > F.lit(9) * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .select("event_type", "event_id", F.col("c").alias("value_cents"))
+        .orderBy("event_type", "event_id")
     )

@@ -136,3 +136,21 @@ def test_luhn_check_known_vectors(spark):
     df = spark.createDataFrame([(c,) for c, _ in rows], ["cc"])
     got = [r["ok"] for r in df.select(luhn_check("cc").alias("ok")).collect()]
     assert got == [e for _, e in rows]
+
+
+def test_iban_valid(spark):
+    from dbt_gdpr_anonymizer_spark.functions.masking import iban_valid
+
+    cases = [
+        ("GB29NWBK60161331926819", True),
+        ("DE89370400440532013000", True),
+        ("FR1420041010050500013M02606", True),  # letter mid-BBAN
+        ("GB29NWBK60161331926810", False),  # corrupted last digit
+        ("GB29NWBK6016133192681", False),  # wrong length for mod-97? still run
+        ("XX0012345678901", False),  # bad checksum
+        ("1229NWBK60161331926819", False),  # digits where letters required
+        ("gb29nwbk60161331926819", True),  # case-insensitive (upper applied)
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "iban string")
+    got = [r.v for r in df.select(iban_valid("iban").alias("v")).collect()]
+    assert got == [e for _, e in cases]

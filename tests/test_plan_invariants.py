@@ -53,6 +53,9 @@ BNLJ_ALLOWED = {
     "word_frequency_zipf",
     "event_value_drift_psi",
     "dataset_card_by_source",
+    #   funnel_conversion — the stacked stage counts are 1-row aggregates
+    #     cross-joined in (bounded by construction, never data volume)
+    "funnel_conversion",
 }
 
 
