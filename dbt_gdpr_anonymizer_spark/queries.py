@@ -1431,6 +1431,8 @@ _CHECK_LAST = [
     "funnel_conversion",
     "cohort_retention",
     "outlier_events_exact",
+    "salted_join_revenue_by_segment",
+    "event_value_trend",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -5156,3 +5158,105 @@ def outlier_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "event_id", F.col("c").alias("value_cents"))
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "salted_join_revenue_by_segment",
+    """
+    select c.c_mktsegment,
+           cast(count(*) as bigint) as n_orders,
+           cast(sum(cast(round(o.o_totalprice*100) as bigint)) as bigint)
+             as revenue_cents
+    from orders o join customer c on o.o_custkey = c.c_custkey
+    group by c.c_mktsegment
+    order by c.c_mktsegment
+    """,
+)
+def salted_join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver evidence for the skew-safe salted join
+    (``operators/relational.py:salted_join``): revenue per market segment
+    through an explicitly SALTED fact⋈dim join must be value-identical to
+    the oracle's plain join. The fact side gets a deterministic xxhash64
+    salt in [0, 8), the dim replicates once per salt, and the hot key's
+    rows spread over 8 reducers — the planned-ahead alternative to AQE's
+    runtime skew split when a deterministic partitioning must survive.
+    The oracle ignores the salting entirely (it changes the partition
+    plan, never the join semantics), which is exactly the property being
+    certified."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(o, c, "c_custkey", salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "event_value_trend",
+    """
+    with t as (
+      select event_type,
+             cast(date_diff('day', date '2024-01-01', (ts::timestamp)::date)
+                  as bigint) as x,
+             cast(round(value*100) as bigint) as y
+      from events
+    ),
+    a as (
+      select event_type, count(*) as n,
+             sum(x) as sx, sum(y) as sy, sum(x*y) as sxy, sum(x*x) as sxx
+      from t group by event_type
+    )
+    select event_type, cast(n as bigint) as n,
+      cast((
+        (cast(n as hugeint) * sxy - cast(sx as hugeint) * sy) * 1000000
+      ) // (cast(n as hugeint) * sxx - cast(sx as hugeint) * sx)
+        as bigint) as slope_cents_per_day_e6
+    from a order by event_type
+    """,
+)
+def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear trend (OLS slope of value over time) with ZERO
+    floating point: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) evaluated
+    entirely in integers — x is the calendar-day index, y integer cents,
+    the four sums plain codegen longs (bounded: x ≤ ~3.6e3 for a
+    decade-deep corpus, so Σxy stays under 2^63 past 1e10 rows/group;
+    switch Σxy to split hi/lo accumulators past that), and the slope
+    released as integral-division e-6 cents/day on decimal(38,0) — the
+    same cross-products as Pearson/OLS feature-drift monitors run at
+    corpus scale, with engine-identical results. One per-type partial-agg
+    shuffle; 5 output rows."""
+    e = _events(spark, sf_dir)
+    t = e.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    a = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return a.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "cast(((cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy)"
+            " * 1000000) div "
+            "(cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)"
+            " as bigint)"
+        ).alias("slope_cents_per_day_e6"),
+    ).orderBy("event_type")

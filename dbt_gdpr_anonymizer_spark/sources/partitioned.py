@@ -1,0 +1,55 @@
+"""Hive-partitioned parquet layout: the partition-pruning scan path.
+
+Bucketing (``sources/bucketed.py``) amortizes JOIN shuffles; directory
+partitioning amortizes SCANS: write the table as
+``path/col=value/part-*.parquet`` and every query filtering on the
+partition column reads ONLY the matching directories — the planner
+resolves the pruning from the file listing, before a single data byte
+moves. At 100 TB this is the difference between a 30-second
+incremental-day job and a full-corpus pass: time-partitioned event/fact
+tables should ALWAYS land partitioned on their ingestion date.
+
+Rules encoded here (enforced by tests/test_partitioned.py):
+
+* partition columns must be LOW cardinality (dates, sources, languages —
+  thousands of directories, not millions: each partition is a filesystem
+  object and the listing itself becomes the bottleneck past ~1e5);
+* repartition on the partition key before the write — otherwise every
+  task writes a file into every partition directory (tasks × partitions
+  small files, the classic layout bug);
+* equality/IN/range filters on partition columns appear under the scan's
+  ``PartitionFilters`` (pruned at plan time); everything else is a data
+  filter — verify with ``.explain`` when adding a new query path, the
+  plan says which filters prune.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["write_partitioned", "read_partitioned"]
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+) -> str:
+    """Write ``df`` Hive-partitioned on ``partition_cols``; returns the
+    path. The pre-write ``repartition`` on the partition key gives one
+    task per live partition → one file per partition directory (plus
+    AQE coalescing), instead of the tasks×partitions small-file spray.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    return path
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Hive-partitioned layout; partition columns come back as
+    real columns (directory-derived), and filters on them prune at plan
+    time — assert ``PartitionFilters`` in the scan when it matters."""
+    return spark.read.parquet(path)
