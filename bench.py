@@ -57,6 +57,11 @@ HEADLINE = [
     "word_frequency_zipf",
     "boilerplate_line_filter_documents",
     "k_anonymity_generalize",
+    # r5 batch-2/3 shapes: staged user-keyed funnel joins, full-outer
+    # fingerprint diff, and the two-phase vocab-build + token equi-join
+    "funnel_conversion",
+    "corpus_snapshot_diff",
+    "vocab_oov_rate",
 ]
 
 # neardup_components drift note (r5, data-backed): decomposed timing at

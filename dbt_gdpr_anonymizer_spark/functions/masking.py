@@ -53,6 +53,7 @@ __all__ = [
     "surrogate_key",
     "luhn_check",
     "iban_valid",
+    "generalize_date",
 ]
 
 
@@ -279,3 +280,17 @@ def iban_valid(c: Column | str) -> Column:
         & F.length(s).between(15, 34)
         & (rem == 1)
     )
+
+
+def generalize_date(c: Column | str, granularity: str = "month") -> Column:
+    """Temporal generalization: truncate a date/timestamp to ``month`` /
+    ``quarter`` / ``year`` — the date counterpart of coordinate rounding
+    (precision reduction, not suppression). An EXTENSION method beyond the
+    reference's four (its ladder stops at round_2_decimals for
+    coordinates); registered in the policy dispatcher as
+    ``generalize_to_month`` so schema metadata can select it exactly like
+    the reference methods. NULL-safe (date_trunc propagates NULL); pure
+    codegen."""
+    if granularity not in ("month", "quarter", "year"):
+        raise ValueError("granularity must be month, quarter, or year")
+    return F.date_trunc(granularity, _col(c))

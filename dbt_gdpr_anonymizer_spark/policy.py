@@ -136,6 +136,10 @@ def _method_registry(
         "aggregate_to_city": lambda c: (
             F.col(city_column) if city_column else F.lit(None).cast("string")
         ),
+        # extension beyond the reference's four methods: temporal
+        # generalization (precision reduction for dates, the counterpart
+        # of round_2_decimals for coordinates)
+        "generalize_to_month": lambda c: masking.generalize_date(c, "month"),
     }
 
 

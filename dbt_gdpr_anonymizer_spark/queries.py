@@ -1433,6 +1433,7 @@ _CHECK_LAST = [
     "outlier_events_exact",
     "salted_join_revenue_by_segment",
     "event_value_trend",
+    "mask_generalize_order_dates",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -5260,3 +5261,45 @@ def event_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("slope_cents_per_day_e6"),
     ).orderBy("event_type")
+
+
+@register(
+    "mask_generalize_order_dates",
+    """
+    select o_orderkey as o_orderkey_anon,
+           cast(date_trunc('month', o_orderdate) as timestamp)
+             as o_orderdate_anon,
+           o_orderpriority as o_orderpriority_anon
+    from orders
+    order by o_orderkey_anon
+    """,
+)
+def mask_generalize_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal generalization through the policy dispatcher: a date
+    column whose metadata selects the EXTENSION method
+    ``generalize_to_month`` (``functions/masking.generalize_date`` —
+    precision reduction for dates, the counterpart of the reference's
+    round_2_decimals for coordinates) is truncated in the same
+    mask_model projection that handles the reference's four methods —
+    proving the method registry extends without touching the rewriter.
+    Pure per-row codegen, no shuffle."""
+    from dbt_gdpr_anonymizer_spark.policy import (
+        ColumnPolicy,
+        TablePolicy,
+        mask_model,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    pol = TablePolicy(
+        name="orders",
+        columns={
+            "o_orderdate": ColumnPolicy(
+                pii=True,
+                pii_type="quasi_identifier",
+                anonymization_method="generalize_to_month",
+            )
+        },
+    )
+    return mask_model(o, pol).orderBy("o_orderkey_anon")

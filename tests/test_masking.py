@@ -154,3 +154,23 @@ def test_iban_valid(spark):
     df = spark.createDataFrame([(c,) for c, _ in cases], "iban string")
     got = [r.v for r in df.select(iban_valid("iban").alias("v")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_generalize_date(spark):
+    from dbt_gdpr_anonymizer_spark.functions.masking import generalize_date
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("2024-05-17",), (None,)], "d string"
+    ).select(F.to_timestamp("d").alias("d"))
+    out = df.select(
+        generalize_date("d", "month").alias("m"),
+        generalize_date("d", "quarter").alias("q"),
+        generalize_date("d", "year").alias("y"),
+    ).collect()
+    assert str(out[0].m) == "2024-05-01 00:00:00"
+    assert str(out[0].q) == "2024-04-01 00:00:00"
+    assert str(out[0].y) == "2024-01-01 00:00:00"
+    assert out[1].m is None and out[1].q is None and out[1].y is None
+    with _pytest.raises(ValueError):
+        generalize_date("d", "day")
