@@ -53,6 +53,7 @@ __all__ = [
     "surrogate_key",
     "luhn_check",
     "iban_valid",
+    "nir_valid",
     "generalize_date",
 ]
 
@@ -294,3 +295,23 @@ def generalize_date(c: Column | str, granularity: str = "month") -> Column:
     if granularity not in ("month", "quarter", "year"):
         raise ValueError("granularity must be month, quarter, or year")
     return F.date_trunc(granularity, _col(c))
+
+
+def nir_valid(c: Column | str) -> Column:
+    """True when the string is a structurally-valid French NIR (the INSEE
+    social-security number — THE national identifier a French-GDPR
+    deployment like the reference's services-publics pipeline must catch)
+    under the official mod-97 key: 15 digits, first digit 1/2 (sex), and
+    the last two digits equal ``97 − (first 13 digits mod 97)``.
+
+    The 13-digit body fits a BIGINT, so the check is one cast + one
+    modulo — per-row whole-stage codegen, no UDF; the identical
+    arithmetic runs in the DuckDB oracle. (Corsican 2A/2B department
+    codes use a letter substitution and are out of scope for the numeric
+    fast path — they'd fail the all-digit shape check, not validate
+    wrongly.)
+    """
+    s = _col(c)
+    body = F.substring(s, 1, 13).cast("bigint")
+    key = F.substring(s, 14, 2).cast("bigint")
+    return s.rlike("^[12][0-9]{14}$") & (key == 97 - body % 97)

@@ -41,6 +41,7 @@ __all__ = [
     "pseudonym_token",
     "build_keymap",
     "reidentify",
+    "consent_state",
 ]
 
 
@@ -159,3 +160,48 @@ def reidentify(
     documented legal basis: broadcast the keymap (subject-cardinality
     rows) onto the tokenized frame — the fact side never shuffles."""
     return tokenized.join(F.broadcast(keymap), token_col, "left")
+
+
+def consent_state(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    *,
+    grant_types: tuple[str, ...] = ("signup",),
+    revoke_types: tuple[str, ...] = ("error",),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Article 6/7 consent ledger reduction: collapse an append-only
+    grant/revoke event stream to the CURRENT consent state per subject —
+    latest event wins (ties broken by ``tiebreak_col`` descending so the
+    reduction is deterministic under equal timestamps). Subjects with no
+    ledger event have no lawful basis and simply don't appear.
+
+    The reference's schema.yml declares ``legal_basis`` per column
+    (models/staging/schema.yml:57-64) but never enforces it; this is the
+    enforcement half — downstream processing joins against the consented
+    set (see ``consent_gated_spend`` in the registry).
+
+    Scale: the grant/revoke type filter pushes into the scan (ledger
+    events are a sliver of the event firehose), then ONE user-keyed
+    window shuffle sized by ledger volume, not corpus volume. Output is
+    subject-cardinality: small enough to broadcast into the gating join.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    all_types = list(grant_types) + list(revoke_types)
+    return (
+        events.filter(F.col(type_col).isin(all_types))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(user_col),
+            F.col(type_col).isin(list(grant_types)).alias("consented"),
+            F.col(ts_col).alias("consent_ts"),
+        )
+    )

@@ -33,6 +33,7 @@ __all__ = [
     "dp_noisy_sum",
     "geometric_noise_thresholds",
     "generalize_to_k",
+    "microaggregate",
 ]
 
 
@@ -385,4 +386,81 @@ def dp_noisy_sum(
             ).alias("noisy_sum"),
         )
         .orderBy(*group_cols)
+    )
+
+
+def microaggregate(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    value_col: str,
+    k: int,
+    *,
+    id_col: str,
+    out_col: str = "microagg_value",
+) -> DataFrame:
+    """ENFORCE k-anonymity on a numeric attribute by k-member
+    microaggregation (Domingo-Ferrer/Mateo-Sanz, TKDE 2002): within each
+    QI partition, rows are ordered by value and grouped into blocks of
+    ``k`` adjacent members (the trailing remainder merges into the last
+    block, so every released block has ≥ k members); each row's value is
+    replaced by its block centroid. The reference's ladder stops at
+    banding/suppression (mask_coordinates round, aggregate_to_city —
+    dbt_project/macros/privacy/*.sql); microaggregation is the SDC
+    alternative that preserves column means within blocks. For one
+    attribute, value-adjacent fixed-size blocks are the optimal
+    partition, so no iterative MDAV is needed — the whole operator is
+    two window functions and one derived-key window aggregate.
+
+    ``value_col`` must be an exact integer column (cents / ppm units —
+    the module's no-float rule). The centroid is released as integral
+    division ``sum div n`` — both Spark ``div`` and DuckDB ``//``
+    truncate toward zero, so the release is bit-identical across engines
+    even for negative values. Partitions with fewer than ``k`` rows
+    cannot form a k-block and are SUPPRESSED (dropped), mirroring
+    k-anonymity suppression semantics.
+
+    Scale: one hash shuffle on ``partition_cols`` + an in-partition sort;
+    the block-centroid window re-uses the same partitioning (block is a
+    derived sub-key, Catalyst's ClusteredDistribution check sees
+    hash(partition_cols) already satisfies (partition_cols, block)), so
+    no second shuffle. Skew bound: a QI partition must fit one task —
+    for national-scale QI keys pre-split the QI (the salting pattern in
+    operators/relational.salted_join) before calling.
+    """
+    from pyspark.sql import Window
+
+    part = [F.col(c) for c in partition_cols]
+    w = Window.partitionBy(*part).orderBy(F.col(value_col), F.col(id_col))
+    wp = Window.partitionBy(*part)
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wp)
+    # trailing remainder joins the last full block: block index is capped
+    # at n div k - 1 (n ≥ k guaranteed by the suppression filter below)
+    block = F.least(
+        ((rn - 1) / F.lit(k)).cast("long"),
+        (n / F.lit(k)).cast("long") - 1,
+    )
+    wb = Window.partitionBy(*part, F.col("_blk"))
+    blocked = (
+        df.select(F.col(id_col), *part, F.col(value_col))
+        .withColumn("_n", n)
+        .filter(F.col("_n") >= k)
+        .withColumn("_blk", block)
+    )
+    return (
+        blocked.select(
+            F.col(id_col),
+            *part,
+            F.col("_blk").alias("block"),
+            F.count(F.lit(1)).over(wb).cast("long").alias("_bn"),
+            F.sum(F.col(value_col)).over(wb).cast("long").alias("_bsum"),
+        )
+        .select(
+            F.col(id_col),
+            *part,
+            "block",
+            F.col("_bn").alias("n_members"),
+            F.expr("_bsum div _bn").cast("long").alias(out_col),
+        )
+        .orderBy(*part, "block", id_col)
     )

@@ -1434,6 +1434,12 @@ _CHECK_LAST = [
     "salted_join_revenue_by_segment",
     "event_value_trend",
     "mask_generalize_order_dates",
+    # r5 batch 4 (all first exposure → r6 window): microaggregation,
+    # consent gating, national-ID scan, encoding cleanliness
+    "microaggregate_acctbal",
+    "consent_gated_spend",
+    "nir_pii_scan",
+    "encoding_profile_documents",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -5303,3 +5309,326 @@ def mask_generalize_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return mask_model(o, pol).orderBy("o_orderkey_anon")
+
+
+@register(
+    "microaggregate_acctbal",
+    """
+    with v as (
+      select c_custkey, c_mktsegment,
+             cast(round(c_acctbal * 100) as bigint) as cents
+      from customer
+    ),
+    r as (
+      select c_custkey, c_mktsegment, cents,
+             row_number() over (partition by c_mktsegment
+                                order by cents, c_custkey) as rn,
+             count(*) over (partition by c_mktsegment) as n
+      from v
+    ),
+    b as (
+      select c_custkey, c_mktsegment, cents,
+             least((rn - 1) // 5, n // 5 - 1) as blk
+      from r where n >= 5
+    )
+    select c_custkey, c_mktsegment,
+           cast(blk as bigint) as block,
+           cast(count(*) over w as bigint) as n_members,
+           cast(cast(sum(cents) over w as bigint) // (count(*) over w)
+                as bigint) as acctbal_cents_microagg
+    from b
+    window w as (partition by c_mktsegment, blk)
+    order by c_mktsegment, block, c_custkey
+    """,
+)
+def microaggregate_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 k-member microaggregation (operators/privacy.microaggregate):
+    account balances in integer cents are replaced by their 5-member
+    value-adjacent block centroid within each market segment — the
+    SDC-literature alternative (Domingo-Ferrer 2002) to the reference's
+    banding/suppression ladder. All-integer: block assignment from
+    row_number/count windows, centroid an integral division (both
+    engines truncate toward zero, proven on negative balances). One QI
+    shuffle; the block-centroid window reuses the same partitioning."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import microaggregate
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return microaggregate(
+        c,
+        ["c_mktsegment"],
+        "cents",
+        5,
+        id_col="c_custkey",
+        out_col="acctbal_cents_microagg",
+    )
+
+
+@register(
+    "consent_gated_spend",
+    """
+    with ledger as (
+      select user_id, event_type, ts,
+             row_number() over (partition by user_id
+                                order by ts desc, event_id desc) as rn
+      from events where event_type in ('signup', 'error')
+    ),
+    state as (
+      select user_id, event_type = 'signup' as consented
+      from ledger where rn = 1
+    ),
+    labeled as (
+      select c.c_mktsegment, s.user_id, s.consented
+      from state s join customer c on s.user_id = c.c_custkey
+    ),
+    seg_counts as (
+      select c_mktsegment,
+             cast(sum(case when consented then 1 else 0 end) as bigint)
+               as n_consented_users,
+             cast(sum(case when consented then 0 else 1 end) as bigint)
+               as n_revoked_users
+      from labeled group by c_mktsegment
+    ),
+    spend as (
+      select l.c_mktsegment,
+             cast(sum(cast(round(o.o_totalprice * 100) as bigint))
+                  as bigint) as consented_spend_cents
+      from orders o
+      join labeled l on o.o_custkey = l.user_id and l.consented
+      group by l.c_mktsegment
+    )
+    select sc.c_mktsegment, n_consented_users, n_revoked_users,
+           coalesce(consented_spend_cents, 0) as consented_spend_cents
+    from seg_counts sc left join spend using (c_mktsegment)
+    order by c_mktsegment
+    """,
+)
+def consent_gated_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 consent-gated processing (operators/gdpr.consent_state): the
+    grant/revoke event ledger collapses latest-wins to a per-subject
+    consent state; order spend is then aggregated ONLY over consented
+    subjects, alongside per-segment consented/revoked counts — the
+    lawful-basis gate the reference declares in schema.yml
+    (legal_basis, models/staging/schema.yml:57-64) but never enforces.
+
+    Scale: ledger filter pushes to the scan, one user-keyed window over
+    ledger events only; the subject-cardinality state broadcasts into
+    the orders probe (no fact shuffle); spend agg is map-side partial
+    on a low-cardinality segment key."""
+    from dbt_gdpr_anonymizer_spark.operators.gdpr import consent_state
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    cs = consent_state(
+        ev, "user_id", "event_type", "ts", tiebreak_col="event_id"
+    ).select("user_id", "consented")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    labeled = cs.join(
+        cust, cs["user_id"] == cust["c_custkey"]
+    ).select("c_mktsegment", "user_id", "consented")
+    seg_counts = labeled.groupBy("c_mktsegment").agg(
+        F.sum(F.when(F.col("consented"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_consented_users"),
+        F.sum(F.when(F.col("consented"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_revoked_users"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        o.join(
+            F.broadcast(labeled.filter(F.col("consented"))),
+            o["o_custkey"] == F.col("user_id"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("consented_spend_cents")
+        )
+    )
+    return (
+        seg_counts.join(spend, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_consented_users",
+            "n_revoked_users",
+            F.coalesce(F.col("consented_spend_cents"), F.lit(0))
+            .cast("long")
+            .alias("consented_spend_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# Deterministic example NIRs (structurally valid bodies + computed mod-97
+# keys; not real persons — the dept/commune/order digits are arbitrary).
+_TEST_NIRS = [
+    "185027510812332",
+    "293045512345658",
+    "175108765432144",
+    "204011223344512",
+]
+
+
+@register(
+    "nir_pii_scan",
+    f"""
+    with nirs as (
+      select * from (values {", ".join(f"({i}, '{p}')" for i, p in enumerate(_TEST_NIRS))})
+        as t(slot, nir)
+    ),
+    injected as (
+      select d.doc_id,
+             coalesce(d.text, '') || ' nir ' || p.nir || ' dossier '
+               || substr(p.nir, 1, 13)
+               || lpad(cast((cast(substr(p.nir, 14, 2) as bigint) % 97) + 1
+                            as varchar), 2, '0') as t
+      from documents d join nirs p on d.doc_id % 4 = p.slot
+    ),
+    cands as (
+      select doc_id,
+             unnest(regexp_extract_all(t, '\\b[12][0-9]{{14}}\\b')) as cand
+      from injected
+    )
+    select doc_id, cand as candidate,
+           (regexp_matches(cand, '^[12][0-9]{{14}}$')
+            and cast(substr(cand, 14, 2) as bigint)
+                = 97 - cast(substr(cand, 1, 13) as bigint) % 97) as nir_valid
+    from cands
+    order by doc_id, candidate
+    """,
+)
+def nir_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 national-identifier PII scan (functions/masking.nir_valid):
+    the French INSEE number with its official mod-97 key — the national-
+    ID counterpart of the Luhn and IBAN gates, and the highest-stakes
+    identifier for the reference's French public-services domain
+    (mask_email.sql / validate_anonymization.py stop at email/phone/GPS).
+    Each document gets one known-valid example NIR and one key-corrupted
+    twin injected deterministically; the scan re-extracts 15-digit
+    candidates and validates with one BIGINT modulo — per-row codegen,
+    no UDF, no shuffle."""
+    from dbt_gdpr_anonymizer_spark.functions.masking import nir_valid
+
+    docs = _t(spark, sf_dir, "documents")
+    nir = F.element_at(
+        F.array(*[F.lit(p) for p in _TEST_NIRS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    injected = docs.withColumn("_n", nir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" nir "),
+            F.col("_n"),
+            F.lit(" dossier "),
+            F.expr(
+                "substr(_n, 1, 13) || "
+                "lpad(cast((cast(substr(_n, 14, 2) as bigint) % 97) + 1 "
+                "as string), 2, '0')"
+            ),
+        ).alias("t"),
+    )
+    cands = injected.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("t"), F.lit(r"\b[12][0-9]{14}\b"), F.lit(0)
+            )
+        ).alias("candidate"),
+    )
+    return cands.select(
+        "doc_id", "candidate", nir_valid(F.col("candidate")).alias("nir_valid")
+    ).orderBy("doc_id", "candidate")
+
+
+@register(
+    "encoding_profile_documents",
+    """
+    with injected as (
+      select source,
+             coalesce(text, '')
+               || repeat(chr(233), cast(doc_id % 3 as int))
+               || repeat(chr(65533), cast(doc_id % 2 as int))
+               || repeat(chr(7), cast(doc_id % 4 as int)) as t
+      from documents
+    ),
+    m as (
+      select source,
+             length(t) as n_chars,
+             length(regexp_replace(t, '[\\x00-\\x7F]', '', 'g')) as n_non_ascii,
+             length(t) - length(replace(t, chr(65533), '')) as n_repl,
+             length(regexp_replace(t, '[^\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]',
+                                   '', 'g')) as n_ctrl
+      from injected
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(cast(sum(n_non_ascii) as bigint) * 1000000
+                // cast(sum(n_chars) as bigint) as bigint) as non_ascii_ppm,
+           cast(cast(sum(n_repl) as bigint) * 1000000
+                // cast(sum(n_chars) as bigint) as bigint) as replacement_ppm,
+           cast(cast(sum(n_ctrl) as bigint) * 1000000
+                // cast(sum(n_chars) as bigint) as bigint) as control_ppm
+    from m group by source order by source
+    """,
+)
+def encoding_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 encoding-cleanliness profile: per-source ppm rates of
+    non-ASCII, U+FFFD replacement (the mojibake tell — a decoder already
+    lost bytes upstream), and C0 control characters (excluding tab/LF/CR)
+    — the corpus-health gate a crawl-ingest pipeline runs before
+    training. The synthetic corpus is pure ASCII, so each document gets
+    a deterministic injection of all three classes (é / U+FFFD / BEL,
+    doc_id-keyed moduli) making every rate non-trivially verifiable.
+
+    Per-row counting is three regexp_replace/replace length deltas —
+    whole-stage codegen, no UDF; the aggregation is one low-cardinality
+    source-keyed shuffle with map-side partials; releases are integral-
+    division ppm BIGINTs (the driver-proof family)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.expr(
+        "concat(coalesce(text, ''), "
+        "repeat(chr(233), cast(doc_id % 3 as int)), "
+        "repeat(chr(65533), cast(doc_id % 2 as int)), "
+        "repeat(chr(7), cast(doc_id % 4 as int)))"
+    )
+    m = docs.select(
+        "source",
+        F.length(t).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(t, r"[\x00-\x7F]", "")).cast("long")
+        .alias("n_non_ascii"),
+        (
+            F.length(t)
+            - F.length(F.expr("replace(" + "concat(coalesce(text, ''), "
+                              "repeat(chr(233), cast(doc_id % 3 as int)), "
+                              "repeat(chr(65533), cast(doc_id % 2 as int)), "
+                              "repeat(chr(7), cast(doc_id % 4 as int)))"
+                              ", chr(65533), '')"))
+        ).cast("long").alias("n_repl"),
+        F.length(
+            F.regexp_replace(t, r"[^\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+        ).cast("long").alias("n_ctrl"),
+    )
+    agg = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_non_ascii").cast("long").alias("_na"),
+        F.sum("n_repl").cast("long").alias("_nr"),
+        F.sum("n_ctrl").cast("long").alias("_nc"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.expr("(_na * 1000000) div total_chars").cast("long")
+        .alias("non_ascii_ppm"),
+        F.expr("(_nr * 1000000) div total_chars").cast("long")
+        .alias("replacement_ppm"),
+        F.expr("(_nc * 1000000) div total_chars").cast("long")
+        .alias("control_ppm"),
+    ).orderBy("source")

@@ -80,3 +80,34 @@ def test_keymap_roundtrip(spark):
     # every value rejoins its original key
     chk = back.groupBy("subject_key").agg(F.sum("v").alias("s")).collect()
     assert {(r.subject_key, r.s) for r in chk} == {(1, 30), (2, 30)}
+
+
+def test_consent_state_latest_wins_and_tiebreak(spark):
+    from dbt_gdpr_anonymizer_spark.operators.gdpr import consent_state
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    rows = [
+        # user 1: grant then revoke -> not consented
+        (1, 1, "signup", t0),
+        (2, 1, "error", t1),
+        # user 2: revoke then grant -> consented
+        (3, 2, "error", t0),
+        (4, 2, "signup", t1),
+        # user 3: equal ts, higher event_id is the grant -> consented
+        (5, 3, "error", t0),
+        (6, 3, "signup", t0),
+        # user 4: only non-ledger events -> absent
+        (7, 4, "view", t1),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r.user_id: r.consented
+        for r in consent_state(
+            df, "user_id", "event_type", "ts", tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out == {1: False, 2: True, 3: True}

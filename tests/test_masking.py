@@ -174,3 +174,19 @@ def test_generalize_date(spark):
     assert out[1].m is None and out[1].q is None and out[1].y is None
     with _pytest.raises(ValueError):
         generalize_date("d", "day")
+
+
+def test_nir_valid_accepts_valid_rejects_corrupt(spark):
+    from dbt_gdpr_anonymizer_spark.functions.masking import nir_valid
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("185027510812332", True),   # computed mod-97 key
+        ("185027510812333", False),  # key off by one
+        ("385027510812332", False),  # bad sex digit
+        ("85027510812332", False),   # 14 digits
+        ("1850275108123321", False), # 16 digits
+    ]
+    df = spark.createDataFrame(cases, "s string, want boolean")
+    out = df.select("want", nir_valid(F.col("s")).alias("got")).collect()
+    assert all(r.want == r.got for r in out)

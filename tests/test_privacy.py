@@ -219,3 +219,45 @@ def test_dp_noisy_sum_floor_at_zero(spark):
             assert row.noisy_sum == 0  # 5 + noise*100 < 0 -> floored
             return
     raise AssertionError("no salt produced negative noise (p < 1e-3)")
+
+
+def test_microaggregate_blocks_and_remainder(spark):
+    from dbt_gdpr_anonymizer_spark.operators.privacy import microaggregate
+
+    # 7 rows, k=3: blocks [0,1,2], [3,4,5,6] (remainder merges into last)
+    rows = [("g", i, v) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70])]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = microaggregate(df, ["grp"], "v", 3, id_col="id").collect()
+    assert len(out) == 7
+    by_block = {}
+    for r in out:
+        by_block.setdefault(r.block, []).append(r)
+    assert sorted(by_block) == [0, 1]
+    assert len(by_block[0]) == 3 and len(by_block[1]) == 4
+    # centroids: (10+20+30)//3 = 20; (40+50+60+70)//4 = 55
+    assert {r.microagg_value for r in by_block[0]} == {20}
+    assert {r.microagg_value for r in by_block[1]} == {55}
+    assert all(r.n_members == len(by_block[r.block]) for r in out)
+
+
+def test_microaggregate_suppresses_below_k(spark):
+    from dbt_gdpr_anonymizer_spark.operators.privacy import microaggregate
+
+    df = spark.createDataFrame(
+        [("big", i, i * 10) for i in range(4)] + [("small", 99, 5)],
+        "grp string, id long, v long",
+    )
+    out = microaggregate(df, ["grp"], "v", 3, id_col="id").collect()
+    assert {r.grp for r in out} == {"big"}  # 1-row partition suppressed
+    assert len(out) == 4
+
+
+def test_microaggregate_negative_centroid_truncates_toward_zero(spark):
+    from dbt_gdpr_anonymizer_spark.operators.privacy import microaggregate
+
+    # sum = -7 over 2 members: Spark div and DuckDB // both give -3
+    df = spark.createDataFrame(
+        [("g", 1, -3), ("g", 2, -4)], "grp string, id long, v long"
+    )
+    out = microaggregate(df, ["grp"], "v", 2, id_col="id").collect()
+    assert {r.microagg_value for r in out} == {-3}
