@@ -1440,6 +1440,11 @@ _CHECK_LAST = [
     "consent_gated_spend",
     "nir_pii_scan",
     "encoding_profile_documents",
+    # r5 batch 5 (first exposure → r6 window): stream-stream join,
+    # sequence-length histogram, ORC format round-trip
+    "stream_interval_join_clicks",
+    "token_length_histogram",
+    "orc_roundtrip_documents",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -5632,3 +5637,208 @@ def encoding_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(_nc * 1000000) div total_chars").cast("long")
         .alias("control_ppm"),
     ).orderBy("source")
+
+
+def _replay_batches(
+    spark: SparkSession, df: DataFrame, schema: str, n: int = 3
+) -> DataFrame:
+    """Replay a batch frame as a file stream of ``n`` event-time-ranged
+    single-file parquet batches (mtime-ordered, ``maxFilesPerTrigger=1``)
+    — arrival is time-ordered across batches, so watermarks advance the
+    way they would against a live, roughly-ordered source. Same harness
+    as ``stream_sessionize_events``; factored for reuse by every
+    streaming registry query that needs a deterministic replay."""
+    import os
+    import tempfile
+
+    ts_col = schema.split(",")[-1].strip().split(" ")[0]
+    us = F.unix_micros(F.col(ts_col))
+    cuts = df.agg(
+        *[
+            F.percentile(us, (i + 1) / n).alias(f"c{i}")
+            for i in range(n - 1)
+        ]
+    ).collect()[0]
+    bounds = [int(cuts[f"c{i}"]) for i in range(n - 1)]
+    tmp = tempfile.mkdtemp(prefix="replay_")
+    lo = None
+    for i in range(n):
+        hi = bounds[i] if i < n - 1 else None
+        p = df
+        if lo is not None:
+            p = p.filter(us > lo)
+        if hi is not None:
+            p = p.filter(us <= hi)
+        path = f"{tmp}/f{i}"
+        p.coalesce(1).write.parquet(path)
+        mt = 1_000.0 * (i + 1)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (mt, mt))
+        os.utime(path, (mt, mt))
+        lo = hi
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/f*")
+    )
+
+
+@register(
+    "stream_interval_join_clicks",
+    """
+    select p.event_id as purchase_id,
+           cast(count(*) as bigint) as n_clicks
+    from events p
+    join events c
+      on c.user_id = p.user_id
+     and c.event_type = 'click' and p.event_type = 'purchase'
+     and c.ts between p.ts - interval 1 hour and p.ts
+    group by p.event_id
+    order by purchase_id
+    """,
+)
+def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 stream-stream interval join (streaming/join.py): clicks in
+    the hour before each purchase, correlated LIVE across two branches
+    of one replayed event stream — the third stateful-streaming shape
+    after sessionization (applyInPandasWithState) and windowed rollup.
+    Watermarks on both sides + the event-time range condition let Spark
+    bound join state (O(lookback × rate), not O(stream)); with the 2h
+    watermark ≥ 1h lookback + replay disorder, no needed state is ever
+    evicted, so the drained matches equal the batch range join — which
+    is exactly what the DuckDB oracle computes. The per-purchase count
+    runs batch-side on the drained sink (chaining a streaming agg after
+    a stream-stream join would be a second stateful operator)."""
+    import uuid
+
+    from dbt_gdpr_anonymizer_spark.streaming.join import stream_interval_join
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        "ts",
+    )
+    stream = _replay_batches(
+        spark,
+        e,
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        lookback="1 hour",
+        watermark="2 hours",
+    ).select("purchase_id", "click_id")
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "token_length_histogram",
+    f"""
+    with t as (
+      select lang, cast({_TOKENS_WS_SQL} as bigint) as n_tokens
+      from documents
+    ),
+    b as (
+      select lang, n_tokens,
+             case when n_tokens < 16 then '0000-0015'
+                  when n_tokens < 64 then '0016-0063'
+                  when n_tokens < 256 then '0064-0255'
+                  when n_tokens < 1024 then '0256-1023'
+                  else '1024+' end as bucket
+      from t
+    )
+    select lang, bucket,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_tokens) as bigint) as total_tokens
+    from b group by lang, bucket order by lang, bucket
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 sequence-length histogram: per-language document counts and
+    token mass in power-of-4-ish length bands — the batch-composition
+    view a training pipeline needs to size packing buckets and spot
+    truncation loss before a run. The band ladder is explicit integer
+    CASE comparisons (no log2 float), labels zero-padded so
+    lexicographic ORDER BY equals numeric band order in both engines.
+    Per-row codegen token count (same whitespace tokenizer the packing
+    operator uses), one low-cardinality shuffle, map-side partials."""
+    d = _t(spark, sf_dir, "documents")
+    nt = tx.token_count_ws("text").cast("long")
+    bucket = (
+        F.when(nt < 16, "0000-0015")
+        .when(nt < 64, "0016-0063")
+        .when(nt < 256, "0064-0255")
+        .when(nt < 1024, "0256-1023")
+        .otherwise("1024+")
+    )
+    return (
+        d.select("lang", nt.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "orc_roundtrip_documents",
+    """
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           min(md5(cast(doc_id as varchar))) as min_doc_md5
+    from documents group by lang order by lang
+    """,
+)
+def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 ORC sink + scan round-trip: documents metadata written as ORC
+    (Spark's second first-class columnar format — JVM-native, predicate
+    pushdown and column pruning like parquet) and read back; the
+    aggregates computed FROM THE ORC COPY must equal the parquet oracle,
+    proving bytes survive the sink/scan pair. Completes the format
+    matrix: parquet + JSON + CSV (sources/ingest.py) + ORC. The md5
+    column drags doc_id values through the round trip so a
+    row-corruption would show, not just count drift."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    d.write.mode("overwrite").orc(f"{tmp}/docs")
+    back = spark.read.orc(f"{tmp}/docs")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min(F.md5(F.col("doc_id").cast("string"))).alias("min_doc_md5"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,76 @@
+"""Stream-stream interval join: correlate two live event streams within a
+bounded event-time window (clicks in the hour before each purchase, ad
+impressions before conversions, …) without ever materializing either side.
+
+This is the STREAMING twin of ``operators/relational.interval_join`` — the
+batch operator buckets time to turn a range join into an equi-join; the
+streaming one instead leans on Spark's stream-stream join state store:
+both sides are watermarked, the range condition bounds how long a row can
+possibly match, and Spark derives per-side state-eviction watermarks from
+that condition — state is O(lookback × arrival rate), not O(stream
+length). No reference counterpart (the reference is batch-only DuckDB
+SQL); semantics pinned by the DuckDB oracle on the replayed batch.
+
+Correctness window (inner join): a left row at time t is needed while
+right rows with ts ∈ [t, t + lookback] can still arrive, i.e. until the
+watermark passes t + lookback. Choosing ``watermark ≥ lookback + max
+arrival disorder`` guarantees no needed state is evicted early, so the
+drained result equals the batch range join exactly — that equality IS the
+registry oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stream_interval_join"]
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Inner-join two STREAMING frames on ``on`` where the left row's
+    event time falls in ``[right_ts − lookback, right_ts]``.
+
+    Both sides get the same watermark delay; the join condition carries
+    the event-time range so Spark can compute state watermarks for both
+    sides (without it, stream-stream join state grows unboundedly and
+    the query is rejected). Columns from both sides survive with their
+    original names except ``on``/timestamps, which are disambiguated as
+    ``left_``/``right_`` prefixed outputs.
+
+    Scale: state per key is bounded by rows inside the watermark
+    horizon; the join itself is the standard symmetric hash join over
+    the key — one shuffle per side, skew governed by the key's arrival
+    distribution (salt upstream for hot keys, same as batch).
+    """
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(on).alias("_lk"),
+        F.col(left_ts).alias("_lts"),
+        *[c for c in left.columns if c not in (on, left_ts)],
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(on).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        *[c for c in right.columns if c not in (on, right_ts)],
+    )
+    cond = (
+        (l["_lk"] == r["_rk"])
+        & (l["_lts"] >= r["_rts"] - F.expr(f"interval {lookback}"))
+        & (l["_lts"] <= r["_rts"])
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("_lk").alias(on),
+        F.col("_lts").alias(f"left_{left_ts}"),
+        F.col("_rts").alias(f"right_{right_ts}"),
+        *[c for c in left.columns if c not in (on, left_ts)],
+        *[c for c in right.columns if c not in (on, right_ts)],
+    )
