@@ -1445,6 +1445,11 @@ _CHECK_LAST = [
     "stream_interval_join_clicks",
     "token_length_histogram",
     "orc_roundtrip_documents",
+    # r5 batch 6 (first exposure → r6 window): Q3/Q18 relational shapes,
+    # winsorized robust stats
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "winsorized_stats_events",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -5841,4 +5846,210 @@ def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.col("doc_id").cast("string"))).alias("min_doc_md5"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    with r as (
+      select l_orderkey, o_orderdate, o_orderpriority,
+        sum(cast(round(l_extendedprice*100) as bigint)
+            * (100 - cast(round(l_discount*100) as bigint))) as rev_e4
+      from lineitem
+      join orders   on l_orderkey = o_orderkey
+      join customer on o_custkey = c_custkey
+      where c_mktsegment = 'BUILDING'
+        and o_orderdate < timestamp '1995-03-15 00:00:00'
+        and l_shipdate  > timestamp '1995-03-15 00:00:00'
+      group by l_orderkey, o_orderdate, o_orderpriority
+    )
+    select l_orderkey, cast(rev_e4 as bigint) as revenue_e4,
+           o_orderdate, o_orderpriority
+    from r
+    order by revenue_e4 desc, o_orderdate, l_orderkey
+    limit 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
+    revenue for one market segment. Both date predicates and the segment
+    filter push into the parquet scans BEFORE the joins (PushedFilters);
+    the orderkey-keyed revenue agg collapses map-side on the join key it
+    just shuffled on (no re-shuffle), and the global top-10 is a
+    TakeOrdered — per-partition heads reduced on the driver, never a
+    full sort. Integer-e4 revenue, full tiebreak (date, orderkey) so the
+    LIMIT frontier is deterministic in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cut = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .select("l_orderkey", rev.alias("_r"))
+        .join(
+            o.filter(F.col("o_orderdate") < cut).select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("_r").cast("long").alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue_e4").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    with big as (
+      select l_orderkey,
+             cast(sum(cast(round(l_quantity*100) as bigint)) as bigint) as qty_cents
+      from lineitem group by l_orderkey
+      having sum(cast(round(l_quantity*100) as bigint)) > 20000
+    )
+    select c_name, c_custkey, o_orderkey, o_orderdate, qty_cents
+    from big
+    join orders   on o_orderkey = l_orderkey
+    join customer on c_custkey = o_custkey
+    order by qty_cents desc, o_orderkey
+    limit 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity clears a threshold, joined back to customer. The HAVING
+    collapses lineitem to a tiny qualifying-order set BEFORE any wide
+    join — at 100 TB the post-having side is thousands of rows, so AQE
+    turns both remaining joins into broadcasts. Quantity in integer
+    cents; top-100 via TakeOrdered with an orderkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    qc = F.round(F.col("l_quantity") * 100).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qc).cast("long").alias("qty_cents"))
+        .filter(F.col("qty_cents") > 20000)
+    )
+    return (
+        big.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            big["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(
+            c.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "qty_cents")
+        .orderBy(F.col("qty_cents").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "winsorized_stats_events",
+    """
+    with v as (
+      select event_type, event_id,
+             cast(round(value * 100) as bigint) as cents
+      from events
+    ),
+    r as (
+      select event_type, cents,
+             row_number() over (partition by event_type
+                                order by cents, event_id) as rn,
+             count(*) over (partition by event_type) as n
+      from v
+    ),
+    k as (
+      select event_type, cents, rn, n,
+             (n + 99) // 100 as lo_k,
+             (99 * n + 99) // 100 as hi_k
+      from r
+    ),
+    b as (
+      select event_type, cents,
+             max(case when rn = lo_k then cents end)
+               over (partition by event_type) as lo_cents,
+             max(case when rn = hi_k then cents end)
+               over (partition by event_type) as hi_cents
+      from k
+    )
+    select event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(min(lo_cents) as bigint) as lo_cents,
+           cast(min(hi_cents) as bigint) as hi_cents,
+           cast(sum(least(greatest(cents, lo_cents), hi_cents)) as bigint)
+             as winsorized_sum_cents
+    from b group by event_type order by event_type
+    """,
+)
+def winsorized_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 winsorized robust statistics: per-type event-value sums with
+    tails clipped at the EXACT p01/p99 order statistics — the
+    heavy-tail-robust aggregate a metrics pipeline releases when a few
+    corrupt rows would otherwise dominate (the row-filter counterpart is
+    the 3σ gate, X81). No approximate percentile: the k-th order
+    statistic is picked by integer rank arithmetic (``k = ceil(q·n)`` as
+    ``(q·n + 99) div 100``), deterministic in any engine — approx
+    sketches differ across implementations, order statistics cannot.
+
+    One event_type shuffle; rank, bound-pick, and clip are three window
+    passes over the SAME partitioning (no extra exchange), then a
+    map-side partial agg. Integer cents throughout."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("cents", "event_id")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).select(
+        "event_type",
+        "cents",
+        "rn",
+        F.expr("(n + 99) div 100").alias("lo_k"),
+        F.expr("(99 * n + 99) div 100").alias("hi_k"),
+    )
+    b = r.select(
+        "event_type",
+        "cents",
+        F.max(F.when(F.col("rn") == F.col("lo_k"), F.col("cents"))).over(wp)
+        .alias("lo_cents"),
+        F.max(F.when(F.col("rn") == F.col("hi_k"), F.col("cents"))).over(wp)
+        .alias("hi_cents"),
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("lo_cents").cast("long").alias("lo_cents"),
+            F.min("hi_cents").cast("long").alias("hi_cents"),
+            F.sum(
+                F.least(
+                    F.greatest(F.col("cents"), F.col("lo_cents")),
+                    F.col("hi_cents"),
+                )
+            ).cast("long").alias("winsorized_sum_cents"),
+        )
+        .orderBy("event_type")
     )

@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_partitioned", "read_partitioned"]
+__all__ = ["write_partitioned", "read_partitioned", "compact_files"]
 
 
 def write_partitioned(
@@ -53,3 +53,47 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     real columns (directory-derived), and filters on them prune at plan
     time — assert ``PartitionFilters`` in the scan when it matters."""
     return spark.read.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    order_cols: Sequence[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (optionally
+    range-clustered on ``order_cols`` so per-file min/max stats prune
+    future range scans). Returns the output file count.
+
+    Streaming sinks, incremental upserts, and per-trigger appends all
+    accrete thousands of KB-sized files; at 100 TB the scan's task
+    scheduling and footer-reading overhead then dominates actual I/O
+    (one task per file). Compaction is the standing maintenance job that
+    restores ~128 MB files. Total size comes from the driver-side file
+    listing (metadata only, no data read); the rewrite is one
+    repartition/repartitionByRange — a single full shuffle, which is the
+    floor for re-laying-out data. Run per partition directory in a
+    partitioned layout so only dirty partitions rewrite.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-int(total) // int(target_file_bytes)))
+    df = spark.read.parquet(in_path)
+    if order_cols:
+        out = df.repartitionByRange(n_files, *[F.col(c) for c in order_cols])
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    out_p = jvm.org.apache.hadoop.fs.Path(out_path)
+    listing = fs.listStatus(out_p)
+    return sum(
+        1
+        for i in range(len(listing))
+        if listing[i].getPath().getName().endswith(".parquet")
+    )

@@ -80,3 +80,57 @@ def test_partitioned_roundtrip_values(spark):
     back = read_partitioned(spark, path).select("id", "p", "v")
     got = {(r.id, r.p, r.v) for r in back.collect()}
     assert got == {(1, "a", 10), (2, "b", 20), (3, "a", 30)}
+
+
+def test_compact_files_reduces_file_count_and_preserves_rows(spark, tmp_path):
+    from dbt_gdpr_anonymizer_spark.sources.partitioned import compact_files
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "small")
+    # 40 tiny files
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(src)
+    out = str(tmp_path / "compact")
+    n = compact_files(spark, src, out, target_file_bytes=10**9)
+    assert n == 1  # everything fits one target-size file
+    back = spark.read.parquet(out)
+    assert back.count() == 4000
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(4000))
+
+
+def test_compact_files_range_clusters_for_pruning(spark, tmp_path):
+    from dbt_gdpr_anonymizer_spark.sources.partitioned import compact_files
+
+    src = str(tmp_path / "small2")
+    spark.range(0, 10000).repartition(17).write.parquet(src)
+    out = str(tmp_path / "compact2")
+    # force multiple output files, clustered by id
+    n = compact_files(
+        spark, src, out, target_file_bytes=8 * 1024, order_cols=["id"]
+    )
+    assert n > 1
+    # range clustering => per-file id ranges are (near-)disjoint: a point
+    # filter must hit at most a couple of files' min/max ranges
+    import pyarrow.parquet as pq
+    import glob
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    overlaps = sum(
+        1
+        for (l1, h1), (l2, h2) in zip(ranges, ranges[1:])
+        if l2 <= h1
+    )
+    assert overlaps == 0  # consecutive file ranges disjoint
