@@ -62,6 +62,12 @@ HEADLINE = [
     "funnel_conversion",
     "corpus_snapshot_diff",
     "vocab_oov_rate",
+    # r5 batch 4-6 shapes: the stream-stream join state store (drain runs
+    # inside the callable, like the sessionize drain), the QI-window
+    # microaggregation, and the order-statistic winsorize
+    "stream_interval_join_clicks",
+    "microaggregate_acctbal",
+    "winsorized_stats_events",
 ]
 
 # neardup_components drift note (r5, data-backed): decomposed timing at

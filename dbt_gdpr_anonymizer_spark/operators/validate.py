@@ -345,3 +345,131 @@ def run_validation_gate(
                 enriched, list(quasi_identifiers), k
             ).write.mode("overwrite").parquet(f"{failures_root}/k_anonymity")
     return 0 if report["passed"] else 1
+
+
+@dataclass(frozen=True)
+class ColumnTest:
+    """One declarative schema test, the dbt generic-test vocabulary
+    (models/staging/schema.yml): ``unique`` / ``not_null`` /
+    ``accepted_values`` / ``accepted_range`` / ``relationships``.
+    ``where`` optionally scopes any test to a row predicate (the
+    reference's conditional ``not_null … where: "has_email = 1"``,
+    schema.yml:67-68)."""
+
+    column: str
+    test: str
+    values: tuple | None = None          # accepted_values
+    lo: float | None = None              # accepted_range
+    hi: float | None = None
+    to_table: str | None = None          # relationships
+    to_field: str | None = None
+    where: str | None = None
+
+
+def generic_schema_tests(
+    tables: dict[str, DataFrame],
+    tests: dict[str, Sequence[ColumnTest]],
+) -> DataFrame:
+    """Declarative schema-test runner — the ``dbt test`` counterpart for
+    the generic tests the reference declares per column
+    (schema.yml:36-195). Returns one row per test:
+    ``(table_name, column_name, test_name, n_violations)``; the gate is
+    "every n_violations == 0", and failing-row persistence composes via
+    :func:`run_validation_gate`'s store_failures pattern.
+
+    Scale shape — tests are FUSED, not run one-by-one:
+
+    * all row-local tests on a table (not_null / accepted_values /
+      accepted_range, with optional ``where`` scopes) collapse into ONE
+      conditional-count aggregate pass — a table with 12 declared tests
+      still scans once;
+    * each ``unique`` test is one groupBy on its key counting duplicated
+      values (map-side partial; dbt semantics: the violation count is
+      the number of DISTINCT duplicated values);
+    * each ``relationships`` test is a left-anti join against the parent
+      key set — parent keys are distinct-reduced first and Spark/AQE
+      broadcasts a dimension-sized parent automatically.
+
+    The per-test outputs are 1-row aggregates unioned driver-side —
+    bounded by test count, never by data volume.
+    """
+    results: list[DataFrame] = []
+    for tname, tlist in tests.items():
+        df = tables[tname]
+        rowlocal = [t for t in tlist if t.test in (
+            "not_null", "accepted_values", "accepted_range")]
+        if rowlocal:
+            aggs = []
+            for i, t in enumerate(rowlocal):
+                c = F.col(t.column)
+                if t.test == "not_null":
+                    bad = c.isNull()
+                elif t.test == "accepted_values":
+                    # dbt semantics: NULL is not a violation here (that's
+                    # not_null's job) — SQL NOT IN returns NULL for NULL
+                    bad = c.isNotNull() & ~c.isin(list(t.values))
+                else:
+                    bad = (c < t.lo) | (c > t.hi)
+                if t.where:
+                    bad = bad & F.expr(t.where)
+                aggs.append(
+                    F.sum(F.when(bad, 1).otherwise(0)).cast("long")
+                    .alias(f"_t{i}")
+                )
+            row = df.agg(*aggs)
+            longs = [
+                F.struct(
+                    F.lit(tname).alias("table_name"),
+                    F.lit(t.column).alias("column_name"),
+                    F.lit(t.test).alias("test_name"),
+                    F.col(f"_t{i}").alias("n_violations"),
+                )
+                for i, t in enumerate(rowlocal)
+            ]
+            results.append(
+                row.select(F.explode(F.array(*longs)).alias("r")).select("r.*")
+            )
+        for t in tlist:
+            if t.test == "unique":
+                dup = (
+                    df.filter(F.col(t.column).isNotNull())
+                    .groupBy(t.column)
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") > 1)
+                    .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                )
+                results.append(
+                    dup.select(
+                        F.lit(tname).alias("table_name"),
+                        F.lit(t.column).alias("column_name"),
+                        F.lit("unique").alias("test_name"),
+                        "n_violations",
+                    )
+                )
+            elif t.test == "relationships":
+                parent = (
+                    tables[t.to_table]
+                    .select(F.col(t.to_field).alias("_pk"))
+                    .distinct()
+                )
+                orphan = (
+                    df.filter(F.col(t.column).isNotNull())
+                    .join(
+                        parent,
+                        F.col(t.column) == F.col("_pk"),
+                        "left_anti",
+                    )
+                    .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+                )
+                results.append(
+                    orphan.select(
+                        F.lit(tname).alias("table_name"),
+                        F.lit(t.column).alias("column_name"),
+                        F.lit("relationships").alias("test_name"),
+                        "n_violations",
+                    )
+                )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name", "column_name", "test_name")

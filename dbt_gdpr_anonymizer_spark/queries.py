@@ -1450,6 +1450,8 @@ _CHECK_LAST = [
     "q3_shipping_priority",
     "q18_large_volume_customers",
     "winsorized_stats_events",
+    # r5 batch 7 (first exposure → r6 window): the dbt-test counterpart
+    "schema_test_report",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
@@ -5744,14 +5746,28 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="2 hours",
     ).select("purchase_id", "click_id")
     name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Stateful partition count is FROZEN at checkpoint creation (AQE never
+    # re-plans stateful stages), so it must be sized to state volume up
+    # front: each shuffle partition is a state-store instance per side per
+    # micro-batch, and at this drain's volume 32 stores are pure overhead
+    # — 8 halves the wall time (measured 12.8s → 6.8s at sf0.1). A
+    # production cluster sizes this to aggregate state volume / executor
+    # count BEFORE first start; scoped save/restore keeps the session's
+    # batch default untouched.
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
     return (
         spark.table(name)
         .groupBy("purchase_id")
@@ -6053,3 +6069,109 @@ def winsorized_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "schema_test_report",
+    """
+    with u as (
+      select 'customer' as table_name, 'c_custkey' as column_name,
+             'unique' as test_name,
+             cast(count(*) as bigint) as n_violations
+      from (select c_custkey from customer where c_custkey is not null
+            group by c_custkey having count(*) > 1)
+    ),
+    nn as (
+      select 'customer', 'c_name', 'not_null',
+             cast(sum(case when c_name is null then 1 else 0 end) as bigint)
+      from customer
+    ),
+    ar as (
+      select 'customer', 'c_acctbal', 'accepted_range',
+             cast(sum(case when c_acctbal < -999.99 or c_acctbal > 9999.99
+                           then 1 else 0 end) as bigint)
+      from customer
+    ),
+    av as (
+      select 'orders', 'o_orderstatus', 'accepted_values',
+             cast(sum(case when o_orderstatus is not null
+                            and o_orderstatus not in ('O', 'F')
+                           then 1 else 0 end) as bigint)
+      from orders
+    ),
+    rel as (
+      select 'orders', 'o_custkey', 'relationships',
+             cast(count(*) as bigint)
+      from orders o
+      where o.o_custkey is not null
+        and not exists (select 1 from customer c
+                        where c.c_custkey = o.o_custkey)
+    ),
+    ev as (
+      select 'events', 'event_type', 'accepted_values',
+             cast(sum(case when event_type is not null
+                            and event_type not in
+                                ('view', 'click', 'purchase', 'signup')
+                           then 1 else 0 end) as bigint)
+      from events
+    ),
+    evn as (
+      select 'events', 'user_id', 'not_null',
+             cast(sum(case when user_id is null and event_type = 'purchase'
+                           then 1 else 0 end) as bigint)
+      from events
+    )
+    select * from u union all select * from nn union all select * from ar
+    union all select * from av union all select * from rel
+    union all select * from ev union all select * from evn
+    order by table_name, column_name, test_name
+    """,
+)
+def schema_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative generic-schema-test runner
+    (operators/validate.generic_schema_tests) — the ``dbt test``
+    counterpart, exercising the reference's whole generic vocabulary
+    (schema.yml:36-195): unique, not_null (plus the conditional
+    ``where:`` form), accepted_values, accepted_range (dbt_utils), and
+    relationships (FK). The spec here deliberately includes tests that
+    FAIL on the data ('O'/'F' excludes the real 'P' status; the event
+    vocabulary excludes 'error') so nonzero violation counts are
+    value-checked, not just zeros. Row-local tests on a table fuse into
+    ONE conditional-count scan; unique is a per-key partial-agg groupBy;
+    relationships a distinct-reduced left-anti join (AQE broadcasts the
+    dimension-sized parent)."""
+    from dbt_gdpr_anonymizer_spark.operators.validate import (
+        ColumnTest,
+        generic_schema_tests,
+    )
+
+    tables = {
+        "customer": _t(spark, sf_dir, "customer"),
+        "orders": _t(spark, sf_dir, "orders"),
+        "events": _events(spark, sf_dir),
+    }
+    tests = {
+        "customer": [
+            ColumnTest("c_custkey", "unique"),
+            ColumnTest("c_name", "not_null"),
+            ColumnTest("c_acctbal", "accepted_range", lo=-999.99, hi=9999.99),
+        ],
+        "orders": [
+            ColumnTest("o_orderstatus", "accepted_values", values=("O", "F")),
+            ColumnTest(
+                "o_custkey",
+                "relationships",
+                to_table="customer",
+                to_field="c_custkey",
+            ),
+        ],
+        "events": [
+            ColumnTest(
+                "event_type",
+                "accepted_values",
+                values=("view", "click", "purchase", "signup"),
+            ),
+            ColumnTest("user_id", "not_null", where="event_type = 'purchase'"),
+        ],
+    }
+    return generic_schema_tests(tables, tests)

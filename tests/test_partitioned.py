@@ -134,3 +134,42 @@ def test_compact_files_range_clusters_for_pruning(spark, tmp_path):
         if l2 <= h1
     )
     assert overlaps == 0  # consecutive file ranges disjoint
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    from dbt_gdpr_anonymizer_spark.sources.partitioned import write_zordered
+    from pyspark.sql import functions as F
+    import glob
+    import pyarrow.parquet as pq
+
+    # 64x64 grid — every (x, y) combination once
+    df = (
+        spark.range(0, 64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+    out = str(tmp_path / "zorder")
+    write_zordered(df, out, ["x", "y"], n_files=16, bits=6)
+
+    # per-file bounding boxes: z-clustering must bound BOTH dims, so a
+    # point probe (x=7,y=9) lands in very few files' boxes — with a
+    # single-column sort, every file would span the full y range
+    hits_both = 0
+    y_full = 0
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        def rng(colname):
+            i = names[colname]
+            st = [md.row_group(g).column(i).statistics for g in range(md.num_row_groups)]
+            return min(s.min for s in st), max(s.max for s in st)
+        x_lo, x_hi = rng("x")
+        y_lo, y_hi = rng("y")
+        if x_lo <= 7 <= x_hi and y_lo <= 9 <= y_hi:
+            hits_both += 1
+        if y_lo == 0 and y_hi == 63:
+            y_full += 1
+    assert hits_both <= 4          # point probe prunes >= 12/16 files
+    assert y_full <= 2             # files do NOT all span the full y range

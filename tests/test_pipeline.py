@@ -163,3 +163,44 @@ def test_validate_empty_mart_yields_zero_counts(spark, ci_raw):
         "success_rate": 0.0,
     }
     assert report["passed"] is True
+
+
+def test_generic_schema_tests_vocabulary(spark):
+    from dbt_gdpr_anonymizer_spark.operators.validate import (
+        ColumnTest,
+        generic_schema_tests,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "a", 5, 1), (1, "b", 50, 1), (2, None, -5, 9), (None, "c", 7, 2)],
+        "k long, name string, v long, fk long",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    tests = {
+        "child": [
+            ColumnTest("k", "unique"),            # k=1 duplicated -> 1
+            ColumnTest("name", "not_null"),       # one null -> 1
+            ColumnTest("v", "accepted_range", lo=0, hi=10),  # -5, 50 -> 2
+            ColumnTest("name", "accepted_values", values=("a", "b")),  # 'c'; null NOT counted -> 1
+            ColumnTest(
+                "fk", "relationships", to_table="parent", to_field="pk"
+            ),  # fk=9 orphan -> 1
+            ColumnTest("v", "not_null", where="k = 2"),  # scoped: none null -> 0
+        ],
+        "parent": [ColumnTest("pk", "unique")],   # 0
+    }
+    out = {
+        (r.table_name, r.column_name, r.test_name): r.n_violations
+        for r in generic_schema_tests(
+            {"child": child, "parent": parent}, tests
+        ).collect()
+    }
+    assert out == {
+        ("child", "k", "unique"): 1,
+        ("child", "name", "not_null"): 1,
+        ("child", "v", "accepted_range"): 2,
+        ("child", "name", "accepted_values"): 1,
+        ("child", "fk", "relationships"): 1,
+        ("child", "v", "not_null"): 0,
+        ("parent", "pk", "unique"): 0,
+    }
