@@ -25,6 +25,7 @@ def connected_components(
     dst: str = "dst",
     iters: int = 4,
     checkpoint: bool = False,
+    max_driver_edges: int = 0,
 ) -> DataFrame:
     """Connected components by synchronous min-label propagation.
 
@@ -64,6 +65,41 @@ def connected_components(
     cached: list[DataFrame] = []
     ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
     cached.append(ed)
+    if max_driver_edges:
+        # Small-graph fast path: near-dup graphs are usually TINY relative
+        # to the corpus (the expensive part is finding the edges, not
+        # clustering them) — iters × (join + agg) rounds on a few hundred
+        # edges is pure stage-scheduling overhead. limit(k+1) bounds what
+        # can ever reach the driver (the k-means model-state precedent:
+        # bounded driver state, never corpus-sized); if the edge set fits,
+        # run exact union-find driver-side — O(E α(E)), no rounds, and
+        # identical output to converged min-label propagation (component =
+        # min member id). Past the bound, fall through to the distributed
+        # rounds unchanged.
+        head = ed.limit(max_driver_edges + 1).collect()
+        if len(head) <= max_driver_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in head:
+                ra, rb = find(row["a"]), find(row["b"])
+                if ra != rb:
+                    # union by MIN id so labels match min-propagation
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = sorted({r["a"] for r in head} | {r["b"] for r in head})
+            spark = edges.sparkSession
+            out = spark.createDataFrame(
+                [(n, find(n)) for n in nodes], "node long, component long"
+            )
+            return track_caches(out, *cached)
     # Measured note (r5): pre-partitioning + persisting `bi` on the join
     # key to reuse one edge shuffle across rounds was tried and REVERTED —
     # the extra materialization cost more than the saved exchanges (4.1s →

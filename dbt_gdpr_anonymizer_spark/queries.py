@@ -1840,7 +1840,8 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), threshold=0.7
     ).select("doc_id_a", "doc_id_b")
     return connected_components(
-        pairs, src="doc_id_a", dst="doc_id_b", iters=4
+        pairs, src="doc_id_a", dst="doc_id_b", iters=4,
+        max_driver_edges=1_000_000
     ).select(F.col("node").alias("doc_id"), "component")
 
 
@@ -3448,7 +3449,8 @@ def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_a", "doc_id_b"
     )
     comps = connected_components(
-        pairs, src="doc_id_a", dst="doc_id_b", iters=4
+        pairs, src="doc_id_a", dst="doc_id_b", iters=4,
+        max_driver_edges=1_000_000
     )
     m = comps.join(
         docs.select("doc_id", "n_chars"),

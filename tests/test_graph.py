@@ -31,3 +31,37 @@ def test_checkpoint_variant_same_result(spark):
     assert _components(spark, edges) == _components(
         spark, edges, checkpoint=True
     )
+
+
+def test_union_find_fast_path_matches_distributed(spark):
+    from dbt_gdpr_anonymizer_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    slow = {
+        (r.node, r.component)
+        for r in connected_components(edges, iters=4).collect()
+    }
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(
+            edges, iters=4, max_driver_edges=100
+        ).collect()
+    }
+    assert fast == slow
+    assert {c for _, c in fast} == {1, 10, 20}
+
+
+def test_union_find_bound_falls_back_to_distributed(spark):
+    from dbt_gdpr_anonymizer_spark.operators.graph import connected_components
+
+    # chain 0-1-2-3-4: diameter 4, converges within the default budget
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    # bound smaller than the edge count -> distributed rounds path
+    out = connected_components(edges, iters=4, max_driver_edges=2).collect()
+    assert {r.component for r in out} == {0}
