@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
 __all__ = ["erase_keys", "erasure_matches", "erasure_survivors"]
 
 
@@ -51,19 +53,26 @@ def _contains_join(
     # so a deletion list with duplicate literals can't trip the cap.
     distinct_terms = terms.select(term_col).distinct()
     if max_terms is not None:
+        # persist so the guard probe and the broadcast materialize the
+        # distinct reduction ONCE, not twice (the term source may itself
+        # be a filtered corpus scan)
+        distinct_terms = distinct_terms.persist()
         probed = distinct_terms.limit(max_terms + 1).count()
         if probed > max_terms:
+            distinct_terms.unpersist()
             raise ValueError(
                 f"erasure term list exceeds max_terms={max_terms} distinct "
                 f"terms; a per-row contains scan is O(rows·terms) — "
                 f"extract identifiers and equi-join instead, or raise the "
                 f"cap deliberately with max_terms=None"
             )
-    return docs.join(
+    out = docs.join(
         F.broadcast(distinct_terms),
         F.col(text_col).contains(F.col(term_col)),
         how,
     )
+    # tracked so the caller's release_caches() frees the term cache
+    return track_caches(out, distinct_terms) if max_terms is not None else out
 
 
 def erasure_matches(
