@@ -1450,6 +1450,11 @@ _CHECK_LAST = [
     "q3_shipping_priority",
     "q18_large_volume_customers",
     "winsorized_stats_events",
+    # r5 batch 8 (first exposure → r6 window): single-pass observability,
+    # skew diagnosis, source freshness
+    "observed_scan_metrics",
+    "key_skew_report",
+    "source_freshness_report",
     # r5 batch 7 (first exposure → r6 window): the dbt-test counterpart
     "schema_test_report",
     # rows-only by construction (no SQL-expressible oracle)
@@ -6177,3 +6182,167 @@ def schema_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
     return generic_schema_tests(tables, tests)
+
+
+@register(
+    "observed_scan_metrics",
+    """
+    select 'orders' as table_name,
+           cast(count(*) as bigint) as n_rows,
+           cast(sum(case when o_custkey is null then 1 else 0 end) as bigint)
+             as null_custkeys,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+             as total_cents,
+           cast(epoch_ms(max(o_orderdate)) as bigint) as latest_order_ms
+    from orders
+    """,
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98 single-pass pipeline observability (``Dataset.observe``): the
+    data-quality metrics a production job must emit — row count, null
+    rate, money total, status cardinality — collected as a SIDE CHANNEL
+    of the main pass, not a second scan. ``observe`` attaches
+    CollectMetrics to the existing plan: the job here writes the (noop)
+    main output and the metrics arrive on the driver as one row, exactly
+    the run-manifest pattern (operators/report.py) without its extra
+    aggregation job. At 100 TB that is a full corpus scan SAVED per
+    monitored job. The released frame is the bounded metrics row."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("scan_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkeys"
+        ),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        # o_orderdate is TIMESTAMP_NTZ; the session tz is pinned UTC, so
+        # the cast is value-preserving and epoch_ms matches DuckDB's
+        (F.max(F.expr("unix_micros(cast(o_orderdate as timestamp))")) / 1000)
+        .cast("long")
+        .alias("latest_order_ms"),
+    )
+    # the "main job" — here a noop sink standing in for the real output
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                "orders",
+                int(m["n_rows"]),
+                int(m["null_custkeys"]),
+                int(m["total_cents"]),
+                int(m["latest_order_ms"]),
+            )
+        ],
+        "table_name string, n_rows long, null_custkeys long, "
+        "total_cents long, latest_order_ms long",
+    )
+
+
+@register(
+    "key_skew_report",
+    """
+    with k as (
+      select o_custkey as key, count(*) as n
+      from orders where o_custkey is not null group by o_custkey
+    ),
+    b as (
+      select case when n < 4 then '0001-0003'
+                  when n < 16 then '0004-0015'
+                  when n < 64 then '0016-0063'
+                  else '0064+' end as bucket,
+             n
+      from k
+    )
+    select bucket,
+           cast(count(*) as bigint) as n_keys,
+           cast(sum(n) as bigint) as n_rows,
+           cast(max(n) as bigint) as max_rows_per_key
+    from b group by bucket order by bucket
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99 join/agg-key skew diagnosis: the per-key-cardinality histogram
+    (log-ish integer bands) that tells an operator WHETHER a planned
+    shuffle key needs salting (operators/relational.salted_join) before
+    the job runs at 100 TB — max_rows_per_key in the top band is the
+    straggler bound. One partial-agg groupBy on the key, then a 4-row
+    band reduce: cost ≈ the map side of the join being diagnosed."""
+    o = _t(spark, sf_dir, "orders")
+    k = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bucket = (
+        F.when(F.col("n") < 4, "0001-0003")
+        .when(F.col("n") < 16, "0004-0015")
+        .when(F.col("n") < 64, "0016-0063")
+        .otherwise("0064+")
+    )
+    return (
+        k.select(bucket.alias("bucket"), "n")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_rows_per_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "source_freshness_report",
+    """
+    with s as (
+      select source, max(ts) as latest
+      from (select 'orders' as source, o_orderdate as ts from orders
+            union all
+            select 'lineitem' as source, l_shipdate as ts from lineitem)
+      group by source
+    ),
+    g as (select max(latest) as global_latest from s)
+    select source,
+           cast(epoch_ms(latest) as bigint) as latest_ms,
+           cast((epoch_ms(global_latest) - epoch_ms(latest)) // 60000
+                as bigint) as staleness_minutes
+    from s cross join g
+    order by source
+    """,
+)
+def source_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100 source-freshness monitor (the dbt `source freshness` command
+    re-expressed): per-source latest event time and staleness vs the
+    freshest source, in integer minutes — the ingestion-lag gate that
+    catches a stalled upstream feed before a training snapshot is cut.
+    max(ts) per source is a map-side-partial 1-row-per-source agg; the
+    global max broadcasts back as a 1-row cross join (the tf-idf
+    corpus-stats pattern). Timestamps release as epoch millis BIGINT."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("source"), F.col("o_orderdate").alias("ts")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("source"), F.col("l_shipdate").alias("ts")
+    )
+    s = o.unionByName(li).groupBy("source").agg(F.max("ts").alias("latest"))
+    g = s.agg(F.max("latest").alias("global_latest"))
+    return (
+        s.join(F.broadcast(g), how="cross")
+        .select(
+            "source",
+            (F.expr("unix_micros(cast(latest as timestamp))") / 1000)
+            .cast("long")
+            .alias("latest_ms"),
+            F.expr(
+                "(unix_micros(cast(global_latest as timestamp)) div 1000 "
+                "- unix_micros(cast(latest as timestamp)) div 1000) div 60000"
+            ).cast("long").alias("staleness_minutes"),
+        )
+        .orderBy("source")
+    )

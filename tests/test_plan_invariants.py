@@ -56,6 +56,9 @@ BNLJ_ALLOWED = {
     #   funnel_conversion — the stacked stage counts are 1-row aggregates
     #     cross-joined in (bounded by construction, never data volume)
     "funnel_conversion",
+    #   source_freshness_report — the global-max is a 1-row broadcast
+    #     cross join onto a per-source (bounded-cardinality) aggregate
+    "source_freshness_report",
 }
 
 
