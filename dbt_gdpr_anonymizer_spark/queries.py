@@ -1450,6 +1450,8 @@ _CHECK_LAST = [
     "q3_shipping_priority",
     "q18_large_volume_customers",
     "winsorized_stats_events",
+    "q10_returned_items",
+    "q16_parts_supplier_counts",
     # r5 batch 8 (first exposure → r6 window): single-pass observability,
     # skew diagnosis, source freshness
     "observed_scan_metrics",
@@ -6345,4 +6347,99 @@ def source_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("staleness_minutes"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    with r as (
+      select c_custkey, c_name, n_name,
+        sum(cast(round(l_extendedprice*100) as bigint)
+            * (100 - cast(round(l_discount*100) as bigint))) as rev_e4
+      from lineitem
+      join orders   on l_orderkey = o_orderkey
+      join customer on o_custkey = c_custkey
+      join nation   on c_nationkey = n_nationkey
+      where l_returnflag = 'R'
+        and o_orderdate >= timestamp '1995-04-01 00:00:00'
+        and o_orderdate <  timestamp '1995-07-01 00:00:00'
+      group by c_custkey, c_name, n_name
+    )
+    select c_custkey, c_name, n_name, cast(rev_e4 as bigint) as revenue_e4
+    from r order by revenue_e4 desc, c_custkey limit 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. The returnflag and the
+    quarter predicate both push into the lineitem/orders scans; nation
+    (25 rows) broadcasts; the customer-keyed revenue agg is map-side
+    partial and the top-20 a TakeOrdered with a custkey tiebreak.
+    Integer-e4 revenue (the module release rule)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    lo = F.lit("1995-04-01 00:00:00").cast("timestamp")
+    hi = F.lit("1995-07-01 00:00:00").cast("timestamp")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev.alias("_r"))
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            c.select("c_custkey", "c_name", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("_r").cast("long").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    """
+    select p_brand, p_type, p_size,
+           cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+    from lineitem
+    join part on p_partkey = l_partkey
+    where p_brand <> 'Brand#45'
+      and p_size in (1, 4, 9, 14, 19, 23, 36, 45)
+    group by p_brand, p_type, p_size
+    order by supplier_cnt desc, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    counts per qualifying part group. The brand/size predicates push
+    into the part scan BEFORE the join (the IN-list becomes a pushed
+    filter), part joins lineitem partkey-keyed, and the count-distinct
+    runs as the two-phase partial-distinct aggregate. The 3-column group
+    key is low-cardinality, so the final shuffle is small."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin([1, 4, 9, 14, 19, 23, 36, 45])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
     )
