@@ -85,6 +85,17 @@ HEADLINE = [
 # past-the-bound fallback) removes the round overhead entirely: measured
 # 6.6 → 1.0s at sf0.1, oracle-identical output.
 #
+# Streaming-entry comparison semantics: stream_sessionize_events and
+# stream_interval_join_clicks time a 3-batch stateful REPLAY end to end —
+# temp-file batch prep, state-store checkpoints per micro-batch, Python
+# state workers (sessionize) or double-sided join state (interval join).
+# Their DuckDB oracle is the BATCH equivalence check (same final rows),
+# not a throughput baseline: a batch engine replaying the same logic in
+# one pass will always be faster than a micro-batch stateful drain. The
+# entries are here to time the stateful plan shapes themselves
+# (regressions in state sizing/partitioning show up here), per the r4
+# review's request to put the newest plan shapes under timing.
+#
 # Timing policy: every tracked persist() is released after each run, so all
 # three timed runs are COLD-cache — the number a fresh cluster job would
 # see, not one inflated by a previous run's leftover blocks. This is why

@@ -1459,10 +1459,13 @@ _CHECK_LAST = [
     "source_freshness_report",
     # r5 batch 7 (first exposure → r6 window): the dbt-test counterpart
     "schema_test_report",
+    # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
+    # deterministic md5 hyperplanes are embedded in the SQL); parked with
+    # the other similarity variants, promoted next window
+    "ann_lsh_topk",
     # rows-only by construction (no SQL-expressible oracle)
     "kmeans_embedding_clusters",
     "ann_recall_report",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "approx_distinct_sketch",
 ]
@@ -2375,15 +2378,61 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.join(ivf, "query_id")
 
 
-@register("ann_lsh_topk")  # approximate by construction -> rows-only check
+@register(
+    "ann_lsh_topk",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    vb as (
+      select vec_id, vv,
+             cast((case when list_dot_product(vv, [1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0]::DOUBLE[]) > 0 then 1 else 0 end)
+               + (case when list_dot_product(vv, [1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0]::DOUBLE[]) > 0 then 2 else 0 end)
+               + (case when list_dot_product(vv, [1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0]::DOUBLE[]) > 0 then 4 else 0 end)
+               + (case when list_dot_product(vv, [-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0]::DOUBLE[]) > 0 then 8 else 0 end)
+               + (case when list_dot_product(vv, [1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0]::DOUBLE[]) > 0 then 16 else 0 end)
+               + (case when list_dot_product(vv, [1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,1.0,-1.0]::DOUBLE[]) > 0 then 32 else 0 end)
+               + (case when list_dot_product(vv, [-1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0]::DOUBLE[]) > 0 then 64 else 0 end)
+               + (case when list_dot_product(vv, [-1.0,1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,1.0,-1.0,1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,-1.0,1.0,-1.0,1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,-1.0,-1.0,1.0,1.0,-1.0,-1.0,1.0,-1.0,-1.0,-1.0,1.0,1.0,1.0,-1.0,1.0,-1.0,1.0,-1.0]::DOUBLE[]) > 0 then 128 else 0 end) as bigint) as bucket
+      from v
+    ),
+    q as (select vec_id as query_id, vv as qv, bucket from vb
+          where vec_id < 5),
+    scored as (
+      select q.query_id, v.vec_id,
+             list_dot_product(qv, vv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(vv, vv))) as c
+      from q join vb v using (bucket)
+      where v.vec_id != q.query_id
+    ),
+    r as (select query_id, vec_id, c,
+                 row_number() over (partition by query_id
+                                    order by c desc, vec_id) as rn
+          from scored)
+    select query_id, vec_id, cast(floor(c * 1000000) as bigint) as cos_sim_ppm
+    from r where rn <= 5
+    order by query_id, vec_id
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN upgraded from rows-only to FULL oracle parity
+    (late r5): the hyperplanes are deterministic md5-derived ±1
+    vectors (operators/similarity._hyperplane), so the oracle embeds
+    them as literal arrays and replays bucket assignment (8 sign
+    decisions), the bucket equi-join, and the exact cosine rerank —
+    the approximation itself is deterministic, only RANDOM LSH would
+    need a weaker check. Sign decisions are safe cross-engine: both
+    engines fold the dot product in the same order (the proven
+    list_dot_product pattern from ann_cosine_topk), and a last-ulp
+    tie at exactly 0 does not occur in this corpus."""
     from dbt_gdpr_anonymizer_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, k=5, dim=64, bits=8)
+    return lsh_topk(emb, queries, k=5, dim=64, bits=8).orderBy(
+        "query_id", "vec_id"
+    )
 
 
 # ---------------------------------------------------------------------------
