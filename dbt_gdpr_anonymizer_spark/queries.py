@@ -1459,6 +1459,9 @@ _CHECK_LAST = [
     "source_freshness_report",
     # r5 batch 7 (first exposure → r6 window): the dbt-test counterpart
     "schema_test_report",
+    # r5 batch 9 (first exposure → r6 window): the Spark-4 Python
+    # DataSource escape hatch
+    "python_datasource_ingest",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -6491,4 +6494,49 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(
             F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
         )
+    )
+
+
+@register(
+    "python_datasource_ingest",
+    """
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars
+    from documents group by lang order by lang
+    """,
+)
+def python_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 custom Python DataSource round-trip (sources/pysource.py —
+    the Spark 4 `pyspark.sql.datasource` API): documents metadata is
+    exported as a 4-file JSONL payload directory (standing in for the
+    reference's paginated HTTP API responses, download_data.py), then
+    read back through `format("jsonl_dir")` — one InputPartition per
+    payload file, JSON parsed executor-side, driver holds only the file
+    listing. Aggregates computed FROM the custom source must equal the
+    parquet oracle, proving the source's partitioning and parsing. (For
+    JVM-native formats the built-in readers win — this is the
+    no-JVM-connector escape hatch, kept off every hot path.)"""
+    import tempfile
+
+    from dbt_gdpr_anonymizer_spark.sources.pysource import register_jsonl_dir
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="pysrc_")
+    d.select(F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")) \
+        .coalesce(4).write.mode("overwrite").text(f"{tmp}/payload")
+    register_jsonl_dir(spark)
+    back = (
+        spark.read.format("jsonl_dir")
+        .schema("doc_id long, lang string, n_chars long")
+        .option("path", f"{tmp}/payload")
+        .load()
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
     )

@@ -450,3 +450,27 @@ def test_parse_kafka_events_streaming_composes_with_rollup(spark, tmp_path):
     got = spark.table("kafka_parse_rollup").collect()
     assert len(got) == 1
     assert got[0]["n_events"] == 10 and got[0]["total_value"] == 10.0
+
+
+def test_python_datasource_partitions_and_parse(spark, tmp_path):
+    import json
+    from dbt_gdpr_anonymizer_spark.sources.pysource import register_jsonl_dir
+
+    root = tmp_path / "payload"
+    root.mkdir()
+    # 3 payload files -> 3 partitions; one blank line + missing field probe
+    (root / "a.jsonl").write_text(
+        json.dumps({"id": 1, "v": "x"}) + "\n\n" + json.dumps({"id": 2, "v": "y"}) + "\n"
+    )
+    (root / "b.jsonl").write_text(json.dumps({"id": 3}) + "\n")
+    (root / "c.jsonl").write_text("")
+    register_jsonl_dir(spark)
+    df = (
+        spark.read.format("jsonl_dir")
+        .schema("id long, v string")
+        .option("path", str(root))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = {(r.id, r.v) for r in df.collect()}
+    assert rows == {(1, "x"), (2, "y"), (3, None)}
