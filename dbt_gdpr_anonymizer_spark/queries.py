@@ -1462,6 +1462,9 @@ _CHECK_LAST = [
     # r5 batch 9 (first exposure → r6 window): the Spark-4 Python
     # DataSource escape hatch
     "python_datasource_ingest",
+    "python_stream_source_ingest",
+    "variant_props_extract",
+    "udtf_chunk_documents",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -6539,4 +6542,174 @@ def python_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
         .orderBy("lang")
+    )
+
+
+@register(
+    "variant_props_extract",
+    """
+    with enriched as (
+      select cast(json_extract_string(props, '$.k') as bigint) as k0,
+             '{"k": ' || json_extract_string(props, '$.k')
+               || ', "meta": {"v": '
+               || cast(cast(json_extract_string(props, '$.k') as bigint) % 7
+                       as varchar)
+               || '}, "tags": ["t'
+               || cast(cast(json_extract_string(props, '$.k') as bigint) % 3
+                       as varchar)
+               || '"]}' as j
+      from events
+    ),
+    x as (
+      select cast(json_extract_string(j, '$.k') as bigint) as k,
+             cast(json_extract_string(j, '$.meta.v') as bigint) as v,
+             json_extract_string(j, '$.tags[0]') as tag
+      from enriched
+    )
+    select tag,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(k) as bigint) as k_total,
+           cast(sum(v) as bigint) as v_total
+    from x group by tag order by tag
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 VARIANT semi-structured extraction (Spark 4 `parse_json` /
+    `try_variant_get`): the event payload is enriched into nested JSON
+    (deterministically, both engines build the identical string), parsed
+    ONCE into Spark's binary variant encoding, then three paths extract
+    from the parsed value — vs `get_json_object`, which re-tokenizes the
+    string per path (3× parse cost; `json_props_extract` is that
+    baseline). At 100 TB of telemetry the parse-once encoding is the
+    difference between one and N string-parses per row. All extractions
+    stay in codegen; integer releases."""
+    e = _events(spark, sf_dir)
+    k0 = F.get_json_object("props", "$.k").cast("bigint")
+    j = F.concat(
+        F.lit('{"k": '),
+        k0.cast("string"),
+        F.lit(', "meta": {"v": '),
+        (k0 % 7).cast("string"),
+        F.lit('}, "tags": ["t'),
+        (k0 % 3).cast("string"),
+        F.lit('"]}'),
+    )
+    v = F.parse_json(j).alias("_v")
+    x = e.select(v).select(
+        F.try_variant_get("_v", "$.k", "long").alias("k"),
+        F.try_variant_get("_v", "$.meta.v", "long").alias("v"),
+        F.try_variant_get("_v", "$.tags[0]", "string").alias("tag"),
+    )
+    return (
+        x.groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("k").cast("long").alias("k_total"),
+            F.sum("v").cast("long").alias("v_total"),
+        )
+        .orderBy("tag")
+    )
+
+
+@register(
+    "udtf_chunk_documents",
+    """
+    with n as (
+      select doc_id, coalesce(text, '') as t,
+             greatest((length(coalesce(text, '')) + 499) // 500, 1) as nc
+      from documents where doc_id < 50
+    )
+    select doc_id, cast(i as bigint) as chunk_idx,
+           substr(t, cast(i * 500 + 1 as bigint), 500) as chunk
+    from n, unnest(range(0, nc)) as u(i)
+    order by doc_id, chunk_idx
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 Python UDTF (Spark 4 `@udtf`, Arrow-optimized): one input row
+    expands to N output rows inside a user-defined table function — the
+    integration point for chunking logic that is GENUINELY Python
+    (tokenizer-aware splitting with a Python-only BPE library). This
+    fixed-width variant exists to certify the surface against an oracle;
+    the PRODUCTION fixed-width chunker is `chunk_documents`
+    (operators/packing.py — pure codegen explode/substring, no Python in
+    the loop), and the docstring contract is: reach for a UDTF only when
+    the per-row logic cannot be a Column expression. Bounded here to 50
+    docs — certification, not a hot path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: long, chunk_idx: long, chunk: string",
+          useArrow=True)
+    class Chunker:
+        def eval(self, doc_id, text):
+            t = text or ""
+            n = max((len(t) + 499) // 500, 1)
+            for i in range(n):
+                yield doc_id, i, t[i * 500:(i + 1) * 500]
+
+    import uuid
+
+    spark.udtf.register("udtf_chunker", Chunker)
+    view = f"docs_{uuid.uuid4().hex[:8]}"
+    _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""select c.doc_id, c.chunk_idx, c.chunk
+            from {view}, lateral udtf_chunker(doc_id, text) c
+            order by c.doc_id, c.chunk_idx"""
+    )
+
+
+@register(
+    "python_stream_source_ingest",
+    """
+    with bus as (
+      select i as off, (i * 2654435761) % 997 as k
+      from range(0, 10000) t(i)
+    )
+    select k % 10 as k_bucket,
+           cast(count(*) as bigint) as n_msgs,
+           cast(sum(k) as bigint) as k_total
+    from bus group by k_bucket order by k_bucket
+    """,
+)
+def python_stream_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 custom Python STREAMING DataSource (sources/pysource.py
+    `RangeBusDataSource`): the streaming half of X101 — a message-bus
+    stand-in with real offset negotiation (initialOffset/latestOffset),
+    per-microbatch partition planning (4 executor splits per range), and
+    commit acks, drained with availableNow. The payload is a
+    deterministic multiplicative-hash record, so the oracle regenerates
+    the exact stream with DuckDB range() — a full value check on a
+    custom streaming source, not a rows-only count. Swapping in a real
+    bus changes only latestOffset/read/commit."""
+    import uuid
+
+    from dbt_gdpr_anonymizer_spark.sources.pysource import register_range_bus
+
+    register_range_bus(spark)
+    stream = (
+        spark.readStream.format("range_bus")
+        .option("end", "10000")
+        .option("splits", "4")
+        .load()
+    )
+    name = f"bus_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_msgs"),
+            F.sum("k").cast("long").alias("k_total"),
+        )
+        .orderBy("k_bucket")
     )

@@ -28,10 +28,16 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
-__all__ = ["JsonlDirDataSource", "register_jsonl_dir"]
+__all__ = ["JsonlDirDataSource", "register_jsonl_dir",
+           "RangeBusDataSource", "register_range_bus"]
 
 
 class _FilePartition(InputPartition):
@@ -86,3 +92,69 @@ class JsonlDirDataSource(DataSource):
 def register_jsonl_dir(spark) -> None:
     """Idempotently register the source with the session."""
     spark.dataSource.register(JsonlDirDataSource)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _RangeBusStreamReader(DataSourceStreamReader):
+    """Offset-tracked stream reader over a deterministic record bus —
+    the message-queue stand-in (same role as the rate-source in
+    streaming/anonymize.py, but through the CUSTOM source API, so offset
+    bookkeeping is ours): Spark asks for (initialOffset → latestOffset)
+    ranges, we split each range into executor partitions, and commit()
+    is the hook where a real bus would ack consumed offsets."""
+
+    def __init__(self, options: dict):
+        self.end_off = int(options.get("end", "1000"))
+        self.splits = int(options.get("splits", "4"))
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        return {"offset": self.end_off}
+
+    def partitions(self, start, end):
+        s, e = start["offset"], end["offset"]
+        step = max(1, (e - s) // self.splits)
+        out, i = [], s
+        while i < e:
+            out.append(_RangePartition(i, min(i + step, e)))
+            i += step
+        return out
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            # deterministic payload: Knuth multiplicative hash mod a prime
+            yield (i, (i * 2654435761) % 997)
+
+    def commit(self, end):
+        # a real bus acks offsets <= end here; the deterministic range
+        # needs no ack
+        pass
+
+
+class RangeBusDataSource(DataSource):
+    """``spark.readStream.format("range_bus").option("end", n)``: a
+    deterministic offset-ranged stream source (message-bus stand-in)
+    built on the Python streaming DataSource API — initial/latest offset
+    negotiation, per-microbatch partition planning, executor-side reads,
+    commit acks. Deterministic by construction, so the drained stream is
+    oracle-checkable."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "range_bus"
+
+    def schema(self):
+        return "offset long, k long"
+
+    def streamReader(self, schema):
+        return _RangeBusStreamReader(self.options)
+
+
+def register_range_bus(spark) -> None:
+    spark.dataSource.register(RangeBusDataSource)
