@@ -1465,6 +1465,7 @@ _CHECK_LAST = [
     "python_stream_source_ingest",
     "variant_props_extract",
     "udtf_chunk_documents",
+    "portability_export",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -6713,3 +6714,82 @@ def python_stream_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+@register(
+    "portability_export",
+    """
+    with o as (
+      select o_custkey, o_orderkey,
+             cast(round(o_totalprice * 100) as bigint) as cents
+      from orders
+    ),
+    agg as (
+      select c.c_custkey,
+             count(o.o_orderkey) as n_orders,
+             coalesce(string_agg(
+               '{"order":' || cast(o.o_orderkey as varchar)
+                 || ',"cents":' || cast(o.cents as varchar) || '}',
+               ',' order by o.o_orderkey), '') as body
+      from customer c
+      join o on o.o_custkey = c.c_custkey
+      where c.c_custkey % 100 = 7
+      group by c.c_custkey
+    )
+    select c_custkey,
+           cast(n_orders as bigint) as n_orders,
+           '{"custkey":' || cast(c_custkey as varchar)
+             || ',"orders":[' || body || ']}' as export_json
+    from agg order by c_custkey
+    """,
+)
+def portability_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 GDPR Article-20 data portability: each requesting subject's
+    records serialized to ONE machine-readable JSON document —
+    the export a controller must hand over, and the same row→text
+    serialization shape an LLM pipeline uses to turn tabular data into
+    training text. The nested body is built with explicit concat +
+    sort_array(collect_list(struct)) rather than to_json, so the byte
+    output is engine-deterministic by construction (JSON libraries
+    differ on spacing; string building cannot). Request list is a
+    pushed-down filter (portability requests are rare, like erasure);
+    one subject-keyed shuffle with map-side partial collect; per-subject
+    payload bounded by that subject's own records."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 100 == 7
+    ).select("c_custkey")
+    joined = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", F.struct("o_orderkey", "cents").alias("_rec")
+    )
+    agg = joined.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("_rec")),
+                lambda r: F.concat(
+                    F.lit('{"order":'),
+                    r["o_orderkey"].cast("string"),
+                    F.lit(',"cents":'),
+                    r["cents"].cast("string"),
+                    F.lit("}"),
+                ),
+            ),
+            ",",
+        ).alias("_body"),
+    )
+    return agg.select(
+        "c_custkey",
+        "n_orders",
+        F.concat(
+            F.lit('{"custkey":'),
+            F.col("c_custkey").cast("string"),
+            F.lit(',"orders":['),
+            F.col("_body"),
+            F.lit("]}"),
+        ).alias("export_json"),
+    ).orderBy("c_custkey")
