@@ -1466,6 +1466,7 @@ _CHECK_LAST = [
     "variant_props_extract",
     "udtf_chunk_documents",
     "portability_export",
+    "rolling_7day_revenue",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -6793,3 +6794,55 @@ def portability_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("]}"),
         ).alias("export_json"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "rolling_7day_revenue",
+    """
+    with o as (
+      select o_custkey, o_orderdate,
+             cast(round(o_totalprice * 100) as bigint) as cents
+      from orders where o_custkey < 40
+    )
+    select o_custkey, o_orderdate,
+           cast(sum(cents) over (
+             partition by o_custkey order by o_orderdate
+             range between interval 7 day preceding and current row
+           ) as bigint) as rolling_7d_cents,
+           cast(count(*) over (
+             partition by o_custkey order by o_orderdate
+             range between interval 7 day preceding and current row
+           ) as bigint) as rolling_7d_orders
+    from o order by o_custkey, o_orderdate
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106 event-time RANGE window: per-customer trailing-7-day spend —
+    `RANGE BETWEEN INTERVAL ... PRECEDING`, the time-based frame that
+    ROWS windows cannot express when orders per day vary (every
+    other window in the registry is ROWS- or tumble-based; this is the
+    missing frame type). The frame bound is evaluated by ordering value,
+    so one customer-keyed shuffle + in-partition sort serves both
+    aggregates. Rows sharing a date (RANGE peers) get identical totals
+    in both engines by definition. Integer cents."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 40).select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # RANGE frame over an interval needs the SQL form (the Python API's
+    # rangeBetween takes long offsets only)
+    w = (
+        "partition by o_custkey order by o_orderdate "
+        "range between interval 7 day preceding and current row"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(f"sum(cents) over ({w})").cast("long")
+        .alias("rolling_7d_cents"),
+        F.expr(f"count(*) over ({w})").cast("long")
+        .alias("rolling_7d_orders"),
+    ).orderBy("o_custkey", "o_orderdate")

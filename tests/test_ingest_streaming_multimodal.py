@@ -474,3 +474,21 @@ def test_python_datasource_partitions_and_parse(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 3
     rows = {(r.id, r.v) for r in df.collect()}
     assert rows == {(1, "x"), (2, "y"), (3, None)}
+
+
+def test_binaryfile_source_reads_blobs(spark, tmp_path):
+    # the built-in binaryFile format is the ingest path for image/audio
+    # dirs feeding the multimodal decode (operators/multimodal.py)
+    import os
+
+    blobs = {"a.bin": b"\x00\x01\x02" * 100, "b.bin": b"xyz"}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    rows = {os.path.basename(r.path): (r.length, bytes(r.content))
+            for r in df.collect()}
+    assert rows == {n: (len(b), b) for n, b in blobs.items()}

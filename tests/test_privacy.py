@@ -261,3 +261,34 @@ def test_microaggregate_negative_centroid_truncates_toward_zero(spark):
     )
     out = microaggregate(df, ["grp"], "v", 2, id_col="id").collect()
     assert {r.microagg_value for r in out} == {-3}
+
+
+def test_microaggregate_properties(spark):
+    """Property sweep: every block ≥ k; per-block centroid equals the
+    truncated block mean; block sums are preserved up to truncation."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import microaggregate
+    import itertools
+
+    vals = [7, -3, 12, 12, 0, 5, 99, -8, 41, 3, 3, 18, 27]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    for k in (2, 3, 5):
+        out = microaggregate(df, ["grp"], "v", k, id_col="id").collect()
+        assert len(out) == len(vals)
+        by_block = {}
+        for r in out:
+            by_block.setdefault(r.block, []).append(r)
+        ordered = sorted(vals)
+        for blk, members in sorted(by_block.items()):
+            assert len(members) >= k
+            ids = {r.id for r in members}
+            true_vals = sorted(vals[i] for i in ids)
+            # value-adjacent: members are a contiguous slice of the order
+            lo = ordered.index(true_vals[0])
+            assert any(
+                ordered[j:j + len(true_vals)] == true_vals
+                for j in range(lo, len(ordered) - len(true_vals) + 1)
+            )
+            # python int() truncates toward zero like Spark div
+            s = sum(true_vals)
+            assert {r.microagg_value for r in members} == {int(s / len(true_vals))}
