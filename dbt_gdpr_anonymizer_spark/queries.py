@@ -1467,6 +1467,7 @@ _CHECK_LAST = [
     "udtf_chunk_documents",
     "portability_export",
     "rolling_7day_revenue",
+    "corrupt_record_quarantine",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -6846,3 +6847,64 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"count(*) over ({w})").cast("long")
         .alias("rolling_7d_orders"),
     ).orderBy("o_custkey", "o_orderdate")
+
+
+@register(
+    "corrupt_record_quarantine",
+    """
+    with raw as (
+      select doc_id,
+             case when doc_id % 10 = 3
+                  then '{"doc_id": ' || cast(doc_id as varchar) || ', "lang":'
+                  else '{"doc_id": ' || cast(doc_id as varchar)
+                       || ', "lang": "' || lang || '"}' end as line
+      from documents
+    ),
+    parsed as (
+      select doc_id, line, json_valid(line) as ok from raw
+    )
+    select cast(ok as varchar) as is_valid,
+           cast(count(*) as bigint) as n_lines,
+           min(doc_id) as min_doc_id
+    from parsed group by ok order by is_valid
+    """,
+)
+def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 corrupt-record quarantine: malformed payload lines (a
+    truncated JSON injected for doc_id ≡ 3 mod 10) are ROUTED, not
+    dropped — `from_json` in PERMISSIVE mode yields null structs for
+    garbage, the classifier splits the stream into clean rows and a
+    quarantine side with full lineage (the `badRecordsPath` pattern as
+    an explicit, auditable plan step; the streaming twin is the Kafka
+    poison-message gate, streaming/anonymize.py). One scan, per-row
+    codegen parse, low-cardinality classify agg."""
+    docs = _t(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 10 == 3,
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "lang":'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+            F.lit(', "lang": "'), F.col("lang"), F.lit('"}'),
+        )
+    )
+    parsed = docs.select(
+        "doc_id",
+        F.from_json(line, "doc_id long, lang string").alias("_p"),
+    ).select(
+        "doc_id",
+        # PERMISSIVE parse of garbage -> all-null struct; a valid line
+        # always carries doc_id, so null doc_id == quarantine
+        F.col("_p.doc_id").isNotNull().alias("ok"),
+    )
+    return (
+        parsed.groupBy(F.col("ok").cast("string").alias("is_valid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("is_valid")
+    )
