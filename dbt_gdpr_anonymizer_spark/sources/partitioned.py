@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["write_partitioned", "read_partitioned", "compact_files",
-           "zorder_value", "write_zordered"]
+           "zorder_value", "write_zordered", "footer_stats"]
 
 
 def write_partitioned(
@@ -171,3 +171,59 @@ def write_zordered(
     )
     out.write.mode("overwrite").parquet(path)
     return path
+
+
+def footer_stats(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+) -> dict:
+    """Metadata-only table statistics: MIN/MAX per column + row COUNT
+    answered from parquet FOOTERS via aggregate pushdown — the scan
+    reads statistics, not data. At 100 TB this is the difference between
+    a sub-second freshness/row-count probe and a full corpus pass; it is
+    how the run-manifest and source-freshness checks should be wired
+    when no filter is involved (pushdown disqualifies itself under
+    row-filters or nullable-imprecise types, and Spark then falls back
+    to a real scan — correctness never depends on it).
+
+    Pushdown only exists on the DataSource V2 read path, so the two
+    configs are scoped save/restore around PLAN construction (a
+    DataFrame keeps the plan it was built under); the helper asserts
+    ``PushedAggregation`` made it into the physical plan and fails
+    loudly otherwise rather than silently scanning.
+    """
+    saved = {
+        "spark.sql.sources.useV1SourceList": spark.conf.get(
+            "spark.sql.sources.useV1SourceList", None
+        ),
+        "spark.sql.parquet.aggregatePushDown": spark.conf.get(
+            "spark.sql.parquet.aggregatePushDown", None
+        ),
+    }
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    try:
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+        agg = df.agg(*aggs)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation" not in plan:
+            raise RuntimeError(
+                "aggregate pushdown did not reach the scan — check column "
+                "types and that no filter precedes the aggregate"
+            )
+        row = agg.collect()[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    out = {"n_rows": row["_n"]}
+    for c in cols:
+        out[f"min_{c}"] = row[f"_min_{c}"]
+        out[f"max_{c}"] = row[f"_max_{c}"]
+    return out

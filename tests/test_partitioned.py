@@ -173,3 +173,21 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
             y_full += 1
     assert hits_both <= 4          # point probe prunes >= 12/16 files
     assert y_full <= 2             # files do NOT all span the full y range
+
+
+def test_footer_stats_pushdown_metadata_only(spark, tmp_path):
+    from dbt_gdpr_anonymizer_spark.sources.partitioned import footer_stats
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "stats")
+    spark.range(100, 1100).withColumn(
+        "v", (F.col("id") * 3).cast("long")
+    ).write.parquet(path)
+    stats = footer_stats(spark, path, ["id", "v"])
+    assert stats == {
+        "n_rows": 1000,
+        "min_id": 100, "max_id": 1099,
+        "min_v": 300, "max_v": 3297,
+    }
+    # the session's default source path is untouched afterwards
+    assert spark.conf.get("spark.sql.parquet.aggregatePushDown", "false") != "true"
