@@ -1468,6 +1468,8 @@ _CHECK_LAST = [
     "portability_export",
     "rolling_7day_revenue",
     "corrupt_record_quarantine",
+    "grouping_sets_revenue",
+    "orderkey_gap_islands",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -6907,4 +6909,111 @@ def corrupt_record_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
         .orderBy("is_valid")
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    select coalesce(o_orderpriority, '(all)') as priority,
+           coalesce(o_orderstatus, '(all)') as status,
+           cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                as bigint) as gid,
+           cast(count(*) as bigint) as n_orders,
+           cast(sum(cast(round(o_totalprice * 100) as bigint)) as bigint)
+             as revenue_cents
+    from orders
+    group by grouping sets ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    order by gid, priority, status
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109 explicit GROUPING SETS + grouping_id: the three-level sales
+    summary (priority×status, priority, status) in ONE aggregation pass —
+    Catalyst expands the sets map-side so the fact table is scanned and
+    shuffled once, not once per level (completes the multi-level family:
+    rollup_pricing, cube_pricing, and the grouping-sets ladder inside
+    generalize_to_k). grouping_id disambiguates levels without relying
+    on NULL-vs-'(all)' sentinel collisions; integer-cents release."""
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o.select(
+            "o_orderpriority",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"],
+             ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            (
+                F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus")
+            ).cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+    return g.select(
+        F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+        "gid",
+        "n_orders",
+        "revenue_cents",
+    ).orderBy("gid", "priority", "status")
+
+
+@register(
+    "orderkey_gap_islands",
+    """
+    with o as (
+      select o_orderkey from orders where o_orderstatus = 'O'
+    ),
+    g as (
+      select o_orderkey,
+             o_orderkey - row_number() over (order by o_orderkey) as grp
+      from o
+    ),
+    runs as (
+      select min(o_orderkey) as run_start, max(o_orderkey) as run_end,
+             count(*) as run_len
+      from g group by grp
+    )
+    select run_start, run_end, cast(run_len as bigint) as run_len
+    from runs order by run_start limit 100
+    """,
+)
+def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110 gaps-and-islands: contiguous runs of surviving keys after a
+    filter — the classic sequence-integrity check (missing-id audit,
+    ingest-completeness verification: holes in an append-only id space
+    mean lost batches). The `key − row_number()` trick makes each
+    contiguous run a constant group key, so the whole detection is one
+    global-ordered window + one partial-agg groupBy. A single global
+    sort is inherent to total sequence numbering at any scale; for
+    per-shard audits, partition the window by shard to restore
+    parallelism. First 100 runs released."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey")
+    w = Window.orderBy("o_orderkey")
+    g = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") - F.row_number().over(w)).alias("grp"),
+    )
+    return (
+        g.groupBy("grp")
+        .agg(
+            F.min("o_orderkey").alias("run_start"),
+            F.max("o_orderkey").alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .select("run_start", "run_end", "run_len")
+        .orderBy("run_start")
+        .limit(100)
     )
