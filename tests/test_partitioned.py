@@ -191,3 +191,22 @@ def test_footer_stats_pushdown_metadata_only(spark, tmp_path):
     }
     # the session's default source path is untouched afterwards
     assert spark.conf.get("spark.sql.parquet.aggregatePushDown", "false") != "true"
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    # an evolved producer adds a column mid-stream: old files lack it, new
+    # files carry it — mergeSchema reconciles at read with nulls for the
+    # pre-evolution files (the append-only ingest upgrade path; full
+    # rewrites are a 100 TB anti-pattern)
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(0, 10).select(F.col("id")).write.parquet(path + "/batch=1")
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("fr").alias("lang")
+    ).write.parquet(path + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "lang", "batch"}
+    got = {(r.id, r.lang) for r in df.collect()}
+    assert {(i, None) for i in range(10)} <= got
+    assert {(i, "fr") for i in range(10, 20)} <= got
