@@ -1470,6 +1470,8 @@ _CHECK_LAST = [
     "corrupt_record_quarantine",
     "grouping_sets_revenue",
     "orderkey_gap_islands",
+    "event_transition_matrix",
+    "embedding_dim_stats",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -7016,4 +7018,97 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("run_start", "run_end", "run_len")
         .orderBy("run_start")
         .limit(100)
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    with e as (
+      select user_id, event_type, ts, event_id from events
+    ),
+    p as (
+      select event_type as from_type,
+             lead(event_type) over (partition by user_id
+                                    order by ts, event_id) as to_type
+      from e
+    )
+    select from_type, to_type, cast(count(*) as bigint) as n_transitions
+    from p where to_type is not null
+    group by from_type, to_type
+    order by from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111 behavioral transition matrix: counts of consecutive
+    event-type pairs per user (the first-order Markov view that feeds
+    next-action models and funnel anomaly detection). One user-keyed
+    window shuffle for the lead(), then a 25-cell matrix agg with
+    map-side partials — the matrix is type²-bounded regardless of event
+    volume. Tie order pinned by (ts, event_id) so the lead() is
+    engine-deterministic under equal timestamps."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        p.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    with x as (
+      select i.i as dim,
+             cast(floor(cast(embedding[i.i + 1] as double) * 1000000) as bigint) as v_micro
+      from embeddings, range(0, 64) i(i)
+    )
+    select dim,
+           cast(count(*) as bigint) as n,
+           cast(sum(v_micro) as bigint) as sum_micro,
+           cast(cast(sum(v_micro) as bigint) // count(*) as bigint)
+             as mean_micro
+    from x group by dim order by dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112 per-dimension embedding statistics — the fit step of a
+    feature normalizer (whitening / standardization before ANN or
+    clustering): each vector component quantized to exact integer
+    micro-units, summed per dimension, mean released as integral
+    division. posexplode is the rows×dim expansion BOTH engines replay
+    identically (the oracle uses an index range join); the aggregation
+    is a 64-key partial agg, so the shuffle is dimension-bounded, not
+    corpus-bounded. Pairs with embedding_int8_quantize (X47), which
+    consumes exactly these per-dim ranges at scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "_v"
+        )
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("_v") * 1000000).cast("long").alias("v_micro"),
+    )
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_micro").cast("long").alias("sum_micro"),
+        )
+        .select(
+            "dim",
+            "n",
+            "sum_micro",
+            F.expr("sum_micro div n").cast("long").alias("mean_micro"),
+        )
+        .orderBy("dim")
     )
