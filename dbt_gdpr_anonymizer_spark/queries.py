@@ -1472,6 +1472,8 @@ _CHECK_LAST = [
     "orderkey_gap_islands",
     "event_transition_matrix",
     "embedding_dim_stats",
+    "null_safe_join_users",
+    "set_ops_customers",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -7111,4 +7113,97 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_micro div n").cast("long").alias("mean_micro"),
         )
         .orderBy("dim")
+    )
+
+
+@register(
+    "null_safe_join_users",
+    """
+    with e as (
+      select case when user_id % 50 = 7 then null else user_id end as uid,
+             event_id
+      from events
+    ),
+    d as (select distinct uid from e),
+    j as (
+      select a.uid, count(*) as n_pairs
+      from d a join e b on a.uid is not distinct from b.uid
+      group by a.uid
+    )
+    select coalesce(cast(uid as varchar), '(null)') as uid,
+           cast(n_pairs as bigint) as n_pairs
+    from j order by uid
+    """,
+)
+def null_safe_join_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113 null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics a
+    dedup or audit join needs when the key itself can be legitimately
+    absent (here: a deterministic slice of user ids nulled to model
+    anonymous events). A plain equi-join would lose every anonymous
+    event from the audit; the null-safe hash join keeps them as one
+    group. Still a hash join in Spark (null-safe equality is a valid
+    equi-key), so no nested-loop regression at scale."""
+    e = _events(spark, sf_dir).select(
+        F.when(F.col("user_id") % 50 == 7, None)
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        "event_id",
+    )
+    d = e.select("uid").distinct()
+    j = (
+        d.alias("a")
+        .join(e.alias("b"), F.expr("a.uid <=> b.uid"))
+        .groupBy("a.uid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return j.select(
+        F.coalesce(F.col("uid").cast("string"), F.lit("(null)")).alias("uid"),
+        "n_pairs",
+    ).orderBy("uid")
+
+
+@register(
+    "set_ops_customers",
+    """
+    with buyers as (select distinct o_custkey as k from orders),
+    eventers as (select distinct user_id as k from events),
+    both_k as (select k from buyers intersect select k from eventers),
+    only_buy as (select k from buyers except select k from eventers)
+    select 'both' as cohort, cast(count(*) as bigint) as n_keys,
+           cast(coalesce(sum(k), 0) as bigint) as key_sum
+    from both_k
+    union all
+    select 'orders_only', cast(count(*) as bigint),
+           cast(coalesce(sum(k), 0) as bigint)
+    from only_buy
+    order by cohort
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 INTERSECT / EXCEPT set operations: cohort algebra over key
+    sets (customers transacting in BOTH systems vs orders-only) —
+    completes §2.7 beyond UNION ALL. Catalyst plans both as aggregated
+    semi/anti joins on distinct inputs (no sort-based set operators);
+    the released counts + key-sums pin the exact membership, not just
+    cardinality."""
+    buyers = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    ).distinct()
+    eventers = _events(spark, sf_dir).select(
+        F.col("user_id").alias("k")
+    ).distinct()
+    both_k = buyers.intersect(eventers)
+    only_buy = buyers.exceptAll(eventers)
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("key_sum"),
+        ).select(F.lit(label).alias("cohort"), "n_keys", "key_sum")
+
+    return (
+        summarize(both_k, "both")
+        .unionByName(summarize(only_buy, "orders_only"))
+        .orderBy("cohort")
     )
