@@ -140,6 +140,9 @@ def _method_registry(
         # generalization (precision reduction for dates, the counterpart
         # of round_2_decimals for coordinates)
         "generalize_to_month": lambda c: masking.generalize_date(c, "month"),
+        # extension: format-preserving digit pseudonymization (the FPE
+        # method class — masked output inhabits the input format)
+        "fpe_digits": lambda c: masking.fpe_digits(c, conf.salt_key),
     }
 
 

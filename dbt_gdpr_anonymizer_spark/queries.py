@@ -1474,6 +1474,9 @@ _CHECK_LAST = [
     "embedding_dim_stats",
     "null_safe_join_users",
     "set_ops_customers",
+    "mask_fpe_phone",
+    "stream_static_enrich",
+    "rectification_patch_customers",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -7206,4 +7209,185 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         summarize(both_k, "both")
         .unionByName(summarize(only_buy, "orders_only"))
         .orderBy("cohort")
+    )
+
+
+@register(
+    "mask_fpe_phone",
+    f"""
+    with src as (
+      select c_custkey, {_PHONE_SQL} as phone from customer
+    )
+    select c_custkey,
+           case when phone is not null and phone != '' then
+             array_to_string(list_transform(range(1, length(phone) + 1),
+               i -> case when substr(phone, i, 1) between '0' and '9'
+                 then chr(cast(((ascii(substr(phone, i, 1)) - 48
+                           + (strpos('0123456789abcdef',
+                                substr(md5('dev_salt_UNSAFE:'
+                                           || cast(i as varchar)), 1, 1))
+                              - 1) % 10) % 10) + 48 as int))
+                 else substr(phone, i, 1) end), '')
+           else null end as phone_anon
+    from src order by c_custkey
+    """,
+)
+def mask_fpe_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115 format-preserving pseudonymization through the policy
+    dispatcher (functions/masking.fpe_digits — the FPE method CLASS:
+    masked output inhabits the input format, so '+33 ' prefixes,
+    spacing, and downstream phone parsers survive; the reference's
+    mask_partial destroys format with 'XX' padding). Method selected by
+    column metadata like every reference method, proving the registry's
+    sixth extension slots in without touching the rewriter. Per-row
+    codegen transform; the oracle replays the identical keystream
+    arithmetic (hex nibble of md5(salt:i) mod 10)."""
+    from dbt_gdpr_anonymizer_spark.policy import (
+        ColumnPolicy,
+        TablePolicy,
+        mask_model,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", _phone_col().alias("phone")
+    )
+    pol = TablePolicy(
+        name="customer",
+        columns={
+            "phone": ColumnPolicy(
+                pii=True,
+                pii_type="direct_identifier",
+                anonymization_method="fpe_digits",
+            )
+        },
+    )
+    return mask_model(c, pol).select(
+        F.col("c_custkey_anon").alias("c_custkey"), "phone_anon"
+    ).orderBy("c_custkey")
+
+
+@register(
+    "stream_static_enrich",
+    """
+    with e as (select user_id, ts::timestamp as ts,
+                      cast(round(value * 100) as bigint) as cents
+               from events),
+    j as (
+      select c.c_mktsegment, e.ts, e.cents
+      from e join customer c on e.user_id = c.c_custkey
+    )
+    select make_timestamp(((epoch_ms(ts) // 21600000) * 21600000) * 1000)
+             as window_start,
+           c_mktsegment,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cents) as bigint) as total_cents
+    from j
+    group by window_start, c_mktsegment
+    order by window_start, c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116 stream-STATIC broadcast enrichment — the most common
+    production streaming join (live events × slowly-changing dimension):
+    the replayed event stream joins the static customer table per
+    micro-batch (dimension broadcast, re-resolved each batch — a
+    refreshed dim is picked up without restarting the query), then a
+    watermarked 6h tumbling rollup per segment drains complete-mode.
+    Static-side join needs NO stream state (unlike the stream-stream
+    join, X90) — the state cost is only the windowed agg. Per-row
+    integer cents; the oracle replays the epoch-floor windows batch-
+    side."""
+    import uuid
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stream = _replay_batches(
+        spark, e.select("user_id", "cents", "ts"),
+        "user_id bigint, cents bigint, ts timestamp",
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    )
+    rolled = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_cents",
+        )
+        .orderBy("window_start", "c_mktsegment")
+    )
+
+
+@register(
+    "rectification_patch_customers",
+    """
+    with patch as (
+      select c_custkey, c_name, c_nationkey, c_acctbal,
+             'RECTIFIED' as c_mktsegment
+      from customer where c_custkey % 40 = 1
+    ),
+    merged as (
+      select * from patch
+      union all
+      select * from customer c
+      where not exists (select 1 from patch p
+                        where p.c_custkey = c.c_custkey)
+    )
+    select c_mktsegment,
+           cast(count(*) as bigint) as n_customers,
+           cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint)
+             as acctbal_cents
+    from merged group by c_mktsegment order by c_mktsegment
+    """,
+)
+def rectification_patch_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 GDPR Article-16 rectification: a data subject's correction
+    request lands as a patch table, applied by the same keyed upsert as
+    incremental materialization (operators/relational.incremental_merge
+    — priority-union + rank, ONE key shuffle, no full outer join);
+    unpatched rows pass through byte-identical. Completes the
+    subject-rights matrix: Art. 15 access, 16 rectification, 17
+    erasure, 20 portability, 5(1)(e) retention, 4(5) pseudonymization,
+    6/7 consent. Released as the post-rectification segment census."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        incremental_merge,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    patch = c.filter(F.col("c_custkey") % 40 == 1).withColumn(
+        "c_mktsegment", F.lit("RECTIFIED")
+    )
+    merged = incremental_merge(c, patch, ["c_custkey"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            .cast("long")
+            .alias("acctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
     )
