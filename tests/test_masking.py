@@ -190,3 +190,32 @@ def test_nir_valid_accepts_valid_rejects_corrupt(spark):
     df = spark.createDataFrame(cases, "s string, want boolean")
     out = df.select("want", nir_valid(F.col("s")).alias("got")).collect()
     assert all(r.want == r.got for r in out)
+
+
+def test_fpe_digits_format_preserving_bijection(spark):
+    from dbt_gdpr_anonymizer_spark.functions.masking import fpe_digits
+    from pyspark.sql import functions as F
+    import re
+
+    phones = ["+33 1 23 45 67 89", "0555123456", "12345", "no-digits!"]
+    df = spark.createDataFrame([(p,) for p in phones], "p string")
+    out = {r.p: r.m for r in df.select(
+        "p", fpe_digits("p", "salt_a").alias("m")).collect()}
+    for p, m in out.items():
+        # format preserved exactly: non-digits untouched, digits stay digits
+        assert re.sub(r"[0-9]", "#", p) == re.sub(r"[0-9]", "#", m)
+    assert out["no-digits!"] == "no-digits!"
+    assert out["+33 1 23 45 67 89"] != "+33 1 23 45 67 89"  # non-identity
+    # deterministic across invocations; distinct same-shape inputs stay
+    # distinct (per-position digit shift is a bijection on digits)
+    again = {r.p: r.m for r in df.select(
+        "p", fpe_digits("p", "salt_a").alias("m")).collect()}
+    assert again == out
+    a, b = "0555123456", "0555123457"
+    ma, mb = out.get(a), {r.m for r in spark.createDataFrame(
+        [(b,)], "p string").select(fpe_digits("p", "salt_a").alias("m")).collect()}
+    assert ma not in mb
+    # different salt -> different keystream
+    other = {r.p: r.m for r in df.select(
+        "p", fpe_digits("p", "salt_b").alias("m")).collect()}
+    assert other["0555123456"] != out["0555123456"]
