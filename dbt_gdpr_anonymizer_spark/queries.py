@@ -1477,6 +1477,7 @@ _CHECK_LAST = [
     "mask_fpe_phone",
     "stream_static_enrich",
     "rectification_patch_customers",
+    "mixture_sampling_plan",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -7391,3 +7392,84 @@ def rectification_patch_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_mktsegment")
     )
+
+
+# target mixture weights for the sampling-plan query (ppm, sums to 1e6) —
+# the "recipe" a training run pins per source domain
+_MIXTURE_PPM = [("src0", 400000), ("src1", 250000), ("src2", 150000),
+                ("src3", 100000), ("src4", 50000), ("src5", 30000),
+                ("src6", 20000)]
+
+
+@register(
+    "mixture_sampling_plan",
+    f"""
+    with avail as (
+      select source,
+             cast(sum({_TOKENS_WS_SQL}) as bigint) as available_tokens
+      from documents group by source
+    ),
+    w as (
+      select * from (values
+        {", ".join(f"('{s}', {p})" for s, p in _MIXTURE_PPM)})
+        as t(source, target_weight_ppm)
+    ),
+    tot as (select cast(sum(available_tokens) as bigint) as total from avail),
+    plan as (
+      select a.source, a.available_tokens,
+             cast(w.target_weight_ppm as bigint) as target_weight_ppm,
+             cast(tot.total * w.target_weight_ppm // 1000000 as bigint)
+               as target_tokens
+      from avail a join w on a.source = w.source
+      cross join tot
+    )
+    select source, available_tokens, target_weight_ppm, target_tokens,
+           cast(least(1000000,
+                      target_tokens * 1000000 // available_tokens)
+                as bigint) as sample_rate_ppm,
+           target_tokens > available_tokens as oversubscribed
+    from plan order by source
+    """,
+)
+def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118 training-mixture sampling plan: given per-source available
+    token mass and a target mixture recipe (ppm weights — the
+    Pile/LLaMA-style domain mix), compute each source's token budget,
+    sampling rate, and an oversubscription flag (a source whose budget
+    exceeds its supply needs up-weighting/repetition — the flag is the
+    epoch-count signal). This is the planning step that FEEDS
+    temperature_resample/priority_sample (X53/X48): plan here, sample
+    there. Per-row codegen token counts, one low-cardinality source agg,
+    recipe + 1-row total broadcast; all-integer ppm arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(tx.token_count_ws("text")).cast("long")
+        .alias("available_tokens")
+    )
+    w = _t(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        _MIXTURE_PPM, "source string, target_weight_ppm long"
+    )
+    tot = avail.agg(F.sum("available_tokens").cast("long").alias("total"))
+    plan = (
+        avail.join(F.broadcast(w), "source")
+        .join(F.broadcast(tot), how="cross")
+        .select(
+            "source",
+            "available_tokens",
+            "target_weight_ppm",
+            F.expr("total * target_weight_ppm div 1000000").cast("long")
+            .alias("target_tokens"),
+        )
+    )
+    return plan.select(
+        "source",
+        "available_tokens",
+        "target_weight_ppm",
+        "target_tokens",
+        F.least(
+            F.lit(1000000).cast("long"),
+            F.expr("target_tokens * 1000000 div available_tokens"),
+        ).cast("long").alias("sample_rate_ppm"),
+        (F.col("target_tokens") > F.col("available_tokens"))
+        .alias("oversubscribed"),
+    ).orderBy("source")

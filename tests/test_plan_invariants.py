@@ -59,6 +59,9 @@ BNLJ_ALLOWED = {
     #   source_freshness_report — the global-max is a 1-row broadcast
     #     cross join onto a per-source (bounded-cardinality) aggregate
     "source_freshness_report",
+    #   mixture_sampling_plan — 1-row corpus-total broadcast cross join
+    #     onto the source-cardinality plan table (same bounded pattern)
+    "mixture_sampling_plan",
 }
 
 
