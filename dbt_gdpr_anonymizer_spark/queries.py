@@ -1478,6 +1478,7 @@ _CHECK_LAST = [
     "stream_static_enrich",
     "rectification_patch_customers",
     "mixture_sampling_plan",
+    "stream_watermark_late_data",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -7473,3 +7474,98 @@ def mixture_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("target_tokens") > F.col("available_tokens"))
         .alias("oversubscribed"),
     ).orderBy("source")
+
+
+@register(
+    "stream_watermark_late_data",
+    """
+    -- literal expectation derived from the watermark contract; each row
+    -- justified in the query docstring (the crafted arrival schedule is
+    -- fixed, so the spec IS the oracle)
+    select * from (values
+      (timestamp '2024-01-01 00:00:00', cast(3 as bigint)),
+      (timestamp '2024-01-01 00:10:00', cast(1 as bigint)),
+      (timestamp '2024-01-01 00:20:00', cast(1 as bigint))
+    ) as t(window_start, n_events)
+    order by window_start
+    """,
+)
+def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119 watermark late-data CERTIFICATION: pins the exact
+    accept/drop/finalize semantics of event-time watermarks on a crafted
+    4-batch arrival schedule (10-min tumbling windows, 10-min watermark,
+    append mode). The contract certified is the HONEST one — the
+    watermark guarantee is one-directional: rows at-or-above the
+    watermark are always included; rows below it are only guaranteed
+    dropped once their window state has been EVICTED, which happens at
+    the end of the first batch after the watermark passes (empirically
+    pinned here: a sub-watermark row arriving in that same first batch
+    is still absorbed, because eviction is lazy):
+
+    * batch 0: 00:01/00:04/00:07 (window A=00:00) and 00:25 (window
+      C=00:20) → watermark advances to 00:15 at batch end;
+    * batch 1: 00:17 — late relative to 00:25 but ABOVE the watermark →
+      accepted into window B=00:10; this batch's cleanup EVICTS A and
+      emits it append-mode with n=3;
+    * batch 2: 00:05 — below the watermark AND its window already
+      evicted → provably dropped (A cannot be re-opened or re-emitted);
+    * batch 3: 00:41 → watermark 00:31; the availableNow final empty
+      batch evicts+emits B and C (n=1 each); 00:41's own window D never
+      finalizes and must NOT appear.
+
+    Expected append output is therefore exactly {A:3, B:1, C:1} — the
+    oracle is that literal expectation (the schedule is fixed, so the
+    spec is the oracle). This is the contract every watermarked operator
+    in streaming/ relies on, certified end to end through a real
+    drain."""
+    import datetime as dt
+    import os
+    import tempfile
+    import uuid
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def at(minute: int) -> dt.datetime:
+        return t0 + dt.timedelta(minutes=minute)
+
+    batches = [
+        [(1, at(1)), (2, at(4)), (3, at(7)), (4, at(25))],
+        [(6, at(17))],
+        [(5, at(5))],
+        [(7, at(41))],
+    ]
+    tmp = tempfile.mkdtemp(prefix="wm_cert_")
+    for i, rows in enumerate(batches):
+        path = f"{tmp}/f{i}"
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp"
+        ).coalesce(1).write.parquet(path)
+        mt = 1_000.0 * (i + 1)
+        for root, _, files in os.walk(path):
+            for f_ in files:
+                os.utime(os.path.join(root, f_), (mt, mt))
+        os.utime(path, (mt, mt))
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/f*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
