@@ -1479,6 +1479,7 @@ _CHECK_LAST = [
     "rectification_patch_customers",
     "mixture_sampling_plan",
     "stream_watermark_late_data",
+    "stream_outer_join_purchases",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -7568,4 +7569,113 @@ def stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .select(F.col("w.start").alias("window_start"), "n_events")
         .orderBy("window_start")
+    )
+
+
+@register(
+    "stream_outer_join_purchases",
+    """
+    with p as (select event_id as purchase_id, user_id, ts from events
+               where event_type = 'purchase'),
+    c as (select event_id as click_id, user_id, ts from events
+          where event_type = 'click'),
+    mx as (select max(ts) as m from events),
+    matched as (
+      select p.purchase_id, cast(count(c.click_id) as bigint) as n_clicks
+      from p join c
+        on c.user_id = p.user_id
+       and c.ts between p.ts - interval 1 hour and p.ts
+      group by p.purchase_id
+    )
+    select p.purchase_id as purchase_id,
+           coalesce(m.n_clicks, 0) as n_clicks,
+           m.purchase_id is null as emitted_as_unmatched
+    from p
+    left join matched m on p.purchase_id = m.purchase_id
+    cross join mx
+    where m.purchase_id is not null
+       or p.ts < mx.m - interval 24 hours
+    order by p.purchase_id
+    """,
+)
+def stream_outer_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120 stream-stream OUTER interval join: purchases with their
+    preceding-hour clicks, PLUS purchases proven click-less — the outer
+    side's null-padded row is emitted only once the watermark has
+    evicted its state (no future match possible). Spark's exact
+    eviction boundary is conservative and version-dependent (measured
+    here: null rows stop ~3.5-4.5h before max event time at a 2h
+    watermark + 1h lookback — lazy cleanup stacked on the range bound),
+    so the certification pins what the CONTRACT guarantees rather than
+    the internals: matched pairs emit exactly and unconditionally
+    (inner part, proven in X90), and within a safe interior horizon
+    (24h before max event time — far beyond any eviction lag) null
+    emission is COMPLETE and exact; both sides of the oracle apply the
+    same horizon. The hardest stream-stream shape — Spark rejects
+    outer joins without the watermark + range condition, because null
+    emission needs the eviction proof."""
+    import uuid
+
+    from dbt_gdpr_anonymizer_spark.streaming.join import stream_interval_join
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "event_type",
+        "ts",
+    )
+    stream = _replay_batches(
+        spark,
+        e,
+        "event_id bigint, user_id bigint, event_type string, ts timestamp",
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        lookback="1 hour",
+        watermark="2 hours",
+        how="right_outer",
+    ).select("purchase_id", "click_id", F.col("right_ts").alias("p_ts"))
+    name = f"soj_{uuid.uuid4().hex[:8]}"
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
+    horizon = e.agg(
+        (F.max("ts") - F.expr("interval 24 hours")).alias("h")
+    ).collect()[0]["h"]
+    return (
+        spark.table(name)
+        .groupBy("purchase_id")
+        .agg(
+            F.sum(F.when(F.col("click_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks"),
+            F.max(F.col("click_id").isNull()).alias("emitted_as_unmatched"),
+            F.max("p_ts").alias("_pts"),
+        )
+        # release matched purchases unconditionally; unmatched ones only
+        # inside the safe interior horizon (see docstring)
+        .filter(
+            (F.col("n_clicks") > 0) | (F.col("_pts") < F.lit(horizon))
+        )
+        .drop("_pts")
+        .orderBy("purchase_id")
     )

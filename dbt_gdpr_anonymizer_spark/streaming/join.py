@@ -36,6 +36,7 @@ def stream_interval_join(
     right_ts: str = "ts",
     lookback: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Inner-join two STREAMING frames on ``on`` where the left row's
     event time falls in ``[right_ts − lookback, right_ts]``.
@@ -51,6 +52,15 @@ def stream_interval_join(
     horizon; the join itself is the standard symmetric hash join over
     the key — one shuffle per side, skew governed by the key's arrival
     distribution (salt upstream for hot keys, same as batch).
+
+    ``how="left_outer"`` / ``"right_outer"`` adds the watermark-gated
+    null emission: an outer-side row's null-padded result is emitted
+    only when its state is EVICTED — i.e. once the watermark proves no
+    future match can arrive (for the right/outer side here: watermark >
+    row ts, from the range condition). Until then the row sits in
+    state; a drain's final rows younger than the eviction horizon never
+    emit their null form. Outer stream-stream joins REQUIRE the
+    watermark + time-range condition; Spark rejects them otherwise.
     """
     l = left.withWatermark(left_ts, watermark).select(
         F.col(on).alias("_lk"),
@@ -67,8 +77,9 @@ def stream_interval_join(
         & (l["_lts"] >= r["_rts"] - F.expr(f"interval {lookback}"))
         & (l["_lts"] <= r["_rts"])
     )
-    return l.join(r, cond, "inner").select(
-        F.col("_lk").alias(on),
+    return l.join(r, cond, how).select(
+        # coalesce: under outer joins the preserved side carries the key
+        F.coalesce(F.col("_lk"), F.col("_rk")).alias(on),
         F.col("_lts").alias(f"left_{left_ts}"),
         F.col("_rts").alias(f"right_{right_ts}"),
         *[c for c in left.columns if c not in (on, left_ts)],
