@@ -1480,6 +1480,7 @@ _CHECK_LAST = [
     "mixture_sampling_plan",
     "stream_watermark_late_data",
     "stream_outer_join_purchases",
+    "exact_median_event_values",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -7678,4 +7679,63 @@ def stream_outer_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_pts")
         .orderBy("purchase_id")
+    )
+
+
+@register(
+    "exact_median_event_values",
+    """
+    with v as (
+      select event_type, event_id,
+             cast(round(value * 100) as bigint) as cents
+      from events
+    ),
+    r as (
+      select event_type, cents,
+             row_number() over (partition by event_type
+                                order by cents, event_id) as rn,
+             count(*) over (partition by event_type) as n
+      from v
+    )
+    select event_type,
+           cast(max(n) as bigint) as n_events,
+           cast(max(case when rn = (n + 1) // 2 then cents end) as bigint)
+             as median_cents
+    from r group by event_type order by event_type
+    """,
+)
+def exact_median_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 exact per-group MEDIAN as the ``k = (n+1) div 2`` order
+    statistic (lower median — a real data value, deterministic in any
+    engine; interpolated medians average two floats and re-open the
+    cross-engine can of worms, and approx_percentile sketches differ by
+    implementation). Same rank machinery as the winsorize clip bounds
+    (X93): one event_type shuffle, rank + pick + 1-row-per-group reduce.
+    The robust centre to the 3σ gate's spread (X81)."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("cents", "event_id")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents")
+                )
+            ).cast("long").alias("median_cents"),
+        )
+        .orderBy("event_type")
     )
