@@ -1481,6 +1481,7 @@ _CHECK_LAST = [
     "stream_watermark_late_data",
     "stream_outer_join_purchases",
     "exact_median_event_values",
+    "siret_pii_scan",
     # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
     # deterministic md5 hyperplanes are embedded in the SQL); parked with
     # the other similarity variants, promoted next window
@@ -7739,3 +7740,83 @@ def exact_median_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# public-format example SIRETs (9-digit SIREN + 4-digit NIC + Luhn-valid
+# over all 14 digits; synthetic establishments, not real registrations)
+_TEST_SIRETS = [
+    "55200526920004",
+    "73256452100019",
+    "44209537000023",
+    "80154263720037",
+]
+
+
+@register(
+    "siret_pii_scan",
+    f"""
+    with sirets as (
+      select * from (values {", ".join(f"({i}, '{p}')" for i, p in enumerate(_TEST_SIRETS))})
+        as t(slot, siret)
+    ),
+    injected as (
+      select d.doc_id,
+             coalesce(d.text, '') || ' siret ' || p.siret || ' dossier '
+               || substr(p.siret, 1, 13)
+               || cast((ascii(substr(p.siret, 14, 1)) - 48 + 1) % 10
+                       as varchar) as t
+      from documents d join sirets p on d.doc_id % 4 = p.slot
+    ),
+    cands as (
+      select doc_id,
+             unnest(regexp_extract_all(t, '\\b[0-9]{{14}}\\b')) as cand
+      from injected
+    )
+    select doc_id, cand as candidate, {_LUHN_SQL} as siret_valid
+    from cands
+    order by doc_id, candidate
+    """,
+)
+def siret_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 French SIRET establishment-ID scan: the business-registry
+    identifier of the reference's own domain (every French public
+    service carries one — the service_id lineage in
+    stg_services_publics.sql) is a 14-digit Luhn-checksummed number, so
+    the scan composes the existing `luhn_check` gate
+    (functions/masking.py — shared with the card scan) with a 14-digit
+    boundary regex: checksum-valid runs are SIRET findings, corrupted
+    twins (last digit bumped) are rejected. Per-row codegen, no
+    shuffle beyond the 4-row literal broadcast."""
+    from dbt_gdpr_anonymizer_spark.functions.masking import luhn_check
+
+    docs = _t(spark, sf_dir, "documents")
+    siret = F.element_at(
+        F.array(*[F.lit(p) for p in _TEST_SIRETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    injected = docs.withColumn("_s", siret).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" siret "),
+            F.col("_s"),
+            F.lit(" dossier "),
+            F.expr(
+                "substr(_s, 1, 13) || "
+                "cast((ascii(substr(_s, 14, 1)) - 48 + 1) % 10 as string)"
+            ),
+        ).alias("t"),
+    )
+    cands = injected.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("t"), F.lit(r"\b[0-9]{14}\b"), F.lit(0)
+            )
+        ).alias("candidate"),
+    )
+    return cands.select(
+        "doc_id",
+        "candidate",
+        luhn_check(F.col("candidate")).alias("siret_valid"),
+    ).orderBy("doc_id", "candidate")
