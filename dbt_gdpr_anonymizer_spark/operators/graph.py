@@ -96,8 +96,20 @@ def connected_components(
                     parent[hi] = lo
             nodes = sorted({r["a"] for r in head} | {r["b"] for r in head})
             spark = edges.sparkSession
+            # Schema is derived from the actual edge id type so string /
+            # int32 node ids round-trip with the same dtype the distributed
+            # path would produce (which preserves the source column types).
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = ed.schema["a"].dataType
             out = spark.createDataFrame(
-                [(n, find(n)) for n in nodes], "node long, component long"
+                [(n, find(n)) for n in nodes],
+                StructType(
+                    [
+                        StructField("node", id_type, False),
+                        StructField("component", id_type, False),
+                    ]
+                ),
             )
             return track_caches(out, *cached)
     # Measured note (r5): pre-partitioning + persisting `bi` on the join

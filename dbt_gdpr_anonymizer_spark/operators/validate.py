@@ -395,6 +395,11 @@ def generic_schema_tests(
     """
     results: list[DataFrame] = []
     for tname, tlist in tests.items():
+        if tname not in tables:
+            raise ValueError(
+                f"generic_schema_tests: tests reference unknown table "
+                f"{tname!r}; known tables: {sorted(tables)}"
+            )
         df = tables[tname]
         rowlocal = [t for t in tlist if t.test in (
             "not_null", "accepted_values", "accepted_range")]
@@ -447,6 +452,13 @@ def generic_schema_tests(
                     )
                 )
             elif t.test == "relationships":
+                if t.to_table not in tables:
+                    raise ValueError(
+                        f"generic_schema_tests: relationships test on "
+                        f"{tname}.{t.column} references unknown parent "
+                        f"table {t.to_table!r}; known tables: "
+                        f"{sorted(tables)}"
+                    )
                 parent = (
                     tables[t.to_table]
                     .select(F.col(t.to_field).alias("_pk"))
@@ -469,6 +481,21 @@ def generic_schema_tests(
                         "n_violations",
                     )
                 )
+    if not results:
+        # Empty spec (or only unrecognized test names): return an EMPTY
+        # report with the contract schema rather than IndexError — callers
+        # treat "no tests declared" as vacuously passing.
+        if not tables:
+            raise ValueError(
+                "generic_schema_tests: no tables provided and no tests "
+                "produced a result"
+            )
+        spark = next(iter(tables.values())).sparkSession
+        return spark.createDataFrame(
+            [],
+            "table_name string, column_name string, "
+            "test_name string, n_violations long",
+        )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -162,6 +162,13 @@ def write_zordered(
     ).collect()[0]
     mins = [stats[f"_lo{i}"] for i in range(len(cols))]
     maxs = [stats[f"_hi{i}"] for i in range(len(cols))]
+    missing = [c for c, lo, hi in zip(cols, mins, maxs) if lo is None or hi is None]
+    if missing:
+        # Empty input (or an all-null cluster column) has no min/max to
+        # normalize against — there is nothing to cluster, so write the
+        # rows through unchanged rather than TypeError on int(None).
+        df.write.mode("overwrite").parquet(path)
+        return path
     z = zorder_value(cols, mins, maxs, bits=bits)
     out = (
         df.withColumn("_z", z)

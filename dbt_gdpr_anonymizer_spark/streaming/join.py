@@ -46,7 +46,12 @@ def stream_interval_join(
     sides (without it, stream-stream join state grows unboundedly and
     the query is rejected). Columns from both sides survive with their
     original names except ``on``/timestamps, which are disambiguated as
-    ``left_``/``right_`` prefixed outputs.
+    ``left_``/``right_`` prefixed outputs. Payload column names must
+    therefore be DISJOINT between the two sides (and must not collide
+    with the internal ``_lk``/``_lts``/``_rk``/``_rts`` staging names) —
+    a collision is rejected up front with a ValueError naming the
+    offending columns, instead of surfacing later as Spark's opaque
+    ambiguous-reference error.
 
     Scale: state per key is bounded by rows inside the watermark
     horizon; the join itself is the standard symmetric hash join over
@@ -62,6 +67,24 @@ def stream_interval_join(
     emit their null form. Outer stream-stream joins REQUIRE the
     watermark + time-range condition; Spark rejects them otherwise.
     """
+    left_payload = [c for c in left.columns if c not in (on, left_ts)]
+    right_payload = [c for c in right.columns if c not in (on, right_ts)]
+    shared = sorted(set(left_payload) & set(right_payload))
+    if shared:
+        raise ValueError(
+            "stream_interval_join: payload column(s) present on BOTH sides "
+            f"would be ambiguous in the output: {shared}; rename one side "
+            "before joining"
+        )
+    reserved = sorted(
+        (set(left_payload) | set(right_payload))
+        & {"_lk", "_lts", "_rk", "_rts"}
+    )
+    if reserved:
+        raise ValueError(
+            "stream_interval_join: payload column(s) collide with internal "
+            f"staging names: {reserved}; rename them before joining"
+        )
     l = left.withWatermark(left_ts, watermark).select(
         F.col(on).alias("_lk"),
         F.col(left_ts).alias("_lts"),
