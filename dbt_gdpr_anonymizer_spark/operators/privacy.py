@@ -266,7 +266,17 @@ def generalize_to_k(
     row per surviving cell with its band label, size, and the chosen
     level — deterministic: identical integers → identical choice in any
     engine.
+
+    Single-scan contract: the grouping-sets aggregate is PERSISTED across
+    the level-pick collect, and the chosen level's cells are derived from
+    that cached aggregate (filter on its grouping flag), never by
+    re-aggregating ``df`` — the corpus is scanned exactly once regardless
+    of which level wins (the '*' fallback re-reduces the level-0 cells,
+    a table bounded by cell cardinality, not data volume). The cached
+    aggregate is tracked on the result for ``release_caches``.
     """
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
     bands = [
         F.floor(F.col(value_col) / F.lit(float(w))).cast("long").alias(f"_b{i}")
         for i, w in enumerate(widths)
@@ -282,7 +292,7 @@ def generalize_to_k(
             F.grouping(f"_b{i}").alias(f"_g{i}")
             for i in range(len(widths))
         ],
-    )
+    ).persist()
     # level id from the grouping flags: row belongs to level i iff _bi is
     # the (single) non-aggregated band column in its grouping set
     level_of = None
@@ -305,27 +315,35 @@ def generalize_to_k(
         len(widths),
     )
     if chosen == len(widths):
-        out = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).select(
-            F.col(group_col),
-            F.lit("*").alias("band_label"),
-            F.col("n").cast("long").alias("n"),
-        )
-    else:
-        w = widths[chosen]
-        band = F.floor(F.col(value_col) / F.lit(float(w))).cast("long")
+        # '*' fallback: per-group totals = sum of the (cached) level-0
+        # cells — a re-reduce over the aggregate table, not a corpus scan
         out = (
-            df.groupBy(F.col(group_col), band.alias("_b"))
-            .agg(F.count(F.lit(1)).alias("n"))
+            grouped.filter(F.col("_g0") == 0)
+            .groupBy(group_col)
+            .agg(F.sum("_n").alias("n"))
             .select(
                 F.col(group_col),
-                F.concat(
-                    F.lit(f"{w}:"), F.col("_b").cast("string")
-                ).alias("band_label"),
+                F.lit("*").alias("band_label"),
                 F.col("n").cast("long").alias("n"),
             )
         )
-    return out.withColumn("level", F.lit(chosen).cast("long")).orderBy(
-        group_col, "band_label"
+    else:
+        w = widths[chosen]
+        # the chosen level's cells already exist in the cached aggregate:
+        # its rows are exactly those whose grouping flag for _b{chosen}
+        # is 0 (that band column was grouped, all others aggregated away)
+        out = grouped.filter(F.col(f"_g{chosen}") == 0).select(
+            F.col(group_col),
+            F.concat(
+                F.lit(f"{w}:"), F.col(f"_b{chosen}").cast("string")
+            ).alias("band_label"),
+            F.col("_n").cast("long").alias("n"),
+        )
+    return track_caches(
+        out.withColumn("level", F.lit(chosen).cast("long")).orderBy(
+            group_col, "band_label"
+        ),
+        grouped,
     )
 
 

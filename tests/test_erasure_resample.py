@@ -52,9 +52,63 @@ def test_erasure_max_terms_guard(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     terms = spark.range(5).select(F.col("id").cast("string").alias("term"))
     with pytest.raises(ValueError):
-        erasure_survivors(docs, terms, max_terms=3)
-    # explicit opt-out runs
+        erasure_survivors(docs, terms, max_terms=3, overflow="error")
+    # explicit opt-out runs on the contains path
     assert erasure_survivors(docs, terms, max_terms=None).count() == 1
+    # default overflow behavior: past the cap the token path runs ('x' is
+    # not a banned token, so the doc survives)
+    assert erasure_survivors(docs, terms, max_terms=3).count() == 1
+
+
+def test_erasure_token_path_past_cap(spark):
+    """Past max_terms the operator switches to the token equi-join:
+    delimited-token equality, punctuation trimmed from token ends, and no
+    substring false-positives (user3@x.fr vs user31@x.fr)."""
+    docs = spark.createDataFrame(
+        [
+            (3, "mail (user3@x.fr), thanks"),  # punctuation-wrapped match
+            (31, "mail user31@x.fr thanks"),  # superstring, must NOT match
+            (8, "clean document"),
+            (9, None),  # NULL text: never matches, survives
+        ],
+        ["doc_id", "text"],
+    )
+    # 20,001 distinct terms — past the default 10^4 cap
+    terms = (
+        spark.range(20_000)
+        .select(F.concat(F.lit("u"), F.col("id").cast("string")).alias("term"))
+        .unionByName(spark.createDataFrame([("user3@x.fr",)], ["term"]))
+    )
+    hit = sorted(r["doc_id"] for r in erasure_matches(docs, terms).collect())
+    assert hit == [3]
+    kept = sorted(
+        r["doc_id"] for r in erasure_survivors(docs, terms).collect()
+    )
+    assert kept == [8, 9, 31]
+
+
+def test_erasure_token_path_matches_contains_on_delimited_terms(spark):
+    """When every term occurrence is whitespace/punctuation-delimited, the
+    token path and the contains path agree exactly (forced via
+    max_terms=0 vs max_terms=None on the same inputs)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "owner a@b.fr cc c@d.fr"),
+            (2, "owner c@d.fr!"),
+            (3, "nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    terms = spark.createDataFrame([("a@b.fr",), ("c@d.fr",)], ["term"])
+    via_tokens = sorted(
+        r["doc_id"]
+        for r in erasure_survivors(docs, terms, max_terms=0).collect()
+    )
+    via_contains = sorted(
+        r["doc_id"]
+        for r in erasure_survivors(docs, terms, max_terms=None).collect()
+    )
+    assert via_tokens == via_contains == [3]
 
 
 def test_temperature_resample_quotas_exact(spark):

@@ -164,6 +164,34 @@ def test_generalize_to_k_picks_finest_sufficient_level(spark):
     assert got == {("A", "100:0"): 4, ("B", "100:0"): 2}
 
 
+def test_generalize_to_k_scans_corpus_once(spark, tmp_path):
+    """Single-scan contract: the chosen level's output is derived from the
+    persisted grouping-sets aggregate, so the source parquet appears in
+    the final physical plan at most once (inside the cached subplan) —
+    NOT re-aggregated for the output. A second source scan at 100 TB
+    would double the dominant cost of the operator."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.privacy import generalize_to_k
+
+    src = str(tmp_path / "gk.parquet")
+    spark.createDataFrame(
+        [("A", 5.0), ("A", 7.0), ("B", 25.0), ("B", 35.0)], ["seg", "bal"]
+    ).write.parquet(src)
+    df = spark.read.parquet(src)
+    out = generalize_to_k(df, "seg", "bal", 2, widths=(10, 100))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("gk.parquet") <= 1, (
+        "generalize_to_k output plan re-scans the corpus:\n" + plan
+    )
+    # and the suppression branch ('*') re-reduces cached cells, same rule
+    df2 = spark.read.parquet(src)
+    out2 = generalize_to_k(df2, "seg", "bal", 5, widths=(10,))
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("gk.parquet") <= 1
+    release_caches(out)
+    release_caches(out2)
+
+
 def test_generalize_to_k_suppresses_when_no_level_suffices(spark):
     from dbt_gdpr_anonymizer_spark.operators.privacy import generalize_to_k
 
