@@ -329,8 +329,12 @@ def fpe_digits(c: Column | str, salt: str) -> Column:
     format) with a keystream cipher standing in for the AES Feistel
     rounds: same format guarantees, same reversibility-with-key
     (subtract the keystream), NOT cryptographic-grade diffusion — the
-    docstring contract states it, and a production deployment drops in
-    an FF1 keystream behind the same Column signature.
+    docstring contract states it. The REAL cipher exists since r6:
+    ``functions/fpe.py`` implements NIST SP 800-38G FF1 over AES-128
+    (NIST-vector-validated), exposed as the ``fpe_ff1`` policy method
+    (Arrow-batched pandas UDF — per-row AES cannot be a Catalyst
+    expression); this keystream twin remains the codegen/oracle-checkable
+    tier of the same method class.
 
     Pure higher-order Column expression (transform over the char
     sequence + concat), whole-stage codegen, no UDF; identical list

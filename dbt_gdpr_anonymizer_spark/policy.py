@@ -143,7 +143,21 @@ def _method_registry(
         # extension: format-preserving digit pseudonymization (the FPE
         # method class — masked output inhabits the input format)
         "fpe_digits": lambda c: masking.fpe_digits(c, conf.salt_key),
+        # extension: real NIST SP 800-38G FF1 (functions/fpe.py — AES-128
+        # Feistel, NIST-vector-validated) behind the same format contract;
+        # Arrow-batched pandas UDF, the documented slow-path tier. Key is
+        # derived from the configured salt (md5 → 16 bytes).
+        "fpe_ff1": _ff1_method(conf),
     }
+
+
+def _ff1_method(conf: EngineSettings) -> Callable[[Column], Column]:
+    import hashlib
+
+    from dbt_gdpr_anonymizer_spark.functions.fpe import ff1_digits_udf
+
+    udf = ff1_digits_udf(hashlib.md5(conf.salt_key.encode()).hexdigest())
+    return lambda c: udf(c)
 
 
 def mask_column(

@@ -1,0 +1,104 @@
+"""NIST SP 800-38G FF1 validation: published AES-128 / FF1 sample vectors,
+round-trip inverses, the digit-masking format contract, and the Spark
+pandas-UDF integration (functions/fpe.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.functions.fpe import (
+    aes128_encrypt_block,
+    ff1_decrypt,
+    ff1_digits_udf,
+    ff1_encrypt,
+    ff1_mask_digits,
+)
+
+_KEY = bytes.fromhex("2B7E151628AED2A6ABF7158809CF4F3C")
+
+
+def test_aes128_fips197_vector():
+    ct = aes128_encrypt_block(
+        bytes.fromhex("000102030405060708090a0b0c0d0e0f"),
+        bytes.fromhex("00112233445566778899aabbccddeeff"),
+    )
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+
+
+def test_aes128_sp800_38a_ecb_vector():
+    ct = aes128_encrypt_block(
+        _KEY, bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    )
+    assert ct.hex() == "3ad77bb40d7a3660a89ecaf32466ef97"
+
+
+def test_ff1_nist_sample_vectors():
+    # NIST FF1-AES128 samples 1-3 (SP 800-38G sample file)
+    assert ff1_encrypt(_KEY, b"", "0123456789", 10) == "2433477484"
+    assert (
+        ff1_encrypt(_KEY, bytes.fromhex("39383736353433323130"), "0123456789", 10)
+        == "6124200773"
+    )
+    assert (
+        ff1_encrypt(
+            _KEY,
+            bytes.fromhex("3737373770717273373737"),
+            "0123456789abcdefghi",
+            36,
+        )
+        == "a9tv40mll9kdu509eum"
+    )
+
+
+def test_ff1_decrypt_inverts_encrypt():
+    for tweak in (b"", bytes.fromhex("39383736353433323130")):
+        for pt in ("0123456789", "99", "0612345678"):
+            ct = ff1_encrypt(_KEY, tweak, pt, 10)
+            assert len(ct) == len(pt) and ct.isdigit()
+            assert ff1_decrypt(_KEY, tweak, ct, 10) == pt
+
+
+def test_ff1_mask_digits_format_contract():
+    masked = ff1_mask_digits(_KEY, b"", "+33 6 12 34 56 78")
+    assert masked is not None and masked != "+33 6 12 34 56 78"
+    # every non-digit survives in place; digit count preserved
+    assert [c for c in masked if not c.isdigit()] == [
+        c for c in "+33 6 12 34 56 78" if not c.isdigit()
+    ]
+    assert sum(c.isdigit() for c in masked) == 11
+    # reference mask guard: NULL/'' -> NULL; <2 digits pass through
+    assert ff1_mask_digits(_KEY, b"", None) is None
+    assert ff1_mask_digits(_KEY, b"", "") is None
+    assert ff1_mask_digits(_KEY, b"", "x1y") == "x1y"
+    # deterministic under a fixed key
+    assert masked == ff1_mask_digits(_KEY, b"", "+33 6 12 34 56 78")
+
+
+def test_ff1_udf_matches_local(spark):
+    df = spark.createDataFrame(
+        [("01 23 45 67 89",), ("+33 6 12 34 56 78",), (None,)], ["phone"]
+    )
+    out = df.select(
+        ff1_digits_udf(_KEY.hex())(F.col("phone")).alias("m")
+    ).collect()
+    expected = [
+        ff1_mask_digits(_KEY, b"", v)
+        for v in ("01 23 45 67 89", "+33 6 12 34 56 78", None)
+    ]
+    assert [r["m"] for r in out] == expected
+
+
+def test_policy_fpe_ff1_method(spark):
+    from dbt_gdpr_anonymizer_spark.config import EngineSettings
+    from dbt_gdpr_anonymizer_spark.policy import mask_column
+
+    conf = EngineSettings(salt_key="unit_salt_for_ff1_test")
+    df = spark.createDataFrame([("06 12 34 56 78",)], ["contact_phone"])
+    from dbt_gdpr_anonymizer_spark.policy import ColumnPolicy
+
+    pol = ColumnPolicy(pii=True, anonymization_method="fpe_ff1")
+    row = df.select(mask_column("contact_phone", pol, conf)).collect()[0]
+    got = row["contact_phone_anon"]
+    assert got != "06 12 34 56 78"
+    assert [c for c in got if not c.isdigit()] == [" "] * 4
+    assert sum(c.isdigit() for c in got) == 10
