@@ -6,12 +6,18 @@ as Arrow-batched ``mapInPandas`` (the only sane shape for per-item Python
 work at scale: one Python roundtrip per batch, not per row, and the
 partitioning of the input is preserved — no shuffle).
 
-The actual codec step is STUBBED: image/audio libraries are not available in
-this environment. ``decode_features`` takes a ``decoder`` callable; the
-default ``fake_decoder`` is deterministic (md5-seeded) so the distributed
-plumbing — schema, batching, partition behavior — is fully real and tested.
-Swap in a Pillow/ffmpeg-backed decoder in production; ``real_decoder``
-documents the expected signature and raises ``NotImplementedError`` here.
+Decoders come in three tiers:
+
+* ``fake_decoder`` — deterministic md5-seeded stand-in; keeps the
+  cross-engine oracle check possible (features are replayable in SQL).
+* ``real_decoder`` — REAL parsing of dependency-free public container
+  formats, implemented from their public specs with stdlib ``struct``:
+  RIFF/WAVE PCM-16 audio (chunk-walked, not fixed-offset) and 24-bpp
+  uncompressed BMP images. Magic-byte dispatch; formats that genuinely
+  need a codec library (JPEG/PNG/MP3/H.264) raise ``NotImplementedError``
+  naming the swap-in point — the container-parsing tier is real, the
+  compressed-codec tier is the documented production slot.
+* your own — ``decode_features(df, decoder=fn)`` takes any callable.
 """
 
 from __future__ import annotations
@@ -28,6 +34,10 @@ __all__ = [
     "FEATURE_SCHEMA",
     "fake_decoder",
     "real_decoder",
+    "wav_pcm_decoder",
+    "bmp_decoder",
+    "make_wav_pcm16",
+    "make_bmp24",
     "decode_features",
     "sample_frames",
 ]
@@ -74,13 +84,187 @@ def fake_decoder(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
-def real_decoder(payload: bytes) -> list[float]:  # pragma: no cover - stub
-    """Production decoder slot (Pillow/torchvision/ffmpeg): decode the
-    payload, resize/normalize, return a feature vector. Not available in
-    this environment."""
+def make_wav_pcm16(
+    samples: list[int], rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Build a minimal RIFF/WAVE PCM-16 payload (little-endian, one fmt +
+    one data chunk) — the synthesis twin of :func:`wav_pcm_decoder`, used
+    by tests and the registry query to generate REAL media bytes."""
+    import struct
+
+    data = struct.pack("<%dh" % len(samples), *samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, rate, rate * channels * 2,
+            channels * 2, 16,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_wav_udf(rate: int = 8000):
+    """Arrow-batched pandas UDF synthesizing a deterministic PCM-16 WAV
+    payload per id: ``n = 16 + (id % 17)`` samples,
+    ``s_i = ((id·31 + i·997) mod 2001) − 1000`` — closed-form, so an
+    engine-independent oracle can recompute the decoded features without
+    ever seeing the bytes. Pairs with :func:`real_decoder` to drive REAL
+    container bytes through the decode path end to end."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _synth(ids):
+        return ids.map(
+            lambda d: make_wav_pcm16(
+                [
+                    ((int(d) * 31 + i * 997) % 2001) - 1000
+                    for i in range(16 + int(d) % 17)
+                ],
+                rate=rate,
+            )
+        )
+
+    _synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf(_synth, "binary")
+
+
+def wav_pcm_decoder(payload: bytes) -> list[float]:
+    """REAL RIFF/WAVE PCM-16 parse (public container spec, stdlib struct):
+    walks the chunk list (tolerates extra chunks + odd-size padding),
+    validates fmt (PCM, 16-bit), and extracts FEATURE_DIM audio features:
+    ``[channels, sample_rate, n_samples, sum(|s|), max(|s|),
+    zero_crossings, first_sample, last_sample]``. All integer-valued, so
+    they survive the float32 feature dtype exactly (< 2^24) and release
+    as BIGINTs for the oracle compare."""
+    import struct
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("RIFF/WAVE payload missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM-16 is parsed natively (got fmt={audio_fmt}, "
+            f"bits={bits}); compressed audio needs an ffmpeg-backed decoder"
+        )
+    n = len(data) // 2
+    s = struct.unpack("<%dh" % n, data[: 2 * n])
+    zc = sum(1 for i in range(1, n) if (s[i] >= 0) != (s[i - 1] >= 0))
+    return [
+        float(channels),
+        float(rate),
+        float(n),
+        float(sum(abs(x) for x in s)),
+        float(max((abs(x) for x in s), default=0)),
+        float(zc),
+        float(s[0]) if n else 0.0,
+        float(s[-1]) if n else 0.0,
+    ]
+
+
+def make_bmp24(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Build a minimal 24-bpp uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, 4-byte row padding) from a row-major RGB grid —
+    synthesis twin of :func:`bmp_decoder`."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    pad = (-(w * 3)) % 4
+    body = b""
+    for row in reversed(pixels):  # bottom-up storage
+        for r, g, b in row:
+            body += bytes([b, g, r])  # BGR on disk
+        body += bytes(pad)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835,
+                      2835, 0, 0)
+    )
+    return header + body
+
+
+def bmp_decoder(payload: bytes) -> list[float]:
+    """REAL 24-bpp uncompressed BMP parse (public spec, stdlib struct):
+    validates the magic/compression, honors the pixel-data offset,
+    bottom-up row order and 4-byte row padding, and extracts FEATURE_DIM
+    image features: ``[width, height, sum_r, sum_g, sum_b, max_channel,
+    min_channel, corner_luma]`` (corner = top-left pixel's integer luma
+    approximation (r+g+b))."""
+    import struct
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    _, w, h, _, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bpp uncompressed BMP is parsed natively (got "
+            f"bpp={bpp}, compression={comp}); PNG/JPEG need a codec library"
+        )
+    stride = (w * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(h):
+        base = offset + (h - 1 - y) * stride  # bottom-up -> top-down
+        row = []
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            row.append((r, g, b))
+        rows.append(row)
+    flat = [c for row in rows for px in row for c in px]
+    sum_r = sum(px[0] for row in rows for px in row)
+    sum_g = sum(px[1] for row in rows for px in row)
+    sum_b = sum(px[2] for row in rows for px in row)
+    tl = rows[0][0] if rows and rows[0] else (0, 0, 0)
+    return [
+        float(w),
+        float(h),
+        float(sum_r),
+        float(sum_g),
+        float(sum_b),
+        float(max(flat, default=0)),
+        float(min(flat, default=0)),
+        float(sum(tl)),
+    ]
+
+
+def real_decoder(payload: bytes) -> list[float]:
+    """Production decoder: magic-byte dispatch over the natively parsed
+    container formats (RIFF/WAVE PCM-16, 24-bpp BMP). Formats that need a
+    real codec library (JPEG/PNG/MP3/H.264) raise ``NotImplementedError``
+    — swap in a Pillow/ffmpeg-backed callable via
+    ``decode_features(df, decoder=your_fn)`` for those."""
+    if payload is not None and len(payload) >= 12 and payload[:4] == b"RIFF":
+        return wav_pcm_decoder(payload)
+    if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
+        return bmp_decoder(payload)
     raise NotImplementedError(
-        "media codecs are not installed here; pass decode_features(df, "
-        "decoder=your_fn) with a Pillow/ffmpeg-backed callable"
+        "no native parser for this payload (native tiers: RIFF/WAVE "
+        "PCM-16, 24-bpp BMP); pass decode_features(df, decoder=your_fn) "
+        "with a Pillow/ffmpeg-backed callable for compressed formats"
     )
 
 

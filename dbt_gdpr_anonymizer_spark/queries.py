@@ -8015,3 +8015,63 @@ def erasure_cascade_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_wav_features",
+    """
+    with m as (
+      select doc_id,
+             list_transform(range(0, 16 + doc_id % 17),
+                            i -> ((doc_id * 31 + i * 997) % 2001) - 1000) as s
+      from documents
+    )
+    select doc_id as media_id,
+           cast(1 as bigint) as n_channels,
+           cast(8000 as bigint) as sample_rate,
+           cast(len(s) as bigint) as n_samples,
+           cast(list_sum(list_transform(s, x -> abs(x))) as bigint) as sum_abs,
+           cast(list_max(list_transform(s, x -> abs(x))) as bigint) as peak_abs,
+           cast(len(list_filter(range(1, len(s)),
+                i -> (s[i+1] >= 0) != (s[i] >= 0))) as bigint)
+             as zero_crossings,
+           cast(s[1] as bigint) as first_sample,
+           cast(s[len(s)] as bigint) as last_sample
+    from m order by media_id
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15b REAL media bytes end to end (the r5 verdict's "wire a real
+    decoder" item): per-doc PCM-16 RIFF/WAVE payloads are synthesized
+    (operators/multimodal.synth_wav_udf — deterministic closed-form
+    samples), then parsed by the REAL chunk-walking WAV decoder
+    (wav_pcm_decoder) through the same Arrow mapInPandas plumbing as the
+    fake-decoder query. The oracle recomputes the audio features from the
+    closed form — it never sees the bytes, so any container-format bug
+    (chunk offsets, endianness, padding) breaks the hash match. All
+    features are integer-valued (< 2^24: exact in float32), released as
+    BIGINTs."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        real_decoder,
+        synth_wav_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        synth_wav_udf()(F.col("doc_id")).alias("payload"),
+    )
+    feats = decode_features(media, decoder=real_decoder)
+    names = [
+        "n_channels", "sample_rate", "n_samples", "sum_abs",
+        "peak_abs", "zero_crossings", "first_sample", "last_sample",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).cast("long").alias(n)
+            for i, n in enumerate(names)
+        ],
+    ).orderBy("media_id")

@@ -195,9 +195,68 @@ def test_multimodal_decode_plumbing(spark):
     ]
 
 
-def test_real_decoder_is_explicit_stub():
+def test_real_decoder_parses_wav_pcm16():
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        make_wav_pcm16,
+        wav_pcm_decoder,
+    )
+
+    payload = make_wav_pcm16([100, -200, 300, -1, 0, 5], rate=8000)
+    feats = wav_pcm_decoder(payload)
+    # [channels, rate, n, sum|s|, max|s|, zero-crossings, first, last]
+    assert feats == [1.0, 8000.0, 6.0, 606.0, 300.0, 4.0, 100.0, 5.0]
+    assert real_decoder(payload) == feats
+    # chunk walker tolerates an extra chunk before data
+    extra = payload[:12] + b"LIST\x04\x00\x00\x00abcd" + payload[12:]
+    assert wav_pcm_decoder(extra) == feats
+    with pytest.raises(ValueError):
+        wav_pcm_decoder(b"RIFFxxxxNOPE")
+
+
+def test_real_decoder_parses_bmp24():
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        bmp_decoder,
+        make_bmp24,
+    )
+
+    # 2x2 with distinct corners; 3-wide row exercises the 4-byte padding
+    img = make_bmp24([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]])
+    assert bmp_decoder(img) == [2.0, 2.0, 265.0, 275.0, 285.0, 255.0, 0.0, 255.0]
+    img3 = make_bmp24([[(1, 2, 3), (4, 5, 6), (7, 8, 9)]])
+    assert bmp_decoder(img3)[:2] == [3.0, 1.0]
+    assert bmp_decoder(img3)[7] == 6.0  # top-left luma 1+2+3
+    assert real_decoder(img) == bmp_decoder(img)
+
+
+def test_real_decoder_rejects_compressed_formats():
+    with pytest.raises(NotImplementedError):
+        real_decoder(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         real_decoder(b"x")
+
+
+def test_real_decoder_through_spark_plumbing(spark):
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        synth_wav_udf,
+    )
+    from pyspark.sql import functions as F
+
+    media = spark.range(6).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        synth_wav_udf()(F.col("id")).alias("payload"),
+    )
+    out = decode_features(media, decoder=real_decoder).collect()
+    assert len(out) == 6
+    for r in out:
+        n = 16 + r["media_id"] % 17
+        expected = [
+            ((r["media_id"] * 31 + i * 997) % 2001) - 1000 for i in range(n)
+        ]
+        assert r["features"][2] == float(n)
+        assert r["features"][6] == float(expected[0])
+        assert r["features"][7] == float(expected[-1])
 
 
 def test_sample_frames_filter(spark):
