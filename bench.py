@@ -107,6 +107,80 @@ HEADLINE = [
 # suppressed.
 
 
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# Stateful micro-batch replays: their oracle is a batch EQUIVALENCE check
+# (same final rows), not a throughput baseline — a one-pass batch engine vs
+# a 3-micro-batch stateful drain with checkpoints is not a comparison. They
+# are excluded from the batch ratio and reported separately.
+_STREAMING_REPLAYS = {"stream_sessionize_events", "stream_interval_join_clicks"}
+
+# Per-oracle wall cap: the brute-force near-dup oracles are O(n²) by
+# construction (that is the point — Spark's banded plans replace them) and
+# run >120s at sf0.1; a capped run records null ("DuckDB exceeded the cap")
+# instead of stalling the bench.
+_DUCK_CAP_SEC = float(os.environ.get("BENCH_DUCK_CAP_SEC", "30"))
+
+
+def time_oracles(
+    names: list[str], sf_dir: str
+) -> tuple[dict[str, float | None], set[str]]:
+    """Co-time each headline query's DuckDB oracle on the same host, same
+    session, same parquet (the r5 verdict's fix for cross-round host-drift
+    ambiguity): warm-up + median of three, per-query interrupt cap. None =
+    no oracle or cap exceeded."""
+    import threading
+
+    import duckdb
+
+    from dbt_gdpr_anonymizer_spark.queries import all_oracles
+
+    oracles = all_oracles()
+    con = duckdb.connect()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    con.execute(f"set threads to {int(cpus)}")
+    for t in _TABLES:
+        con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+    def run_once(sql: str) -> float | None:
+        timer = threading.Timer(_DUCK_CAP_SEC, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            return time.perf_counter() - t0
+        except duckdb.Error:
+            return None  # interrupted at the cap
+        finally:
+            timer.cancel()
+
+    out: dict[str, float | None] = {}
+    capped_names: set[str] = set()
+    for name in names:
+        sql = oracles.get(name)
+        if sql is None:
+            out[name] = None
+            continue
+        runs: list[float] = []
+        capped = False
+        for i in range(4):  # 1 warm-up + 3 timed
+            r = run_once(sql)
+            if r is None:
+                capped = True
+                break
+            if i:
+                runs.append(r)
+        if capped:
+            capped_names.add(name)
+            out[name] = None
+        else:
+            out[name] = round(sorted(runs)[1], 3)
+    return out, capped_names
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
@@ -149,6 +223,16 @@ def main() -> None:
             release_caches(df)
         timings[name] = round(sorted(runs)[1], 3)
 
+    duck, duck_capped = time_oracles(names, sf_dir)
+    ratio = {
+        n: (round(timings[n] / duck[n], 2) if duck.get(n) else None)
+        for n in names
+    }
+    batch = [n for n in names if n not in _STREAMING_REPLAYS]
+    comparable = [n for n in batch if duck.get(n)]
+    spark_batch = sum(timings[n] for n in comparable)
+    duck_batch = sum(duck[n] for n in comparable)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -160,6 +244,21 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # same-host, same-session DuckDB oracle timings (median of 3,
+        # per-query cap) — null means no oracle or DuckDB exceeded the cap
+        # (the brute-force near-dup oracles at sf>=0.1)
+        "duck_sec": duck,
+        "ratio": ratio,
+        "duck_cap_sec": _DUCK_CAP_SEC,
+        "duck_capped": sorted(duck_capped),
+        "streaming_replays": sorted(_STREAMING_REPLAYS & set(names)),
+        # batch-comparable aggregate: excludes stateful replays and capped
+        # oracles on BOTH sides, so the ratio compares like with like
+        "batch_spark_sec": round(spark_batch, 3),
+        "batch_duck_sec": round(duck_batch, 3),
+        "batch_ratio": (
+            round(spark_batch / duck_batch, 3) if duck_batch else None
+        ),
     }
     print(json.dumps(out))
 

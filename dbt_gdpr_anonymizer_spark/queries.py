@@ -1412,14 +1412,55 @@ _CHECK_LAST = [
     # corpus_quality_gate (precedence CASE) and the dim joins in
     # q5/join_revenue; output unchanged and green r1-r4:
     "case_categorization",
-    # parked for r6 rotation (local + pandas-mode green; every remaining
-    # front row either needs first/renewed driver evidence this round or
-    # is its family's sole checked representative — once the r5 fixes are
-    # confirmed green, rotate these in against proven rows):
+    # ------------------------------------------------------------------
+    # r6 rotation (executing the plan written at SURVEY §7 end-of-r5):
+    # 27 parked rows PROMOTED into the checked window (removed from this
+    # list) — the first-exposure r5 cohort (streaming joins/upserts/
+    # watermark cert, microaggregation, consent, NIR/SIRET/IBAN scans,
+    # Q3/Q10/Q16/Q18, Python DataSources, variant, UDTF, portability,
+    # rectification, exact median, FPE, encoding profile,
+    # k_anonymity_generalize) plus the three full-oracle upgrades
+    # (ann_lsh_topk from late r5; ann_ivf_topk and
+    # kmeans_embedding_clusters upgraded this round). The 29 rows demoted
+    # below each hold TWO rounds of driver green (r4 + r5 artifacts) on
+    # byte-unchanged compared outputs, per the two-round rule. The two
+    # NEW r6 queries (erasure_cascade_large_list, multimodal_wav_features)
+    # enter the window by construction (never parked). Front total: 50.
+    # ------------------------------------------------------------------
+    # demoted with 2 rounds of green (r4+r5), unchanged outputs:
+    "mask_model_customer",
+    "staging_flags",
+    "regex_pii_scan",
+    "k_anonymity",
+    "dp_noisy_order_counts",
+    "edit_distance_neardup",
+    "quality_metrics",
+    "pii_inventory",
+    "stratified_sample_documents",
+    "minhash_lsh_neardup",
+    "ngram_jaccard_neardup",
+    "text_quality_profile",
+    "winnow_overlap_pairs",
+    "bm25_search",
+    "stream_scrub_documents",
+    "multimodal_decode_features",
+    "ann_cosine_topk",
+    "jsonl_flatten_roundtrip",
+    "scd2_user_event_history",
+    "customers_without_urgent_orders",
+    "event_value_percentiles",
+    "interval_join_clicks_before_purchase",
+    "decontaminate_documents",
+    "leakage_safe_split_documents",
+    "dedup_incremental_documents",
+    "erasure_cascade_documents",
+    "stream_sessionize_events",
+    "neardup_representatives",
+    "corpus_quality_gate_documents",
+    # still parked (r7 window — local + pandas-mode green, family-covered
+    # by a checked representative this round):
     "boilerplate_line_filter_documents",
     "event_value_drift_psi",
-    "k_anonymity_generalize",
-    "stream_upsert_events",
     "subject_access_extract",
     "retention_sweep_audit",
     "pseudonym_spend_by_token",
@@ -1427,45 +1468,19 @@ _CHECK_LAST = [
     "vocab_oov_rate",
     "dp_noisy_spend_by_priority",
     "dataset_card_by_source",
-    "iban_pii_scan",
     "funnel_conversion",
     "cohort_retention",
     "outlier_events_exact",
     "salted_join_revenue_by_segment",
     "event_value_trend",
     "mask_generalize_order_dates",
-    # r5 batch 4 (all first exposure → r6 window): microaggregation,
-    # consent gating, national-ID scan, encoding cleanliness
-    "microaggregate_acctbal",
-    "consent_gated_spend",
-    "nir_pii_scan",
-    "encoding_profile_documents",
-    # r5 batch 5 (first exposure → r6 window): stream-stream join,
-    # sequence-length histogram, ORC format round-trip
-    "stream_interval_join_clicks",
     "token_length_histogram",
     "orc_roundtrip_documents",
-    # r5 batch 6 (first exposure → r6 window): Q3/Q18 relational shapes,
-    # winsorized robust stats
-    "q3_shipping_priority",
-    "q18_large_volume_customers",
     "winsorized_stats_events",
-    "q10_returned_items",
-    "q16_parts_supplier_counts",
-    # r5 batch 8 (first exposure → r6 window): single-pass observability,
-    # skew diagnosis, source freshness
     "observed_scan_metrics",
     "key_skew_report",
     "source_freshness_report",
-    # r5 batch 7 (first exposure → r6 window): the dbt-test counterpart
     "schema_test_report",
-    # r5 batch 9 (first exposure → r6 window): the Spark-4 Python
-    # DataSource escape hatch
-    "python_datasource_ingest",
-    "python_stream_source_ingest",
-    "variant_props_extract",
-    "udtf_chunk_documents",
-    "portability_export",
     "rolling_7day_revenue",
     "corrupt_record_quarantine",
     "grouping_sets_revenue",
@@ -1474,22 +1489,9 @@ _CHECK_LAST = [
     "embedding_dim_stats",
     "null_safe_join_users",
     "set_ops_customers",
-    "mask_fpe_phone",
-    "stream_static_enrich",
-    "rectification_patch_customers",
     "mixture_sampling_plan",
-    "stream_watermark_late_data",
-    "stream_outer_join_purchases",
-    "exact_median_event_values",
-    "siret_pii_scan",
-    # ann_lsh_topk: upgraded late-r5 from rows-only to a FULL oracle (the
-    # deterministic md5 hyperplanes are embedded in the SQL); parked with
-    # the other similarity variants, promoted next window
-    "ann_lsh_topk",
     # rows-only by construction (no SQL-expressible oracle)
-    "kmeans_embedding_clusters",
     "ann_recall_report",
-    "ann_ivf_topk",
     "approx_distinct_sketch",
 ]
 
