@@ -213,3 +213,84 @@ def boilerplate_line_filter(
             "n_lines_dropped",
         )
     )
+
+
+def cross_doc_span_profile(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INTER-document duplicated-span profile (RefinedWeb / Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" signal):
+    per document, the fraction of word ``k``-gram positions whose gram
+    also occurs in at least one OTHER document — the template/boilerplate
+    tell that intra-document repetition (:func:`repetition_profile`)
+    cannot see. Corpora dominated by shared spans (mirrored pages, quote
+    farms, licence headers) need span-level dedup before training even
+    when no document pair crosses a near-dup threshold.
+
+    Plan shape (the inverted-index discipline of ngram_jaccard, X17):
+    positional k-grams explode linearly (no O(len²) per-doc work); the
+    shared-gram set is one distinct + count aggregation with map-side
+    partials, bounded by the number of DUPLICATED grams, never corpus
+    positions; the per-doc count is a semi-join of positional grams
+    against that set — gram-keyed hash joins end to end, no all-pairs.
+    Releases are exact integral-division ppm BIGINTs.
+
+    Output: ``(id_col, n_grams, shared_span_ppm)``; documents shorter
+    than ``k`` words release ``(0, 0)``.
+    """
+    ws = tx.words(text_col)
+    base = docs.select(
+        F.col(id_col), ws.alias("_ws"), F.size(ws).alias("_n")
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_n") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - k + 1),
+                    lambda i: F.array_join(F.slice("_ws", i, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_g"),
+    )
+    shared = (
+        grams.select(id_col, "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 1)
+        .select("_g")
+    )
+    dup_positions = (
+        grams.join(shared, "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_ndup"))
+    )
+    n_grams = F.when(F.col("_n") >= k, F.col("_n") - k + 1).otherwise(
+        F.lit(0)
+    )
+    return (
+        base.join(dup_positions, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_grams.cast("long").alias("n_grams"),
+            F.coalesce("_ndup", F.lit(0)).cast("long").alias("_ndup"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            # exact integral division (DuckDB //) — no float step
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr(f"cast({PPM} as bigint) * _ndup div n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("shared_span_ppm"),
+        )
+    )
