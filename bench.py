@@ -1,7 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE COMPACT JSON line (last line of stdout):
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "batch_spark_sec": ..., "batch_duck_sec": ..., "batch_ratio": ...}
+
+and writes the full per-query detail (per-query Spark medians, co-timed
+DuckDB oracle medians, ratios, cap/error lists) to BENCH_DETAIL.json next
+to this file. The r6 artifact was lost because the single line outgrew the
+driver's tail capture — the final line is now kept small on purpose.
 
 Each query is forced with a noop write (full computation, no sink cost,
 result never collected to the driver — the honest distributed-execution
@@ -140,11 +146,12 @@ _DUCK_CAP_SEC = float(os.environ.get("BENCH_DUCK_CAP_SEC", "30"))
 
 def time_oracles(
     names: list[str], sf_dir: str
-) -> tuple[dict[str, float | None], set[str]]:
+) -> tuple[dict[str, float | None], set[str], dict[str, str]]:
     """Co-time each headline query's DuckDB oracle on the same host, same
     session, same parquet (the r5 verdict's fix for cross-round host-drift
     ambiguity): warm-up + median of three, per-query interrupt cap. None =
-    no oracle or cap exceeded."""
+    no oracle, cap exceeded, or oracle error (errors reported separately —
+    a broken oracle must not masquerade as a timeout)."""
     import threading
 
     import duckdb
@@ -159,19 +166,30 @@ def time_oracles(
         con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
 
     def run_once(sql: str) -> float | None:
+        """Returns elapsed sec; None = interrupted at the cap. A genuine
+        oracle failure raises (duckdb.InterruptException is the documented
+        interrupt type; a raw duckdb.Error here means the SQL is broken)."""
         timer = threading.Timer(_DUCK_CAP_SEC, con.interrupt)
         timer.start()
         t0 = time.perf_counter()
         try:
             con.execute(sql).fetchall()
             return time.perf_counter() - t0
-        except duckdb.Error:
-            return None  # interrupted at the cap
+        except duckdb.InterruptException:
+            return None
+        except duckdb.Error as e:
+            # Race guard: an interrupt that lands mid-parse can surface as a
+            # generic Error whose message names the interrupt. Anything else
+            # is a real failure and propagates.
+            if "interrupt" in str(e).lower():
+                return None
+            raise
         finally:
             timer.cancel()
 
     out: dict[str, float | None] = {}
     capped_names: set[str] = set()
+    errors: dict[str, str] = {}
     for name in names:
         sql = oracles.get(name)
         if sql is None:
@@ -179,19 +197,24 @@ def time_oracles(
             continue
         runs: list[float] = []
         capped = False
-        for i in range(4):  # 1 warm-up + 3 timed
-            r = run_once(sql)
-            if r is None:
-                capped = True
-                break
-            if i:
-                runs.append(r)
+        try:
+            for i in range(4):  # 1 warm-up + 3 timed
+                r = run_once(sql)
+                if r is None:
+                    capped = True
+                    break
+                if i:
+                    runs.append(r)
+        except Exception as e:  # broken oracle SQL — surface, don't mislabel
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            out[name] = None
+            continue
         if capped:
             capped_names.add(name)
             out[name] = None
         else:
             out[name] = round(sorted(runs)[1], 3)
-    return out, capped_names
+    return out, capped_names, errors
 
 
 def main() -> None:
@@ -236,7 +259,7 @@ def main() -> None:
             release_caches(df)
         timings[name] = round(sorted(runs)[1], 3)
 
-    duck, duck_capped = time_oracles(names, sf_dir)
+    duck, duck_capped, duck_errors = time_oracles(names, sf_dir)
     ratio = {
         n: (round(timings[n] / duck[n], 2) if duck.get(n) else None)
         for n in names
@@ -251,7 +274,7 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    out = {
+    detail = {
         "metric": "headline_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -264,6 +287,7 @@ def main() -> None:
         "ratio": ratio,
         "duck_cap_sec": _DUCK_CAP_SEC,
         "duck_capped": sorted(duck_capped),
+        "duck_errors": duck_errors,
         "streaming_replays": sorted(_STREAMING_REPLAYS & set(names)),
         # batch-comparable aggregate: excludes stateful replays and capped
         # oracles on BOTH sides, so the ratio compares like with like
@@ -273,7 +297,32 @@ def main() -> None:
             round(spark_batch / duck_batch, 3) if duck_batch else None
         ),
     }
-    print(json.dumps(out))
+    # Full per-query detail goes to a file: the r6 single-line emission
+    # outgrew the driver's tail capture and the round's Spark timings were
+    # lost ("parsed": null). The file is the record; the last stdout line
+    # stays compact so the driver can always parse it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    compact = {
+        "metric": "headline_total_wall",
+        "value": detail["value"],
+        "unit": "sec",
+        # per-query Spark medians — the r1-r5 lines carried this map and
+        # parsed; what broke r6 was ALSO inlining the per-query duck_sec +
+        # ratio maps. Those now live only in BENCH_DETAIL.json.
+        "queries": timings,
+        "sf": sf_val,
+        "batch_spark_sec": detail["batch_spark_sec"],
+        "batch_duck_sec": detail["batch_duck_sec"],
+        "batch_ratio": detail["batch_ratio"],
+        "duck_capped_n": len(duck_capped),
+        "duck_errors_n": len(duck_errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
