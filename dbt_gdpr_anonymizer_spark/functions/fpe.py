@@ -221,13 +221,22 @@ def ff1_mask_digits(key: bytes, tweak: bytes, value: str | None) -> str | None:
     leaving every non-digit character (separators, '+', spacing) in
     place — the same format contract as ``fpe_digits``'s keystream twin,
     with a real cipher underneath. NULL/empty → NULL (the reference's
-    mask guard, mask_columns.sql:19-21); strings with fewer than 2
-    digits pass through unchanged (FF1's minimum domain)."""
+    mask guard, mask_columns.sql:19-21); a string with a SINGLE digit is
+    below FF1's minimum domain (SP 800-38G requires radix^minlen >= 100,
+    i.e. >= 2 decimal digits), so that digit is masked with a keyed AES
+    substitution instead — ``(d + AES_k(tweak-pad) mod 10) mod 10`` —
+    keeping the same contract as the ``fpe_digits`` keystream twin:
+    every digit of a PII field is masked, none leaks verbatim."""
     if value is None or value == "":
         return None
     digits = [ch for ch in value if ch.isdigit()]
-    if len(digits) < 2:
-        return value
+    if not digits:
+        return value  # no digit content to protect; format passthrough
+    if len(digits) == 1:
+        block = (tweak + b"\x01")[:16].ljust(16, b"\x00")
+        shift = aes128_encrypt_block(key, block)[0] % 10
+        sub = str((int(digits[0]) + shift) % 10)
+        return "".join(sub if ch.isdigit() else ch for ch in value)
     enc = ff1_encrypt(key, tweak, "".join(digits), radix=10)
     it = iter(enc)
     return "".join(next(it) if ch.isdigit() else ch for ch in value)

