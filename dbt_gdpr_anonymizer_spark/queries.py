@@ -8085,3 +8085,122 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(names)
         ],
     ).orderBy("media_id")
+
+
+@register(
+    "cross_doc_span_profile_documents",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents),
+    g as (
+      select doc_id,
+             unnest(list_transform(range(1, len(ws) - 3),
+                                   i -> array_to_string(ws[i:i+4], ' '))) as gm
+      from w where len(ws) >= 5
+    ),
+    d as (select distinct doc_id, gm from g),
+    shared as (select gm from d group by gm having count(*) > 1),
+    dup as (
+      select g.doc_id, cast(count(*) as bigint) as ndup
+      from g join shared on g.gm = shared.gm
+      group by g.doc_id
+    ),
+    base as (
+      select doc_id,
+             cast(case when len(ws) >= 5 then len(ws) - 4 else 0 end
+                  as bigint) as n_grams
+      from w
+    )
+    select b.doc_id, b.n_grams,
+           cast(case when b.n_grams > 0
+                     then (1000000 * coalesce(dup.ndup, 0)) // b.n_grams
+                     else 0 end as bigint) as shared_span_ppm
+    from base b left join dup on b.doc_id = dup.doc_id
+    order by b.doc_id
+    """,
+)
+def cross_doc_span_profile_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X68 cross-document duplicated-span profile (operators/quality.py
+    ``cross_doc_span_profile``): per document, the ppm of word-5-gram
+    positions whose gram occurs in at least one OTHER document — the
+    template/boilerplate signal intra-document repetition can't see
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"). The oracle replays the positional grams, the df>1 shared
+    set, and the semi-join count in SQL; releases are integral-division
+    BIGINT ppm, so the compare is exact."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        cross_doc_span_profile,
+    )
+
+    return cross_doc_span_profile(
+        _t(spark, sf_dir, "documents"), k=5
+    ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_png_features",
+    """
+    with px as (
+      select doc_id, 3 + doc_id % 5 as w, 2 + doc_id % 4 as h from documents
+    ),
+    f as (
+      select doc_id, w, h,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 [(doc_id*7 + y*31 + x*13) % 256,
+                  (doc_id*11 + y*17 + x*29) % 256,
+                  (doc_id*3 + y*23 + x*19) % 256]))) as pxs
+      from px
+    )
+    select doc_id as media_id,
+           cast(w as bigint) as width,
+           cast(h as bigint) as height,
+           cast(list_sum(list_transform(pxs, p -> p[1])) as bigint) as sum_r,
+           cast(list_sum(list_transform(pxs, p -> p[2])) as bigint) as sum_g,
+           cast(list_sum(list_transform(pxs, p -> p[3])) as bigint) as sum_b,
+           cast(list_max(list_transform(pxs, p -> list_max(p))) as bigint)
+             as max_channel,
+           cast(list_min(list_transform(pxs, p -> list_min(p))) as bigint)
+             as min_channel,
+           cast((doc_id*7) % 256 + (doc_id*11) % 256 + (doc_id*3) % 256
+                as bigint) as corner_luma
+    from f order by media_id
+    """,
+)
+def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15c hermetic COMPRESSED-format decode end to end (r6 verdict gap
+    #1): per-doc RGB8 PNGs are synthesized (operators/multimodal.
+    synth_png_udf — closed-form pixels, scanline filters cycling through
+    all five spec types across the corpus), then decoded by the REAL
+    stdlib-zlib PNG decoder (png_decoder: chunk walk + CRC check +
+    inflate + Sub/Up/Average/Paeth unfilter) through the same Arrow
+    mapInPandas plumbing as the WAV/BMP queries. The oracle recomputes
+    the image features from the closed form — it never sees the bytes,
+    so any chunk, DEFLATE, or filter-reconstruction bug breaks the hash.
+    All features are integer-valued (< 2^24: exact in float32), released
+    as BIGINTs."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        real_decoder,
+        synth_png_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        synth_png_udf()(F.col("doc_id")).alias("payload"),
+    )
+    feats = decode_features(media, decoder=real_decoder)
+    names = [
+        "width", "height", "sum_r", "sum_g", "sum_b",
+        "max_channel", "min_channel", "corner_luma",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).cast("long").alias(n)
+            for i, n in enumerate(names)
+        ],
+    ).orderBy("media_id")

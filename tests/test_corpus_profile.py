@@ -152,3 +152,39 @@ def test_boilerplate_line_filter_drops_cross_doc_lines_keeps_order(spark):
     # below threshold nothing drops
     out2 = boilerplate_line_filter(df, min_doc_freq=4).collect()
     assert all(r["n_lines_dropped"] == 0 for r in out2)
+
+
+def test_cross_doc_span_profile_planted_spans(spark):
+    """Planted cross-doc spans: docs 1 and 2 share a 7-word template span
+    (3 shared 5-gram positions each); doc 3 is unique; doc 4 is shorter
+    than k. Intra-doc-only repetition must NOT count (the gram needs a
+    distinct OTHER document)."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        cross_doc_span_profile,
+    )
+
+    shared = "the quick brown fox jumps over fences"  # 7 words
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma"),
+            (2, "intro words here " + shared),
+            (3, "completely unique text with many distinct tokens inside"),
+            (4, "too short"),
+            # intra-doc repeated 5-gram, but present in no other doc:
+            (5, "aa bb cc dd ee aa bb cc dd ee"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["shared_span_ppm"])
+        for r in cross_doc_span_profile(docs, k=5).collect()
+    }
+    # doc1: 10 words -> 6 grams; grams at positions 1..3 are inside the
+    # shared span -> 3/6 = 500000 ppm
+    assert out[1] == (6, 500_000)
+    # doc2: 10 words -> 6 grams; shared-span grams occupy positions 4..6
+    assert out[2] == (6, 500_000)
+    assert out[3] == (4, 0)
+    assert out[4] == (0, 0)
+    # intra-doc duplicate grams never count as cross-doc
+    assert out[5] == (6, 0)

@@ -228,11 +228,104 @@ def test_real_decoder_parses_bmp24():
     assert real_decoder(img) == bmp_decoder(img)
 
 
-def test_real_decoder_rejects_compressed_formats():
+def test_real_decoder_rejects_codec_formats():
+    # JPEG needs a real codec library -> named swap-in, not a parse
     with pytest.raises(NotImplementedError):
-        real_decoder(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        real_decoder(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         real_decoder(b"x")
+
+
+def test_real_decoder_parses_png_rgb8_all_filters():
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        make_png_rgb8,
+        png_decoder,
+    )
+
+    px = [
+        [(255, 0, 0), (0, 255, 0), (7, 8, 9)],
+        [(0, 0, 255), (10, 20, 30), (1, 2, 3)],
+    ]
+    exp = [
+        3.0, 2.0,
+        float(255 + 0 + 7 + 0 + 10 + 1),
+        float(0 + 255 + 8 + 0 + 20 + 2),
+        float(0 + 0 + 9 + 255 + 30 + 3),
+        255.0, 0.0, 255.0,
+    ]
+    # every filter_seed rotates which scanline filter each row gets; all
+    # five reconstruction paths must agree on the same pixels
+    for seed in range(5):
+        payload = make_png_rgb8(px, filter_seed=seed)
+        assert png_decoder(payload) == exp
+        assert real_decoder(payload) == exp
+
+
+def test_png_decoder_rejects_corruption_and_exotics():
+    import struct
+    import zlib
+
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        make_png_rgb8,
+        png_decoder,
+    )
+
+    good = bytearray(make_png_rgb8([[(1, 2, 3)]]))
+    # flip a byte inside IHDR data: CRC must catch it
+    bad = bytearray(good)
+    bad[16] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png_decoder(bytes(bad))
+    # 16-bit / palette / interlaced PNGs name the swap-in instead of
+    # mis-parsing
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)  # palette
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    idat_raw = zlib.compress(b"\x00\x00")
+    idat = (
+        struct.pack(">I", len(idat_raw))
+        + b"IDAT"
+        + idat_raw
+        + struct.pack(">I", zlib.crc32(b"IDAT" + idat_raw) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        png_decoder(sig + chunk + idat)
+
+
+def test_bmp_decoder_top_down_negative_height():
+    """Negative biHeight = top-down row order (valid per spec); must parse
+    identically to the bottom-up twin of the same image, not release
+    zeroed features (r6 ADVICE)."""
+    import struct
+
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        bmp_decoder,
+        make_bmp24,
+    )
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    up = bytearray(make_bmp24(px))
+    # rewrite height to -2 and reverse the stored row order (top-down)
+    (offset,) = struct.unpack("<I", bytes(up[10:14]))
+    w, h = struct.unpack("<ii", bytes(up[18:26]))
+    stride = (w * 3 + 3) // 4 * 4
+    rows = [
+        bytes(up[offset + i * stride : offset + (i + 1) * stride])
+        for i in range(h)
+    ]
+    down = (
+        bytes(up[:18])
+        + struct.pack("<ii", w, -h)
+        + bytes(up[26:offset])
+        + b"".join(reversed(rows))
+    )
+    assert bmp_decoder(down) == bmp_decoder(bytes(up))
+    assert bmp_decoder(down)[:2] == [2.0, 2.0]
 
 
 def test_real_decoder_through_spark_plumbing(spark):
