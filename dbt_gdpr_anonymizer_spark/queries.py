@@ -1427,6 +1427,24 @@ _CHECK_LAST = [
     # NEW r6 queries (erasure_cascade_large_list, multimodal_wav_features)
     # enter the window by construction (never parked). Front total: 50.
     # ------------------------------------------------------------------
+    # r7 rotation (executing the plan at SURVEY §7 end-of-r6): 16 parked
+    # rows PROMOTED into the checked window (removed from this list) —
+    # the distinct-operator cohort with no family driver row yet (subject
+    # access / retention sweep / pseudonym keymap, boilerplate filter,
+    # drift PSI, mixture plan, salted skew join, funnel, cohort
+    # retention, RANGE-frame rolling revenue, gap-islands, transition
+    # matrix, INTERSECT/EXCEPT, null-safe join, observe metrics, skew
+    # report). Also PROMOTED by rule (pre-change artifacts void):
+    # ann_recall_report + approx_distinct_sketch (upgraded rows-only →
+    # hash-green: new compared outputs) and erasure_cascade_documents
+    # (small-list tier reimplemented as the trie-regex filter). The two
+    # NEW r7 queries (cross_doc_span_profile_documents,
+    # multimodal_png_features) enter by construction. The 21 rows demoted
+    # in the block second below each hold TWO rounds of driver green
+    # (r5+r6 artifacts) on byte-unchanged compared outputs. The 15 rows
+    # still parked below are family-covered and local+pandas-mode green;
+    # they are the r8 promotion cohort. Front total: exactly 50.
+    # ------------------------------------------------------------------
     # demoted with 2 rounds of green (r4+r5), unchanged outputs:
     "mask_model_customer",
     "staging_flags",
@@ -1453,46 +1471,48 @@ _CHECK_LAST = [
     "decontaminate_documents",
     "leakage_safe_split_documents",
     "dedup_incremental_documents",
-    "erasure_cascade_documents",
     "stream_sessionize_events",
     "neardup_representatives",
     "corpus_quality_gate_documents",
-    # still parked (r7 window — local + pandas-mode green, family-covered
+    # demoted r7 with 2 rounds of green (r5+r6), unchanged outputs:
+    "chunk_documents",
+    "credit_card_luhn_scan",
+    "cube_pricing",
+    "cumulative_revenue_per_customer",
+    "event_value_stats",
+    "hourly_event_rollup",
+    "join_revenue_by_nation",
+    "pack_cumsums",
+    "pack_sequences_documents",
+    "pack_token_counts",
+    "q14_promo_revenue",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "quality_deciles_documents",
+    "rollup_pricing",
+    "sliding_window_rollup",
+    "stream_dedup_documents",
+    "t_closeness_numerators",
+    "t_closeness_segments",
+    "unpivot_event_counts",
+    "word_frequency_zipf",
+    # still parked (r8 window — local + pandas-mode green, family-covered
     # by a checked representative this round):
-    "boilerplate_line_filter_documents",
-    "event_value_drift_psi",
-    "subject_access_extract",
-    "retention_sweep_audit",
-    "pseudonym_spend_by_token",
-    "corpus_snapshot_diff",
-    "vocab_oov_rate",
-    "dp_noisy_spend_by_priority",
-    "dataset_card_by_source",
-    "funnel_conversion",
-    "cohort_retention",
-    "outlier_events_exact",
-    "salted_join_revenue_by_segment",
-    "event_value_trend",
-    "mask_generalize_order_dates",
-    "token_length_histogram",
-    "orc_roundtrip_documents",
-    "winsorized_stats_events",
-    "observed_scan_metrics",
-    "key_skew_report",
-    "source_freshness_report",
-    "schema_test_report",
-    "rolling_7day_revenue",
-    "corrupt_record_quarantine",
-    "grouping_sets_revenue",
-    "orderkey_gap_islands",
-    "event_transition_matrix",
-    "embedding_dim_stats",
-    "null_safe_join_users",
-    "set_ops_customers",
-    "mixture_sampling_plan",
-    # rows-only by construction (no SQL-expressible oracle)
-    "ann_recall_report",
-    "approx_distinct_sketch",
+    "corpus_snapshot_diff",  # diff family (scd2/incremental_merge checked r≤6)
+    "vocab_oov_rate",  # vocab family (word_frequency_zipf 2R green)
+    "dp_noisy_spend_by_priority",  # DP family (dp_noisy_order_counts 2R)
+    "dataset_card_by_source",  # reporting family (pii_inventory 2R)
+    "outlier_events_exact",  # stats family (event_value_stats 2R)
+    "event_value_trend",  # stats family (event_value_percentiles 2R)
+    "mask_generalize_order_dates",  # masking (mask_fpe/k_anon_generalize r6)
+    "token_length_histogram",  # text family (quality_deciles 2R)
+    "orc_roundtrip_documents",  # format family (parquet everywhere)
+    "winsorized_stats_events",  # stats family (exact_median r6)
+    "source_freshness_report",  # runtime-cert family (observe promoted r7)
+    "schema_test_report",  # validation family (quality_metrics 2R)
+    "corrupt_record_quarantine",  # ingest family (jsonl_flatten 2R)
+    "grouping_sets_revenue",  # grouping-sets family (cube/rollup 2R)
+    "embedding_dim_stats",  # embedding family (ann_* r6 green)
 ]
 
 
@@ -2427,13 +2447,19 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_recall_report")  # measures approx tiers -> rows-only
+@register("ann_recall_report")  # oracle composed at end of module (r7)
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall metrology for the approximate ANN tiers: per query id, the
-    fraction of the exact cosine top-k recovered by LSH and by IVF — the
+    """Recall metrology for the approximate ANN tiers: per query id, how
+    much of the exact cosine top-k LSH and IVF each recover — the
     operational dial for bits/probes/nlist tuning. The exact baseline and
-    both approximate results run in one plan; recall is a join + ratio, so
-    quality measurement is itself a distributed query, not a driver loop."""
+    both approximate results run in one plan; recall is a join + count,
+    so quality measurement is itself a distributed query, not a driver
+    loop. Upgraded from rows-only to a FULL oracle in r7: every tier it
+    composes is individually hash-green deterministic (ann_cosine_topk /
+    ann_lsh_topk / ann_ivf_topk, same parameters), so the oracle — built
+    at module end from those queries' own SQL — replays all three and
+    the intersection counts; releases are BIGINT hits + integral-division
+    ppm recalls."""
     from dbt_gdpr_anonymizer_spark.operators.similarity import (
         cosine_topk,
         ivf_topk,
@@ -2444,28 +2470,35 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = cosine_topk(emb, queries_df, k=5).select(
-        "query_id", F.col("vec_id").alias("exact_id")
+    exact = cosine_topk(emb, queries_df, k=5).select("query_id", "vec_id")
+    lsh = lsh_topk(emb, queries_df, k=5, dim=64, bits=8).select(
+        "query_id", F.col("vec_id").alias("vec_id"), F.lit(1).alias("_l")
     )
-
-    def recall_of(approx: DataFrame, name: str) -> DataFrame:
-        hits = exact.join(
-            approx.select(
-                "query_id", F.col("vec_id").alias("exact_id")
-            ).withColumn("_hit", F.lit(1)),
-            ["query_id", "exact_id"],
-            "left",
+    ivf = ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=4).select(
+        "query_id", F.col("vec_id").alias("vec_id"), F.lit(1).alias("_i")
+    )
+    j = (
+        exact.join(lsh, ["query_id", "vec_id"], "left")
+        .join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_exact"),
+            F.sum(F.coalesce("_l", F.lit(0))).cast("long").alias("lsh_hits"),
+            F.sum(F.coalesce("_i", F.lit(0))).cast("long").alias("ivf_hits"),
         )
-        return hits.groupBy("query_id").agg(
-            (F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)))
-            .cast("decimal(6,3)")
-            .cast("double")
-            .alias(name)
-        )
-
-    lsh = recall_of(lsh_topk(emb, queries_df, k=5, dim=64, bits=8), "lsh_recall")
-    ivf = recall_of(ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=3), "ivf_recall")
-    return lsh.join(ivf, "query_id")
+    )
+    return j.select(
+        "query_id",
+        "k_exact",
+        "lsh_hits",
+        "ivf_hits",
+        F.expr("cast(1000000 * lsh_hits div k_exact as bigint)").alias(
+            "lsh_recall_ppm"
+        ),
+        F.expr("cast(1000000 * ivf_hits div k_exact as bigint)").alias(
+            "ivf_recall_ppm"
+        ),
+    ).orderBy("query_id")
 
 
 @register(
@@ -2981,18 +3014,54 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_sketch")  # HLL sketches differ per engine -> rows-only
+@register(
+    "approx_distinct_sketch",
+    """
+    select event_type,
+           cast(count(*) as bigint) as n,
+           cast(count(distinct user_id) as bigint) as exact_users,
+           true as approx_users_ok,
+           true as approx_p50_ok
+    from events group by event_type order by event_type
+    """,
+)
 def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct + approximate quantile sketch per event type —
     the constant-memory scale path for the exact aggregates covered by
-    distinct_counts / event_value_percentiles (exact twins ARE
-    oracle-checked; sketch internals are engine-specific by nature)."""
+    distinct_counts / event_value_percentiles. Upgraded from rows-only to
+    hash-green in r7: sketch INTERNALS are engine-specific by nature, so
+    the released columns are the EXACT twins (BIGINT n / distinct users,
+    SQL-replayable) plus Spark-computed within-band certifications the
+    oracle asserts true — ``approx_users_ok`` (HLL estimate within
+    max(5, 10%) of exact at rsd 0.02) and ``approx_p50_ok`` (approximate
+    median inside the exact interquartile range). A broken sketch flips a
+    boolean and breaks the hash; a working one releases zero
+    engine-specific bits."""
     e = _events(spark, sf_dir)
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 1000).alias("approx_p50"),
-        F.count(F.lit(1)).alias("n"),
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("_approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(1000)).alias(
+            "_approx_p50"
+        ),
+        F.expr("percentile(value, 0.25)").alias("_p25"),
+        F.expr("percentile(value, 0.75)").alias("_p75"),
     )
+    return agg.select(
+        "event_type",
+        "n",
+        "exact_users",
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.greatest(
+                F.lit(5), (F.col("exact_users") * 0.1).cast("long")
+            )
+        ).alias("approx_users_ok"),
+        F.col("_approx_p50")
+        .between(F.col("_p25"), F.col("_p75"))
+        .alias("approx_p50_ok"),
+    ).orderBy("event_type")
 
 
 @register(
@@ -8204,3 +8273,35 @@ def multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(names)
         ],
     ).orderBy("media_id")
+
+
+# ann_recall_report's oracle COMPOSES the three individually hash-green ANN
+# oracles (exact brute-force, LSH replay, IVF replay — same parameters as
+# the Spark query) and recomputes the intersection counts; it is assembled
+# here, after all three are registered, from their own SQL text so the
+# tiers can never drift apart silently.
+ORACLE["ann_recall_report"] = f"""
+    with exact as (
+      select query_id, vec_id from ({ORACLE["ann_cosine_topk"]})
+    ),
+    lsh as (
+      select query_id, vec_id, 1 as _l from ({ORACLE["ann_lsh_topk"]})
+    ),
+    ivf as (
+      select query_id, vec_id, 1 as _i from ({ORACLE["ann_ivf_topk"]})
+    ),
+    j as (
+      select e.query_id,
+             cast(count(*) as bigint) as k_exact,
+             cast(sum(coalesce(l._l, 0)) as bigint) as lsh_hits,
+             cast(sum(coalesce(i._i, 0)) as bigint) as ivf_hits
+      from exact e
+      left join lsh l on e.query_id = l.query_id and e.vec_id = l.vec_id
+      left join ivf i on e.query_id = i.query_id and e.vec_id = i.vec_id
+      group by e.query_id
+    )
+    select query_id, k_exact, lsh_hits, ivf_hits,
+           cast((1000000 * lsh_hits) // k_exact as bigint) as lsh_recall_ppm,
+           cast((1000000 * ivf_hits) // k_exact as bigint) as ivf_recall_ppm
+    from j order by query_id
+"""
