@@ -35,6 +35,7 @@ __all__ = [
     "dedup_corpus",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -828,3 +829,57 @@ def benchmark_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    eps: float = 0.8,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_n: int | None = 100_000,
+) -> DataFrame:
+    """X122 SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    deduplication in embedding space — cluster the corpus with spherical
+    k-means, then within each cluster drop every item whose cosine to a
+    LOWER-id cluster member reaches ``eps``. Catches paraphrases and
+    re-encodings that no lexical tier (MinHash/SimHash/n-gram) can see.
+
+    Scale shape: the candidate set is the WITHIN-CLUSTER self-equi-join
+    on the cell key — the whole point of the clustering step is that
+    pairwise work is O(Σ|cell|²), bounded by cluster granularity (grow
+    ``k`` with the corpus), never corpus-wide all-pairs. The keep rule
+    (survive unless a smaller-id member is eps-close) is deterministic
+    and non-iterative, so it is one join + one anti-join; cosines use
+    the left-fold ``cosine_sim`` pattern that is bit-identical to
+    DuckDB's ``list_dot_product`` (the proven ann_* oracle precedent).
+
+    Returns the SURVIVORS: ``(id_col, cell)``.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        cosine_sim,
+        ivf_assign,
+        kmeans_fit,
+    )
+
+    cents = kmeans_fit(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        fit_sample_n=fit_sample_n,
+    )
+    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cell"
+    )
+    dominated = (
+        a.join(b, "cell")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(cosine_sim(F.col("_va"), F.col("_vb")) >= F.lit(eps))
+        .select(F.col("_ida").alias(id_col))
+        .distinct()
+    )
+    return assigned.select(id_col, "cell").join(dominated, id_col, "left_anti")

@@ -1513,6 +1513,9 @@ _CHECK_LAST = [
     "corrupt_record_quarantine",  # ingest family (jsonl_flatten 2R)
     "grouping_sets_revenue",  # grouping-sets family (cube/rollup 2R)
     "embedding_dim_stats",  # embedding family (ann_* r6 green)
+    # r7-LATE new queries, parked to hold the front at exactly 50 (the
+    # r8 rotation has 29 demotable slots for 15+these parked rows):
+    "semantic_dedup_embeddings",  # kmeans CTEs shared with checked kmeans query
 ]
 
 
@@ -2360,7 +2363,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_cte_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     """Unrolled spherical-k-means oracle: replays kmeans_fit's Lloyd
     iterations in SQL — seed = first k vectors by id (centroid_id =
     vec_id rank), per-iteration nearest-centroid assignment (same
@@ -2372,7 +2375,8 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     but the argmax assignments they feed are separated by far more than
     an ulp on this corpus, so a genuine assignment change WOULD surface
     as a hash mismatch — this is a real full-value check, not a
-    tautology."""
+    tautology. Returns the CTE prefix ending at ``af(vec_id, cell)``;
+    the kmeans and semantic-dedup oracles append their own tails."""
     cos = (
         "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
         "* sqrt(list_dot_product({b}, {b})))"
@@ -2412,10 +2416,45 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
         f"{cos.format(a='v.vv', b='c.cv')} desc, c.centroid_id) as rn "
         f"from v cross join c{iters} c) where rn = 1)"
     )
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Cell cardinalities of the final assignment (see _kmeans_cte_sql)."""
     return (
-        ",\n".join(parts)
+        _kmeans_cte_sql(k, iters, dim)
         + "\nselect cell, cast(count(*) as bigint) as n_vectors "
         "from af group by cell order by cell"
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    eps: float, k: int = 8, iters: int = 3, dim: int = 64
+) -> str:
+    """SemDeDup survivors: replays the full k-means fit + assignment
+    (same CTEs as the kmeans oracle), then the within-cell dominance
+    rule — an item is dropped iff some SMALLER-id member of its cell has
+    cosine >= eps. Cosines are the proven left-fold list_dot_product
+    pattern (bit-identical to Spark's cosine_sim fold), so the float
+    threshold compare resolves identically in both engines."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return (
+        _kmeans_cte_sql(k, iters, dim)
+        + f""",
+    mm as (select af.vec_id, af.cell, v.vv
+           from af join v on af.vec_id = v.vec_id),
+    dropped as (
+      select distinct a.vec_id
+      from mm a join mm b on a.cell = b.cell and b.vec_id < a.vec_id
+      where {cos.format(a='a.vv', b='b.vv')} >= {eps!r}
+    )
+    select mm.vec_id, cast(mm.cell as bigint) as cell
+    from mm left join dropped d on mm.vec_id = d.vec_id
+    where d.vec_id is null
+    order by mm.vec_id"""
     )
 
 
@@ -8305,3 +8344,28 @@ ORACLE["ann_recall_report"] = f"""
            cast((1000000 * ivf_hits) // k_exact as bigint) as ivf_recall_ppm
     from j order by query_id
 """
+
+
+@register(
+    "semantic_dedup_embeddings", _semantic_dedup_oracle_sql(eps=0.4)
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 SemDeDup (Abbas et al. 2023) over `embeddings`
+    (operators/dedup.py semantic_dedup): spherical k-means clusters the
+    corpus (k=8, 3 Lloyd iterations, full-corpus fit so the oracle can
+    replay it), then every vector with a smaller-id cluster member at
+    cosine >= eps is dropped; survivors release (vec_id, cell). FULL
+    oracle: the kmeans CTE prefix is shared verbatim with
+    kmeans_embedding_clusters' hash-green oracle, and the dominance join
+    replays in SQL with the bit-identical left-fold cosine. eps=0.4 is
+    the DEMO threshold for this synthetic corpus (within-cell cosine
+    p99.9 = 0.42, max = 0.51 at sf0.01 — ~0.1% of pairs dominate, so
+    the dedup arm is non-vacuous); real paraphrase corpora use the
+    operator default 0.8."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    surv = semantic_dedup(emb, eps=0.4, k=8, iters=3, fit_sample_n=None)
+    return surv.select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    ).orderBy("vec_id")

@@ -380,3 +380,40 @@ def test_erasure_token_path_phrase_cap_refuses(spark):
     )
     with pytest.raises(ValueError, match="substring fallback"):
         erasure_matches(docs, phrases, max_terms=0).collect()
+
+
+def test_semantic_dedup_planted_paraphrase_pair(spark):
+    """SemDeDup: two near-identical embeddings (cos ~0.9999) must resolve
+    to the lower id surviving; orthogonal vectors all survive."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import semantic_dedup
+
+    def unit(i, dim=8, bump=0.0):
+        v = [0.0] * dim
+        v[i] = 1.0
+        if bump:
+            v[(i + 1) % dim] = bump
+        return v
+
+    rows = [
+        (0, unit(0)),
+        (1, unit(1)),
+        (2, unit(2)),
+        # 10 is a tiny perturbation of id 0 -> same cluster, cos ~ 0.999
+        (10, unit(0, bump=0.05)),
+        (11, unit(3)),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    surv = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            df, eps=0.9, k=4, iters=2, fit_sample_n=None
+        ).collect()
+    )
+    assert 10 not in surv  # dominated by the smaller-id near-twin
+    assert 0 in surv
+    assert set(surv) == {0, 1, 2, 11}
+    # with a stricter threshold nothing is close enough to drop
+    surv_strict = semantic_dedup(
+        df, eps=0.9999, k=4, iters=2, fit_sample_n=None
+    ).count()
+    assert surv_strict == 5
