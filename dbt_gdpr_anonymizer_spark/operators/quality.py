@@ -294,3 +294,103 @@ def cross_doc_span_profile(
             .alias("shared_span_ppm"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X123 cross-document duplicated-span REMOVAL (the surgical sibling of
+    :func:`cross_doc_span_profile` — RefinedWeb's ExactSubstr-style
+    "dedup-and-remove", Penedo et al. 2023 / Lee et al. 2022): instead of
+    dropping whole near-dup documents, cut only the SPANS shared with
+    other documents and keep the rest. A token survives unless it is
+    covered by some word-``k``-gram position whose gram also occurs in at
+    least one OTHER document.
+
+    Plan shape: positional grams explode linearly; the shared-gram set is
+    a df>1 aggregate (bounded by duplicated grams); matched positions
+    semi-join that set, then each matched position expands into its ``k``
+    covered token indices — a bounded blowup on MATCHES only, never the
+    corpus — and the distinct covered set anti-joins the token list. The
+    cleaned text is rebuilt with one sort_array(collect_list) per doc
+    (single shuffle keyed on the doc id). Gram-keyed hash joins end to
+    end; no all-pairs, no windows over corpus-wide orderings.
+
+    Returns ``(id_col, clean_text, n_tokens, n_tokens_removed)`` —
+    documents shorter than ``k`` words pass through unchanged.
+    """
+    ws = tx.words(text_col)
+    base = docs.select(
+        F.col(id_col),
+        ws.alias("_ws"),
+        # greatest(…, 0): NULL text yields a NULL word array whose size()
+        # is -1 — release 0 tokens, not -1
+        F.greatest(F.size(ws), F.lit(0)).alias("_n"),
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("_n") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - k + 1),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        F.array_join(F.slice("_ws", i, k), " ").alias("g"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<p:int,g:string>>")
+            )
+        ).alias("_pg"),
+    ).select(id_col, F.col("_pg.p").alias("_p"), F.col("_pg.g").alias("_g"))
+    shared = (
+        grams.select(id_col, "_g")
+        .distinct()
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 1)
+        .select("_g")
+    )
+    covered = (
+        grams.join(shared, "_g", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_p") + F.lit(k - 1))
+            ).alias("_t"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        id_col,
+        F.posexplode(F.col("_ws")).alias("_pos0", "_tok"),
+    ).select(id_col, (F.col("_pos0") + 1).alias("_t"), "_tok")
+    kept = toks.join(covered, [id_col, "_t"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_t"), F.col("_tok")))
+                ),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("_n").cast("long").alias("n_tokens"),
+            (F.col("_n") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -1516,6 +1516,7 @@ _CHECK_LAST = [
     # r7-LATE new queries, parked to hold the front at exactly 50 (the
     # r8 rotation has 29 demotable slots for 15+these parked rows):
     "semantic_dedup_embeddings",  # kmeans CTEs shared with checked kmeans query
+    "remove_duplicate_spans_documents",  # gram machinery shared with checked cross_doc profile
 ]
 
 
@@ -8369,3 +8370,71 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select(
         "vec_id", F.col("cell").cast("long").alias("cell")
     ).orderBy("vec_id")
+
+
+@register(
+    "remove_duplicate_spans_documents",
+    f"""
+    with w0 as (select doc_id, {_WORDS_SQL} as ws0 from documents),
+    w as (select doc_id, list_filter(ws0, t -> t <> '') as ws from w0),
+    g as (
+      select doc_id,
+             unnest(list_transform(range(1, len(ws) - 3),
+               i -> {{'p': i, 'g': array_to_string(ws[i:i+4], ' ')}})) as pg
+      from w where len(ws) >= 5
+    ),
+    g2 as (select doc_id, pg.p as p, pg.g as gm from g),
+    d as (select distinct doc_id, gm from g2),
+    shared as (select gm from d group by gm having count(*) > 1),
+    cov as (
+      select distinct doc_id, unnest(range(p, p + 5)) as t
+      from (select g2.doc_id, g2.p from g2 join shared using (gm))
+    ),
+    tk as (
+      select doc_id,
+             unnest(list_transform(range(1, len(ws) + 1),
+               i -> {{'t': i, 'tok': ws[i]}})) as s
+      from w where len(ws) >= 1
+    ),
+    tk2 as (select doc_id, s.t as t, s.tok as tok from tk),
+    kk as (
+      select tk2.* from tk2
+      left join cov on tk2.doc_id = cov.doc_id and tk2.t = cov.t
+      where cov.doc_id is null
+    ),
+    kept as (
+      select doc_id, cast(count(*) as bigint) as nk,
+             string_agg(tok, ' ' order by t) as txt
+      from kk group by doc_id
+    )
+    select w.doc_id,
+           cast(coalesce(len(w.ws), 0) as bigint) as n_tokens,
+           cast(coalesce(len(w.ws), 0) - coalesce(kept.nk, 0) as bigint)
+             as n_tokens_removed,
+           md5(coalesce(kept.txt, '')) as clean_fp
+    from w left join kept on w.doc_id = kept.doc_id
+    order by w.doc_id
+    """,
+)
+def remove_duplicate_spans_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X123 duplicated-span REMOVAL (operators/quality.py
+    remove_duplicate_spans): RefinedWeb-style surgical dedup — tokens
+    covered by a cross-document word-5-gram are cut, the rest of the
+    document survives (1096 shared grams over 71 docs at sf0.01, so the
+    removal arm is exercised). The oracle replays grams, the df>1 set,
+    position coverage expansion, and the order-preserving text rebuild;
+    releases are BIGINT counts + the md5 of the rebuilt text, so any
+    off-by-one in span coverage or token order breaks the hash."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        remove_duplicate_spans,
+    )
+
+    out = remove_duplicate_spans(_t(spark, sf_dir, "documents"), k=5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_removed",
+        F.md5("clean_text").alias("clean_fp"),
+    ).orderBy("doc_id")

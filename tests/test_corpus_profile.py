@@ -188,3 +188,41 @@ def test_cross_doc_span_profile_planted_spans(spark):
     assert out[4] == (0, 0)
     # intra-doc duplicate grams never count as cross-doc
     assert out[5] == (6, 0)
+
+
+def test_remove_duplicate_spans_surgical(spark):
+    """Span removal cuts exactly the covered tokens and preserves order:
+    docs 1/2 share a 7-word span (covers tokens of 3 gram positions =
+    span tokens + nothing else); unique docs pass through byte-identical;
+    short docs are untouched."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        remove_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over fences"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma"),
+            (2, "intro words here " + shared),
+            (3, "completely unique text with many distinct tokens inside"),
+            (4, "too short"),
+            (5, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in remove_duplicate_spans(docs, k=5).collect()
+    }
+    # doc1: grams 1..3 shared -> tokens 1..7 covered; 8..10 survive
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert (out[1]["n_tokens"], out[1]["n_tokens_removed"]) == (10, 7)
+    # doc2: span sits at the tail -> the intro survives
+    assert out[2]["clean_text"] == "intro words here"
+    assert (out[2]["n_tokens"], out[2]["n_tokens_removed"]) == (10, 7)
+    # unique and short docs: untouched (normalized token stream)
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["clean_text"].startswith("completely unique")
+    assert (out[4]["n_tokens"], out[4]["n_tokens_removed"]) == (2, 0)
+    assert out[4]["clean_text"] == "too short"
+    assert (out[5]["n_tokens"], out[5]["n_tokens_removed"]) == (0, 0)
+    assert out[5]["clean_text"] == ""
