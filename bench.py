@@ -74,6 +74,13 @@ HEADLINE = [
     "stream_interval_join_clicks",
     "microaggregate_acctbal",
     "winsorized_stats_events",
+    # r7 new plan shapes: the positional-gram inverted index + df>1
+    # semi-join (profile), its surgical-removal sibling (adds the bounded
+    # coverage expansion + order-preserving rebuild), and the
+    # kmeans-clustered within-cell dominance join
+    "cross_doc_span_profile_documents",
+    "remove_duplicate_spans_documents",
+    "semantic_dedup_embeddings",
 ]
 
 # neardup_components drift note (r5, data-backed): decomposed timing at

@@ -852,15 +852,19 @@ def semantic_dedup(
     pairwise work is O(Σ|cell|²), bounded by cluster granularity (grow
     ``k`` with the corpus), never corpus-wide all-pairs. The keep rule
     (survive unless a smaller-id member is eps-close) is deterministic
-    and non-iterative, so it is one join + one anti-join; cosines use
-    the left-fold ``cosine_sim`` pattern that is bit-identical to
-    DuckDB's ``list_dot_product`` (the proven ann_* oracle precedent).
+    and non-iterative, so it is one join + one anti-join. Assignment is
+    a map-side expression over the literal centroid model (no join, no
+    shuffle — ``cell_assign_expr``), the assigned frame is persisted so
+    the self-join's two branches and the final anti-join share one scan,
+    and each vector's norm is computed ONCE before the pair join —
+    ``dot/(nrm_a·nrm_b)`` is the same float DAG as ``cosine_sim``'s
+    per-pair refold (and as DuckDB's ``list_dot_product`` replay), just
+    factored, so the eps compare is still bit-identical cross-engine.
 
     Returns the SURVIVORS: ``(id_col, cell)``.
     """
     from dbt_gdpr_anonymizer_spark.operators.similarity import (
-        cosine_sim,
-        ivf_assign,
+        cell_assign_expr,
         kmeans_fit,
     )
 
@@ -868,18 +872,38 @@ def semantic_dedup(
         vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         fit_sample_n=fit_sample_n,
     )
-    assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    model = [list(r[1]) for r in sorted(cents.collect(), key=lambda r: r[0])]
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = vectors.select(
+        F.col(id_col),
+        v.alias("_v"),
+        cell_assign_expr(v, model).alias("cell"),
+        F.sqrt(dot).alias("_nrm"),
+    ).persist()
     a = assigned.select(
-        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"), "cell"
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+        F.col("_nrm").alias("_na"), "cell",
     )
     b = assigned.select(
-        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"), "cell"
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+        F.col("_nrm").alias("_nb"), "cell",
+    )
+    pair_dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     dominated = (
         a.join(b, "cell")
         .filter(F.col("_idb") < F.col("_ida"))
-        .filter(cosine_sim(F.col("_va"), F.col("_vb")) >= F.lit(eps))
+        .filter(pair_dot / (F.col("_na") * F.col("_nb")) >= F.lit(eps))
         .select(F.col("_ida").alias(id_col))
         .distinct()
     )
-    return assigned.select(id_col, "cell").join(dominated, id_col, "left_anti")
+    out = assigned.select(id_col, "cell").join(dominated, id_col, "left_anti")
+    return track_caches(out, assigned)

@@ -246,6 +246,9 @@ def cross_doc_span_profile(
     base = docs.select(
         F.col(id_col), ws.alias("_ws"), F.size(ws).alias("_n")
     )
+    # grams shuffle as 8-byte xxhash64 keys, not ~k-word strings — the
+    # same md5-fingerprint collision stance as exact_dedup (P(collision)
+    # ~ n²/2^65; a collision would need two distinct grams in one corpus)
     grams = base.select(
         id_col,
         F.explode(
@@ -257,17 +260,17 @@ def cross_doc_span_profile(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("_g"),
-    )
+    ).select(id_col, F.xxhash64("_g").alias("_gh"))
     shared = (
-        grams.select(id_col, "_g")
+        grams.select(id_col, "_gh")
         .distinct()
-        .groupBy("_g")
+        .groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > 1)
-        .select("_g")
+        .select("_gh")
     )
     dup_positions = (
-        grams.join(shared, "_g", "left_semi")
+        grams.join(shared, "_gh", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_ndup"))
     )
@@ -347,17 +350,23 @@ def remove_duplicate_spans(
                 F.array().cast("array<struct<p:int,g:string>>")
             )
         ).alias("_pg"),
-    ).select(id_col, F.col("_pg.p").alias("_p"), F.col("_pg.g").alias("_g"))
+    ).select(
+        id_col,
+        F.col("_pg.p").alias("_p"),
+        # 8-byte hash keys for the shuffles (same collision stance as
+        # cross_doc_span_profile / exact_dedup)
+        F.xxhash64(F.col("_pg.g")).alias("_gh"),
+    )
     shared = (
-        grams.select(id_col, "_g")
+        grams.select(id_col, "_gh")
         .distinct()
-        .groupBy("_g")
+        .groupBy("_gh")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > 1)
-        .select("_g")
+        .select("_gh")
     )
     covered = (
-        grams.join(shared, "_g", "left_semi")
+        grams.join(shared, "_gh", "left_semi")
         .select(
             id_col,
             F.explode(

@@ -35,6 +35,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "kmeans_fit",
+    "cell_assign_expr",
 ]
 
 
@@ -361,10 +362,57 @@ def kmeans_fit(
         # corpus once per iteration; released before returning.
         sampled = deterministic_sample(vectors, fit_sample_n, id_col).persist()
         vectors = sampled
-    first = vectors.select(vec_col).first()
-    if first is None:
+    def _centroid_df(cents: list[list[float]]) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            f"centroid_id int, {vec_col} array<double>",
+        )
+
+    # Driver-fit fast path: the FIT is model estimation over a BOUNDED
+    # row set (the fit_sample cap, or a corpus that happens to be small).
+    # When it fits comfortably on the driver, collect once and run the
+    # Lloyd iterations in numpy — one Spark job total instead of one per
+    # iteration (each distributed iteration pays ~1.5s of fresh codegen
+    # at bench scale because the literal centroid model changes the
+    # plan). Same seeding (first k by id), same argmax tie rule (first
+    # maximal index = lowest centroid_id), same empty/zero-norm cell
+    # semantics; float summation order differs from the distributed
+    # partial sums, which stays inside the same ulp-tolerance argument
+    # the oracle already relies on (assignments are separated by far
+    # more than an ulp). Distributed assignment over the full corpus
+    # remains ivf_assign's job after fitting — this path bounds only
+    # what the FIT touches, exactly like fit_sample_n.
+    driver_fit_max = 200_000
+    fit_rows = vectors.limit(driver_fit_max + 1).count()
+    if fit_rows == 0:
         raise ValueError("kmeans_fit: empty vector table")
-    dim = len(first[0])
+    if fit_rows <= driver_fit_max:
+        import numpy as np
+
+        rows = (
+            vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(id_col)
+            .collect()
+        )
+        x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+        xn = np.sqrt((x * x).sum(axis=1))
+        cents = x[:k].copy()
+        for _ in range(iters):
+            cn = np.sqrt((cents * cents).sum(axis=1))
+            cos = (x @ cents.T) / np.outer(xn, cn)
+            assign = np.argmax(cos, axis=1)  # first max = lowest cell id
+            new_cents = cents.copy()
+            for ci in range(len(cents)):
+                members = x[assign == ci]
+                if len(members):
+                    m = members.mean(axis=0)
+                    norm = float(np.sqrt((m * m).sum()))
+                    if norm > 0:
+                        new_cents[ci] = m / norm
+            cents = new_cents
+        if sampled is not None:
+            sampled.unpersist()
+        return _centroid_df([[float(v) for v in c] for c in cents])
 
     seed_rows = (
         vectors.orderBy(id_col)
@@ -372,20 +420,23 @@ def kmeans_fit(
         .select(F.col(vec_col).cast("array<double>"))
         .collect()
     )
+    dim = len(seed_rows[0][0])
     centroids = [list(r[0]) for r in seed_rows]
 
-    def _centroid_df(cents: list[list[float]]) -> DataFrame:
-        return spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            f"centroid_id int, {vec_col} array<double>",
-        )
-
+    v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
-        assigned = ivf_assign(
-            vectors, _centroid_df(centroids), id_col=id_col, vec_col=vec_col
-        )
+        # Map-side argmax against the LITERAL centroid model: the per-
+        # iteration assignment needs no broadcast join and no window
+        # shuffle — the centroids are driver state, so each row scores k
+        # literal arrays and takes the first maximal index (the same
+        # (cos desc, centroid_id asc) tie order as ivf_assign, with the
+        # identical cosine_sim arithmetic, so assignments are
+        # bit-for-bit the join path's). One shuffle per iteration (the
+        # means aggregate), down from three.
+        cell = cell_assign_expr(v, centroids)
         means = (
-            assigned.groupBy("cell")
+            vectors.select(cell.alias("cell"), v.alias("_v"))
+            .groupBy("cell")
             .agg(*[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)])
             .collect()
         )
@@ -399,6 +450,34 @@ def kmeans_fit(
     if sampled is not None:
         sampled.unpersist()
     return _centroid_df(centroids)
+
+
+def cell_assign_expr(v: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell as a PURE COLUMN expression over a literal
+    centroid model (no join, no shuffle): score ``k`` literal arrays with
+    the same ``cosine_sim`` arithmetic as :func:`ivf_assign` and take the
+    first maximal index — identical argmax and tie order ((cos desc,
+    centroid_id asc)), evaluated map-side. Use when the centroids are
+    already driver-local model state (the k-means loop, SemDeDup); keep
+    :func:`ivf_assign` when they live in a DataFrame."""
+    # k inlined cosine expressions against literal arrays. A
+    # transform-over-nested-literal variant (one cosine body instead of
+    # k) was tried and REVERTED: higher-order lambdas over the literal
+    # model evaluated interpreted and re-per-row, measuring 8× SLOWER
+    # than the inlined form at bench scale (41s vs 5s for a 3-iteration
+    # fit) — inlined HOF folds stay on the fast path.
+    scores = F.array(
+        *[
+            cosine_sim(v, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (
+        F.greatest(
+            F.array_position(scores, F.array_max(scores)).cast("int") - 1,
+            F.lit(0),
+        )
+    )
 
 
 def quantize_int8(
