@@ -36,13 +36,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
 #     sensitive-value grid: both cross-join sides are post-aggregation
 #     tables bounded by key cardinality (the sensitive-value dim and a
 #     1-row corpus total), never data volume.
-#   erasure_cascade_documents — contains-any erasure join: the broadcast
-#     side is the deletion-request list (bounded by requests, max_terms
-#     fail-fast), the corpus side streams through once unshuffled.
+#   erasure_cascade_documents was REMOVED from this list in r7: the
+#     small-list tier is now a trie-regex contains-any FILTER compiled
+#     from the collected term list — it plans NO join operator at all,
+#     and this test pins that (a regression back to the nested-loop
+#     contains join fails here).
 BNLJ_ALLOWED = {
     "t_closeness_segments",
     "t_closeness_numerators",
-    "erasure_cascade_documents",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "kmeans_embedding_clusters",
