@@ -10,13 +10,16 @@ Decoders come in three tiers:
 
 * ``fake_decoder`` — deterministic md5-seeded stand-in; keeps the
   cross-engine oracle check possible (features are replayable in SQL).
-* ``real_decoder`` — REAL parsing of dependency-free public container
-  formats, implemented from their public specs with stdlib ``struct``:
-  RIFF/WAVE PCM-16 audio (chunk-walked, not fixed-offset) and 24-bpp
-  uncompressed BMP images. Magic-byte dispatch; formats that genuinely
-  need a codec library (JPEG/PNG/MP3/H.264) raise ``NotImplementedError``
-  naming the swap-in point — the container-parsing tier is real, the
-  compressed-codec tier is the documented production slot.
+* ``real_decoder`` — REAL parsing of dependency-free public formats,
+  implemented from their public specs with stdlib ``struct``/``zlib``:
+  RIFF/WAVE PCM-16 audio (chunk-walked, not fixed-offset), 24-bpp
+  uncompressed BMP (bottom-up AND top-down), 8-bit truecolor PNG (CRC
+  check, inflate, all five scanline filters), and ISO BMFF (MP4) box
+  metadata (mvhd/tkhd walk). Magic-byte dispatch; formats that genuinely
+  need a codec library (JPEG/MP3, H.264 samples inside mdat) raise
+  ``NotImplementedError`` naming the swap-in point — the container and
+  hermetic-codec tiers are real, the heavy-codec tier is the documented
+  production slot.
 * your own — ``decode_features(df, decoder=fn)`` takes any callable.
 """
 
@@ -41,6 +44,9 @@ __all__ = [
     "make_bmp24",
     "make_png_rgb8",
     "synth_png_udf",
+    "mp4_decoder",
+    "make_mp4",
+    "synth_mp4_udf",
     "decode_features",
     "sample_frames",
 ]
@@ -476,23 +482,182 @@ def synth_png_udf():
     return pandas_udf(_synth, "binary")
 
 
+def make_mp4(
+    tracks: list[tuple[int, int]],
+    *,
+    timescale: int = 1000,
+    duration: int = 1000,
+    mdat: bytes = b"",
+) -> bytes:
+    """Build a minimal ISO BMFF (MP4) container (public spec ISO/IEC
+    14496-12, stdlib struct): ``ftyp`` + ``moov`` ( ``mvhd`` + one
+    ``trak``/``tkhd`` per track with 16.16 fixed-point dimensions ) +
+    ``mdat`` — the synthesis twin of :func:`mp4_decoder`. Media SAMPLES
+    stay opaque (that is the codec tier); the container metadata is
+    real."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0
+        + struct.pack(">II", 0, 0)  # creation / modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", len(tracks) + 1),  # next_track_ID
+    )
+    traks = b""
+    for i, (w, h) in enumerate(tracks):
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">B3x", 0)
+            + struct.pack(">II", 0, 0)  # creation / modification
+            + struct.pack(">I", i + 1)  # track_ID
+            + struct.pack(">I", 0)  # reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/volume/rsvd
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+        )
+        traks += box(b"trak", tkhd)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + box(b"moov", mvhd + traks) + box(b"mdat", mdat)
+
+
+def mp4_decoder(payload: bytes) -> list[float]:
+    """REAL ISO BMFF (MP4/MOV family) container parse, hermetic (public
+    spec, stdlib struct): walks the top-level box list (32-bit and
+    64-bit largesize boxes, size-0 run-to-EOF), recurses into
+    ``moov``/``trak``, reads ``mvhd`` (v0/v1 timescale + duration) and
+    every ``tkhd`` (track id, 16.16 fixed-point width/height), and
+    extracts FEATURE_DIM video features: ``[n_tracks, timescale,
+    duration, sum_width, sum_height, track_id_sum, mdat_bytes,
+    n_top_boxes]``. Decoding the SAMPLES inside ``mdat`` (H.264/HEVC…)
+    is the codec tier and stays a named ffmpeg swap-in — exactly the
+    container/codec split the WAV/BMP/PNG tiers use."""
+    import struct
+
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                body = pos + 16
+            elif size == 0:  # box runs to end of enclosing scope
+                size = end - pos
+            if size < 8 or pos + size > end:
+                raise ValueError("ISO BMFF box overruns its container")
+            yield btype, body, pos + size
+            pos += size
+
+    n_tracks = track_id_sum = sum_w = sum_h = 0
+    timescale = duration = mdat_bytes = n_top = 0
+    for btype, body, bend in walk(payload, 0, len(payload)):
+        n_top += 1
+        if btype == b"mdat":
+            mdat_bytes += bend - body
+        elif btype == b"moov":
+            for t2, b2, e2 in walk(payload, body, bend):
+                if t2 == b"mvhd":
+                    version = payload[b2]
+                    if version == 1:
+                        timescale, duration = struct.unpack(
+                            ">IQ", payload[b2 + 20 : b2 + 32]
+                        )
+                    else:
+                        timescale, duration = struct.unpack(
+                            ">II", payload[b2 + 12 : b2 + 20]
+                        )
+                elif t2 == b"trak":
+                    for t3, b3, e3 in walk(payload, b2, e2):
+                        if t3 != b"tkhd":
+                            continue
+                        n_tracks += 1
+                        version = payload[b3]
+                        off = b3 + (4 + 16 if version == 1 else 4 + 8)
+                        (track_id,) = struct.unpack(
+                            ">I", payload[off : off + 4]
+                        )
+                        track_id_sum += track_id
+                        w_fixed, h_fixed = struct.unpack(
+                            ">II", payload[e3 - 8 : e3]
+                        )
+                        sum_w += w_fixed >> 16
+                        sum_h += h_fixed >> 16
+    if timescale == 0:
+        raise ValueError("ISO BMFF payload missing moov/mvhd")
+    return [
+        float(n_tracks),
+        float(timescale),
+        float(duration),
+        float(sum_w),
+        float(sum_h),
+        float(track_id_sum),
+        float(mdat_bytes),
+        float(n_top),
+    ]
+
+
+def synth_mp4_udf():
+    """Arrow-batched pandas UDF synthesizing a deterministic MP4 container
+    per id: ``duration = 1000 + id%977``, ``n_tracks = 1 + id%3``, track
+    ``i`` sized ``(160·(1+(id+i)%4), 120·(1+(id+i)%3))``, ``id%50 + 1``
+    opaque mdat bytes — closed-form, so an engine-independent oracle
+    recomputes the decoded features without seeing the bytes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(d: int) -> bytes:
+        d = int(d)
+        tracks = [
+            (160 * (1 + (d + i) % 4), 120 * (1 + (d + i) % 3))
+            for i in range(1 + d % 3)
+        ]
+        return make_mp4(
+            tracks, duration=1000 + d % 977, mdat=b"\x00" * (d % 50 + 1)
+        )
+
+    def _synth(ids):
+        return ids.map(_one)
+
+    _synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf(_synth, "binary")
+
+
 def real_decoder(payload: bytes) -> list[float]:
     """Production decoder: magic-byte dispatch over the natively parsed
-    formats (RIFF/WAVE PCM-16, 24-bpp BMP, 8-bit truecolor PNG). Formats
-    that need a real codec library (JPEG/MP3/H.264) raise
-    ``NotImplementedError`` — swap in a Pillow/ffmpeg-backed callable via
-    ``decode_features(df, decoder=your_fn)`` for those."""
+    formats (RIFF/WAVE PCM-16, 24-bpp BMP, 8-bit truecolor PNG, ISO BMFF
+    container metadata). Formats that need a real codec library
+    (JPEG/MP3/H.264 samples) raise ``NotImplementedError`` — swap in a
+    Pillow/ffmpeg-backed callable via ``decode_features(df,
+    decoder=your_fn)`` for those."""
     if payload is not None and len(payload) >= 12 and payload[:4] == b"RIFF":
         return wav_pcm_decoder(payload)
     if payload is not None and len(payload) >= 8 and payload[:8] == _PNG_SIG:
         return png_decoder(payload)
+    if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return mp4_decoder(payload)
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
         return bmp_decoder(payload)
     raise NotImplementedError(
         "no native parser for this payload (native tiers: RIFF/WAVE "
-        "PCM-16, 24-bpp BMP, RGB8 PNG); pass decode_features(df, "
-        "decoder=your_fn) with a Pillow/ffmpeg-backed callable for "
-        "JPEG/MP3/H.264"
+        "PCM-16, 24-bpp BMP, RGB8 PNG, ISO BMFF metadata); pass "
+        "decode_features(df, decoder=your_fn) with a Pillow/ffmpeg-backed "
+        "callable for JPEG/MP3/H.264"
     )
 
 

@@ -1517,6 +1517,7 @@ _CHECK_LAST = [
     # r8 rotation has 29 demotable slots for 15+these parked rows):
     "semantic_dedup_embeddings",  # kmeans CTEs shared with checked kmeans query
     "remove_duplicate_spans_documents",  # gram machinery shared with checked cross_doc profile
+    "multimodal_mp4_features",  # decode plumbing shared with checked wav/decode queries
 ]
 
 
@@ -8438,3 +8439,65 @@ def remove_duplicate_spans_documents(
         "n_tokens_removed",
         F.md5("clean_text").alias("clean_fp"),
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_mp4_features",
+    """
+    with t as (
+      select doc_id, 1 + doc_id % 3 as n_tracks,
+             1000 + doc_id % 977 as duration,
+             list_transform(range(0, 1 + doc_id % 3),
+               i -> [160 * (1 + (doc_id + i) % 4),
+                     120 * (1 + (doc_id + i) % 3)]) as tracks
+      from documents
+    )
+    select doc_id as media_id,
+           cast(n_tracks as bigint) as n_tracks,
+           cast(1000 as bigint) as timescale,
+           cast(duration as bigint) as duration,
+           cast(list_sum(list_transform(tracks, tr -> tr[1])) as bigint)
+             as sum_width,
+           cast(list_sum(list_transform(tracks, tr -> tr[2])) as bigint)
+             as sum_height,
+           cast(n_tracks * (n_tracks + 1) // 2 as bigint) as track_id_sum,
+           cast(doc_id % 50 + 1 as bigint) as mdat_bytes,
+           cast(3 as bigint) as n_top_boxes
+    from t order by media_id
+    """,
+)
+def multimodal_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15d VIDEO container tier end to end (completing the per-modality
+    real-parse set: WAV audio / BMP+PNG image / MP4 video): per-doc ISO
+    BMFF containers are synthesized (operators/multimodal.synth_mp4_udf —
+    closed-form track grid + durations), then parsed by the REAL box
+    walker (mp4_decoder: 32/64-bit box sizes, moov/trak recursion, mvhd
+    v0/v1, 16.16 fixed-point tkhd dimensions) through the same Arrow
+    mapInPandas plumbing. The oracle recomputes the features from the
+    closed form — it never sees the bytes, so any box-walk, offset, or
+    fixed-point bug breaks the hash. Sample DECODING inside mdat stays
+    the named ffmpeg swap-in (the codec tier)."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        real_decoder,
+        synth_mp4_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        synth_mp4_udf()(F.col("doc_id")).alias("payload"),
+    )
+    feats = decode_features(media, decoder=real_decoder)
+    names = [
+        "n_tracks", "timescale", "duration", "sum_width", "sum_height",
+        "track_id_sum", "mdat_bytes", "n_top_boxes",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).cast("long").alias(n)
+            for i, n in enumerate(names)
+        ],
+    ).orderBy("media_id")

@@ -644,3 +644,36 @@ def test_binaryfile_source_reads_blobs(spark, tmp_path):
     rows = {os.path.basename(r.path): (r.length, bytes(r.content))
             for r in df.collect()}
     assert rows == {n: (len(b), b) for n, b in blobs.items()}
+
+
+def test_mp4_decoder_box_walk():
+    import struct
+
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        make_mp4,
+        mp4_decoder,
+    )
+
+    payload = make_mp4(
+        [(640, 480), (1920, 1080)], timescale=90000, duration=123456,
+        mdat=b"\x01\x02\x03",
+    )
+    assert mp4_decoder(payload) == [
+        2.0, 90000.0, 123456.0, 2560.0, 1560.0, 3.0, 3.0, 3.0,
+    ]
+    assert real_decoder(payload) == mp4_decoder(payload)
+    # 64-bit largesize mdat box must also walk
+    big = payload[: payload.rfind(b"mdat") - 4]
+    mdat_payload = b"\x00" * 5
+    big += (
+        struct.pack(">I", 1) + b"mdat"
+        + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload
+    )
+    assert mp4_decoder(big)[6] == 5.0
+    # malformed: a box overrunning its container must raise, not misparse
+    bad = bytearray(payload)
+    bad[0:4] = struct.pack(">I", len(payload) + 999)
+    with pytest.raises(ValueError, match="overruns"):
+        mp4_decoder(bytes(bad))
+    with pytest.raises(ValueError, match="ISO BMFF|not an"):
+        mp4_decoder(b"\x00" * 20)
