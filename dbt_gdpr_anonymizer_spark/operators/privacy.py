@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -34,6 +34,7 @@ __all__ = [
     "geometric_noise_thresholds",
     "generalize_to_k",
     "microaggregate",
+    "dp_quantile",
 ]
 
 
@@ -481,4 +482,139 @@ def microaggregate(
             F.expr("_bsum div _bn").cast("long").alias(out_col),
         )
         .orderBy(*part, "block", id_col)
+    )
+
+
+def dp_quantile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    q_num: int = 1,
+    q_den: int = 2,
+    lo: int,
+    hi: int,
+    width: int,
+    salt: str = "dp_salt",
+    clamp_bits: int = 20,
+) -> DataFrame:
+    """X124 Differentially-private quantile (default: median) per group
+    via the EXPONENTIAL MECHANISM over a bounded candidate grid — the
+    order-statistic release the geometric-mechanism count/sum twins
+    cannot produce (McSherry & Talwar 2007; the classic DP-median
+    construction, utility u(c) = −|rank_≤(c) − target_rank|, Δu = 1).
+
+    ε is FIXED at 2·ln2 ≈ 1.386 by construction: with that ε the
+    mechanism's weights exp(ε·u/2) are exact POWERS OF TWO, so the whole
+    release — utilities, weights (``shiftleft``), cumulative sums, and
+    the inverse-CDF draw (integer cross-multiplication against a 32-bit
+    md5 uniform) — is INTEGER arithmetic end to end: bit-exact across
+    engines, no float exp/ln anywhere (the repo's oracle discipline).
+    Utilities are clamped at −``clamp_bits`` (weight 1 past it): a
+    standard truncation that caps the weight range so cum·2^32 stays in
+    BIGINT; it only redistributes mass among candidates the mechanism
+    was already astronomically unlikely to pick.
+
+    Values are clamped to [lo, hi] (the DP bounded-domain assumption);
+    candidates are the ``(hi−lo)/width`` upper bin edges. Plan: one
+    (group, edge) count aggregate, an explode of the literal edge grid
+    (no join — bounded by groups × bins), two group-keyed windows for
+    the rank and weight cumsums, one argmin. Releases BIGINTs.
+    """
+    n_bins = (hi - lo) // width
+    edge = (
+        F.least(
+            F.lit(hi).cast("bigint"),
+            F.greatest(
+                F.lit(lo + width).cast("bigint"),
+                (
+                    lo
+                    # value cast to double FIRST: a decimal input would
+                    # otherwise divide in decimal arithmetic whose
+                    # rounding the oracle's double replay can't mirror
+                    + width
+                    * F.ceil(
+                        (F.col(value_col).cast("double") - lo)
+                        / F.lit(width)
+                    ).cast("bigint")
+                ),
+            ),
+        )
+    ).alias("_edge")
+    counts = (
+        df.select(F.col(group_col), edge)
+        .groupBy(group_col, "_edge")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    grid = (
+        df.select(group_col)
+        .distinct()
+        .select(
+            group_col,
+            F.explode(
+                F.sequence(
+                    F.lit(lo + width).cast("bigint"),
+                    F.lit(hi).cast("bigint"),
+                    F.lit(width).cast("bigint"),
+                )
+            ).alias("_edge"),
+        )
+    )
+    w_rank = Window.partitionBy(group_col).orderBy("_edge")
+    ranked = (
+        grid.join(counts, [group_col, "_edge"], "left")
+        .select(
+            group_col,
+            "_edge",
+            F.coalesce("_c", F.lit(0)).cast("bigint").alias("_c"),
+        )
+        .select(
+            group_col,
+            "_edge",
+            F.sum("_c").over(w_rank).alias("_rank"),
+            F.sum("_c")
+            .over(Window.partitionBy(group_col))
+            .alias("_n"),
+        )
+    )
+    target = F.expr(f"_n * {q_num} div {q_den}")
+    u = F.greatest(
+        F.lit(-clamp_bits).cast("bigint"),
+        -F.abs(F.col("_rank") - target),
+    )
+    # SQL shiftleft takes a column bit count (the Python builder wants a
+    # literal int there)
+    weighted = ranked.select(group_col, "_edge", u.alias("_u")).select(
+        group_col,
+        "_edge",
+        F.expr(
+            f"shiftleft(cast(1 as bigint), cast({clamp_bits} + _u as int))"
+        ).alias("_w"),
+    )
+    w_cum = Window.partitionBy(group_col).orderBy("_edge")
+    cum = weighted.select(
+        group_col,
+        "_edge",
+        F.sum("_w").over(w_cum).alias("_cw"),
+        F.sum("_w").over(Window.partitionBy(group_col)).alias("_tw"),
+    )
+    # 32-bit uniform per group: first 8 md5 hex digits (bit-exact in both
+    # engines); winner = first edge whose weight cumsum crosses U/2^32 of
+    # the total — integer cross-multiplication, no division
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("\x1f", F.col(group_col).cast("string"), F.lit(salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    pick = cum.filter(
+        F.col("_cw") * F.lit(2**32).cast("bigint") > u32 * F.col("_tw")
+    )
+    return (
+        pick.groupBy(group_col)
+        .agg(F.min("_edge").cast("bigint").alias("dp_quantile_edge"))
+        .orderBy(group_col)
     )

@@ -1518,6 +1518,7 @@ _CHECK_LAST = [
     "semantic_dedup_embeddings",  # kmeans CTEs shared with checked kmeans query
     "remove_duplicate_spans_documents",  # gram machinery shared with checked cross_doc profile
     "multimodal_mp4_features",  # decode plumbing shared with checked wav/decode queries
+    "dp_median_acctbal_by_segment",  # DP family (dp_noisy_order_counts has 2R green)
 ]
 
 
@@ -8501,3 +8502,98 @@ def multimodal_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(names)
         ],
     ).orderBy("media_id")
+
+
+def _h32_sql(key_sql: str) -> str:
+    """DuckDB twin of dp_quantile's 32-bit uniform: first 8 md5 hex
+    nibbles → 32-bit int, positional nibble parse (the _h52_sql idiom)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring(md5({key_sql}), {i}, 1)) - 1)::BIGINT"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dp_quantile_oracle_sql(
+    group_sql: str, value_sql: str, table: str,
+    q_num: int, q_den: int, lo: int, hi: int, width: int,
+    salt: str = "dp_salt", clamp_bits: int = 20,
+    out_group_col: str = "g",
+) -> str:
+    """Replays operators/privacy.dp_quantile end to end in SQL: the same
+    clamped edge binning (double arithmetic), the (group, edge) counts on
+    a dense exploded grid, rank/total window sums, power-of-two weights
+    (``<<`` of the clamped utility — integer-exact, no float exp), and
+    the inverse-CDF pick by integer cross-multiplication against the
+    32-bit md5 uniform."""
+    return f"""
+    with base as (
+      select {group_sql} as g,
+             least({hi}::bigint, greatest({lo + width}::bigint,
+               {lo} + {width} * cast(ceil((({value_sql})::double - {lo})
+                                          / {width}) as bigint))) as edge
+      from {table}
+    ),
+    cnt as (select g, edge, count(*) as c from base group by g, edge),
+    grid as (
+      select g, unnest(range({lo + width}::bigint, {hi + 1}::bigint,
+                             {width}::bigint)) as edge
+      from (select distinct g from base)
+    ),
+    ranked as (
+      select grid.g, grid.edge,
+             sum(coalesce(cnt.c, 0)) over (partition by grid.g
+               order by grid.edge) as r,
+             sum(coalesce(cnt.c, 0)) over (partition by grid.g) as n
+      from grid left join cnt on grid.g = cnt.g and grid.edge = cnt.edge
+    ),
+    wt as (
+      select g, edge,
+             (1::bigint << cast({clamp_bits} + greatest(-{clamp_bits},
+                -abs(r - (n * {q_num} // {q_den}))) as int)) as w
+      from ranked
+    ),
+    cum as (
+      select g, edge,
+             sum(w) over (partition by g order by edge) as cw,
+             sum(w) over (partition by g) as tw,
+             {_h32_sql(f"g || chr(31) || '{salt}'")} as u32
+      from wt
+    )
+    select g as {out_group_col}, cast(min(edge) as bigint) as dp_quantile_edge
+    from cum where cw * 4294967296 > u32 * tw
+    group by g order by g
+    """
+
+
+@register(
+    "dp_median_acctbal_by_segment",
+    _dp_quantile_oracle_sql(
+        "c_mktsegment", "c_acctbal", "customer",
+        q_num=1, q_den=2, lo=-1000, hi=10000, width=500,
+        out_group_col="c_mktsegment",
+    ),
+)
+def dp_median_acctbal_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X124 DP quantile (operators/privacy.dp_quantile): ε=2ln2
+    exponential-mechanism MEDIAN of customer account balance per market
+    segment over the bounded [-1000, 10000] domain in 500-unit bins —
+    the order-statistic DP release the geometric count/sum mechanisms
+    can't produce. Weights are exact powers of two and the draw is an
+    integer cross-multiplication, so mechanism randomness is
+    deterministic md5 state and the oracle replays the release
+    bit-for-bit (no float exp/ln anywhere)."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import dp_quantile
+
+    out = dp_quantile(
+        _t(spark, sf_dir, "customer"),
+        "c_mktsegment",
+        "c_acctbal",
+        lo=-1000,
+        hi=10000,
+        width=500,
+    )
+    return out.orderBy("c_mktsegment")

@@ -320,3 +320,44 @@ def test_microaggregate_properties(spark):
             # python int() truncates toward zero like Spark div
             s = sum(true_vals)
             assert {r.microagg_value for r in members} == {int(s / len(true_vals))}
+
+
+def test_dp_quantile_integer_mechanism(spark):
+    """DP median via the power-of-two exponential mechanism: lands on (or
+    adjacent to) the true median bin under ε=2ln2 concentration, is
+    deterministic under a fixed salt, and moves with the quantile."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import dp_quantile
+
+    rows = [("a", float(v)) for v in range(1000)] + [
+        ("b", float(v)) for v in range(500, 900)
+    ]
+    df = spark.createDataFrame(rows, ["seg", "val"])
+    med = {
+        r["seg"]: r["dp_quantile_edge"]
+        for r in dp_quantile(
+            df, "seg", "val", lo=0, hi=1000, width=50
+        ).collect()
+    }
+    # true medians 500 / 700; the mechanism's mass is overwhelmingly on
+    # the exact-rank bin, spilling at most one bin either side
+    assert abs(med["a"] - 500) <= 50 and abs(med["b"] - 700) <= 50
+    again = {
+        r["seg"]: r["dp_quantile_edge"]
+        for r in dp_quantile(
+            df, "seg", "val", lo=0, hi=1000, width=50
+        ).collect()
+    }
+    assert med == again  # deterministic md5 state, no RNG
+    p90 = {
+        r["seg"]: r["dp_quantile_edge"]
+        for r in dp_quantile(
+            df, "seg", "val", q_num=9, q_den=10, lo=0, hi=1000, width=50
+        ).collect()
+    }
+    assert p90["a"] > med["a"] and p90["b"] > med["b"]
+    # out-of-domain values clamp instead of crashing or leaking range
+    df2 = spark.createDataFrame(
+        [("c", -1e9), ("c", 1e9), ("c", 500.0)], ["seg", "val"]
+    )
+    got = dp_quantile(df2, "seg", "val", lo=0, hi=1000, width=100).collect()
+    assert len(got) == 1 and 100 <= got[0]["dp_quantile_edge"] <= 1000
