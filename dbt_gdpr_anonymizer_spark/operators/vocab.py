@@ -1,0 +1,114 @@
+"""Distributed BPE vocabulary induction (Sennrich et al. 2016) — the
+tokenizer-training step of an LLM data pipeline, run as bounded Spark
+aggregation rounds.
+
+The classic byte-pair-encoding learner is a corpus-scale iteration: count
+adjacent symbol pairs (weighted by word frequency), merge the most
+frequent pair everywhere, repeat. The Spark-first shape:
+
+* The corpus collapses ONCE to the distinct-word frequency table (one
+  explode + groupBy). Every merge round then runs on the VOCAB, which is
+  orders of magnitude smaller than the corpus and bounded by language
+  diversity, not data volume — the corpus is never rescanned.
+* Word state is a separator-joined symbol string; a merge is one literal
+  ``replace`` over the state column (leftmost non-overlapping, which is
+  exactly BPE's greedy left-to-right merge order — proven equivalent to
+  the fold formulation in the unit tests).
+* Each round is ONE aggregation job (pair explode → map-side-combined
+  sum → TakeOrdered argmax); only the (left, right, freq) merge row —
+  model state — crosses the driver per round. Rounds persist/rotate the
+  vocab frame so lineage stays one round deep.
+* Determinism: ties break on (freq desc, pair asc) over the [a-z0-9]
+  symbol alphabet — the same binary string order in Spark and DuckDB, so
+  the learned merge table replays exactly in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.functions import text as tx
+
+__all__ = ["bpe_learn", "BPE_SEP"]
+
+# Symbol separator inside the word-state string: a control char that the
+# normalized [a-z0-9] word alphabet can never contain.
+BPE_SEP = "\x1f"
+
+
+def bpe_learn(
+    docs: DataFrame,
+    *,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus.
+
+    Returns the MERGE TABLE — ``(merge_rank, left, right, pair_freq)``
+    with rank 1 = first (most frequent) merge — which IS the trained
+    artifact a tokenizer consumes; all BIGINT/string columns, so the
+    release is oracle-exact. Stops early (fewer rows) if the corpus runs
+    out of adjacent pairs.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tx.words(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = words.select(
+        F.array_join(F.split(F.col("w"), ""), BPE_SEP).alias("s"), "freq"
+    ).persist()
+    state.count()  # materialize before the rounds probe it repeatedly
+
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            syms = F.split(F.col("s"), BPE_SEP)
+            pairs = state.select(
+                F.explode(
+                    F.when(
+                        F.size(syms) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(syms) - 1),
+                            lambda i: F.concat(
+                                F.element_at(syms, i),
+                                F.lit(BPE_SEP),
+                                F.element_at(syms, i + 1),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                ).alias("p"),
+                "freq",
+            )
+            best = (
+                pairs.groupBy("p")
+                .agg(F.sum("freq").alias("f"))
+                .orderBy(F.desc("f"), F.asc("p"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right = best[0]["p"].split(BPE_SEP)
+            merges.append((rank, left, right, int(best[0]["f"])))
+            new_state = state.select(
+                F.replace(
+                    F.col("s"),
+                    F.lit(left + BPE_SEP + right),
+                    F.lit(left + right),
+                ).alias("s"),
+                "freq",
+            ).persist()
+            new_state.count()
+            state.unpersist()
+            state = new_state
+    finally:
+        state.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank bigint, left_sym string, right_sym string, "
+        "pair_freq bigint",
+    )

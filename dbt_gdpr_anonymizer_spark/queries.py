@@ -1519,6 +1519,7 @@ _CHECK_LAST = [
     "remove_duplicate_spans_documents",  # gram machinery shared with checked cross_doc profile
     "multimodal_mp4_features",  # decode plumbing shared with checked wav/decode queries
     "dp_median_acctbal_by_segment",  # DP family (dp_noisy_order_counts has 2R green)
+    "bpe_learn_documents",  # vocab family (word_frequency_zipf has 2R green)
 ]
 
 
@@ -8597,3 +8598,75 @@ def dp_median_acctbal_by_segment(
         width=500,
     )
     return out.orderBy("c_mktsegment")
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Unrolled BPE-learner oracle: replays operators/vocab.bpe_learn —
+    the distinct-word frequency table, then per round the adjacent-pair
+    frequency aggregate, the (freq desc, pair asc) argmax, and the
+    leftmost-non-overlapping merge (literal ``replace``) — in generated
+    SQL, one CTE group per merge round. Binary string order over the
+    [a-z0-9]+chr(31) alphabet is identical in both engines, so the tie
+    rule replays exactly."""
+    parts = [
+        f"""with wf as (
+      select w, count(*) as freq from (
+        select unnest(list_filter({_WORDS_SQL}, t -> t <> '')) as w
+        from documents)
+      group by w
+    ),
+    s0 as (
+      select array_to_string(list_transform(range(1, len(w) + 1),
+                                            i -> w[i]), chr(31)) as s, freq
+      from wf
+    )"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev, cur = f"s{r - 1}", f"s{r}"
+        parts.append(
+            f"""p{r} as (
+      select p, sum(freq) as f from (
+        select unnest(list_transform(
+                 range(1, len(string_split(s, chr(31)))),
+                 i -> string_split(s, chr(31))[i] || chr(31)
+                      || string_split(s, chr(31))[i + 1])) as p, freq
+        from {prev} where len(string_split(s, chr(31))) >= 2)
+      group by p
+    ),
+    b{r} as (select p, f from p{r} order by f desc, p asc limit 1),
+    {cur} as (
+      select replace({prev}.s, b{r}.p,
+                     replace(b{r}.p, chr(31), '')) as s, freq
+      from {prev}, b{r}
+    )"""
+        )
+    selects = "\n    union all\n    ".join(
+        f"select {r} as merge_rank, string_split(p, chr(31))[1] as left_sym, "
+        f"string_split(p, chr(31))[2] as right_sym, "
+        f"cast(f as bigint) as pair_freq from b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    select * from (\n    {selects}\n    ) order by merge_rank"
+    )
+
+
+@register("bpe_learn_documents", _bpe_oracle_sql(10))
+def bpe_learn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 distributed BPE vocabulary induction (operators/vocab.py
+    bpe_learn, Sennrich et al. 2016): the first 10 learned merges over
+    the documents corpus — the tokenizer-training step of an LLM
+    pipeline as bounded Spark aggregation rounds. The corpus collapses
+    once to the distinct-word frequency table; every merge round is one
+    map-side-combined pair aggregate + argmax on the VOCAB (bounded by
+    language diversity, never corpus size), and only the per-round merge
+    row crosses the driver. The oracle unrolls all 10 rounds in SQL
+    (:func:`_bpe_oracle_sql`) — pair counts, the (freq desc, pair asc)
+    tie rule, and the leftmost-non-overlapping merges replay exactly, so
+    the released merge table is hash-checked end to end."""
+    from dbt_gdpr_anonymizer_spark.operators.vocab import bpe_learn
+
+    return bpe_learn(
+        _t(spark, sf_dir, "documents"), n_merges=10
+    ).orderBy("merge_rank")

@@ -226,3 +226,56 @@ def test_remove_duplicate_spans_surgical(spark):
     assert out[4]["clean_text"] == "too short"
     assert (out[5]["n_tokens"], out[5]["n_tokens_removed"]) == (0, 0)
     assert out[5]["clean_text"] == ""
+
+
+def test_bpe_learn_classic_merges(spark):
+    """Hand-checked BPE on a tiny corpus: 'low low low lower lowest' —
+    the first merges must follow pair frequency with the (freq desc,
+    pair asc) tie rule, and merged symbols must compose in later
+    rounds."""
+    from dbt_gdpr_anonymizer_spark.operators.vocab import bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], ["doc_id", "text"]
+    )
+    out = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_freq"])
+        for r in bpe_learn(docs, n_merges=4).collect()
+    ]
+    # word freqs: low:3 lower:1 lowest:1  (5 words, all start 'l','o','w')
+    # round 1 pairs: (l,o):5 (o,w):5 ... tie -> 'l\x1fo' < 'o\x1fw' asc
+    assert out[0] == (1, "l", "o", 5)
+    # round 2: (lo,w):5 dominates
+    assert out[1] == (2, "lo", "w", 5)
+    # round 3: low:3 now single-symbol; (low,e):2 from lower+lowest
+    assert out[2] == (3, "low", "e", 2)
+    # round 4: (lowe,r):1 vs (lowe,s):1 vs (s,t):1 -> asc tie on pair
+    assert out[3][0] == 4 and out[3][3] == 1
+    assert (out[3][1], out[3][2]) == ("lowe", "r")
+
+
+def test_bpe_merge_is_greedy_leftmost(spark):
+    """Overlapping occurrences merge leftmost-first (the BPE contract):
+    'aaa' under merge (a,a) must become (aa, a), so the next round's
+    pair is (aa, a), not a double merge."""
+    from dbt_gdpr_anonymizer_spark.operators.vocab import bpe_learn
+
+    docs = spark.createDataFrame([(1, "aaa aaa bb")], ["doc_id", "text"])
+    out = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_freq"])
+        for r in bpe_learn(docs, n_merges=3).collect()
+    ]
+    # 'aaa' x2: pairs (a,a) freq 4; (b,b) freq 1
+    assert out[0] == (1, "a", "a", 4)
+    # after merge: 'aa\x1fa' x2 -> pair (aa,a) freq 2 beats (b,b) 1
+    assert out[1] == (2, "aa", "a", 2)
+    assert out[2] == (3, "b", "b", 1)
+
+
+def test_bpe_early_stop_when_no_pairs(spark):
+    """Single-char words only: no adjacent pairs, so the learner returns
+    an empty merge table instead of looping."""
+    from dbt_gdpr_anonymizer_spark.operators.vocab import bpe_learn
+
+    docs = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    assert bpe_learn(docs, n_merges=5).count() == 0
