@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
 
-__all__ = ["bpe_learn", "BPE_SEP"]
+__all__ = ["bpe_learn", "bpe_token_counts", "BPE_SEP"]
 
 # Symbol separator inside the word-state string: a control char that the
 # normalized [a-z0-9] word alphabet can never contain.
@@ -111,4 +111,51 @@ def bpe_learn(
         merges,
         "merge_rank bigint, left_sym string, right_sym string, "
         "pair_freq bigint",
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned merge table: per-document token count under the
+    BPE vocabulary — the train→apply pair a real tokenizer pipeline
+    runs, and the sizing signal sequence packing consumes.
+
+    The merge table is bounded MODEL state (n_merges rows), so it
+    collects to the driver and compiles into a chain of literal
+    ``replace`` expressions applied to each word's symbol string in
+    merge-rank order (the same greedy leftmost semantics as training) —
+    per-row whole-stage codegen, no join against the vocab, one
+    doc-keyed aggregate. Returns ``(id_col, n_bpe_tokens)``; documents
+    with no words release 0.
+    """
+    rows = merges.orderBy("merge_rank").collect()
+    expr = F.array_join(F.split(F.col("_w"), ""), BPE_SEP)
+    for r in rows:
+        expr = F.replace(
+            expr,
+            F.lit(r["left_sym"] + BPE_SEP + r["right_sym"]),
+            F.lit(r["left_sym"] + r["right_sym"]),
+        )
+    ntok = F.size(F.split(expr, BPE_SEP)).cast("bigint")
+    per_doc = (
+        docs.select(F.col(id_col), F.explode(tx.words(text_col)).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy(id_col)
+        .agg(F.sum(ntok).alias("n_bpe_tokens"))
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+        )
     )

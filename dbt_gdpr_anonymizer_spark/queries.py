@@ -1520,6 +1520,7 @@ _CHECK_LAST = [
     "multimodal_mp4_features",  # decode plumbing shared with checked wav/decode queries
     "dp_median_acctbal_by_segment",  # DP family (dp_noisy_order_counts has 2R green)
     "bpe_learn_documents",  # vocab family (word_frequency_zipf has 2R green)
+    "bpe_tokenize_documents",  # apply twin of bpe_learn_documents
 ]
 
 
@@ -8600,14 +8601,15 @@ def dp_median_acctbal_by_segment(
     return out.orderBy("c_mktsegment")
 
 
-def _bpe_oracle_sql(n_merges: int = 10) -> str:
-    """Unrolled BPE-learner oracle: replays operators/vocab.bpe_learn —
-    the distinct-word frequency table, then per round the adjacent-pair
-    frequency aggregate, the (freq desc, pair asc) argmax, and the
-    leftmost-non-overlapping merge (literal ``replace``) — in generated
-    SQL, one CTE group per merge round. Binary string order over the
-    [a-z0-9]+chr(31) alphabet is identical in both engines, so the tie
-    rule replays exactly."""
+def _bpe_cte_sql(n_merges: int = 10) -> str:
+    """Unrolled BPE-learner CTE prefix: replays operators/vocab.bpe_learn
+    — the distinct-word frequency table, then per round the
+    adjacent-pair frequency aggregate, the (freq desc, pair asc) argmax,
+    and the leftmost-non-overlapping merge (literal ``replace``) — in
+    generated SQL, one CTE group per merge round. Binary string order
+    over the [a-z0-9]+chr(31) alphabet is identical in both engines, so
+    the tie rule replays exactly. Ends with ``b1..bR`` (the merge rows)
+    and ``sR`` (word, final symbol state, freq) for the apply tail."""
     parts = [
         f"""with wf as (
       select w, count(*) as freq from (
@@ -8616,8 +8618,9 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
       group by w
     ),
     s0 as (
-      select array_to_string(list_transform(range(1, len(w) + 1),
-                                            i -> w[i]), chr(31)) as s, freq
+      select w, array_to_string(list_transform(range(1, len(w) + 1),
+                                               i -> w[i]), chr(31)) as s,
+             freq
       from wf
     )"""
     ]
@@ -8635,11 +8638,16 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
     ),
     b{r} as (select p, f from p{r} order by f desc, p asc limit 1),
     {cur} as (
-      select replace({prev}.s, b{r}.p,
-                     replace(b{r}.p, chr(31), '')) as s, freq
+      select w, replace({prev}.s, b{r}.p,
+                        replace(b{r}.p, chr(31), '')) as s, freq
       from {prev}, b{r}
     )"""
         )
+    return ",\n    ".join(parts)
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Merge-table release over the :func:`_bpe_cte_sql` prefix."""
     selects = "\n    union all\n    ".join(
         f"select {r} as merge_rank, string_split(p, chr(31))[1] as left_sym, "
         f"string_split(p, chr(31))[2] as right_sym, "
@@ -8647,7 +8655,7 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
         for r in range(1, n_merges + 1)
     )
     return (
-        ",\n    ".join(parts)
+        _bpe_cte_sql(n_merges)
         + f"\n    select * from (\n    {selects}\n    ) order by merge_rank"
     )
 
@@ -8670,3 +8678,41 @@ def bpe_learn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(
         _t(spark, sf_dir, "documents"), n_merges=10
     ).orderBy("merge_rank")
+
+
+@register(
+    "bpe_tokenize_documents",
+    _bpe_cte_sql(10)
+    + """,
+    tok as (select w, len(string_split(s, chr(31))) as nt from s10),
+    dw as (
+      select doc_id, unnest(list_filter({WORDS}, t -> t <> '')) as w
+      from documents
+    ),
+    per_doc as (
+      select dw.doc_id, sum(tok.nt) as n
+      from dw join tok using (w) group by dw.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(per_doc.n, 0) as bigint) as n_bpe_tokens
+    from (select doc_id from documents) d
+    left join per_doc using (doc_id)
+    order by d.doc_id
+    """.replace("{WORDS}", _WORDS_SQL),
+)
+def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125b BPE train→APPLY (operators/vocab.bpe_token_counts): the 10
+    merges learned by bpe_learn_documents are applied back to the corpus
+    as a chain of literal replaces (greedy leftmost, identical to
+    training), releasing each document's token count under the learned
+    vocabulary — the sizing signal sequence packing consumes. The oracle
+    extends the unrolled learner CTEs with the word→count apply join, so
+    train AND apply are hash-checked end to end."""
+    from dbt_gdpr_anonymizer_spark.operators.vocab import (
+        bpe_learn,
+        bpe_token_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, n_merges=10)
+    return bpe_token_counts(docs, merges).orderBy("doc_id")

@@ -279,3 +279,33 @@ def test_bpe_early_stop_when_no_pairs(spark):
 
     docs = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
     assert bpe_learn(docs, n_merges=5).count() == 0
+
+
+def test_bpe_token_counts_apply(spark):
+    """Train→apply: after (l,o) and (lo,w) merges, 'low' is one token,
+    'lower' is three ('low','e','r'); unseen words still segment by the
+    merge chain; docs with no words release 0."""
+    from dbt_gdpr_anonymizer_spark.operators.vocab import (
+        bpe_learn,
+        bpe_token_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low low low lower lowest")], ["doc_id", "text"]
+    )
+    merges = bpe_learn(train, n_merges=2)  # (l,o) then (lo,w)
+    apply_docs = spark.createDataFrame(
+        [
+            (1, "low"),          # 1 token
+            (2, "lower"),        # low + e + r = 3
+            (3, "slow"),         # s + low = 2 (merge applies mid-word)
+            (4, "xyz"),          # untouched: 3 chars
+            (5, ""),             # no words -> 0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(apply_docs, merges).collect()
+    }
+    assert out == {1: 1, 2: 3, 3: 2, 4: 3, 5: 0}
