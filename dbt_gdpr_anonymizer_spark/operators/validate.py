@@ -500,3 +500,49 @@ def generic_schema_tests(
     for r in results[1:]:
         out = out.unionByName(r)
     return out.orderBy("table_name", "column_name", "test_name")
+
+
+def canary_leak_audit(
+    raw: DataFrame,
+    anonymized: DataFrame,
+    canaries: Sequence[str],
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """X126 plant-and-verify CANARY audit — the "secret sharer"
+    extraction check (Carlini et al. 2019) applied at the
+    corpus-anonymization gate: count the documents containing each
+    planted canary BEFORE and AFTER the anonymization pass. A scrub/
+    erasure/masking pipeline is only trusted when every canary's
+    post-pass count is zero; a nonzero ``leaked`` row is the audit
+    evidence that a redaction regex or term list has a hole.
+
+    The canary list is bounded audit state (tens of literals), so each
+    table is scanned ONCE with one sum-of-contains aggregate per canary
+    (codegen conditions, no join, no shuffle beyond the 1-row partial
+    agg); only the 2·m counts cross the driver. Returns
+    ``(canary, n_raw, n_anonymized, leaked)``.
+    """
+    spark = raw.sparkSession
+    canaries = list(canaries)
+
+    def counts(df: DataFrame) -> list[int]:
+        row = df.agg(
+            *[
+                F.sum(
+                    F.col(text_col).contains(F.lit(c)).cast("long")
+                ).alias(f"_c{i}")
+                for i, c in enumerate(canaries)
+            ]
+        ).collect()[0]
+        return [int(row[f"_c{i}"] or 0) for i in range(len(canaries))]
+
+    n_raw = counts(raw)
+    n_anon = counts(anonymized)
+    return spark.createDataFrame(
+        [
+            (c, r, a, a > 0)
+            for c, r, a in zip(canaries, n_raw, n_anon)
+        ],
+        "canary string, n_raw bigint, n_anonymized bigint, leaked boolean",
+    )

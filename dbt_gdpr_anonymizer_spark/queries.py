@@ -1521,6 +1521,7 @@ _CHECK_LAST = [
     "dp_median_acctbal_by_segment",  # DP family (dp_noisy_order_counts has 2R green)
     "bpe_learn_documents",  # vocab family (word_frequency_zipf has 2R green)
     "bpe_tokenize_documents",  # apply twin of bpe_learn_documents
+    "canary_scrub_audit",  # scrub family (scrub_text_pii / stream_scrub checked r<=6)
 ]
 
 
@@ -8716,3 +8717,52 @@ def bpe_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = bpe_learn(docs, n_merges=10)
     return bpe_token_counts(docs, merges).orderBy("doc_id")
+
+
+@register(
+    "canary_scrub_audit",
+    f"""
+    with injected as (select doc_id, {_INJECT_PII_SQL} as t from documents),
+    scrub as (
+      select doc_id,
+             regexp_replace(regexp_replace(t, '{tx.SCRUB_EMAIL_RE}',
+                                           '[EMAIL]', 'g'),
+                            '{tx.SCRUB_FR_PHONE_RE}', '[PHONE]', 'g') as t
+      from injected
+    ),
+    c(canary) as (values ('user3@mairie-exemple.fr'),
+                         ('user77@mairie-exemple.fr'),
+                         ('user241@mairie-exemple.fr'))
+    select c.canary,
+           cast((select count(*) from injected
+                 where contains(t, c.canary)) as bigint) as n_raw,
+           cast((select count(*) from scrub
+                 where contains(t, c.canary)) as bigint) as n_anonymized,
+           (select count(*) from scrub where contains(t, c.canary)) > 0
+             as leaked
+    from c order by canary
+    """,
+)
+def canary_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126 canary leak audit (operators/validate.canary_leak_audit) over
+    the scrub pipeline: three planted per-doc canary emails are counted
+    in the injected corpus (each appears in exactly its own document)
+    and again after scrub_pii redaction — the release proves n_raw=1 and
+    n_anonymized=0 per canary, i.e. the redaction regexes actually
+    remove what the synthetic PII injector planted. The oracle replays
+    injection, scrub, and both contains-counts in SQL."""
+    from dbt_gdpr_anonymizer_spark.operators.validate import (
+        canary_leak_audit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select("doc_id", _inject_pii_text().alias("t"))
+    scrubbed = injected.select("doc_id", tx.scrub_pii("t").alias("t"))
+    canaries = [
+        "user3@mairie-exemple.fr",
+        "user77@mairie-exemple.fr",
+        "user241@mairie-exemple.fr",
+    ]
+    return canary_leak_audit(
+        injected, scrubbed, canaries, text_col="t"
+    ).orderBy("canary")
