@@ -324,6 +324,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fit_sample_n: int | None = 100_000,
+    driver_fit_max: int = 200_000,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's) over an embedding column; returns the
     fitted centroid table (centroid_id, embedding array<double>), the
@@ -382,7 +383,8 @@ def kmeans_fit(
     # more than an ulp). Distributed assignment over the full corpus
     # remains ivf_assign's job after fitting — this path bounds only
     # what the FIT touches, exactly like fit_sample_n.
-    driver_fit_max = 200_000
+    # driver_fit_max parameterized so tests can force the distributed
+    # loop (pass 0) and pin its equivalence to the numpy fast path
     fit_rows = vectors.limit(driver_fit_max + 1).count()
     if fit_rows == 0:
         raise ValueError("kmeans_fit: empty vector table")
