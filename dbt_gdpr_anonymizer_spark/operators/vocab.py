@@ -30,11 +30,29 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
 
-__all__ = ["bpe_learn", "bpe_token_counts", "BPE_SEP"]
+__all__ = ["bpe_learn", "bpe_token_counts", "BPE_SEP", "BPE_END"]
 
-# Symbol separator inside the word-state string: a control char that the
-# normalized [a-z0-9] word alphabet can never contain.
+# Word state frames every symbol as  OPEN·sym·CLOSE  ("\x1fsym\x1e") with
+# two control chars the normalized [a-z0-9] alphabet can never contain. A
+# merge is then ONE literal replace of "\x1fL\x1e\x1fR\x1e" with
+# "\x1fLR\x1e": the CLOSE sentinel terminates each symbol, so the pattern
+# can never straddle a boundary — without it, a bare-separator encoding
+# falsely merged (a,a) inside ["a","ab"] because "a" is a prefix of "ab"
+# (caught by the hypothesis property vs the textbook greedy fold; both
+# engines agreed on the WRONG answer, so only a semantic property could
+# see it). Leftmost non-overlapping replace on the framed encoding is
+# exactly BPE's greedy left-to-right merge order.
 BPE_SEP = "\x1f"
+BPE_END = "\x1e"
+
+
+def _merge_state(state: str, left: str, right: str) -> str:
+    """Apply one BPE merge to a framed word state (driver-side twin of
+    the Column replace below; shared with the property tests)."""
+    return state.replace(
+        BPE_SEP + left + BPE_END + BPE_SEP + right + BPE_END,
+        BPE_SEP + left + right + BPE_END,
+    )
 
 
 def bpe_learn(
@@ -59,14 +77,23 @@ def bpe_learn(
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     state = words.select(
-        F.array_join(F.split(F.col("w"), ""), BPE_SEP).alias("s"), "freq"
+        F.concat(
+            F.lit(BPE_SEP),
+            F.array_join(F.split(F.col("w"), ""), BPE_END + BPE_SEP),
+            F.lit(BPE_END),
+        ).alias("s"),
+        "freq",
     ).persist()
     state.count()  # materialize before the rounds probe it repeatedly
 
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, n_merges + 1):
-            syms = F.split(F.col("s"), BPE_SEP)
+            # strip the outer frame, split on CLOSE·OPEN -> symbol array
+            syms = F.split(
+                F.expr(f"substring(s, 2, length(s) - 2)"),
+                BPE_END + BPE_SEP,
+            )
             pairs = state.select(
                 F.explode(
                     F.when(
@@ -97,8 +124,10 @@ def bpe_learn(
             new_state = state.select(
                 F.replace(
                     F.col("s"),
-                    F.lit(left + BPE_SEP + right),
-                    F.lit(left + right),
+                    F.lit(
+                        BPE_SEP + left + BPE_END + BPE_SEP + right + BPE_END
+                    ),
+                    F.lit(BPE_SEP + left + right + BPE_END),
                 ).alias("s"),
                 "freq",
             ).persist()
@@ -134,14 +163,29 @@ def bpe_token_counts(
     with no words release 0.
     """
     rows = merges.orderBy("merge_rank").collect()
-    expr = F.array_join(F.split(F.col("_w"), ""), BPE_SEP)
+    expr = F.concat(
+        F.lit(BPE_SEP),
+        F.array_join(F.split(F.col("_w"), ""), BPE_END + BPE_SEP),
+        F.lit(BPE_END),
+    )
     for r in rows:
         expr = F.replace(
             expr,
-            F.lit(r["left_sym"] + BPE_SEP + r["right_sym"]),
-            F.lit(r["left_sym"] + r["right_sym"]),
+            F.lit(
+                BPE_SEP
+                + r["left_sym"]
+                + BPE_END
+                + BPE_SEP
+                + r["right_sym"]
+                + BPE_END
+            ),
+            F.lit(BPE_SEP + r["left_sym"] + r["right_sym"] + BPE_END),
         )
-    ntok = F.size(F.split(expr, BPE_SEP)).cast("bigint")
+    # symbol count = CLOSE sentinel count
+    ntok = (
+        F.length(expr)
+        - F.length(F.replace(expr, F.lit(BPE_END), F.lit("")))
+    ).cast("bigint")
     per_doc = (
         docs.select(F.col(id_col), F.explode(tx.words(text_col)).alias("_w"))
         .filter(F.col("_w") != "")

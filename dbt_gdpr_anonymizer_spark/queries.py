@@ -8611,6 +8611,16 @@ def _bpe_cte_sql(n_merges: int = 10) -> str:
     over the [a-z0-9]+chr(31) alphabet is identical in both engines, so
     the tie rule replays exactly. Ends with ``b1..bR`` (the merge rows)
     and ``sR`` (word, final symbol state, freq) for the apply tail."""
+    # Framed symbol encoding (see operators/vocab.py): state =
+    # OPEN·sym·CLOSE per symbol with OPEN=chr(31), CLOSE=chr(30); the
+    # CLOSE sentinel makes the merge replace boundary-safe (a bare-
+    # separator encoding falsely merged across a symbol-prefix boundary —
+    # caught by the hypothesis property in tests/test_r7_properties.py).
+    # Pair keys stay "L·chr(31)·R"; the merge target/replacement derive
+    # from the pair by re-framing.
+    split_syms = (
+        "string_split(substring(s, 2, length(s) - 2), chr(30) || chr(31))"
+    )
     parts = [
         f"""with wf as (
       select w, count(*) as freq from (
@@ -8619,8 +8629,9 @@ def _bpe_cte_sql(n_merges: int = 10) -> str:
       group by w
     ),
     s0 as (
-      select w, array_to_string(list_transform(range(1, len(w) + 1),
-                                               i -> w[i]), chr(31)) as s,
+      select w, chr(31) || array_to_string(
+               list_transform(range(1, len(w) + 1), i -> w[i]),
+               chr(30) || chr(31)) || chr(30) as s,
              freq
       from wf
     )"""
@@ -8631,16 +8642,21 @@ def _bpe_cte_sql(n_merges: int = 10) -> str:
             f"""p{r} as (
       select p, sum(freq) as f from (
         select unnest(list_transform(
-                 range(1, len(string_split(s, chr(31)))),
-                 i -> string_split(s, chr(31))[i] || chr(31)
-                      || string_split(s, chr(31))[i + 1])) as p, freq
-        from {prev} where len(string_split(s, chr(31))) >= 2)
+                 range(1, len({split_syms})),
+                 i -> {split_syms}[i] || chr(31)
+                      || {split_syms}[i + 1])) as p, freq
+        from {prev} where len({split_syms}) >= 2)
       group by p
     ),
     b{r} as (select p, f from p{r} order by f desc, p asc limit 1),
     {cur} as (
-      select w, replace({prev}.s, b{r}.p,
-                        replace(b{r}.p, chr(31), '')) as s, freq
+      select w,
+             replace({prev}.s,
+                     chr(31) || replace(b{r}.p, chr(31),
+                                        chr(30) || chr(31)) || chr(30),
+                     chr(31) || replace(b{r}.p, chr(31), '') || chr(30))
+               as s,
+             freq
       from {prev}, b{r}
     )"""
         )
@@ -8685,7 +8701,8 @@ def bpe_learn_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_tokenize_documents",
     _bpe_cte_sql(10)
     + """,
-    tok as (select w, len(string_split(s, chr(31))) as nt from s10),
+    tok as (select w, length(s) - length(replace(s, chr(30), '')) as nt
+            from s10),
     dw as (
       select doc_id, unnest(list_filter({WORDS}, t -> t <> '')) as w
       from documents
