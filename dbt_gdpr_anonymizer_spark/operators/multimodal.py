@@ -557,6 +557,8 @@ def mp4_decoder(payload: bytes) -> list[float]:
             if size == 1:  # 64-bit largesize
                 (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
                 body = pos + 16
+                if size < 16:  # must cover its own 16-byte header
+                    raise ValueError("ISO BMFF largesize box is too small")
             elif size == 0:  # box runs to end of enclosing scope
                 size = end - pos
             if size < 8 or pos + size > end:

@@ -525,6 +525,12 @@ def canary_leak_audit(
     """
     spark = raw.sparkSession
     canaries = list(canaries)
+    if not canaries:  # nothing planted -> empty audit, not an agg error
+        return spark.createDataFrame(
+            [],
+            "canary string, n_raw bigint, n_anonymized bigint, "
+            "leaked boolean",
+        )
 
     def counts(df: DataFrame) -> list[int]:
         row = df.agg(
