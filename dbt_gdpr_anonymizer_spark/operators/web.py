@@ -1,0 +1,145 @@
+"""Web-corpus extraction operators: HTML -> text, link harvest, URL parts.
+
+The first stage of every web-scale LLM training pipeline (C4, RefinedWeb,
+FineWeb) is turning crawled HTML into clean text plus link metadata. This
+module expresses that stage as a chain of native ``regexp_replace`` /
+``regexp_extract_all`` Column expressions, so at 100 TB the extraction runs
+entirely inside whole-stage codegen — zero Python, zero shuffle, one scan.
+
+Determinism contract: every regex here uses only syntax shared by Java's
+``java.util.regex`` (Spark) and RE2 (DuckDB) — inline ``(?is)`` flags,
+non-greedy ``.*?``, character classes, alternation. No lookaround, no
+backreferences (RE2 has neither). Each function has an exact DuckDB twin
+emitted by :func:`html_to_text_sql` / :func:`url_host_sql` so the oracle
+harness replays extraction bit-for-bit.
+
+Extension surface beyond the reference (tabodino/dbt-gdpr-anonymizer has no
+web ops; its ingest reads pre-extracted JSONL — ``download_data.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "html_to_text",
+    "html_to_text_sql",
+    "extract_links",
+    "extract_links_sql",
+    "url_host",
+    "url_host_sql",
+    "url_registered_domain",
+    "url_registered_domain_sql",
+]
+
+# Ordered (pattern, replacement) chain. Order is load-bearing:
+#   1.   the <head> element drops whole (title/meta are metadata, not text);
+#   2-3. body script/style elements drop with their CONTENT (non-greedy,
+#        dotall);
+#   4.   comments drop with content;
+#   5.   closing block-level tags and <br> become newlines (so block
+#        structure survives as line structure, like trafilatura/jusText);
+#   5.   every remaining tag drops;
+#   6-10. the five standard entities decode, ``&amp;`` strictly LAST so
+#        ``&amp;lt;`` decodes to the literal ``&lt;`` (not ``<``) exactly
+#        as a browser would;
+#   11-13. whitespace canonicalization: spaces/tabs/CRs collapse, newlines
+#        trim their surrounding spaces and collapse, outer whitespace trims.
+_HTML_CHAIN: list[tuple[str, str]] = [
+    (r"(?is)<head[^>]*>.*?</head>", ""),
+    (r"(?is)<script[^>]*>.*?</script>", ""),
+    (r"(?is)<style[^>]*>.*?</style>", ""),
+    (r"(?s)<!--.*?-->", ""),
+    (r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article)>"
+     r"|<br[^>]*>", "\n"),
+    (r"(?s)<[^>]*>", ""),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"[ \t\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+    (r"^\s+|\s+$", ""),
+]
+
+_HREF_RE = r"(?i)href\s*=\s*\"([^\"]*)\""
+
+# scheme://host[:port]/... -> host (group 1 stops at :port, /path, ?query, #frag)
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def html_to_text(c: Column | str) -> Column:
+    """Extract readable text from an HTML document (Column -> Column).
+
+    Drops script/style/comment content, converts block boundaries to
+    newlines, strips tags, decodes the five standard entities, and
+    canonicalizes whitespace. Pure codegen: 15 chained regexp_replace
+    expressions, no UDF.
+    """
+    out = F.coalesce(_col(c), F.lit(""))
+    for pat, repl in _HTML_CHAIN:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` over SQL expression ``expr``."""
+    # DuckDB single-quoted literals keep backslashes verbatim, so the Java
+    # regex source string IS the RE2 source string — no re-escaping.
+    out = f"coalesce({expr}, '')"
+    for pat, repl in _HTML_CHAIN:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        if r == "\n":
+            out = f"regexp_replace({out}, '{p}', chr(10), 'g')"
+        else:
+            out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return out
+
+
+def extract_links(c: Column | str) -> Column:
+    """All ``href="..."`` targets in document order (array<string>)."""
+    return F.regexp_extract_all(
+        F.coalesce(_col(c), F.lit("")), F.lit(_HREF_RE), F.lit(1)
+    )
+
+
+def extract_links_sql(expr: str) -> str:
+    """DuckDB twin of :func:`extract_links`."""
+    p = _HREF_RE.replace("'", "''")
+    return f"regexp_extract_all(coalesce({expr}, ''), '{p}', 1)"
+
+
+def url_host(c: Column | str) -> Column:
+    """Lowercased host of a URL; port/path/query stripped; '' if unparseable."""
+    return F.lower(F.regexp_extract(_col(c), _HOST_RE, 1))
+
+
+def url_host_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_host`."""
+    return f"lower(regexp_extract({expr}, '{_HOST_RE}', 1))"
+
+
+def url_registered_domain(c: Column | str) -> Column:
+    """Heuristic registered domain: last two dot-labels of the host
+    (``sub.example.org`` -> ``example.org``). A public-suffix-list lookup
+    (for ``co.uk`` etc.) is a broadcast-join swap-in; the two-label
+    heuristic keeps the operator dependency-free and oracle-exact.
+    """
+    h = url_host(c)
+    return F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_registered_domain_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_registered_domain`."""
+    return (
+        f"regexp_extract({url_host_sql(expr)}, '([^.]+\\.[^.]+)$', 1)"
+    )

@@ -1522,6 +1522,7 @@ _CHECK_LAST = [
     "bpe_learn_documents",  # vocab family (word_frequency_zipf has 2R green)
     "bpe_tokenize_documents",  # apply twin of bpe_learn_documents
     "canary_scrub_audit",  # scrub family (scrub_text_pii / stream_scrub checked r<=6)
+    "html_text_extract_documents",  # regex-chain family (scrub/regex_pii checked)
 ]
 
 
@@ -8783,3 +8784,115 @@ def canary_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canary_leak_audit(
         injected, scrubbed, canaries, text_col="t"
     ).orderBy("canary")
+
+
+# ---------------------------------------------------------------------------
+# X127 web extraction: HTML -> text + link harvest + URL parts
+# ---------------------------------------------------------------------------
+
+_HTML_WRAP_SQL = """
+      select doc_id,
+             '<html><head><title>Doc ' || doc_id
+               || '</title><style>.m{color:#000}</style></head>'
+               || '<body><script>var id=' || doc_id || ';</script>'
+               || '<h1>Doc ' || doc_id || ' &amp; notes</h1>'
+               || '<!-- crawler boilerplate -->'
+               || '<p>' || substr(coalesce(text, ''), 1, 120) || '</p>'
+               || '<div class="body">' || substr(coalesce(text, ''), 121, 1000000000)
+               || ' &lt;raw&gt; &quot;quoted&quot;</div>'
+               || '<ul><li>lang: ' || lang || '</li><li>source: ' || source
+               || '</li></ul>'
+               || '<a href="https://www.example-' || source || '.com/doc/'
+               || doc_id || '?ref=feed">more</a>'
+               || '<a HREF="HTTP://Archive.Example.ORG:8080/' || doc_id
+               || '">archive</a>'
+               || '</body></html>' as t0
+      from documents
+"""
+
+
+def _html_wrap_col() -> Column:
+    """Spark twin of _HTML_WRAP_SQL's t0 expression."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>.m{color:#000}</style></head>"),
+        F.lit("<body><script>var id="), did, F.lit(";</script>"),
+        F.lit("<h1>Doc "), did, F.lit(" &amp; notes</h1>"),
+        F.lit("<!-- crawler boilerplate -->"),
+        F.lit("<p>"), F.substring(txt, 1, 120), F.lit("</p>"),
+        F.lit('<div class="body">'), F.substring(txt, 121, 1000000000),
+        F.lit(" &lt;raw&gt; &quot;quoted&quot;</div>"),
+        F.lit("<ul><li>lang: "), F.col("lang"),
+        F.lit("</li><li>source: "), F.col("source"), F.lit("</li></ul>"),
+        F.lit('<a href="https://www.example-'), F.col("source"),
+        F.lit(".com/doc/"), did, F.lit('?ref=feed">more</a>'),
+        F.lit('<a HREF="HTTP://Archive.Example.ORG:8080/'), did,
+        F.lit('">archive</a>'),
+        F.lit("</body></html>"),
+    )
+
+
+def _html_extract_oracle() -> str:
+    from dbt_gdpr_anonymizer_spark.operators import web as _web
+
+    clean = _web.html_to_text_sql("t0")
+    links = _web.extract_links_sql("t0")
+    return f"""
+    with injected as ({_HTML_WRAP_SQL}),
+    x as (
+      select doc_id, {clean} as clean, {links} as links
+      from injected
+    )
+    select doc_id,
+           md5(clean) as clean_md5,
+           cast(length(clean) as bigint) as n_chars_clean,
+           cast(len(links) as bigint) as n_links,
+           {_web.url_host_sql('links[1]')} as host1,
+           {_web.url_registered_domain_sql('links[1]')} as dom1,
+           {_web.url_host_sql('links[2]')} as host2,
+           {_web.url_registered_domain_sql('links[2]')} as dom2
+    from x order by doc_id
+    """
+
+
+@register("html_text_extract_documents", _html_extract_oracle())
+def html_text_extract_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X127 web-corpus extraction (operators/web.html_to_text): every
+    document is wrapped in a deterministic HTML page (head/title/style,
+    body script, comment, split <p>/<div> content with entity-encoded
+    punctuation, list metadata, two <a href> links — the corpus itself has
+    no markup), then the C4-style extraction chain recovers clean text:
+    head/script/style/comment content dropped, block boundaries become
+    newlines, tags stripped, the five standard entities decoded
+    (&amp; strictly last), whitespace canonicalized. Links are harvested
+    in document order and the host / registered-domain parts of both URLs
+    are released. Entirely whole-stage-codegen regexp chains — zero UDFs,
+    zero shuffles before the final sort; at 100 TB this runs as one
+    parquet scan with projection pushdown. The oracle replays the exact
+    regex chain in DuckDB (shared Java/RE2 syntax, generated from the
+    same _HTML_CHAIN table)."""
+    from dbt_gdpr_anonymizer_spark.operators import web
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select("doc_id", _html_wrap_col().alias("t0"))
+    x = injected.select(
+        "doc_id",
+        web.html_to_text("t0").alias("clean"),
+        web.extract_links("t0").alias("links"),
+    )
+    l1 = F.try_element_at(F.col("links"), F.lit(1))
+    l2 = F.try_element_at(F.col("links"), F.lit(2))
+    return x.select(
+        "doc_id",
+        F.md5("clean").alias("clean_md5"),
+        F.length("clean").cast("bigint").alias("n_chars_clean"),
+        F.size("links").cast("bigint").alias("n_links"),
+        web.url_host(l1).alias("host1"),
+        web.url_registered_domain(l1).alias("dom1"),
+        web.url_host(l2).alias("host2"),
+        web.url_registered_domain(l2).alias("dom2"),
+    ).orderBy("doc_id")

@@ -1,0 +1,131 @@
+"""X127 web-corpus extraction: HTML -> text, link harvest, URL parts
+(operators/web). Edge cases the registry query's synthetic wrapper can't
+reach: script bodies containing closing tags, entity double-encoding,
+tag-free text, NULL input, hosts without a dot, and the DuckDB twin
+generators replaying the exact same chain."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators import web
+
+CASES = [
+    # (html, expected_text)
+    (
+        '<html><head><title>T</title><style>.x{a:b}</style></head>'
+        "<body><p>hello   world</p><div>second</div></body></html>",
+        "hello world\nsecond",
+    ),
+    # script content with a closing </p> inside a string still drops whole
+    (
+        '<body><SCRIPT type="x">var a = "</p>";</SCRIPT><p>kept</p></body>',
+        "kept",
+    ),
+    # entities: &amp;lt; must decode to the LITERAL "&lt;", not "<"
+    (
+        "<p>a &lt;b&gt; &quot;c&quot; &#39;d&#39; &nbsp; &amp;lt; &amp; e</p>",
+        'a <b> "c" \'d\' &lt; & e',
+    ),
+    # comments (multiline) drop; <br> becomes a newline
+    ("<div>one<!-- x\ny -->two<br/>three</div>", "onetwo\nthree"),
+    # no markup at all passes through with whitespace canonicalized
+    ("  plain\t text  ", "plain text"),
+    # head drops whole, including its title text
+    ("<head><title>Meta Title</title></head><p>body</p>", "body"),
+]
+
+
+def test_html_to_text_cases(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(CASES)], ["id", "h"]
+    )
+    got = {
+        r.id: r.t
+        for r in df.select("id", web.html_to_text("h").alias("t")).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_html_to_text_null_is_empty(spark):
+    df = spark.createDataFrame([(1, None)], "id long, h string")
+    assert df.select(web.html_to_text("h").alias("t")).first().t == ""
+
+
+def test_duckdb_twin_matches_spark_on_all_cases(spark):
+    """The generated SQL chain IS the Java chain: byte-equal output."""
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(CASES)], ["id", "h"]
+    )
+    srows = {
+        r.id: (r.t, list(r.links))
+        for r in df.select(
+            "id",
+            web.html_to_text("h").alias("t"),
+            web.extract_links("h").alias("links"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, (h, _) in enumerate(CASES):
+        t, links = con.execute(
+            f"select {web.html_to_text_sql('?')}, "
+            f"{web.extract_links_sql('?')}",
+            [h, h],
+        ).fetchone()
+        assert (t, list(links)) == srows[i], f"case {i}"
+
+
+def test_extract_links_order_and_case(spark):
+    html = (
+        '<a href="https://a.example.com/1">x</a>'
+        '<A HREF = "http://b.example.org/2?q=1">y</A>'
+        "<a name=nohref>z</a>"
+    )
+    df = spark.createDataFrame([(1, html)], ["id", "h"])
+    r = df.select(web.extract_links("h").alias("l")).first()
+    assert list(r.l) == [
+        "https://a.example.com/1",
+        "http://b.example.org/2?q=1",
+    ]
+
+
+@pytest.mark.parametrize(
+    "url,host,dom",
+    [
+        ("https://www.Example.COM/a/b?q=1#f", "www.example.com", "example.com"),
+        ("HTTP://Sub.Host.ORG:8080/path", "sub.host.org", "host.org"),
+        ("ftp://files.example.net", "files.example.net", "example.net"),
+        ("not a url", "", ""),
+        ("https://localhost/x", "localhost", ""),  # no dot: no reg. domain
+    ],
+)
+def test_url_parts(spark, url, host, dom):
+    df = spark.createDataFrame([(1, url)], ["id", "u"])
+    r = df.select(
+        web.url_host("u").alias("h"),
+        web.url_registered_domain("u").alias("d"),
+    ).first()
+    assert (r.h, r.d) == (host, dom)
+    got = duckdb.connect().execute(
+        f"select {web.url_host_sql('?')}, "
+        f"{web.url_registered_domain_sql('?')}",
+        [url, url],
+    ).fetchone()
+    assert tuple(got) == (host, dom)
+
+
+def test_html_chain_is_pure_codegen(spark):
+    """No UDF, no shuffle: the extraction must stay in one codegen stage."""
+    df = spark.createDataFrame([(1, "<p>x</p>")], ["id", "h"])
+    plan = (
+        df.select(web.html_to_text("h"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
