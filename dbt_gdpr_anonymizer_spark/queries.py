@@ -1523,6 +1523,7 @@ _CHECK_LAST = [
     "bpe_tokenize_documents",  # apply twin of bpe_learn_documents
     "canary_scrub_audit",  # scrub family (scrub_text_pii / stream_scrub checked r<=6)
     "html_text_extract_documents",  # regex-chain family (scrub/regex_pii checked)
+    "bigram_lm_perplexity_documents",  # corpus-stats family (bm25/tfidf checked)
 ]
 
 
@@ -8895,4 +8896,58 @@ def html_text_extract_documents(
         web.url_registered_domain(l1).alias("dom1"),
         web.url_host(l2).alias("host2"),
         web.url_registered_domain(l2).alias("dom2"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "bigram_lm_perplexity_documents",
+    f"""
+    with ws as (select doc_id, {_WORDS_SQL} as ws from documents),
+    ev as (
+      select doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) as bg
+      from ws
+    ),
+    m as (select bg, count(*) as c12 from ev group by bg),
+    u as (select w, count(*) as c1
+          from (select unnest(ws) as w from ws) where w <> '' group by w),
+    v as (select count(*) as v from u),
+    s as (
+      select e.doc_id, count(*) as n,
+             sum(-ln((m.c12 + 1.0) / (u.c1 + v.v))) as nats
+      from ev e
+      join m using (bg)
+      join u on string_split(e.bg, ' ')[1] = u.w
+      cross join v
+      group by e.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(s.n, 0) as bigint) as n_bigrams,
+           cast(floor(s.nats / s.n * 10000) as bigint) as xent_e4
+    from documents d left join s using (doc_id)
+    order by doc_id
+    """,
+)
+def bigram_lm_perplexity_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X128 CCNet-style LM quality signal (operators/lm.bigram_lm_scores):
+    a Laplace-smoothed bigram model is trained on the corpus (bigram +
+    unigram count tables off ONE persisted exploded token frame) and every
+    document is scored by mean -ln P(w_i | w_{i-1}) — the perplexity
+    ranking used to keep the fluent tail of a web crawl. Model tables are
+    vocabulary-bounded; scoring is two equi-joins + one aggregation, no
+    UDFs, no driver state. Released as xent_e4 = floor(nats*1e4) BIGINT
+    (ln-only IEEE, the bm25 precedent); documents with <2 tokens release
+    (0, NULL). The oracle replays the count tables, the smoothing
+    arithmetic, and the joins in SQL."""
+    from dbt_gdpr_anonymizer_spark.operators.lm import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(d, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.floor(F.col("xent") * 10000).cast("bigint").alias("xent_e4"),
     ).orderBy("doc_id")

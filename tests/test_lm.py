@@ -1,0 +1,73 @@
+"""X128 bigram LM perplexity scoring (operators/lm): hand-computed
+Laplace-smoothed scores on a tiny corpus, short-document semantics, and
+the shared-scan/no-UDF plan contract."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+from dbt_gdpr_anonymizer_spark.operators.lm import (
+    bigram_array,
+    bigram_lm_scores,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "c"), (4, "")],
+        "doc_id long, text string",
+    )
+
+
+def test_bigram_array(spark):
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, ["solo"]), (3, [])],
+        "id long, ws array<string>",
+    )
+    got = {
+        r.id: list(r.bg)
+        for r in df.select(
+            "id", bigram_array(F.col("ws")).alias("bg")
+        ).collect()
+    }
+    assert got == {1: ["x y", "y z"], 2: [], 3: []}
+
+
+def test_hand_computed_scores(spark):
+    # unigrams: a=3 b=2 c=1 -> V=3; bigrams: "a b"=2, "b a"=1
+    # doc1: -ln((2+1)/(3+3)) + -ln((1+1)/(2+3)) over 2 events
+    # doc2: -ln((2+1)/(3+3)) over 1 event
+    out = bigram_lm_scores(_corpus(spark))
+    rows = {r.doc_id: r for r in out.collect()}
+    release_caches(out)
+    assert rows[1].n_bigrams == 2
+    want1 = (-math.log(3 / 6) - math.log(2 / 5)) / 2
+    assert abs(rows[1].xent - want1) < 1e-12
+    assert rows[2].n_bigrams == 1
+    assert abs(rows[2].xent - (-math.log(3 / 6))) < 1e-12
+    # <2 tokens: zero events, NULL score, row still present
+    assert rows[3].n_bigrams == 0 and rows[3].xent is None
+    assert rows[4].n_bigrams == 0 and rows[4].xent is None
+    assert set(rows) == {1, 2, 3, 4}
+
+
+def test_smoothed_probability_bounds(spark):
+    """Laplace smoothing keeps every event probability in (0, 1]:
+    xent is non-negative wherever defined."""
+    out = bigram_lm_scores(_corpus(spark))
+    bad = out.filter(F.col("xent") < 0).count()
+    release_caches(out)
+    assert bad == 0
+
+
+def test_plan_has_no_python_and_releases_cache(spark):
+    out = bigram_lm_scores(_corpus(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert getattr(out, "cached_deps", None), "events frame must be tracked"
+    release_caches(out)
+    assert not getattr(out, "cached_deps")
