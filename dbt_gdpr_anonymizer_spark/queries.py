@@ -1524,6 +1524,7 @@ _CHECK_LAST = [
     "canary_scrub_audit",  # scrub family (scrub_text_pii / stream_scrub checked r<=6)
     "html_text_extract_documents",  # regex-chain family (scrub/regex_pii checked)
     "bigram_lm_perplexity_documents",  # corpus-stats family (bm25/tfidf checked)
+    "naive_bayes_lang_classifier",  # corpus-stats family (bm25/tfidf checked)
 ]
 
 
@@ -8950,4 +8951,84 @@ def bigram_lm_perplexity_documents(
         "doc_id",
         "n_bigrams",
         F.floor(F.col("xent") * 10000).cast("bigint").alias("xent_e4"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "naive_bayes_lang_classifier",
+    f"""
+    with base as (
+      select doc_id, {_WORDS_SQL} as ws,
+             lang = 'en' as y, doc_id % 4 = 0 as is_train
+      from documents
+    ),
+    tk as (
+      select doc_id, y, is_train, w
+      from (select doc_id, y, is_train, unnest(ws) as w from base)
+      where w <> ''
+    ),
+    wc as (
+      select w,
+             sum(case when y then 1 else 0 end) as c_pos,
+             sum(case when not y then 1 else 0 end) as c_neg
+      from tk where is_train group by w
+    ),
+    dc as (
+      select sum(case when y then 1 else 0 end) as n_pos,
+             sum(case when not y then 1 else 0 end) as n_neg
+      from base where is_train
+    ),
+    tt as (select sum(c_pos) as t_pos, sum(c_neg) as t_neg,
+                  count(*) as v
+           from wc),
+    contrib as (
+      select tk.doc_id, count(*) as n_tokens,
+             sum(  ln((coalesce(wc.c_pos, 0) + 1.0) / (tt.t_pos + tt.v))
+                 - ln((coalesce(wc.c_neg, 0) + 1.0) / (tt.t_neg + tt.v))
+             ) as token_ll
+      from tk left join wc using (w) cross join tt
+      group by tk.doc_id
+    )
+    select b.doc_id,
+           cast(coalesce(c.n_tokens, 0) as bigint) as n_tokens,
+           cast(floor((ln(dc.n_pos) - ln(dc.n_neg)
+                       + coalesce(c.token_ll, 0.0)) * 10000) as bigint)
+             as logodds_e4,
+           (ln(dc.n_pos) - ln(dc.n_neg) + coalesce(c.token_ll, 0.0)) > 0
+             as pred_pos
+    from base b left join contrib c using (doc_id) cross join dc
+    order by b.doc_id
+    """,
+)
+def naive_bayes_lang_classifier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X129 fastText-style linear gate (operators/classify.
+    naive_bayes_scores): a multinomial Naive Bayes model is trained on the
+    deterministic doc_id%4==0 split (label: lang='en') and EVERY document
+    is scored with smoothed log-odds — the train-on-subset / score-corpus
+    workflow of GPT-3/LLaMA quality filters. Training is two groupBy count
+    tables off one persisted token frame; scoring is a vocabulary-keyed
+    left join (OOV tokens fall to the smoothing floor) plus a 1-row
+    broadcast of the four scalar totals. Released as logodds_e4 =
+    floor(logodds*1e4) BIGINT + the sign as pred_pos; zero-token documents
+    score exactly the class prior. Oracle replays counts, smoothing, and
+    joins in SQL."""
+    from dbt_gdpr_anonymizer_spark.operators.classify import (
+        naive_bayes_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = naive_bayes_scores(
+        d,
+        label=F.col("lang") == F.lit("en"),
+        train=F.col("doc_id") % 4 == 0,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("logodds") * 10000).cast("bigint").alias(
+            "logodds_e4"
+        ),
+        "pred_pos",
     ).orderBy("doc_id")
