@@ -40,10 +40,13 @@ __all__ = [
     "wav_pcm_decoder",
     "bmp_decoder",
     "png_decoder",
+    "gif_decoder",
     "make_wav_pcm16",
     "make_bmp24",
     "make_png_rgb8",
+    "make_gif",
     "synth_png_udf",
+    "synth_gif_udf",
     "mp4_decoder",
     "make_mp4",
     "synth_mp4_udf",
@@ -482,6 +485,262 @@ def synth_png_udf():
     return pandas_udf(_synth, "binary")
 
 
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW compress (LSB-first bit packing, clear/EOI codes,
+    code width growing at the spec boundaries, 12-bit cap). The width
+    bump fires when ``next_code`` reaches ``(1 << width) + 1`` — one
+    later than the decoder's ``(1 << width)`` because the decoder's
+    string table lags the encoder's by exactly one entry."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    next_code = eoi + 1
+    width = min_code_size + 1
+
+    bits: list[int] = []
+
+    def emit(code: int, w: int) -> None:
+        for i in range(w):
+            bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    cur = b""
+    for b in indices:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code == 4096:
+            # Table full: reset per spec (decoder mirrors on the clear).
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        else:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decompress (the inverse of :func:`_gif_lzw_encode`;
+    also validated against the canonical 35-byte 1x1 GIF's documented
+    code stream). Handles the KwKwK case (``code == next_code``) and
+    mid-stream clear codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+
+    pos = 0
+    total = len(data) * 8
+
+    def read() -> int:
+        nonlocal pos
+        if pos + width > total:
+            raise ValueError("GIF LZW stream truncated")
+        v = 0
+        for i in range(width):
+            v |= ((data[(pos + i) // 8] >> ((pos + i) % 8)) & 1) << i
+        pos += width
+        return v
+
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read()
+        if code == clear:
+            width = min_code_size + 1
+            next_code = eoi + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code not in table:
+                raise ValueError("GIF LZW: first code not in table")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF LZW: code {code} out of sequence")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def make_gif(
+    indices: list[list[int]],
+    palette: list[tuple[int, int, int]],
+) -> bytes:
+    """Build a REAL single-frame GIF89a (public spec, pure Python): global
+    color table (padded to a power of two), image descriptor, LZW-packed
+    pixel indices in 255-byte sub-blocks, trailer. The synthesis twin of
+    :func:`gif_decoder`."""
+    import struct
+
+    h = len(indices)
+    w = len(indices[0]) if h else 0
+    n = len(palette)
+    if n < 2:
+        raise ValueError("GIF needs at least a 2-color palette")
+    size_bits = max(1, (max(n - 1, 1)).bit_length())
+    pal = list(palette) + [(0, 0, 0)] * ((1 << size_bits) - n)
+    min_code_size = max(2, size_bits)
+
+    head = b"GIF89a" + struct.pack(
+        "<HHBBB", w, h, 0x80 | ((size_bits - 1) << 4) | (size_bits - 1), 0, 0
+    )
+    gct = b"".join(bytes(c) for c in pal)
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    flat = bytes(i for row in indices for i in row)
+    lzw = _gif_lzw_encode(flat, min_code_size)
+    blocks = b"".join(
+        bytes([min(255, len(lzw) - i)]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        head + gct + img_desc + bytes([min_code_size]) + blocks
+        + b"\x00\x3b"
+    )
+
+
+def gif_decoder(payload: bytes) -> list[float]:
+    """REAL GIF decode, hermetic (public spec, pure-Python LZW — the
+    second compressed format needing no codec dependency, after PNG):
+    validates the GIF87a/89a signature, reads the logical screen
+    descriptor + global color table, skips extension blocks, decompresses
+    the first image's LZW index stream, maps indices through the palette,
+    and extracts the SAME feature vector as :func:`bmp_decoder` /
+    :func:`png_decoder`: ``[width, height, sum_r, sum_g, sum_b,
+    max_channel, min_channel, corner_luma]``. Interlaced images and
+    local color tables raise ``NotImplementedError`` naming the swap-in
+    (a Pillow-backed decoder via ``decode_features(df, decoder=...)``)."""
+    import struct
+
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("unknown GIF version")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    pal: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        raw = payload[pos : pos + 3 * n]
+        if len(raw) != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        pal = [tuple(raw[i : i + 3]) for i in range(0, 3 * n, 3)]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer before any image
+            raise ValueError("GIF has no image data")
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack(
+            "<HHHHB", payload[pos + 1 : pos + 10]
+        )
+        pos += 10
+        if ipacked & 0x80:
+            raise NotImplementedError(
+                "GIF local color tables need a Pillow-backed decoder"
+            )
+        if ipacked & 0x40:
+            raise NotImplementedError(
+                "interlaced GIF needs a Pillow-backed decoder"
+            )
+        if not pal:
+            raise ValueError("GIF image without any color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            lzw += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        flat = _gif_lzw_decode(bytes(lzw), min_code_size)
+        if len(flat) != w * h:
+            raise ValueError(
+                f"GIF index stream has {len(flat)} pixels, expected {w * h}"
+            )
+        if any(i >= len(pal) for i in flat):
+            raise ValueError("GIF pixel index outside the color table")
+        colors = [pal[i] for i in flat]
+        chans = [ch for c in colors for ch in c]
+        corner = colors[0] if colors else (0, 0, 0)
+        return [
+            float(w),
+            float(h),
+            float(sum(c[0] for c in colors)),
+            float(sum(c[1] for c in colors)),
+            float(sum(c[2] for c in colors)),
+            float(max(chans, default=0)),
+            float(min(chans, default=0)),
+            float(sum(corner)),
+        ]
+    raise ValueError("GIF ended before an image descriptor")
+
+
+def synth_gif_udf():
+    """Arrow-batched pandas UDF synthesizing a deterministic 16-color GIF
+    per id: ``w = 4 + id%5``, ``h = 3 + id%4``, palette entry ``i`` is
+    ``((id*5+i*37)%256, (id*13+i*41)%256, (id*17+i*43)%256)`` and pixel
+    (x,y) takes index ``(id + 3x + 5y) % 16`` — closed-form, so an
+    engine-independent oracle recomputes the decoded features without
+    seeing the bytes (any LZW or palette bug breaks the hash)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(d: int) -> bytes:
+        d = int(d)
+        w, h = 4 + d % 5, 3 + d % 4
+        pal = [
+            (
+                (d * 5 + i * 37) % 256,
+                (d * 13 + i * 41) % 256,
+                (d * 17 + i * 43) % 256,
+            )
+            for i in range(16)
+        ]
+        idx = [[(d + 3 * x + 5 * y) % 16 for x in range(w)] for y in range(h)]
+        return make_gif(idx, pal)
+
+    def _synth(ids):
+        return ids.map(_one)
+
+    _synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf(_synth, "binary")
+
+
 def make_mp4(
     tracks: list[tuple[int, int]],
     *,
@@ -642,8 +901,8 @@ def synth_mp4_udf():
 
 def real_decoder(payload: bytes) -> list[float]:
     """Production decoder: magic-byte dispatch over the natively parsed
-    formats (RIFF/WAVE PCM-16, 24-bpp BMP, 8-bit truecolor PNG, ISO BMFF
-    container metadata). Formats that need a real codec library
+    formats (RIFF/WAVE PCM-16, 24-bpp BMP, 8-bit truecolor PNG, palette
+    GIF, ISO BMFF container metadata). Formats that need a real codec library
     (JPEG/MP3/H.264 samples) raise ``NotImplementedError`` — swap in a
     Pillow/ffmpeg-backed callable via ``decode_features(df,
     decoder=your_fn)`` for those."""
@@ -653,13 +912,15 @@ def real_decoder(payload: bytes) -> list[float]:
         return png_decoder(payload)
     if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
         return mp4_decoder(payload)
+    if payload is not None and len(payload) >= 6 and payload[:4] == b"GIF8":
+        return gif_decoder(payload)
     if payload is not None and len(payload) >= 2 and payload[:2] == b"BM":
         return bmp_decoder(payload)
     raise NotImplementedError(
         "no native parser for this payload (native tiers: RIFF/WAVE "
-        "PCM-16, 24-bpp BMP, RGB8 PNG, ISO BMFF metadata); pass "
-        "decode_features(df, decoder=your_fn) with a Pillow/ffmpeg-backed "
-        "callable for JPEG/MP3/H.264"
+        "PCM-16, 24-bpp BMP, RGB8 PNG, palette GIF, ISO BMFF metadata); "
+        "pass decode_features(df, decoder=your_fn) with a Pillow/"
+        "ffmpeg-backed callable for JPEG/MP3/H.264"
     )
 
 

@@ -1525,6 +1525,7 @@ _CHECK_LAST = [
     "html_text_extract_documents",  # regex-chain family (scrub/regex_pii checked)
     "bigram_lm_perplexity_documents",  # corpus-stats family (bm25/tfidf checked)
     "naive_bayes_lang_classifier",  # corpus-stats family (bm25/tfidf checked)
+    "multimodal_gif_features",  # decode family (png/wav/decode queries checked)
 ]
 
 
@@ -9032,3 +9033,78 @@ def naive_bayes_lang_classifier(
         ),
         "pred_pos",
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_gif_features",
+    """
+    with px as (
+      select doc_id, 4 + doc_id % 5 as w, 3 + doc_id % 4 as h from documents
+    ),
+    f as (
+      select doc_id, w, h,
+             list_transform(range(0, 16), i ->
+               [(doc_id*5 + i*37) % 256,
+                (doc_id*13 + i*41) % 256,
+                (doc_id*17 + i*43) % 256]) as pal,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id + 3*x + 5*y) % 16))) as idxs
+      from px
+    ),
+    c as (
+      select doc_id, w, h, pal,
+             list_transform(idxs, i -> pal[i + 1]) as pxs
+      from f
+    )
+    select doc_id as media_id,
+           cast(w as bigint) as width,
+           cast(h as bigint) as height,
+           cast(list_sum(list_transform(pxs, p -> p[1])) as bigint) as sum_r,
+           cast(list_sum(list_transform(pxs, p -> p[2])) as bigint) as sum_g,
+           cast(list_sum(list_transform(pxs, p -> p[3])) as bigint) as sum_b,
+           cast(list_max(list_transform(pxs, p -> list_max(p))) as bigint)
+             as max_channel,
+           cast(list_min(list_transform(pxs, p -> list_min(p))) as bigint)
+             as min_channel,
+           cast(list_sum(pal[(doc_id % 16) + 1]) as bigint) as corner_luma
+    from c order by media_id
+    """,
+)
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15e hermetic LZW-compressed-format decode end to end: per-doc
+    16-color GIF89a images are synthesized (operators/multimodal.
+    synth_gif_udf — closed-form palette + indices, REAL LZW compression
+    with clear/EOI codes and growing code widths), then decoded by the
+    pure-Python GIF parser (gif_decoder: screen descriptor, global color
+    table, extension skip, sub-block reassembly, LZW decode with KwKwK
+    and table-full handling — the encoder/decoder pair is additionally
+    pinned to the canonical 35-byte 1x1 GIF's documented code stream)
+    through the same Arrow mapInPandas plumbing as the WAV/BMP/PNG
+    queries. The oracle recomputes features from the closed form — it
+    never sees the bytes, so any LZW, palette, or sub-block bug breaks
+    the hash. All features integer-valued, released as BIGINTs."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        real_decoder,
+        synth_gif_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        synth_gif_udf()(F.col("doc_id")).alias("payload"),
+    )
+    feats = decode_features(media, decoder=real_decoder)
+    names = [
+        "width", "height", "sum_r", "sum_g", "sum_b",
+        "max_channel", "min_channel", "corner_luma",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).cast("long").alias(n)
+            for i, n in enumerate(names)
+        ],
+    ).orderBy("media_id")
