@@ -36,6 +36,8 @@ __all__ = [
     "ivf_topk",
     "kmeans_fit",
     "cell_assign_expr",
+    "quantize_int8",
+    "int8_covariance",
 ]
 
 
@@ -617,4 +619,53 @@ def sparse_cosine_topk(
             F.floor(F.col("_score") * 1000000).cast("bigint").alias("score_ppm"),
             F.col("_rk").cast("bigint").alias("rank"),
         )
+    )
+
+
+def int8_covariance(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact upper-triangle covariance statistics of the int8-quantized
+    embedding corpus — the drift / feature-decorrelation signal computed
+    the way a 100 TB corpus must: integer-exact and order-independent.
+
+    Each vector is quantized with :func:`quantize_int8` (deterministic
+    affine int8), then for every dimension pair ``i <= j`` the release is
+    the raw sufficient statistics ``(n_vecs, s_i, s_j, s_ij)`` — all
+    BIGINT sums, immune to float summation order — plus the integer
+    covariance numerator ``cov_num = n·s_ij - s_i·s_j`` (callers divide
+    by ``n²`` for the covariance proper; |q| <= 128 keeps cov_num within
+    int64 up to ~5·10^8 vectors — shard or rescale past that).
+
+    Plan shape: two ``posexplode`` generates fan each vector into its
+    d(d+1)/2 index pairs, then one hash aggregation on the (i, j) key.
+    Map-side partial aggregation makes the shuffle volume
+    ``partitions × d²`` — independent of corpus size; no joins, no
+    driver state, no UDFs.
+    """
+    q = quantize_int8(df, vec_col=vec_col, id_col=id_col).select(
+        id_col, "q_vec"
+    )
+    left = q.select(
+        id_col, "q_vec", F.posexplode("q_vec").alias("i", "qi")
+    )
+    pairs = left.select(
+        "i", "qi", F.posexplode("q_vec").alias("j", "qj")
+    ).filter(F.col("j") >= F.col("i"))
+    agg = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qi").alias("s_i"),
+        F.sum("qj").alias("s_j"),
+        F.sum(F.col("qi").cast("long") * F.col("qj")).alias("s_ij"),
+    )
+    return agg.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "n_vecs",
+        "s_i",
+        "s_j",
+        "s_ij",
+        (F.col("n_vecs") * F.col("s_ij") - F.col("s_i") * F.col("s_j"))
+        .cast("bigint")
+        .alias("cov_num"),
     )

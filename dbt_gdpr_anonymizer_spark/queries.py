@@ -1526,6 +1526,7 @@ _CHECK_LAST = [
     "bigram_lm_perplexity_documents",  # corpus-stats family (bm25/tfidf checked)
     "naive_bayes_lang_classifier",  # corpus-stats family (bm25/tfidf checked)
     "multimodal_gif_features",  # decode family (png/wav/decode queries checked)
+    "embedding_int8_covariance",  # embedding family (int8_quantize/dim_stats)
 ]
 
 
@@ -9108,3 +9109,63 @@ def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(names)
         ],
     ).orderBy("media_id")
+
+
+@register(
+    "embedding_int8_covariance",
+    """
+    with m as (
+      select vec_id, embedding,
+             cast(list_aggregate(embedding, 'min') as double) as v_min,
+             cast(list_aggregate(embedding, 'max') as double) as v_max
+      from embeddings
+    ),
+    qv as (
+      select vec_id,
+             case when v_max > v_min then list_transform(
+                    embedding, x -> cast(floor((cast(x as double) - v_min)
+                                               * 255.0 / (v_max - v_min))
+                                         - 128 as bigint))
+                  else list_transform(embedding, x -> cast(0 as bigint))
+             end as q
+      from m
+    ),
+    p as (
+      select vec_id,
+             unnest(flatten(list_transform(range(0, len(q)), i ->
+               list_transform(range(i, len(q)), j ->
+                 {'i': i, 'j': j, 'qi': q[i+1], 'qj': q[j+1]})))) as s
+      from qv
+    )
+    select cast(s.i as bigint) as i,
+           cast(s.j as bigint) as j,
+           cast(count(*) as bigint) as n_vecs,
+           cast(sum(s.qi) as bigint) as s_i,
+           cast(sum(s.qj) as bigint) as s_j,
+           cast(sum(s.qi * s.qj) as bigint) as s_ij,
+           cast(count(*) * sum(s.qi * s.qj) - sum(s.qi) * sum(s.qj)
+                as bigint) as cov_num
+    from p group by s.i, s.j
+    order by i, j
+    """,
+)
+def embedding_int8_covariance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X130 exact integer covariance of the quantized embedding corpus
+    (operators/similarity.int8_covariance): the drift / decorrelation
+    monitor a training pipeline runs over embedding shards, computed
+    integer-exact so the release is order-independent (no float-sum
+    nondeterminism at any scale). Two posexplode generates fan each
+    int8-quantized vector into its d(d+1)/2 upper-triangle pairs; one
+    hash aggregation with map-side partials reduces them — shuffle volume
+    is partitions*d^2, independent of corpus size. Releases the BIGINT
+    sufficient statistics (n, s_i, s_j, s_ij) and the covariance
+    numerator n*s_ij - s_i*s_j per dimension pair; the oracle replays
+    quantization and the pair sums in SQL."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        int8_covariance,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return int8_covariance(e).orderBy("i", "j")
