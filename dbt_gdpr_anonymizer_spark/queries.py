@@ -1527,6 +1527,7 @@ _CHECK_LAST = [
     "naive_bayes_lang_classifier",  # corpus-stats family (bm25/tfidf checked)
     "multimodal_gif_features",  # decode family (png/wav/decode queries checked)
     "embedding_int8_covariance",  # embedding family (int8_quantize/dim_stats)
+    "warc_ingest_documents",  # ingest family (jsonl_flatten/corrupt_record)
 ]
 
 
@@ -9169,3 +9170,92 @@ def embedding_int8_covariance(
 
     e = _t(spark, sf_dir, "embeddings")
     return int8_covariance(e).orderBy("i", "j")
+
+
+def _html_wrap_py(doc_id: int, text: str | None, lang: str, source: str) -> str:
+    """Python twin of _HTML_WRAP_SQL / _html_wrap_col (used only inside
+    the WARC synthesis UDF; the oracle replays the SQL form)."""
+    t = text or ""
+    d = str(int(doc_id))
+    return (
+        f"<html><head><title>Doc {d}</title>"
+        "<style>.m{color:#000}</style></head>"
+        f"<body><script>var id={d};</script>"
+        f"<h1>Doc {d} &amp; notes</h1>"
+        "<!-- crawler boilerplate -->"
+        f"<p>{t[:120]}</p>"
+        f'<div class="body">{t[120:]} &lt;raw&gt; &quot;quoted&quot;</div>'
+        f"<ul><li>lang: {lang}</li><li>source: {source}</li></ul>"
+        f'<a href="https://www.example-{source}.com/doc/{d}?ref=feed">more</a>'
+        f'<a HREF="HTTP://Archive.Example.ORG:8080/{d}">archive</a>'
+        "</body></html>"
+    )
+
+
+@register(
+    "warc_ingest_documents",
+    f"""
+    with injected as ({_HTML_WRAP_SQL})
+    select doc_id,
+           source as file_id,
+           'https://www.example-' || source || '.com/doc/' || doc_id
+             || '?ref=feed' as uri,
+           cast(octet_length(encode(t0)) as bigint) as content_length,
+           md5(t0) as payload_md5
+    from injected join documents using (doc_id)
+    order by doc_id
+    """,
+)
+def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131 WARC ingest tier (operators/web.make_warc_gz/read_warc — the
+    Common Crawl container): documents are packed into REAL .warc.gz
+    files, one per source (applyInPandas group synthesis: WARC/1.0
+    response records with CRLF headers and Content-Length, each record
+    its own mtime=0 gzip member, members concatenated), then split back
+    into records by the streaming member walker (zlib decompressobj +
+    unused_data) through Arrow mapInPandas — the narrow, shuffle-free
+    record-split a 100 TB crawl needs. doc_id is recovered from the
+    WARC-Target-URI with a codegen regexp. The oracle recomputes the
+    expected URI, byte length, and payload md5 from the closed-form HTML
+    wrapper — it never sees the container bytes, so any gzip-member,
+    header, or Content-Length bug breaks the hash."""
+    import pandas as pd
+
+    from dbt_gdpr_anonymizer_spark.operators.web import (
+        make_warc_gz,
+        read_warc,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (
+                f"https://www.example-{s}.com/doc/{int(i)}?ref=feed",
+                _html_wrap_py(int(i), t, lg, s),
+            )
+            for i, t, lg, s in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            )
+        ]
+        src = str(pdf["source"].iloc[0])
+        return pd.DataFrame(
+            {"file_id": [src], "warc": [make_warc_gz(recs)]}
+        )
+
+    files = d.groupBy("source").applyInPandas(
+        build, "file_id string, warc binary"
+    )
+    recs = read_warc(files)
+    return recs.select(
+        F.regexp_extract("uri", r"/doc/([0-9]+)\?", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "file_id",
+        "uri",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("doc_id")

@@ -129,3 +129,67 @@ def test_html_chain_is_pure_codegen(spark):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# X131 WARC ingest tier
+# ---------------------------------------------------------------------------
+
+from dbt_gdpr_anonymizer_spark.operators.web import (  # noqa: E402
+    make_warc_gz,
+    parse_warc_members,
+    read_warc,
+)
+
+
+def test_warc_round_trip_multi_member():
+    recs = [("http://a/1", "hello"), ("http://a/2", "wörld × ✓")]
+    out = parse_warc_members(make_warc_gz(recs))
+    assert [(r["uri"], r["payload"]) for r in out] == recs
+    # Content-Length is BYTES, not chars
+    assert out[1]["content_length"] == len("wörld × ✓".encode())
+
+
+def test_warc_empty_blob_and_empty_payload():
+    assert parse_warc_members(b"") == []
+    out = parse_warc_members(make_warc_gz([("u", "")]))
+    assert out == [{"uri": "u", "content_length": 0, "payload": ""}]
+
+
+def test_warc_malformed_rejected():
+    import gzip
+
+    good = make_warc_gz([("u", "x")])
+    with pytest.raises(ValueError, match="failed to decompress"):
+        parse_warc_members(b"\x1f\x8b" + b"\x00" * 10)
+    # record without the version line
+    bad = gzip.compress(b"NOPE/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="version line"):
+        parse_warc_members(bad)
+    # record without Content-Length
+    bad = gzip.compress(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nx\r\n\r\n")
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_members(bad)
+    # truncated payload block
+    bad = gzip.compress(b"WARC/1.0\r\nContent-Length: 10\r\n\r\nshort\r\n\r\n")
+    with pytest.raises(ValueError, match="malformed"):
+        parse_warc_members(bad)
+    assert len(parse_warc_members(good)) == 1  # control
+
+
+def test_read_warc_stage(spark):
+    blob_a = make_warc_gz([("http://a/1", "one"), ("http://a/2", "two")])
+    blob_b = make_warc_gz([("http://b/9", "nine")])
+    files = spark.createDataFrame(
+        [("fa", bytearray(blob_a)), ("fb", bytearray(blob_b))],
+        "file_id string, warc binary",
+    )
+    rows = sorted(
+        (r.file_id, r.uri, r.content_length, r.payload)
+        for r in read_warc(files).collect()
+    )
+    assert rows == [
+        ("fa", "http://a/1", 3, "one"),
+        ("fa", "http://a/2", 3, "two"),
+        ("fb", "http://b/9", 4, "nine"),
+    ]
