@@ -38,6 +38,7 @@ __all__ = [
     "cell_assign_expr",
     "quantize_int8",
     "int8_covariance",
+    "phrase_search",
 ]
 
 
@@ -668,4 +669,69 @@ def int8_covariance(
         (F.col("n_vecs") * F.col("s_ij") - F.col("s_i") * F.col("s_j"))
         .cast("bigint")
         .alias("cov_num"),
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase query over a positional inverted index — the
+    capability BM25's bag-of-words scoring cannot express (terms must be
+    ADJACENT and ordered).
+
+    Anchor-normalization plan (one aggregation, no m-way self-join): each
+    posting of phrase term ``phrase[k]`` at position ``p`` votes for
+    anchor ``p - k``; an anchor that collects all ``len(phrase)`` distinct
+    offsets is a match. The token explode is filtered to the phrase's
+    terms BEFORE any shuffle (predicate on the generate output), so the
+    aggregation state is bounded by the phrase terms' posting lists,
+    never the corpus. Duplicate terms in the phrase (``"a b a"``) are
+    handled by counting distinct OFFSETS, not distinct terms.
+
+    Returns matching documents only: ``(id_col, n_matches BIGINT,
+    first_pos BIGINT)`` — occurrence count and the earliest 0-based
+    match position.
+    """
+    from dbt_gdpr_anonymizer_spark.functions.text import words
+
+    m = len(phrase)
+    if m == 0:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    offsets = [(i, w) for i, w in enumerate(phrase)]
+    term_off = F.array(
+        *[
+            F.struct(F.lit(w).alias("w"), F.lit(i).alias("k"))
+            for i, w in offsets
+        ]
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "w")
+    ).filter(F.col("w").isin(*{w for _, w in offsets}))
+    # one posting may satisfy several phrase offsets (repeated terms):
+    # explode the phrase-offset table per posting, keep matching offsets
+    votes = (
+        toks.select(id_col, "pos", "w", F.explode(term_off).alias("t"))
+        .filter(F.col("t.w") == F.col("w"))
+        .select(
+            id_col,
+            (F.col("pos") - F.col("t.k")).alias("anchor"),
+            F.col("t.k").alias("k"),
+        )
+        .filter(F.col("anchor") >= 0)
+    )
+    anchors = (
+        votes.groupBy(id_col, "anchor")
+        .agg(F.count_distinct("k").alias("n_off"))
+        .filter(F.col("n_off") == m)
+    )
+    return (
+        anchors.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.min("anchor").cast("bigint").alias("first_pos"),
+        )
     )

@@ -1528,6 +1528,7 @@ _CHECK_LAST = [
     "multimodal_gif_features",  # decode family (png/wav/decode queries checked)
     "embedding_int8_covariance",  # embedding family (int8_quantize/dim_stats)
     "warc_ingest_documents",  # ingest family (jsonl_flatten/corrupt_record)
+    "phrase_search_documents",  # retrieval family (bm25/sparse_cosine)
 ]
 
 
@@ -9259,3 +9260,38 @@ def warc_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_length",
         F.md5("payload").alias("payload_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "phrase_search_documents",
+    f"""
+    with ws as (select doc_id, {_WORDS_SQL} as ws from documents),
+    m as (
+      select doc_id,
+             list_filter(range(1, len(ws) - 1), i ->
+               ws[i] = 'slow' and ws[i+1] = 'hash' and ws[i+2] = 'batch')
+               as hits
+      from ws
+    )
+    select doc_id,
+           cast(len(hits) as bigint) as n_matches,
+           cast(hits[1] - 1 as bigint) as first_pos
+    from m where len(hits) > 0
+    order by doc_id
+    """,
+)
+def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132 exact phrase query over a positional inverted index
+    (operators/similarity.phrase_search): documents containing the
+    ADJACENT ordered phrase 'slow hash batch' — the positional capability
+    BM25's bag-of-words scoring cannot express. Anchor-normalization
+    plan: each posting of phrase term k at position p votes for anchor
+    p-k; anchors collecting all three distinct offsets are matches (one
+    aggregation, no m-way self-join; the explode is filtered to the three
+    phrase terms before any shuffle, bounding state by their posting
+    lists). The oracle is an INDEPENDENT algorithm — a direct per-doc
+    trigram window scan — so the two engines cannot share a bug."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import phrase_search
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(d, ["slow", "hash", "batch"]).orderBy("doc_id")

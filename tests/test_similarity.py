@@ -38,3 +38,66 @@ def test_kmeans_driver_and_distributed_paths_agree(spark):
         groups.setdefault(cell, set()).add(vid // 100)
     assert all(len(bases) == 1 for bases in groups.values())
     assert len(groups) == 3
+
+
+# ---------------------------------------------------------------------------
+# X132 positional phrase search
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_basic_and_multi_match(spark):
+    from dbt_gdpr_anonymizer_spark.operators.similarity import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "x slow hash batch y slow hash batch"),
+            (2, "slow hash batch"),
+            (3, "slow hash x batch"),  # not adjacent
+            (4, "batch hash slow"),  # wrong order
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["slow", "hash", "batch"]).collect()
+    }
+    assert rows == {1: (2, 1), 2: (1, 0)}
+
+
+def test_phrase_search_repeated_term_and_overlap(spark):
+    from dbt_gdpr_anonymizer_spark.operators.similarity import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a a a")],
+        "doc_id long, text string",
+    )
+    # "a b a": matches at 0 and 2 in doc1 (overlapping); none in doc2
+    rows = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["a", "b", "a"]).collect()
+    }
+    assert rows == {1: (2, 0)}
+    # "a a": doc2 has anchors 0 and 1
+    rows = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["a", "a"]).collect()
+    }
+    assert rows[2] == (2, 0)
+
+
+def test_phrase_search_single_word_and_empty(spark):
+    import pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.similarity import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "q w q"), (2, "zz")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, ["q"]).collect()
+    }
+    assert rows == {1: (2, 0)}
+    with pytest.raises(ValueError, match="non-empty"):
+        phrase_search(df, [])
