@@ -81,6 +81,20 @@ HEADLINE = [
     "cross_doc_span_profile_documents",
     "remove_duplicate_spans_documents",
     "semantic_dedup_embeddings",
+    # r7-late new plan shapes: the double-generate pair expansion with one
+    # big hash agg (covariance), the anchor-normalized positional-index
+    # aggregation (phrase), and the two vocabulary-keyed model scoring
+    # joins (NB classifier, bigram LM). Excluded by design: the Python
+    # codec tiers (multimodal_gif_features, warc_ingest_documents — pure-
+    # Python LZW/gzip per item, the FF1 precedent) and
+    # html_text_extract_documents (correct single-scan codegen plan, but
+    # java.util.regex pays a measured ~7x constant factor vs RE2 on the
+    # dotall element-drop patterns — an engine constant, not a plan gap;
+    # 1.95s absolute at sf0.1).
+    "embedding_int8_covariance",
+    "phrase_search_documents",
+    "naive_bayes_lang_classifier",
+    "bigram_lm_perplexity_documents",
 ]
 
 # neardup_components drift note (r5, data-backed): decomposed timing at

@@ -44,12 +44,11 @@ __all__ = [
 #   5.   closing block-level tags and <br> become newlines (so block
 #        structure survives as line structure, like trafilatura/jusText);
 #   6.   every remaining tag drops;
-#   7-11. the five standard entities decode, ``&amp;`` strictly LAST so
-#        ``&amp;lt;`` decodes to the literal ``&lt;`` (not ``<``) exactly
-#        as a browser would;
-#   11-13. whitespace canonicalization: spaces/tabs/CRs collapse, newlines
-#        trim their surrounding spaces and collapse, outer whitespace trims.
-_HTML_CHAIN: list[tuple[str, str]] = [
+#   <entity decode happens here — _ENTITY_CHAIN below, LITERAL replaces>
+#   7.   spaces/tabs/CRs collapse to one space;
+#   8.   each newline absorbs surrounding spaces/newlines into one;
+#   9.   outer whitespace trims.
+_HTML_PRE_CHAIN: list[tuple[str, str]] = [
     (r"(?is)<head[^>]*>.*?</head>", ""),
     (r"(?is)<script[^>]*>.*?</script>", ""),
     (r"(?is)<style[^>]*>.*?</style>", ""),
@@ -57,15 +56,24 @@ _HTML_CHAIN: list[tuple[str, str]] = [
     (r"(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article)>"
      r"|<br[^>]*>", "\n"),
     (r"(?s)<[^>]*>", ""),
-    (r"&lt;", "<"),
-    (r"&gt;", ">"),
-    (r"&quot;", "\""),
-    (r"&#39;", "'"),
-    (r"&nbsp;", " "),
-    (r"&amp;", "&"),
+]
+
+# The five standard entities, ``&amp;`` strictly LAST so ``&amp;lt;``
+# decodes to the literal ``&lt;`` (not ``<``) exactly as a browser would.
+# LITERAL string replaces (Spark/DuckDB `replace`) — measurably faster
+# than regexp passes and semantically identical for fixed needles.
+_ENTITY_CHAIN: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+_HTML_POST_CHAIN: list[tuple[str, str]] = [
     (r"[ \t\r]+", " "),
-    (r" ?\n ?", "\n"),
-    (r"\n+", "\n"),
+    (r" ?\n[\n ]*", "\n"),
     (r"^\s+|\s+$", ""),
 ]
 
@@ -83,12 +91,17 @@ def html_to_text(c: Column | str) -> Column:
     """Extract readable text from an HTML document (Column -> Column).
 
     Drops script/style/comment content, converts block boundaries to
-    newlines, strips tags, decodes the five standard entities, and
-    canonicalizes whitespace. Pure codegen: 15 chained regexp_replace
-    expressions, no UDF.
+    newlines, strips tags, decodes the five standard entities (literal
+    replaces — no regex engine for fixed needles), and canonicalizes
+    whitespace. Pure codegen: chained regexp_replace/replace expressions,
+    no UDF.
     """
     out = F.coalesce(_col(c), F.lit(""))
-    for pat, repl in _HTML_CHAIN:
+    for pat, repl in _HTML_PRE_CHAIN:
+        out = F.regexp_replace(out, pat, repl)
+    for needle, repl in _ENTITY_CHAIN:
+        out = F.replace(out, F.lit(needle), F.lit(repl))
+    for pat, repl in _HTML_POST_CHAIN:
         out = F.regexp_replace(out, pat, repl)
     return out
 
@@ -98,7 +111,18 @@ def html_to_text_sql(expr: str) -> str:
     # DuckDB single-quoted literals keep backslashes verbatim, so the Java
     # regex source string IS the RE2 source string — no re-escaping.
     out = f"coalesce({expr}, '')"
-    for pat, repl in _HTML_CHAIN:
+    for pat, repl in _HTML_PRE_CHAIN:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        if r == "\n":
+            out = f"regexp_replace({out}, '{p}', chr(10), 'g')"
+        else:
+            out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    for needle, repl in _ENTITY_CHAIN:
+        n = needle.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"replace({out}, '{n}', '{r}')"
+    for pat, repl in _HTML_POST_CHAIN:
         p = pat.replace("'", "''")
         r = repl.replace("'", "''")
         if r == "\n":
