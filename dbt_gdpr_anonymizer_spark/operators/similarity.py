@@ -387,18 +387,25 @@ def kmeans_fit(
     # remains ivf_assign's job after fitting — this path bounds only
     # what the FIT touches, exactly like fit_sample_n.
     # driver_fit_max parameterized so tests can force the distributed
-    # loop (pass 0) and pin its equivalence to the numpy fast path
-    fit_rows = vectors.limit(driver_fit_max + 1).count()
-    if fit_rows == 0:
+    # loop (pass 0) and pin its equivalence to the numpy fast path.
+    # The size probe and the fit collect are ONE job: CollectLimit stops
+    # the scan at driver_fit_max+1 rows, and when the row set is bounded
+    # (the common case — fit_sample_n caps it) those are exactly the rows
+    # the fit needs, sorted driver-side (same id order as orderBy). Past
+    # the cap the collected prefix is discarded and the distributed loop
+    # runs — one bounded wasted transfer on the rare unbounded-fit path,
+    # one job instead of two on every bounded fit.
+    rows = (
+        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .limit(driver_fit_max + 1)
+        .collect()
+    )
+    if len(rows) == 0:
         raise ValueError("kmeans_fit: empty vector table")
-    if fit_rows <= driver_fit_max:
+    if len(rows) <= driver_fit_max:
         import numpy as np
 
-        rows = (
-            vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-            .orderBy(id_col)
-            .collect()
-        )
+        rows.sort(key=lambda r: r[0])
         x = np.array([list(r[1]) for r in rows], dtype=np.float64)
         xn = np.sqrt((x * x).sum(axis=1))
         cents = x[:k].copy()
