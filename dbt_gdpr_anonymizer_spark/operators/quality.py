@@ -414,3 +414,102 @@ def remove_duplicate_spans(
         )
     )
     return track_caches(out, grams)
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """X132 DSIR (Xie et al. 2023, arXiv:2302.03169): hashed-n-gram
+    importance weights for data selection — the standard pretraining-data
+    curation step that up-samples raw-pool documents resembling a trusted
+    target corpus.
+
+    ``target`` is a boolean Column marking the target split (e.g.
+    ``F.col("lang") == "en"``); every other document is the raw pool.
+    Features are non-empty word unigrams plus adjacent bigrams, hashed
+    into ``n_buckets`` buckets with the cross-engine md5-nibble idiom
+    (first 5 hex nibbles mod ``n_buckets`` — stable across engines, runs,
+    and partitionings, unlike any JVM hash). Two Laplace-smoothed
+    bucket-multinomial models are fit (target ``p``, raw pool ``q``) and
+    each document is scored with the DSIR log importance weight
+    ``log w = Σ_b c_b · (ln p_b − ln q_b)`` over its bucket counts
+    (``ln`` only — the engines agree bit-for-bit, the bm25/bigram-LM
+    precedent). Resampling is then a downstream ``ORDER BY`` / Gumbel
+    draw over the released weights.
+
+    Scale design: one tokenize+explode pass is reduced immediately to the
+    per-document bucket-count frame (persisted — at most
+    ``docs × n_buckets`` rows, usually far fewer); the model table is
+    derived from it with one more map-side-partial aggregation and is
+    BUCKET-BOUNDED (≤ ``n_buckets`` rows), so the scoring join broadcasts
+    the model, never shuffles the corpus a second time. No UDFs, no
+    driver state.
+
+    Returns ``(id_col, n_feats BIGINT, logw DOUBLE)``; documents with no
+    features release ``(0, NULL)``.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.lm import bigram_array
+
+    ws = F.filter(tx.words(text_col), lambda w: w != "")
+    feats = docs.select(
+        F.col(id_col),
+        target.cast("boolean").alias("_tgt"),
+        F.explode(F.concat(ws, bigram_array(ws))).alias("_g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 5), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("_b")
+    doc_bucket = (
+        feats.select(id_col, "_tgt", bucket)
+        .groupBy(id_col, "_tgt", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .persist()
+    )
+    by_bucket = doc_bucket.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))).alias(
+            "_ct"
+        ),
+        F.sum(
+            F.when(~F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))
+        ).alias("_cr"),
+    )
+    totals = by_bucket.groupBy().agg(
+        F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr")
+    )
+    model = by_bucket.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log(
+                (F.col("_ct") + F.lit(1.0))
+                / (F.col("_tt") + F.lit(n_buckets))
+            )
+            - F.log(
+                (F.col("_cr") + F.lit(1.0))
+                / (F.col("_tr") + F.lit(n_buckets))
+            )
+        ).alias("_dlog"),
+    )
+    scored = (
+        doc_bucket.join(F.broadcast(model), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            F.sum(F.col("_c") * F.col("_dlog")).alias("logw"),
+        )
+    )
+    out = (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            "logw",
+        )
+    )
+    return track_caches(out, doc_bucket)

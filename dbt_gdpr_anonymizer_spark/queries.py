@@ -1529,6 +1529,7 @@ _CHECK_LAST = [
     "embedding_int8_covariance",  # embedding family (int8_quantize/dim_stats)
     "warc_ingest_documents",  # ingest family (jsonl_flatten/corrupt_record)
     "phrase_search_documents",  # retrieval family (bm25/sparse_cosine)
+    "dsir_importance_weights_documents",  # corpus-stats family (bigram LM)
 ]
 
 
@@ -9295,3 +9296,84 @@ def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return phrase_search(d, ["slow", "hash", "batch"]).orderBy("doc_id")
+
+
+def _hbucket_sql(key_sql: str, n_buckets: int) -> str:
+    """DuckDB twin of the Spark md5-nibble bucket hash
+    (conv(substring(md5(x), 1, 5), 16, 10) % n_buckets): first 5 md5 hex
+    nibbles parsed positionally (the _h52_sql idiom), mod n_buckets."""
+    terms = [
+        f"(strpos('0123456789abcdef', substring(md5({key_sql}), {i}, 1))"
+        f" - 1)::BIGINT * {16 ** (5 - i)}"
+        for i in range(1, 6)
+    ]
+    return "((" + " + ".join(terms) + f") % {n_buckets})"
+
+
+@register(
+    "dsir_importance_weights_documents",
+    f"""
+    with ws0 as (select doc_id, lang, {_WORDS_SQL} as raw_ws from documents),
+    w as (select doc_id, coalesce(lang = 'en', false) as tgt,
+                 list_filter(raw_ws, t -> t <> '') as ws
+          from ws0),
+    f as (
+      select doc_id, tgt,
+             {_hbucket_sql('g', 1024)} as b
+      from (
+        select doc_id, tgt,
+               unnest(ws || list_transform(range(1, len(ws)),
+                                           i -> ws[i] || ' ' || ws[i+1])) as g
+        from w)
+    ),
+    db as (select doc_id, tgt, b, count(*) as c from f group by 1, 2, 3),
+    bk as (
+      select b,
+             sum(case when tgt then c else 0 end) as ct,
+             sum(case when not tgt then c else 0 end) as cr
+      from db group by b
+    ),
+    tot as (select sum(ct) as tt, sum(cr) as tr from bk),
+    m as (
+      select b, ln((ct + 1.0) / (tt + 1024)) - ln((cr + 1.0) / (tr + 1024))
+                  as dlog
+      from bk cross join tot
+    ),
+    s as (
+      select db.doc_id, sum(c) as n_feats, sum(c * dlog) as logw
+      from db join m using (b) group by db.doc_id
+    )
+    select d.doc_id,
+           cast(coalesce(s.n_feats, 0) as bigint) as n_feats,
+           cast(floor(s.logw * 10000) as bigint) as logw_e4
+    from documents d left join s using (doc_id)
+    order by doc_id
+    """,
+)
+def dsir_importance_weights_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X133 DSIR data selection (operators/quality.
+    dsir_importance_weights, Xie et al. 2023): hashed-n-gram importance
+    weights with target = the English split and raw pool = everything
+    else — the standard pretraining curation signal that up-samples pool
+    documents resembling a trusted corpus. One tokenize+explode pass
+    reduces to a persisted per-doc bucket-count frame; the Laplace
+    bucket-multinomial models (1024 buckets, md5-nibble hash) are
+    bucket-bounded and broadcast into the scoring join. Released as
+    logw_e4 = floor(logw·1e4) BIGINT (ln-only IEEE, the bigram-LM
+    precedent); featureless documents release (0, NULL). The oracle
+    replays hashing, both models, and the weight sum in SQL."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        dsir_importance_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_importance_weights(
+        d, F.coalesce(F.col("lang") == "en", F.lit(False)), n_buckets=1024
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        F.floor(F.col("logw") * 10000).cast("bigint").alias("logw_e4"),
+    ).orderBy("doc_id")

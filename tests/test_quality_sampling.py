@@ -205,3 +205,41 @@ def test_pack_sequences_budget_and_determinism(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_dsir_importance_weights(spark):
+    """DSIR: pool docs sharing the target's n-grams must outweigh pool
+    docs made of n-grams the target never uses; featureless docs release
+    (0, NULL); n_feats = unigrams + bigrams."""
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        dsir_importance_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "tgt"),
+            (1, "alpha beta delta", "tgt"),
+            (2, "alpha beta gamma", "pool"),  # looks like the target
+            (3, "zzz qqq xxx", "pool"),  # shares nothing with it
+            (4, "", "pool"),  # featureless
+        ],
+        ["doc_id", "text", "split"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs, F.col("split") == "tgt", n_buckets=64
+        ).collect()
+    }
+    assert len(out) == 5
+    # 3 unigrams + 2 bigrams
+    assert out[2]["n_feats"] == 5
+    assert out[3]["n_feats"] == 5
+    assert out[4]["n_feats"] == 0 and out[4]["logw"] is None
+    # target-resembling pool doc carries the larger importance weight
+    assert out[2]["logw"] > out[3]["logw"]
+    # hand check: every feature of doc 3 is absent from the target, so
+    # its weight is strictly negative (p_b < q_b for all its buckets)
+    assert out[3]["logw"] < 0
