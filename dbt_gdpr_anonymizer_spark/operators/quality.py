@@ -513,3 +513,54 @@ def dsir_importance_weights(
         )
     )
     return track_caches(out, doc_bucket)
+
+
+def dsir_gumbel_topk(
+    docs: DataFrame,
+    target,
+    *,
+    m: int = 100,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """X133b DSIR selection step: sample ``m`` documents without
+    replacement, with probability ∝ ``w^(1/temperature)``, via the
+    Gumbel-top-k trick (Vieira 2014; the exact construction DSIR
+    prescribes for its resampling stage): perturb each log-weight with an
+    independent Gumbel draw and take the top ``m`` keys.
+
+    The Gumbel is DETERMINISTIC — ``-ln(-ln(u))`` with ``u`` the
+    md5-derived 52-bit uniform of ``md5(id ‖ salt)`` (privacy.uniform52,
+    the repo-wide reproducible-randomness idiom), so the sample is stable
+    across runs, partitionings, and engines, and the oracle can replay
+    the entire draw. Featureless documents (NULL weight) are never
+    selected. Top-m is a ``TakeOrdered`` (map-side partial top-m per
+    partition, merge of k·partitions rows — never a full sort);
+    ``(desc key, id)`` ordering makes the cut deterministic even under a
+    (measure-zero) key tie.
+
+    Returns ``(id_col, n_feats BIGINT, gumbel_key DOUBLE)`` for the
+    selected documents.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.privacy import uniform52
+
+    w = dsir_importance_weights(
+        docs, target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    u = (
+        uniform52(
+            F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(salt))
+        )
+        + F.lit(1.0)
+    ) / F.lit(float((1 << 52) + 1))
+    key = F.col("logw") / F.lit(float(temperature)) - F.log(-F.log(u))
+    out = (
+        w.filter(F.col("logw").isNotNull())
+        .select(F.col(id_col), "n_feats", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), id_col)
+        .limit(m)
+    )
+    return track_caches(out, *getattr(w, "cached_deps", ()))

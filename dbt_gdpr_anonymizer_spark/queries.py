@@ -1530,6 +1530,7 @@ _CHECK_LAST = [
     "warc_ingest_documents",  # ingest family (jsonl_flatten/corrupt_record)
     "phrase_search_documents",  # retrieval family (bm25/sparse_cosine)
     "dsir_importance_weights_documents",  # corpus-stats family (bigram LM)
+    "dsir_gumbel_topk_documents",  # sampling family (stratified/priority)
 ]
 
 
@@ -9310,9 +9311,12 @@ def _hbucket_sql(key_sql: str, n_buckets: int) -> str:
     return "((" + " + ".join(terms) + f") % {n_buckets})"
 
 
-@register(
-    "dsir_importance_weights_documents",
-    f"""
+def _dsir_cte_sql() -> str:
+    """Shared CTE prefix replaying dsir_importance_weights (target = the
+    English split, 1024 md5-nibble buckets, Laplace bucket-multinomials):
+    ends at ``s(doc_id, n_feats, logw)``. Extended by both the weights
+    release and the Gumbel-top-k selection so the two can never drift."""
+    return f"""
     with ws0 as (select doc_id, lang, {_WORDS_SQL} as raw_ws from documents),
     w as (select doc_id, coalesce(lang = 'en', false) as tgt,
                  list_filter(raw_ws, t -> t <> '') as ws
@@ -9342,7 +9346,13 @@ def _hbucket_sql(key_sql: str, n_buckets: int) -> str:
     s as (
       select db.doc_id, sum(c) as n_feats, sum(c * dlog) as logw
       from db join m using (b) group by db.doc_id
-    )
+    )"""
+
+
+@register(
+    "dsir_importance_weights_documents",
+    _dsir_cte_sql()
+    + """
     select d.doc_id,
            cast(coalesce(s.n_feats, 0) as bigint) as n_feats,
            cast(floor(s.logw * 10000) as bigint) as logw_e4
@@ -9377,3 +9387,52 @@ def dsir_importance_weights_documents(
         "n_feats",
         F.floor(F.col("logw") * 10000).cast("bigint").alias("logw_e4"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dsir_gumbel_topk_documents",
+    _dsir_cte_sql()
+    + f"""
+    , kdraw as (
+      select s.doc_id,
+             cast(s.n_feats as bigint) as n_feats,
+             (s.logw / 1.0) - ln(-ln(
+               ({_h52_sql("cast(s.doc_id as varchar) || chr(31) || 'dsir'")}
+                + 1.0) / 4503599627370497.0)) as gk
+      from s where s.logw is not null
+    )
+    select doc_id, n_feats,
+           cast(floor(gk * 10000) as bigint) as gumbel_key_e4
+    from kdraw
+    order by gk desc, doc_id
+    limit 100
+    """,
+)
+def dsir_gumbel_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133b DSIR resampling (operators/quality.dsir_gumbel_topk): select
+    100 documents without replacement with probability ∝ w via the
+    Gumbel-top-k trick over the X133 importance weights — the md5-derived
+    52-bit uniform (privacy.uniform52 idiom) makes every Gumbel draw
+    deterministic and engine-replayable, so the SAMPLE ITSELF is
+    hash-checked, not just its size. Top-m is a TakeOrdered (partial
+    top-m per partition), never a full sort. The oracle extends the
+    shared _dsir_cte_sql prefix with the identical draw and cut; the key
+    releases as floor·1e4 BIGINT."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import dsir_gumbel_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_gumbel_topk(
+        d,
+        F.coalesce(F.col("lang") == "en", F.lit(False)),
+        m=100,
+        temperature=1.0,
+        n_buckets=1024,
+        salt="dsir",
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        F.floor(F.col("gumbel_key") * 10000)
+        .cast("bigint")
+        .alias("gumbel_key_e4"),
+    )

@@ -243,3 +243,36 @@ def test_dsir_importance_weights(spark):
     # hand check: every feature of doc 3 is absent from the target, so
     # its weight is strictly negative (p_b < q_b for all its buckets)
     assert out[3]["logw"] < 0
+
+
+def test_dsir_gumbel_topk(spark):
+    """Gumbel-top-k DSIR selection: deterministic under repartitioning,
+    honors m, never selects featureless docs, and favors target-like
+    docs at low temperature."""
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.quality import dsir_gumbel_topk
+
+    rows = [(0, "alpha beta gamma", "tgt"), (1, "alpha beta delta", "tgt")]
+    # 20 pool docs like the target, 20 disjoint from it, 1 featureless
+    rows += [(10 + i, "alpha beta gamma", "pool") for i in range(20)]
+    rows += [(50 + i, "zzz qqq xxx", "pool") for i in range(20)]
+    rows += [(99, "", "pool")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "split"])
+    tgt = F.col("split") == "tgt"
+
+    sel = dsir_gumbel_topk(docs, tgt, m=10, temperature=0.05, salt="t")
+    got = sorted(r["doc_id"] for r in sel.collect())
+    assert len(got) == 10
+    assert 99 not in got
+    # at temperature 0.05 the weight gap dwarfs the Gumbel noise: every
+    # selected doc is target-resembling (ids < 50)
+    assert all(i < 50 for i in got)
+    # deterministic across partitionings
+    again = sorted(
+        r["doc_id"]
+        for r in dsir_gumbel_topk(
+            docs.repartition(7), tgt, m=10, temperature=0.05, salt="t"
+        ).collect()
+    )
+    assert got == again
