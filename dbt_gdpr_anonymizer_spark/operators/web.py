@@ -31,6 +31,8 @@ __all__ = [
     "url_host_sql",
     "url_registered_domain",
     "url_registered_domain_sql",
+    "url_canonicalize",
+    "url_canonicalize_sql",
     "make_warc_gz",
     "parse_warc_members",
     "read_warc",
@@ -171,6 +173,86 @@ def url_registered_domain_sql(expr: str) -> str:
         f"regexp_extract({url_host_sql(expr)}, '([^.]+\\.[^.]+)$', 1)"
     )
 
+
+
+# Query parameters dropped by url_canonicalize: the tracking params every
+# crawler normalizer strips (utm suite, click ids, share ids). Anchored
+# match against "name=" or bare "name".
+_TRACK_PARAM_RE = (
+    r"^(utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid|igshid|ref|ref_src)(=.*)?$"
+)
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
+
+
+def url_canonicalize(c: Column | str) -> Column:
+    """Crawler-grade URL canonicalization (Column -> Column): lowercase
+    scheme+authority, strip default ports (http:80 / https:443), drop the
+    fragment, remove tracking query params (:data:`_TRACK_PARAM_RE`),
+    SORT the surviving params (binary order — both engines), empty path
+    becomes '/'. URLs without a ``scheme://`` prefix pass through
+    unchanged. Pure codegen (regexp extracts + one array
+    filter/sort/join) — no UDF, no shuffle; the dedup key a 100 TB crawl
+    frontier needs.
+    """
+    u = F.coalesce(_col(c), F.lit(""))
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, r":443$", ""))
+        .otherwise(auth)
+    )
+    rest = F.regexp_extract(u, _REST_RE, 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(q, "&"),
+            lambda x: (x != "") & ~x.rlike(_TRACK_PARAM_RE),
+        )
+    )
+    qc = F.array_join(params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        auth,
+        path,
+        F.when(qc == "", F.lit("")).otherwise(F.concat(F.lit("?"), qc)),
+    )
+    return F.when(scheme == "", u).otherwise(rebuilt)
+
+
+def url_canonicalize_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_canonicalize` (same regexes, list ops)."""
+    t = _TRACK_PARAM_RE.replace("'", "''")
+    u = f"coalesce({expr}, '')"
+    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
+    auth0 = f"lower(regexp_extract({u}, '{_AUTH_RE}', 1))"
+    auth = (
+        f"(case when {scheme} = 'http'"
+        f" then regexp_replace({auth0}, ':80$', '')"
+        f" when {scheme} = 'https'"
+        f" then regexp_replace({auth0}, ':443$', '')"
+        f" else {auth0} end)"
+    )
+    rest = f"regexp_extract({u}, '{_REST_RE}', 1)"
+    path0 = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    path = f"(case when {path0} = '' then '/' else {path0} end)"
+    q = f"regexp_extract({rest}, '\?(.*)$', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({q}, '&'),"
+        f" x -> x <> '' and not regexp_matches(x, '{t}')))"
+    )
+    # array_to_string([]) is NULL in DuckDB but '' in Spark's array_join
+    qc = f"coalesce(array_to_string({params}, '&'), '')"
+    rebuilt = (
+        f"({scheme} || '://' || {auth} || {path} ||"
+        f" (case when {qc} = '' then '' else '?' || {qc} end))"
+    )
+    return f"(case when {scheme} = '' then {u} else {rebuilt} end)"
 
 # ---------------------------------------------------------------------------
 # WARC ingest tier (ISO 28500): the Common Crawl container format.

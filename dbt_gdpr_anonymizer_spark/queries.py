@@ -1531,6 +1531,7 @@ _CHECK_LAST = [
     "phrase_search_documents",  # retrieval family (bm25/sparse_cosine)
     "dsir_importance_weights_documents",  # corpus-stats family (bigram LM)
     "dsir_gumbel_topk_documents",  # sampling family (stratified/priority)
+    "url_canonical_dedup_documents",  # web family (html_extract/warc)
 ]
 
 
@@ -9435,4 +9436,87 @@ def dsir_gumbel_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("gumbel_key") * 10000)
         .cast("bigint")
         .alias("gumbel_key_e4"),
+    )
+
+
+def _url_dedup_oracle() -> str:
+    from dbt_gdpr_anonymizer_spark.operators import web as _web
+
+    canon = _web.url_canonicalize_sql("raw_url")
+    return f"""
+    with raw as (
+      select doc_id, unnest([
+        'https://WWW.Example-' || source || '.COM:443/doc/' || doc_id
+          || '?utm_source=feed&b=2&a=1#frag',
+        'https://www.example-' || source || '.com/doc/' || doc_id
+          || '?a=1&b=2',
+        'HTTP://Tracker.Example.COM:80/t?utm_campaign=x&id='
+          || (doc_id % 50)
+      ]) as raw_url
+      from documents
+    )
+    select {canon} as canonical_url,
+           cast(count(*) as bigint) as n_raw,
+           cast(min(doc_id) as bigint) as first_doc_id
+    from raw
+    group by canonical_url
+    order by canonical_url
+    """
+
+
+@register("url_canonical_dedup_documents", _url_dedup_oracle())
+def url_canonical_dedup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X134 crawl-frontier URL dedup (operators/web.url_canonicalize):
+    three deterministic messy variants per document (uppercase host +
+    default port + tracking params + fragment; the clean twin; a shared
+    tracker URL that collides across documents mod 50) are canonicalized
+    — lowercase scheme/authority, default ports stripped, fragment
+    dropped, utm/click-id params removed, surviving params sorted — and
+    deduplicated on the canonical form with count + smallest-id
+    representative. Pure codegen normalization feeding ONE hash
+    aggregation on the canonical key: the shape a 100 TB frontier dedup
+    needs (no UDFs, no joins, map-side partials; the canonical key is the
+    shuffle key). The oracle replays the construction and the identical
+    regexp/list canonicalization chain (cross-engine behavior pinned by
+    tests/test_web_url.py)."""
+    from dbt_gdpr_anonymizer_spark.operators import web
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("https://WWW.Example-"),
+                    F.col("source"),
+                    F.lit(".COM:443/doc/"),
+                    did,
+                    F.lit("?utm_source=feed&b=2&a=1#frag"),
+                ),
+                F.concat(
+                    F.lit("https://www.example-"),
+                    F.col("source"),
+                    F.lit(".com/doc/"),
+                    did,
+                    F.lit("?a=1&b=2"),
+                ),
+                F.concat(
+                    F.lit("HTTP://Tracker.Example.COM:80/t?utm_campaign=x&id="),
+                    (F.col("doc_id") % 50).cast("string"),
+                ),
+            )
+        ).alias("raw_url"),
+    )
+    return (
+        raw.groupBy(
+            web.url_canonicalize("raw_url").alias("canonical_url")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+        )
+        .orderBy("canonical_url")
     )
