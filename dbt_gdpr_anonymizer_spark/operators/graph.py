@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank_int"]
 
 
 def connected_components(
@@ -151,3 +151,89 @@ def connected_components(
     return track_caches(
         labels.select("node", F.col("label").alias("component")), *cached
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "node_id",
+) -> DataFrame:
+    """X135 INTEGER-EXACT PageRank (Page et al. 1999) — the link-authority
+    signal web-corpus curation ranks domains/pages by, computed so that
+    any engine reproduces it bit-for-bit: ranks live in integer
+    ``1/scale`` units and every update is integer arithmetic
+    (``//`` floor division, no floats anywhere), so there is NO
+    summation-order nondeterminism to tolerate — the release hashes
+    exactly, unlike a float PageRank whose partial-sum order varies by
+    partitioning.
+
+    Update rule (per iteration, damping d = damping_pct/100):
+    ``contrib(u) = rank(u) // outdeg(u)``;
+    ``rank'(v) = ((100 - d)·scale) // 100 // N
+    + (d · Σ_{u→v} contrib(u)) // 100``. Floor division drops at most a
+    few units of 1/scale mass per node per iteration (deterministically —
+    both engines drop the SAME mass); dangling-node mass is dropped, not
+    redistributed (documented; the classic simplification).
+
+    Scale shape: each iteration is ONE equi-join (ranks ⋈ edges on src)
+    plus ONE map-side-partial aggregation on dst, joined back to the node
+    spine so rank-less nodes keep the base term. Ranks persist and rotate
+    per iteration (lineage stays one iteration deep — the kmeans loop
+    pattern); out-degrees are computed once. Driver holds no per-node
+    state; everything is partitioned by node id.
+
+    Returns ``(id_col, rank_units BIGINT)`` — rank in 1/scale units.
+    """
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        raise ValueError("pagerank_int: empty node set")
+    base = ((100 - damping_pct) * scale) // 100 // n_nodes
+    deg = edges.groupBy(src_col).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    ).persist()
+    spine = nodes.select(F.col(id_col)).persist()
+    ranks = spine.select(
+        id_col, F.lit(scale // n_nodes).cast("long").alias("_r")
+    ).persist()
+    for _ in range(iters):
+        contribs = (
+            ranks.join(deg, ranks[id_col] == deg[src_col])
+            .join(
+                edges.select(src_col, dst_col),
+                src_col,
+            )
+            .select(
+                F.col(dst_col).alias("_dst"),
+                # integral division (Spark `div`, DuckDB `//`) — double
+                # division + cast can round past the true floor
+                F.expr("_r div _outdeg").alias("_c"),
+            )
+        )
+        summed = contribs.groupBy("_dst").agg(F.sum("_c").alias("_s"))
+        new_ranks = (
+            spine.join(summed, spine[id_col] == summed["_dst"], "left")
+            .select(
+                id_col,
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_s, 0)) div 100"
+                    )
+                ).alias("_r"),
+            )
+            .persist()
+        )
+        new_ranks.count()  # materialize before dropping the parent
+        ranks.unpersist()
+        ranks = new_ranks
+    out = ranks.select(
+        F.col(id_col), F.col("_r").cast("bigint").alias("rank_units")
+    )
+    deg.unpersist()
+    return track_caches(out, ranks, spine)

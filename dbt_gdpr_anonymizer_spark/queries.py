@@ -1533,6 +1533,7 @@ _CHECK_LAST = [
     "dsir_gumbel_topk_documents",  # sampling family (stratified/priority)
     "url_canonical_dedup_documents",  # web family (html_extract/warc)
     "multimodal_jpeg_features",  # decode family (png/gif/wav/mp4 checked)
+    "pagerank_documents",  # graph family (neardup_components checked)
 ]
 
 
@@ -9588,3 +9589,88 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, n in enumerate(names)
         ],
     ).orderBy("media_id")
+
+
+def _pagerank_oracle_sql(
+    iters: int = 5, damping_pct: int = 85, scale: int = 10**12
+) -> str:
+    """Unrolled integer-exact PageRank replay (the kmeans-oracle pattern):
+    same synthetic 3-out-link graph, same floor-division update rule —
+    every operation is BIGINT arithmetic, so the replay is bit-exact with
+    no float-summation-order caveat."""
+    base = f"(({100 - damping_pct} * {scale}) // 100 // nn)"
+    ctes = [
+        "n as (select count(*) as nn from documents)",
+        # the list builds in its own CTE and unnests in the next one: a
+        # DuckDB binder bug (INTERNAL Error: failed to bind the unnest
+        # alias) hits when an unnest over an expression that references a
+        # cross-joined CTE column is filtered downstream
+        """g as (
+      select doc_id, list_distinct([
+        (doc_id*7 + 1) % nn, (doc_id*13 + 3) % nn, (doc_id*29 + 11) % nn
+      ]) as ts
+      from documents cross join n
+    )""",
+        "e0 as (select doc_id as src, unnest(ts) as dst from g)",
+        "e as (select src, dst from e0 where dst <> src)",
+        "deg as (select src, count(*) as outdeg from e group by src)",
+        f"""r0 as (
+      select doc_id as node_id, ({scale} // nn) as r
+      from documents cross join n
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} as (
+      select d.doc_id as node_id,
+             ({base} + ({damping_pct} * coalesce(s.s, 0)) // 100) as r
+      from documents d cross join n
+      left join (
+        select e.dst as nid, sum(p.r // deg.outdeg) as s
+        from r{k - 1} p
+        join deg on p.node_id = deg.src
+        join e on e.src = deg.src
+        group by e.dst
+      ) s on d.doc_id = s.nid
+    )"""
+        )
+    return (
+        "with " + ",\n    ".join(ctes)
+        + f"""
+    select node_id, cast(r as bigint) as rank_units
+    from r{iters} order by node_id"""
+    )
+
+
+@register("pagerank_documents", _pagerank_oracle_sql())
+def pagerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135 integer-exact PageRank (operators/graph.pagerank_int) over a
+    deterministic synthetic link graph (each doc links to three affine
+    targets mod N, dedup'd, self-loops removed — the corpus has no native
+    link column; the real-corpus edge source is extract_links →
+    url_canonicalize → host join). Ranks live in 1e-12 units and every
+    update is BIGINT floor arithmetic, so unlike a float PageRank there
+    is no partial-sum-order tolerance anywhere — the 5 unrolled
+    iterations replay bit-exactly in SQL. Plan: one equi-join + one
+    map-side-partial aggregation per iteration, ranks persisted and
+    rotated (lineage one iteration deep); out-degrees computed once."""
+    from dbt_gdpr_anonymizer_spark.operators.graph import pagerank_int
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") * 7 + 1) % n,
+            (F.col("doc_id") * 13 + 3) % n,
+            (F.col("doc_id") * 29 + 11) % n,
+        )
+    )
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(targets).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+    )
+    nodes = d.select(F.col("doc_id").alias("node_id"))
+    return pagerank_int(edges, nodes, iters=5).orderBy("node_id")

@@ -65,3 +65,39 @@ def test_union_find_bound_falls_back_to_distributed(spark):
     # bound smaller than the edge count -> distributed rounds path
     out = connected_components(edges, iters=4, max_driver_edges=2).collect()
     assert {r.component for r in out} == {0}
+
+
+def test_pagerank_int_matches_reference_recurrence(spark):
+    """pagerank_int must reproduce the integer recurrence EXACTLY (bit
+    equality, not tolerance): a pure-Python mirror of the floor-division
+    update is the reference. Star graph sanity: the hub out-ranks leaves."""
+    from dbt_gdpr_anonymizer_spark.operators.graph import pagerank_int
+
+    # leaves 1..6 all link to hub 0; hub links back to 1 and 2
+    edge_list = [(i, 0) for i in range(1, 7)] + [(0, 1), (0, 2)]
+    n, iters, damp, scale = 7, 5, 85, 10**12
+
+    # reference: same recurrence in plain Python ints
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = ((100 - damp) * scale) // 100 // n
+    r = {v: scale // n for v in range(n)}
+    for _ in range(iters):
+        s = {v: 0 for v in range(n)}
+        for a, b in edge_list:
+            s[b] += r[a] // outdeg[a]
+        r = {v: base + (damp * s[v]) // 100 for v in range(n)}
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    nodes = spark.createDataFrame([(v,) for v in range(n)], ["node_id"])
+    got = {
+        row["node_id"]: row["rank_units"]
+        for row in pagerank_int(
+            edges, nodes, iters=iters, damping_pct=damp, scale=scale
+        ).collect()
+    }
+    assert got == r
+    assert got[0] > got[1] > got[3]  # hub > linked leaf > plain leaf
+    # total mass is bounded by the scale (floor division only loses mass)
+    assert sum(got.values()) <= scale
