@@ -424,7 +424,7 @@ def dsir_importance_weights(
     text_col: str = "text",
     n_buckets: int = 1024,
 ) -> DataFrame:
-    """X132 DSIR (Xie et al. 2023, arXiv:2302.03169): hashed-n-gram
+    """X133 DSIR (Xie et al. 2023, arXiv:2302.03169): hashed-n-gram
     importance weights for data selection — the standard pretraining-data
     curation step that up-samples raw-pool documents resembling a trusted
     target corpus.

@@ -9080,7 +9080,7 @@ def naive_bayes_lang_classifier(
     """,
 )
 def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X15e hermetic LZW-compressed-format decode end to end: per-doc
+    """X15f hermetic LZW-compressed-format decode end to end: per-doc
     16-color GIF89a images are synthesized (operators/multimodal.
     synth_gif_udf — closed-form palette + indices, REAL LZW compression
     with clear/EOI codes and growing code widths), then decoded by the
