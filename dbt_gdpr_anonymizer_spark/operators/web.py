@@ -360,3 +360,76 @@ def read_warc(files, payload_as="payload"):
         f"{payload_as} string"
     )
     return files.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# X136 per-domain document caps (C4/FineWeb-style host balancing).
+# ---------------------------------------------------------------------------
+
+
+def domain_cap(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X136 per-domain document cap — the crawler-balance curation step
+    (C4 keeps ≤ a fixed page count per host; FineWeb caps dominant
+    domains so one forum mirror cannot swamp the corpus): keep at most
+    ``cap`` documents per registered domain, smallest ``id_col`` first
+    (deterministic — ids are the crawl-order surrogate).
+
+    Skew-aware two-phase plan, because the whole point of the operator is
+    that domain frequency is Zipfian: a naive
+    ``row_number() over (partition by domain)`` sorts EVERY domain's rows,
+    and the one hot domain (the reason you're capping) becomes the
+    straggler partition. Instead:
+
+    1. one map-side-partial count per domain;
+    2. the OVER-cap domain set — small by construction (few domains
+       exceed any sane cap) — broadcasts;
+    3. rows in under-cap domains pass through with NO window sort — one
+       totals join (AQE broadcasts it when the domain table fits) and a
+       filter;
+    4. only the over-cap slice — selected by a broadcast semi-join on the
+       small over-cap domain set — pays the rank window, so sort work is
+       proportional to the capped domains' rows, not the corpus.
+
+    Returns ``(id_col, domain, domain_total BIGINT, kept BOOLEAN)`` for
+    every input row — callers filter ``kept`` to enforce, or aggregate
+    the flag for a cap-impact report.
+    """
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    base = docs.select(
+        F.col(id_col),
+        url_registered_domain(F.col(url_col)).alias("domain"),
+    )
+    totals = base.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("domain_total")
+    )
+    over = totals.filter(F.col("domain_total") > cap)
+    # totals is one row per domain — small for most corpora but NOT
+    # guaranteed broadcastable at web scale (millions of hosts), so the
+    # join is left to Catalyst/AQE (runtime-broadcast when it fits, one
+    # domain-keyed shuffle when not). Only `over` is broadcast
+    # unconditionally: few domains exceed any sane cap by construction.
+    with_tot = base.join(totals, "domain")
+    under = with_tot.filter(F.col("domain_total") <= cap).select(
+        id_col, "domain", "domain_total", F.lit(True).alias("kept")
+    )
+    w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
+    capped = (
+        with_tot.join(F.broadcast(over.select("domain")), "domain")
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            id_col,
+            "domain",
+            "domain_total",
+            (F.col("_rk") <= cap).alias("kept"),
+        )
+    )
+    return under.unionByName(capped)

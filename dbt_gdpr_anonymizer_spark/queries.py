@@ -1534,6 +1534,7 @@ _CHECK_LAST = [
     "url_canonical_dedup_documents",  # web family (html_extract/warc)
     "multimodal_jpeg_features",  # decode family (png/gif/wav/mp4 checked)
     "pagerank_documents",  # graph family (neardup_components checked)
+    "domain_cap_documents",  # web family (url_canonical/html_extract)
 ]
 
 
@@ -9674,3 +9675,71 @@ def pagerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = d.select(F.col("doc_id").alias("node_id"))
     return pagerank_int(edges, nodes, iters=5).orderBy("node_id")
+
+
+def _domain_cap_oracle() -> str:
+    from dbt_gdpr_anonymizer_spark.operators import web as _web
+
+    dom = _web.url_registered_domain_sql("url")
+    return f"""
+    with raw as (
+      select doc_id,
+             'https://sub' || (doc_id % 3) || '.'
+               || (case when doc_id % 7 = 0 then 'hot-mirror'
+                        else 'site-' || (doc_id % 97) end)
+               || '.example-' || source || '.org/p/' || doc_id as url
+      from documents
+    ),
+    base as (select doc_id, {dom} as domain from raw),
+    totals as (
+      select domain, cast(count(*) as bigint) as domain_total
+      from base group by domain
+    ),
+    ranked as (
+      select b.doc_id, b.domain, t.domain_total,
+             row_number() over (
+               partition by b.domain order by b.doc_id asc
+             ) as rk
+      from base b join totals t using (domain)
+    )
+    select doc_id, domain, domain_total, (rk <= 5) as kept
+    from ranked
+    order by doc_id
+    """
+
+
+@register("domain_cap_documents", _domain_cap_oracle())
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136 per-domain document cap (operators/web.domain_cap) — the
+    C4/FineWeb host-balancing step: each document gets a deterministic
+    synthetic URL whose registered domain is Zipf-ish by construction
+    (doc_id % 7 == 0 collapses onto one hot 'mirror' domain; the rest
+    spread over 97 per-source sites), and at most cap=5 documents per
+    registered domain are kept, smallest doc_id first. Skew-aware
+    two-phase plan: per-domain counts (map-side partials), the small
+    OVER-cap domain set broadcasts, under-cap rows skip the window sort
+    entirely, and only the over-cap slice pays row_number — the shape
+    that survives one hot domain holding 1% of a 100 TB crawl. The
+    oracle replays the URL synthesis, the identical registered-domain
+    regex, and a global rank (semantically equal: rank <= cap ≡ the
+    two-phase split)."""
+    from dbt_gdpr_anonymizer_spark.operators import web
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("."),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("hot-mirror")).otherwise(
+                F.concat(F.lit("site-"), (F.col("doc_id") % 97).cast("string"))
+            ),
+            F.lit(".example-"),
+            F.col("source"),
+            F.lit(".org/p/"),
+            did,
+        ).alias("url"),
+    )
+    return web.domain_cap(raw, "url", cap=5).orderBy("doc_id")

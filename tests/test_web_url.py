@@ -48,3 +48,39 @@ def test_url_canonicalize_duckdb_twin():
             f"select {sql} from (select ? as u)", [raw]
         ).fetchone()[0]
         assert got == want, (raw, got, want)
+
+
+def test_domain_cap_hot_domain(spark):
+    """domain_cap keeps exactly `cap` smallest-id docs in the hot domain,
+    passes every under-cap domain row through, and reports true totals."""
+    from dbt_gdpr_anonymizer_spark.operators.web import domain_cap
+
+    rows = [(i, f"https://m{i % 2}.hot.example.org/p/{i}") for i in range(10)]
+    rows += [(100 + i, f"https://a.site-{i}.example.org/x") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = {r["doc_id"]: r for r in domain_cap(df, "url", cap=4).collect()}
+    assert len(out) == 13  # every input row gets a verdict
+    hot = [r for r in out.values() if r["domain"] == "example.org"]
+    # all 13 rows share the two-label registered domain example.org? no —
+    # hot rows: m0/m1.hot.example.org -> example.org; site-i rows ->
+    # example.org too (last two labels). So ALL 13 collapse to one domain.
+    assert len(hot) == 13
+    kept = sorted(r["doc_id"] for r in hot if r["kept"])
+    assert kept == [0, 1, 2, 3]  # smallest ids win
+    assert all(r["domain_total"] == 13 for r in hot)
+
+
+def test_domain_cap_under_cap_passthrough_and_validation(spark):
+    from dbt_gdpr_anonymizer_spark.operators.web import domain_cap
+
+    rows = [
+        (1, "https://x.alpha-one.com/a"),
+        (2, "https://y.beta-two.net/b"),
+        (3, "https://z.beta-two.net/c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    out = domain_cap(df, "url", cap=2).collect()
+    assert all(r["kept"] for r in out)
+    assert {r["domain"] for r in out} == {"alpha-one.com", "beta-two.net"}
+    with pytest.raises(ValueError):
+        domain_cap(df, "url", cap=0)
