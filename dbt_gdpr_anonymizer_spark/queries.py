@@ -1535,6 +1535,7 @@ _CHECK_LAST = [
     "multimodal_jpeg_features",  # decode family (png/gif/wav/mp4 checked)
     "pagerank_documents",  # graph family (neardup_components checked)
     "domain_cap_documents",  # web family (url_canonical/html_extract)
+    "sft_chat_stats_documents",  # json family (jsonl_flatten/variant checked)
 ]
 
 
@@ -9743,3 +9744,90 @@ def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return web.domain_cap(raw, "url", cap=5).orderBy("doc_id")
+
+
+_SFT_ORACLE = """
+    with m as (
+      select doc_id, text,
+             (case when doc_id % 5 = 0 then 1 else 0 end) as off,
+             (doc_id % 11 = 0 and doc_id % 5 <> 0) as viol,
+             (1 + doc_id % 2) * 2 as nbody
+      from documents
+    ),
+    per as (
+      select doc_id, text, unnest(range(0, off + nbody)) as i from m
+    ),
+    chars as (
+      select doc_id,
+             cast(sum(length('turn' || i || ': '
+               || substr(text, cast(1 + 7 * i as int), 15))) as bigint)
+               as content_chars
+      from per group by doc_id
+    )
+    select m.doc_id as conv_id,
+           true as parse_ok,
+           cast(off + nbody as bigint) as n_turns,
+           cast(nbody // 2 + (case when viol then 1 else 0 end) as bigint)
+             as n_user,
+           cast(nbody // 2 - (case when viol then 1 else 0 end) as bigint)
+             as n_assistant,
+           (not viol) as alternation_ok,
+           chars.content_chars,
+           (case when off = 1 then 'system' else 'user' end) as first_role,
+           (case when viol then 'user' else 'assistant' end) as last_role
+    from m join chars using (doc_id)
+    order by conv_id
+    """
+
+
+@register("sft_chat_stats_documents", _SFT_ORACLE)
+def sft_chat_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137 SFT chat-transcript prep (operators/sft.chat_stats): each
+    document becomes a deterministic ShareGPT-style JSON transcript —
+    2 or 4 alternating user/assistant turns (doc_id parity), an optional
+    leading system message (doc_id % 5 == 0), and a PLANTED alternation
+    violation (final turn re-labeled 'user' when doc_id % 11 == 0 and no
+    system turn) — built with to_json over struct arrays (real JSON
+    escaping), then parsed back with from_json and validated/profiled
+    ENTIRELY array-side: size/filter/aggregate/forall higher-order
+    functions, zero explode, zero shuffle, one codegen projection — the
+    narrow-scan shape a 100 TB instruction-tuning corpus gate needs. The
+    oracle replays the synthesis closed-form (turn counts, role parity,
+    planted violations, per-turn content lengths), so a parse or
+    validation bug on either side breaks the hash."""
+    from dbt_gdpr_anonymizer_spark.operators.sft import chat_stats
+
+    d = _t(spark, sf_dir, "documents")
+    off = F.when(F.col("doc_id") % 5 == 0, F.lit(1)).otherwise(F.lit(0))
+    viol = (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 5 != 0)
+    nbody = (F.lit(1) + F.col("doc_id") % 2) * 2
+    n_msgs = off + nbody
+
+    def role(i):
+        return (
+            F.when((off == 1) & (i == 0), F.lit("system"))
+            .when(viol & (i == n_msgs - 1), F.lit("user"))
+            .when((i - off) % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+        )
+
+    def content(i):
+        return F.concat(
+            F.lit("turn"),
+            i.cast("string"),
+            F.lit(": "),
+            F.substring(F.col("text"), (F.lit(1) + i * 7).cast("int"), 15),
+        )
+
+    convs = d.select(
+        F.col("doc_id").alias("conv_id"),
+        F.to_json(
+            F.transform(
+                F.sequence(F.lit(0), n_msgs - 1),
+                lambda i: F.struct(
+                    role(i).alias("role"), content(i).alias("content")
+                ),
+            )
+        ).alias("transcript"),
+    )
+    return chat_stats(convs).orderBy("conv_id")
