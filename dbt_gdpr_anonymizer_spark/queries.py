@@ -1536,6 +1536,7 @@ _CHECK_LAST = [
     "pagerank_documents",  # graph family (neardup_components checked)
     "domain_cap_documents",  # web family (url_canonical/html_extract)
     "sft_chat_stats_documents",  # json family (jsonl_flatten/variant checked)
+    "unicode_nfc_profile_documents",  # text family (encoding_profile checked)
 ]
 
 
@@ -9831,3 +9832,66 @@ def sft_chat_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("transcript"),
     )
     return chat_stats(convs).orderBy("conv_id")
+
+
+_NFC_ORACLE = """
+    with raw as (
+      select doc_id,
+             text || ' ' ||
+             (case doc_id % 4
+                when 0 then 'e' || chr(769)
+                when 1 then 'A' || chr(778)
+                when 2 then 'c' || chr(807)
+                else 'o' || chr(776) || chr(772)
+              end) || 'tail' as raw_text
+      from documents
+    )
+    select doc_id,
+           cast(length(raw_text) as bigint) as n_chars_raw,
+           cast(length(nfc_normalize(raw_text)) as bigint) as n_chars_nfc,
+           (nfc_normalize(raw_text) <> raw_text) as changed,
+           md5(nfc_normalize(raw_text)) as md5_nfc
+    from raw
+    order by doc_id
+    """
+
+
+@register("unicode_nfc_profile_documents", _NFC_ORACLE)
+def unicode_nfc_profile_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X138 Unicode NFC normalization (operators/unicode_norm): each
+    document gets a deterministic DECOMPOSED suffix (combining acute /
+    ring / cedilla / diaeresis+macron chosen by doc_id % 4 — sequences
+    NFC must compose), then the corpus is profiled: codepoint counts
+    before/after normalization, changed flag, and the md5 of the
+    normalized text (the post-normalization dedup fingerprint). The
+    normalize itself is the repo's sanctioned Arrow-batched pandas UDF
+    (stdlib unicodedata; Spark has no native NFC expression — the JVM
+    java.text.Normalizer swap-in is named in the module docstring);
+    everything around it is codegen, and the plan evaluates the UDF
+    ONCE per row (single ArrowEvalPython node). The oracle replays the
+    suffix construction and normalization via DuckDB's utf8proc
+    nfc_normalize — the md5 column pins byte-identical UAX #15 behavior
+    across the two implementations."""
+    from dbt_gdpr_anonymizer_spark.operators.unicode_norm import (
+        unicode_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # NB: Spark's chr() is ASCII-mod-256 (NOT a codepoint constructor
+    # like DuckDB's chr) — the combining marks are Python literals here
+    # and chr() calls only on the DuckDB side.
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("e\u0301"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("A\u030a"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("c\u0327"))
+        .otherwise(F.lit("o\u0308\u0304"))
+    )
+    raw = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), suffix, F.lit("tail")).alias(
+            "raw_text"
+        ),
+    )
+    return unicode_profile(raw, "raw_text").orderBy("doc_id")
