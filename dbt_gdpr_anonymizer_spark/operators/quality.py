@@ -564,3 +564,65 @@ def dsir_gumbel_topk(
         .limit(m)
     )
     return track_caches(out, *getattr(w, "cached_deps", ()))
+
+
+def char_entropy_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """X139 character-distribution gibberish gate: per-document Shannon
+    entropy (nats) of the character frequency distribution, plus
+    integer-exact companions. Low entropy = repeated-character spam
+    ("aaaa..."), abnormally high = random-byte gibberish; both are
+    standard corpus-quality cut signals alongside the Gopher word-level
+    filters above.
+
+    Everything is computed ARRAY-SIDE in one codegen projection — zero
+    shuffle, zero Python: char counts come from filter/size over the
+    split array (O(distinct·len) per row, bounded by alphabet size), and
+    the entropy sum folds over the BINARY-SORTED distinct-char array with
+    a sequential ``aggregate``, so the IEEE addition order is pinned —
+    the DuckDB oracle folds the identical terms in the identical order
+    (list_reduce over the same sorted list), making the float path
+    deterministic up to libm's ln (released as floor·1e4 BIGINT, the
+    bigram-LM/DSIR precedent).
+
+    Returns ``(id_col, n_chars BIGINT, n_distinct_chars BIGINT,
+    top_char_count BIGINT, simpson_num BIGINT, entropy_e4 BIGINT)``:
+    ``simpson_num`` = Σ count(c)² (the integer collision-index numerator;
+    divide by n² for collision probability), ``entropy_e4`` NULL for
+    empty/NULL text.
+    """
+    chars = F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+    # Spark's split on '' leaves no trailing empty element, but guard
+    # anyway: drop empties so both engines see the same multiset.
+    chars = F.filter(chars, lambda c: c != "")
+    n = F.size(chars)
+    dist = F.array_sort(F.array_distinct(chars))
+
+    def cnt(c):
+        return F.size(F.filter(chars, lambda x: x == c))
+
+    nd = n.cast("double")
+    entropy = -F.aggregate(
+        dist,
+        F.lit(0.0).cast("double"),
+        lambda acc, c: acc
+        + (cnt(c).cast("double") / nd)
+        * F.log(cnt(c).cast("double") / nd),
+    )
+    return docs.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        F.size(dist).cast("bigint").alias("n_distinct_chars"),
+        F.array_max(
+            F.transform(dist, lambda c: cnt(c))
+        ).cast("bigint").alias("top_char_count"),
+        F.aggregate(
+            dist,
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc + cnt(c) * cnt(c),
+        ).alias("simpson_num"),
+        F.when(
+            n > 0, F.floor(entropy * 10000).cast("bigint")
+        ).alias("entropy_e4"),
+    )

@@ -1537,6 +1537,7 @@ _CHECK_LAST = [
     "domain_cap_documents",  # web family (url_canonical/html_extract)
     "sft_chat_stats_documents",  # json family (jsonl_flatten/variant checked)
     "unicode_nfc_profile_documents",  # text family (encoding_profile checked)
+    "char_entropy_documents",  # text family (quality_deciles/repetition)
 ]
 
 
@@ -9895,3 +9896,74 @@ def unicode_nfc_profile_documents(
         ),
     )
     return unicode_profile(raw, "raw_text").orderBy("doc_id")
+
+
+_CHAR_ENTROPY_ORACLE = """
+    with c as (
+      select doc_id,
+             list_filter(
+               regexp_split_to_array(coalesce(text, ''), ''), x -> x <> ''
+             ) as chars
+      from documents
+    ),
+    d as (
+      select doc_id, chars, len(chars) as n,
+             list_sort(list_distinct(chars)) as dist
+      from c
+    ),
+    t as (
+      select doc_id, n, dist,
+             list_transform(
+               dist, ch -> len(list_filter(chars, x -> x = ch))
+             ) as cnts
+      from d
+    ),
+    e as (
+      select doc_id, n, dist, cnts,
+             -- fold the per-char terms in the SAME binary-sorted order as
+             -- Spark's sequential aggregate: ((0+t1)+t2)+... bit-identical
+             list_reduce(
+               list_prepend(
+                 cast(0.0 as double),
+                 list_transform(
+                   cnts,
+                   cc -> (cast(cc as double) / cast(n as double))
+                         * ln(cast(cc as double) / cast(n as double))
+                 )
+               ),
+               (a, b) -> a + b
+             ) as negent
+      from t
+    )
+    select doc_id,
+           cast(n as bigint) as n_chars,
+           cast(len(dist) as bigint) as n_distinct_chars,
+           cast(list_max(cnts) as bigint) as top_char_count,
+           cast(coalesce(
+             list_sum(list_transform(cnts, cc -> cc * cc)), 0
+           ) as bigint) as simpson_num,
+           (case when n > 0
+                 then cast(floor(-negent * 10000) as bigint) end)
+             as entropy_e4
+    from e
+    order by doc_id
+    """
+
+
+@register("char_entropy_documents", _CHAR_ENTROPY_ORACLE)
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139 character-distribution gibberish gate (operators/quality.
+    char_entropy_profile): per-document Shannon entropy of the char
+    frequency distribution plus integer-exact companions (distinct-char
+    count, top-char count, Σcount² collision numerator). Computed
+    entirely array-side in one codegen projection — zero shuffle, zero
+    Python — with the float entropy fold SEQUENCED over the binary-sorted
+    distinct-char array so the oracle replays the identical IEEE addition
+    order via list_reduce (floor·1e4 BIGINT release, the bigram-LM libm
+    precedent)."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        char_entropy_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy_profile(d).orderBy("doc_id")
