@@ -39,6 +39,7 @@ __all__ = [
     "quantize_int8",
     "int8_covariance",
     "phrase_search",
+    "hard_negatives",
 ]
 
 
@@ -779,4 +780,78 @@ def phrase_search(
             F.count(F.lit(1)).cast("bigint").alias("n_matches"),
             F.min("anchor").cast("bigint").alias("first_pos"),
         )
+    )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    pos_id_col: str = "pos_id",
+    dim: int = 64,
+    bits: int = 8,
+    sim_ceiling_ppm: int | None = None,
+) -> DataFrame:
+    """X140 hard-negative mining for contrastive embedding training
+    (the in-batch-negatives upgrade every dense-retriever recipe uses —
+    DPR, Karpukhin et al. 2020): for each (query, positive) pair, the
+    top-k candidates most similar to the QUERY that are neither the
+    query nor its labeled positive — optionally excluding candidates
+    above ``sim_ceiling_ppm`` (near-duplicates of the query are likely
+    unlabeled positives; mining them as negatives poisons the loss).
+
+    Scale shape is the X7 LSH plan: deterministic hyperplane buckets on
+    both sides, candidates from the bucket equi-join ONLY (no all-pairs),
+    query side broadcast (pairs ≪ corpus), exact cosine rerank, one
+    per-query top-k window over bucket-bounded candidates. The ceiling
+    filter applies BEFORE ranking on the integral ppm floor, so the cut
+    is engine-exact.
+
+    Returns ``(query_id_col, neg_id, cos_sim_ppm BIGINT)``.
+    """
+    from pyspark.sql import Window as W
+
+    v = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        hyperplane_bucket(F.col(vec_col), dim, bits).alias("_bucket"),
+    )
+    q = (
+        vectors.join(
+            pairs, F.col(id_col) == F.col(query_id_col), "inner"
+        )
+        .select(
+            query_id_col,
+            pos_id_col,
+            F.col(vec_col).cast("array<double>").alias("_q"),
+            hyperplane_bucket(F.col(vec_col), dim, bits).alias("_bucket"),
+        )
+    )
+    scored = (
+        v.join(F.broadcast(q), "_bucket")
+        .filter(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(id_col) != F.col(pos_id_col))
+        )
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neg_id"),
+            F.floor(
+                cosine_sim(F.col("_q"), F.col("_v")) * 1000000
+            ).cast("bigint").alias("cos_sim_ppm"),
+        )
+    )
+    if sim_ceiling_ppm is not None:
+        scored = scored.filter(F.col("cos_sim_ppm") < sim_ceiling_ppm)
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim_ppm").desc(), F.col("neg_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

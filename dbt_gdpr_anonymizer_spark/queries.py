@@ -1538,6 +1538,7 @@ _CHECK_LAST = [
     "sft_chat_stats_documents",  # json family (jsonl_flatten/variant checked)
     "unicode_nfc_profile_documents",  # text family (encoding_profile checked)
     "char_entropy_documents",  # text family (quality_deciles/repetition)
+    "hard_negatives_embeddings",  # ann family (lsh/ivf/cosine checked)
 ]
 
 
@@ -9967,3 +9968,82 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return char_entropy_profile(d).orderBy("doc_id")
+
+
+def _bucket_sql(col: str, dim: int = 64, bits: int = 8) -> str:
+    """DuckDB replay of operators/similarity.hyperplane_bucket: the
+    deterministic md5-derived ±1 hyperplanes embedded as literal arrays,
+    one sign decision per bit (the ann_lsh_topk oracle pattern, generated
+    instead of hand-embedded)."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import _hyperplane
+
+    terms = []
+    for j in range(bits):
+        arr = ",".join(repr(x) for x in _hyperplane(dim, j))
+        terms.append(
+            f"(case when list_dot_product({col}, [{arr}]::DOUBLE[]) > 0"
+            f" then {2 ** j} else 0 end)"
+        )
+    return "cast(" + "\n               + ".join(terms) + " as bigint)"
+
+
+def _hard_negatives_oracle(k: int = 5, ceiling_ppm: int = 999000) -> str:
+    cos = (
+        "list_dot_product(qv, vv) / (sqrt(list_dot_product(qv, qv))"
+        " * sqrt(list_dot_product(vv, vv)))"
+    )
+    return f"""
+    with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    vb as (
+      select vec_id, vv, {_bucket_sql("vv", bits=6)} as bucket from v
+    ),
+    q as (
+      select vec_id as query_id, vec_id + 1 as pos_id, vv as qv, bucket
+      from vb where vec_id < 5
+    ),
+    scored as (
+      select q.query_id,
+             v.vec_id as neg_id,
+             cast(floor(({cos}) * 1000000) as bigint) as cos_sim_ppm
+      from q join vb v using (bucket)
+      where v.vec_id <> q.query_id and v.vec_id <> q.pos_id
+    ),
+    r as (
+      select query_id, neg_id, cos_sim_ppm,
+             row_number() over (
+               partition by query_id
+               order by cos_sim_ppm desc, neg_id asc
+             ) as rn
+      from scored where cos_sim_ppm < {ceiling_ppm}
+    )
+    select query_id, neg_id, cos_sim_ppm from r where rn <= {k}
+    order by query_id, neg_id
+    """
+
+
+@register("hard_negatives_embeddings", _hard_negatives_oracle())
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140 hard-negative mining (operators/similarity.hard_negatives):
+    five (query, positive) pairs (positive = the next vec_id — a
+    deterministic stand-in for a labeled pair) mine their top-5 hardest
+    negatives from the 64-bucket LSH candidates (bits=6 — denser buckets
+    than ann_lsh_topk's 256 so every query fills its k at small SF),
+    excluding the query, its
+    positive, and anything >= 0.999 cosine (ppm floor — likely unlabeled
+    positives). Same scale plan as ann_lsh_topk (bucket equi-join +
+    broadcast query side, no all-pairs); ranking happens on the INTEGRAL
+    ppm value so the cut and order are engine-exact. The oracle replays
+    buckets (generated literal hyperplanes), exclusions, ceiling, and
+    rank."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        (F.col("vec_id") + 1).alias("pos_id"),
+    )
+    return hard_negatives(
+        emb, pairs, k=5, dim=64, bits=6, sim_ceiling_ppm=999000
+    ).orderBy("query_id", "neg_id")

@@ -101,3 +101,35 @@ def test_phrase_search_single_word_and_empty(spark):
     assert rows == {1: (2, 0)}
     with pytest.raises(ValueError, match="non-empty"):
         phrase_search(df, [])
+
+
+def test_hard_negatives_exclusions_and_ceiling(spark):
+    """X140: the mined set never contains the query or its positive, the
+    ceiling drops near-duplicates, and ranking is by integral ppm."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import hard_negatives
+
+    # 1-d-ish vectors padded to dim 4: controlled cosines
+    def v(*xs):
+        return list(map(float, xs))
+
+    rows = [
+        (0, v(1, 0, 0, 0)),     # query
+        (1, v(1, 0.01, 0, 0)),  # its positive (near-dup, excluded by id)
+        (2, v(1, 0.02, 0, 0)),  # unlabeled near-dup -> ceiling cut
+        (3, v(1, 1, 0, 0)),     # a hard negative
+        (4, v(0, 1, 0, 0)),     # orthogonal-ish
+        (5, v(1, 0.5, 0, 0)),   # another negative
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = spark.createDataFrame([(0, 1)], ["query_id", "pos_id"])
+    got = hard_negatives(
+        emb, pairs, k=10, dim=4, bits=1, sim_ceiling_ppm=999000
+    ).collect()
+    ids = [r["neg_id"] for r in got]
+    assert 0 not in ids and 1 not in ids  # self + positive excluded
+    assert 2 not in ids                   # ceiling cut (cos ~0.9998)
+    assert set(ids) <= {3, 4, 5}
+    # hardest (most similar) negative first
+    by_rank = [r["neg_id"] for r in sorted(
+        got, key=lambda r: -r["cos_sim_ppm"])]
+    assert by_rank[0] == 5  # cos(q,5) > cos(q,3) > cos(q,4)
