@@ -97,3 +97,56 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """X141 runtime bloom-filter join pruning (SPARK-32268) — the third
+    runtime mechanism the 100 TB story leans on: a selective filter on
+    the dimension side injects a bloom filter into the FACT side's scan,
+    so fact rows that cannot join are dropped before the shuffle. Plan
+    must show the creation-side bloom_filter_agg AND the application-side
+    might_contain probe, and the result must equal the un-filtered join.
+    """
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("p")
+    ).write.mode("overwrite").parquet(fact_p)
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5000).alias("m")
+    ).write.mode("overwrite").parquet(dim_p)
+
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "true")
+        spark.conf.set(keys[1], "0")  # local files are far below 10GB
+        spark.conf.set(keys[2], "-1")  # keep the join a shuffle join
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("m") == 7)
+        joined = fact.join(dim, "k")
+        n = joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:800]
+        assert "might_contain" in plan, plan[:800]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # semantics unchanged: same count without the runtime filter
+    spark.conf.set(keys[0], "false")
+    try:
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("m") == 7)
+        assert fact.join(dim, "k").count() == n == 10
+    finally:
+        if prior[keys[0]] is None:
+            spark.conf.unset(keys[0])
+        else:
+            spark.conf.set(keys[0], prior[keys[0]])
