@@ -241,7 +241,7 @@ def url_canonicalize_sql(expr: str) -> str:
     rest = f"regexp_extract({u}, '{_REST_RE}', 1)"
     path0 = f"regexp_extract({rest}, '^([^?]*)', 1)"
     path = f"(case when {path0} = '' then '/' else {path0} end)"
-    q = f"regexp_extract({rest}, '\?(.*)$', 1)"
+    q = rf"regexp_extract({rest}, '\?(.*)$', 1)"
     params = (
         f"list_sort(list_filter(string_split({q}, '&'),"
         f" x -> x <> '' and not regexp_matches(x, '{t}')))"

@@ -1539,6 +1539,7 @@ _CHECK_LAST = [
     "unicode_nfc_profile_documents",  # text family (encoding_profile checked)
     "char_entropy_documents",  # text family (quality_deciles/repetition)
     "hard_negatives_embeddings",  # ann family (lsh/ivf/cosine checked)
+    "stream_quota_documents",  # streaming-state family (sessionize/dedup)
 ]
 
 
@@ -10047,3 +10048,74 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives(
         emb, pairs, k=5, dim=64, bits=6, sim_ceiling_ppm=999000
     ).orderBy("query_id", "neg_id")
+
+
+@register(
+    "stream_quota_documents",
+    """
+    select cast(doc_id % 50 as bigint) as quota_key,
+           cast(least(7, count(*)) as bigint) as n_admitted,
+           cast(count(*) as bigint) as n_arrived
+    from documents
+    group by doc_id % 50
+    order by quota_key
+    """,
+)
+def stream_quota_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142 per-key streaming quota gate (streaming/quota.
+    stream_quota_gate_legacy — the applyInPandasWithState tier; the
+    transformWithStateInPandas twin is the protobuf-gated swap-in):
+    documents replay through a file-source stream and at most 7 are
+    admitted per quota_key (doc_id % 50), the running count held in keyed
+    state. WHICH rows are admitted is arrival-order-dependent, so the
+    compared output releases only arrival-INVARIANT columns: per-key
+    admitted count (= min(quota, arrivals) — the state contract) and the
+    arrival count recomputed from the admitted+batch sides. The streaming
+    path (source → keyed state gate → memory sink drain) is fully real."""
+    import tempfile
+
+    from dbt_gdpr_anonymizer_spark.streaming.quota import (
+        stream_quota_gate_legacy,
+    )
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    keyed = src.select(
+        (F.col("doc_id") % 50).cast("bigint").alias("quota_key"),
+        F.col("doc_id"),
+    )
+    gated = stream_quota_gate_legacy(
+        keyed,
+        "quota_key",
+        quota=7,
+        output_schema="quota_key bigint, doc_id bigint",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_quota_")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    admitted = (
+        spark.read.parquet(f"{tmp}/out")
+        .groupBy("quota_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_admitted"))
+    )
+    arrivals = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy((F.col("doc_id") % 50).cast("bigint").alias("quota_key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_arrived"))
+    )
+    return arrivals.join(admitted, "quota_key", "left").select(
+        "quota_key",
+        F.coalesce("n_admitted", F.lit(0)).cast("bigint").alias("n_admitted"),
+        "n_arrived",
+    ).orderBy("quota_key")

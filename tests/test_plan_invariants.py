@@ -63,6 +63,17 @@ BNLJ_ALLOWED = {
     #   mixture_sampling_plan — 1-row corpus-total broadcast cross join
     #     onto the source-cardinality plan table (same bounded pattern)
     "mixture_sampling_plan",
+    #   bigram_lm_perplexity_documents / naive_bayes_lang_classifier —
+    #     the model's 1-row stats frame (vocab size / class priors+totals)
+    #     broadcast cross-joined into the scoring join (bounded by
+    #     construction: always exactly one row)
+    "bigram_lm_perplexity_documents",
+    "naive_bayes_lang_classifier",
+    #   dsir_importance_weights_documents / dsir_gumbel_topk_documents —
+    #     the 1-row target/pool token-totals frame broadcast cross-joined
+    #     onto the bucket-bounded (<= n_buckets rows) model table
+    "dsir_importance_weights_documents",
+    "dsir_gumbel_topk_documents",
 }
 
 
