@@ -95,6 +95,18 @@ HEADLINE = [
     "phrase_search_documents",
     "naive_bayes_lang_classifier",
     "bigram_lm_perplexity_documents",
+    # r7-late batch-2 shapes: the iterative persisted-rank join loop
+    # (PageRank), the skew-aware two-phase domain cap (count agg +
+    # broadcast semi-join + bounded window), the array-side char-count
+    # fold (entropy), and the from_json + higher-order-function
+    # validation projection (SFT). Excluded by design:
+    # unicode_nfc_profile_documents (Arrow pandas-UDF tier, the FF1
+    # precedent) and stream_quota_documents (stateful drain, excluded
+    # from the batch aggregate like the other streaming replays).
+    "pagerank_documents",
+    "domain_cap_documents",
+    "char_entropy_documents",
+    "sft_chat_stats_documents",
 ]
 
 # neardup_components drift note (r5, data-backed): decomposed timing at

@@ -284,3 +284,51 @@ def simhash(c: Column | str, bits: int = 16) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
+
+
+# ---------------------------------------------------------------------------
+# X143 Unicode script profile — multilingual corpus composition.
+# ---------------------------------------------------------------------------
+
+#: Script name -> single-char class of EXPLICIT codepoint ranges. Ranges
+#: (not \p{script=...} properties) because the bracket-range syntax parses
+#: identically in java.util.regex and RE2/DuckDB — property names differ
+#: between the engines. Coverage is the core block of each script (enough
+#: for composition profiling; extension blocks are a range append away).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "[A-Za-zÀ-ɏ]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+    "cjk": "[一-鿿]",
+    "hangul": "[가-힯]",
+}
+
+
+def script_counts(c: Column | str) -> dict[str, Column]:
+    """Per-script character counts (Column map). Counting is the
+    length-difference trick — ``length(s) - length(regexp_replace(s,
+    class, ''))`` — one codegen regexp pass per script, no explode; the
+    identical expression replays in DuckDB."""
+    s = F.coalesce(_col(c), F.lit(""))
+    return {
+        name: (
+            F.length(s) - F.length(F.regexp_replace(s, rng, ""))
+        ).cast("bigint")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(c: Column | str) -> Column:
+    """Name of the script with the most characters; ties break by the
+    fixed SCRIPT_RANGES order (latin first); ``'none'`` when no script
+    char occurs. A greatest-so-far fold over the fixed script list —
+    pure CASE chain, deterministic cross-engine."""
+    counts = script_counts(c)
+    best_name = F.lit("none")
+    best_n = F.lit(0).cast("bigint")
+    for name, cnt in counts.items():  # dict preserves insertion order
+        take = cnt > best_n
+        best_name = F.when(take, F.lit(name)).otherwise(best_name)
+        best_n = F.when(take, cnt).otherwise(best_n)
+    return best_name

@@ -1540,6 +1540,7 @@ _CHECK_LAST = [
     "char_entropy_documents",  # text family (quality_deciles/repetition)
     "hard_negatives_embeddings",  # ann family (lsh/ivf/cosine checked)
     "stream_quota_documents",  # streaming-state family (sessionize/dedup)
+    "script_profile_documents",  # text family (lang_id/encoding_profile)
 ]
 
 
@@ -10119,3 +10120,80 @@ def stream_quota_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_admitted", F.lit(0)).cast("bigint").alias("n_admitted"),
         "n_arrived",
     ).orderBy("quota_key")
+
+
+def _script_profile_oracle() -> str:
+    from dbt_gdpr_anonymizer_spark.functions.text import SCRIPT_RANGES
+
+    cnt_cols = ",\n           ".join(
+        f"cast(length(raw_text) - length(regexp_replace(raw_text,"
+        f" '{rng}', '', 'g')) as bigint) as n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    # greatest-so-far fold, same fixed order / strict > as dominant_script
+    dom = "'none'"
+    best = "cast(0 as bigint)"
+    for name in SCRIPT_RANGES:
+        dom = f"(case when n_{name} > {best} then '{name}' else {dom} end)"
+        best = f"(case when n_{name} > {best} then n_{name} else {best} end)"
+    return f"""
+    with raw as (
+      select doc_id,
+             text || (case doc_id % 6
+               when 0 then ' Привет мир'
+               when 1 then ' γειά σου'
+               when 2 then ' مرحبا بالعالم'
+               when 3 then ' 你好世界'
+               when 4 then ' 안녕하세요'
+               else ''
+             end) as raw_text
+      from documents
+    ),
+    counted as (
+      select doc_id,
+           {cnt_cols}
+      from raw
+    )
+    select doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_hangul,
+           {dom} as dominant_script
+    from counted
+    order by doc_id
+    """
+
+
+@register("script_profile_documents", _script_profile_oracle())
+def script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143 Unicode script profile (functions/text.script_counts /
+    dominant_script): each document gets a deterministic non-Latin
+    suffix (Cyrillic / Greek / Arabic / CJK / Hangul rotating on
+    doc_id % 6, one cohort left Latin-only), then per-script character
+    counts — the length-difference trick, one codegen regexp pass per
+    script over EXPLICIT codepoint ranges (bracket ranges parse
+    identically in java.util.regex and RE2; \\p{script=} property names
+    do not) — and the dominant script via a fixed-order greatest-so-far
+    CASE fold. Zero shuffle, zero UDF, one narrow scan: the multilingual
+    composition signal corpus mixture planning consumes. Oracle replays
+    the identical suffix synthesis, regexes, and fold."""
+    from dbt_gdpr_anonymizer_spark.functions.text import (
+        dominant_script,
+        script_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit(" Привет мир"))
+        .when(F.col("doc_id") % 6 == 1, F.lit(" γειά σου"))
+        .when(F.col("doc_id") % 6 == 2, F.lit(" مرحبا بالعالم"))
+        .when(F.col("doc_id") % 6 == 3, F.lit(" 你好世界"))
+        .when(F.col("doc_id") % 6 == 4, F.lit(" 안녕하세요"))
+        .otherwise(F.lit(""))
+    )
+    raw = d.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("raw_text")
+    )
+    counts = script_counts("raw_text")
+    return raw.select(
+        "doc_id",
+        *[cnt.alias(f"n_{name}") for name, cnt in counts.items()],
+        dominant_script("raw_text").alias("dominant_script"),
+    ).orderBy("doc_id")
