@@ -626,3 +626,196 @@ def char_entropy_profile(
             n > 0, F.floor(entropy * 10000).cast("bigint")
         ).alias("entropy_e4"),
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    *,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X144 token-budget data selection (the "select the best N tokens"
+    step every pretraining run ends with — DoReMi/DSIR downstream, Xie et
+    al. 2023): keep documents in quality order (``score_col`` DESC,
+    ``id_col`` ASC tie-break) while the running token total stays within
+    ``budget``. Prefix semantics: token counts are non-negative, so the
+    running sum is monotone and the selected set is exactly the rows
+    whose global cumulative token count ≤ budget.
+
+    Scale design — NO corpus-wide window sort: a global
+    ``sum() over (order by score desc)`` would funnel 100 TB through one
+    partition. Instead (a) one map-side-combined aggregate builds the
+    per-score token histogram (bounded by the score domain — integral
+    ppm scores cap it at ~1e6 rows regardless of corpus size), (b) the
+    cutoff stratum and its residual budget are derived from that bounded
+    histogram on the driver (model state, the kmeans/generalize_to_k
+    stance), (c) strata strictly above the cutoff pass with a plain
+    filter (no shuffle beyond the scan), and only the SINGLE boundary
+    stratum runs an id-ordered cumulative window — bounded by one score
+    value's population, never the corpus.
+
+    ``score_col`` and ``tokens_col`` must be integral (the registry
+    feeds ppm scores — float scores would make histogram equality
+    engine-fragile). Returns the selected rows ``(id_col, score_col,
+    tokens_col)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.select(id_col, score_col, tokens_col)
+    hist = (
+        base.groupBy(score_col)
+        .agg(F.sum(tokens_col).alias("_s"))
+        .collect()
+    )
+    hist.sort(key=lambda r: -r[score_col])
+    cum = 0
+    cutoff = None  # first stratum that does not fully fit
+    rem = 0
+    for r in hist:
+        if cum + r["_s"] <= budget:
+            cum += r["_s"]
+        else:
+            cutoff = r[score_col]
+            rem = budget - cum
+            break
+    if cutoff is None:
+        return base  # everything fits
+    full = base.filter(F.col(score_col) > F.lit(cutoff))
+    w = Window.orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    boundary = (
+        base.filter(F.col(score_col) == F.lit(cutoff))
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= F.lit(rem))
+        .drop("_cum")
+    )
+    return full.unionByName(boundary)
+
+
+def quantile_normalize_scores(
+    docs: DataFrame,
+    *,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X145 per-source quantile score calibration: different corpus
+    sources carry incomparable raw quality scores (a web-scrape scorer's
+    0.4 ≠ a books scorer's 0.4); mixing pipelines normalize each score to
+    its within-source percent-rank before applying one global gate
+    (CCNet's per-shard quantiles, Wenzek et al. 2020). percent_rank uses
+    the SQL definition — ties share the minimum rank — released as exact
+    integer ppm: ``(strictly_below · 1e6) div (n − 1)``, 0 for
+    single-row groups.
+
+    Scale design — NO per-row window sort: ranking every row with
+    ``percent_rank() over (partition by source order by score)`` sorts
+    the full corpus inside each source partition (and one hot source is
+    the norm, not the exception). Because ties share ranks, the rank is a
+    function of ``(source, score)`` alone — so one map-side-combined
+    aggregate builds the per-(source, score) count table (bounded by
+    score domain × sources), the strictly-below running sum is a window
+    over that BOUNDED aggregate, and rows get their rank back through
+    one hash equi-join. The corpus is never sorted.
+
+    Returns ``docs`` columns ``(id_col, group_col, score_col)`` plus
+    ``calib_ppm`` (BIGINT).
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.select(id_col, group_col, score_col)
+    cnt = base.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cnt.select(
+        group_col,
+        score_col,
+        (F.sum("_c").over(w) - F.col("_c")).alias("_below"),
+        F.sum("_c").over(
+            Window.partitionBy(group_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    return base.join(ranked, [group_col, score_col]).select(
+        id_col,
+        group_col,
+        score_col,
+        F.when(F.col("_n") > 1, F.expr(f"(_below * {PPM}) div (_n - 1)"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("calib_ppm"),
+    )
+
+
+def source_ngram_novelty(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """X146 per-source n-gram novelty: which sources contribute CONTENT
+    the rest of the corpus does not already have — the marginal-value
+    signal mixture planning weighs against size (a mirror-heavy crawl
+    source has huge token counts but near-zero exclusive n-grams). Per
+    source: distinct word-``n``-grams, grams EXCLUSIVE to the source
+    (df-over-sources = 1), and exclusivity in exact ppm.
+
+    Scale design: grams explode linearly and immediately collapse to
+    distinct ``(source, gram-hash)`` pairs (map-side combine); the
+    per-gram source count and the final per-source rollup are both
+    gram-keyed / source-keyed hash aggregates. Output is one row per
+    source regardless of corpus size; nothing driver-side. Gram identity
+    is xxhash64 inside the plan (the exact_dedup collision stance —
+    2⁻⁶⁴ per pair); the oracle uses the gram strings themselves, so a
+    collision would surface as a count mismatch.
+    """
+    ws = tx.words(text_col)
+    grams = docs.select(
+        F.col(group_col),
+        F.explode(
+            F.when(
+                F.size(ws) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - n + 1),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(ws, i, n), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_gh"),
+    ).distinct()
+    df_s = grams.groupBy("_gh").agg(
+        F.count(F.lit(1)).alias("_ns")
+    )
+    return (
+        grams.join(df_s, "_gh")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("distinct_grams"),
+            F.sum(
+                F.when(F.col("_ns") == 1, 1).otherwise(0)
+            ).cast("bigint").alias("exclusive_grams"),
+        )
+        .select(
+            group_col,
+            "distinct_grams",
+            "exclusive_grams",
+            F.when(
+                F.col("distinct_grams") > 0,
+                F.expr(f"(exclusive_grams * {PPM}) div distinct_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("exclusive_ppm"),
+        )
+    )

@@ -1541,6 +1541,9 @@ _CHECK_LAST = [
     "hard_negatives_embeddings",  # ann family (lsh/ivf/cosine checked)
     "stream_quota_documents",  # streaming-state family (sessionize/dedup)
     "script_profile_documents",  # text family (lang_id/encoding_profile)
+    "token_budget_select_documents",  # sampling family (stratified/mixture)
+    "quantile_normalize_scores_documents",  # stats family (deciles/psi)
+    "source_ngram_novelty_documents",  # corpus-stats family (zipf/oov)
 ]
 
 
@@ -10197,3 +10200,154 @@ def script_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[cnt.alias(f"n_{name}") for name, cnt in counts.items()],
         dominant_script("raw_text").alias("dominant_script"),
     ).orderBy("doc_id")
+
+
+@register(
+    "token_budget_select_documents",
+    f"""
+    with w0 as (select doc_id, {_WORDS_SQL} as ws0 from documents),
+    w as (select doc_id, list_filter(ws0, t -> t <> '') as ws from w0),
+    s as (
+      select doc_id,
+             cast(len(ws) as bigint) as n_tokens,
+             cast(case when len(ws) = 0 then 0
+                  else (len(list_distinct(ws)) * 100) // len(ws) end
+                  as bigint) as ttr_pct
+      from w
+    ),
+    c as (
+      select *,
+             sum(n_tokens) over (order by ttr_pct desc, doc_id) as cum
+      from s
+    )
+    select doc_id, ttr_pct, n_tokens from c
+    where cum <= 13000
+    order by doc_id
+    """,
+)
+def token_budget_select_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X144 token-budget selection (operators/quality.token_budget_select):
+    keep the highest-quality documents while the running token total fits
+    a 13 000-token budget — score is the integral type-token-ratio
+    percent (ties abound, so the budget lands INSIDE a stratum and the
+    boundary-prefix arm is exercised). Spark derives the cutoff stratum
+    from a bounded per-score histogram (no corpus-wide window sort); the
+    oracle replays the same greedy prefix with one cumulative window over
+    (score desc, doc_id)."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        token_budget_select,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ws = tx.words("text")
+    s = d.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.when(F.size(ws) == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            (F.size(F.array_distinct(ws)).cast("bigint") * 100)
+            .cast("bigint")
+        )
+        .alias("_num"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("_num div n_tokens"))
+        .cast("bigint")
+        .alias("ttr_pct"),
+    )
+    out = token_budget_select(
+        s, 13_000, score_col="ttr_pct", tokens_col="n_tokens"
+    )
+    return out.select("doc_id", "ttr_pct", "n_tokens").orderBy("doc_id")
+
+
+@register(
+    "quantile_normalize_scores_documents",
+    """
+    with r as (
+      select doc_id, source, n_chars,
+             cast(rank() over (partition by source order by n_chars) - 1
+                  as bigint) as below,
+             cast(count(*) over (partition by source) as bigint) as n
+      from documents
+    )
+    select doc_id, source, n_chars,
+           cast(case when n > 1 then (below * 1000000) // (n - 1)
+                else 0 end as bigint) as calib_ppm
+    from r
+    order by doc_id
+    """,
+)
+def quantile_normalize_scores_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X145 per-source quantile calibration
+    (operators/quality.quantile_normalize_scores): each document's raw
+    length score (n_chars) becomes its within-source percent-rank in
+    exact integer ppm — the cross-source-comparable quality scale mixing
+    gates consume. Spark ranks via the bounded (source, score) count
+    aggregate + one hash join back (the corpus is never sorted); the
+    oracle replays the SQL rank()/count() definition directly — ties
+    sharing the minimum rank is what makes the two equivalent."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        quantile_normalize_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = quantile_normalize_scores(
+        d, score_col="n_chars", group_col="source"
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", "calib_ppm"
+    ).orderBy("doc_id")
+
+
+@register(
+    "source_ngram_novelty_documents",
+    f"""
+    with w0 as (select source, {_WORDS_SQL} as ws0 from documents),
+    w as (select source, list_filter(ws0, t -> t <> '') as ws from w0),
+    g as (
+      select source,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> array_to_string(ws[i:i+2], ' '))) as gm
+      from w where len(ws) >= 3
+    ),
+    d as (select distinct source, gm from g),
+    dfs as (select gm, count(*) as ns from d group by gm)
+    select source,
+           cast(count(*) as bigint) as distinct_grams,
+           cast(sum(case when ns = 1 then 1 else 0 end) as bigint)
+             as exclusive_grams,
+           cast(case when count(*) = 0 then 0 else
+             (cast(sum(case when ns = 1 then 1 else 0 end) as bigint)
+              * 1000000) // cast(count(*) as bigint) end as bigint)
+             as exclusive_ppm
+    from d join dfs using (gm)
+    group by source
+    order by source
+    """,
+)
+def source_ngram_novelty_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X146 per-source n-gram novelty
+    (operators/quality.source_ngram_novelty): distinct word-3-grams per
+    source and the grams EXCLUSIVE to that source (source-df = 1) — the
+    marginal-content signal mixture planning weighs against raw size.
+    Spark collapses grams to distinct (source, xxhash64) pairs then runs
+    two keyed aggregates; the oracle replays with the gram strings
+    themselves, so a hash collision (2^-64/pair stance, exact_dedup
+    precedent) would surface as a count mismatch."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        source_ngram_novelty,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return source_ngram_novelty(d, n=3, group_col="source").orderBy(
+        "source"
+    )

@@ -1,0 +1,154 @@
+"""X144/X145/X146 — token-budget selection, per-source quantile
+calibration, and per-source n-gram novelty (operators/quality.py)."""
+
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.quality import (
+    quantile_normalize_scores,
+    source_ngram_novelty,
+    token_budget_select,
+)
+
+
+def _docs(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+class TestTokenBudgetSelect:
+    def test_everything_fits(self, spark):
+        df = _docs(
+            spark,
+            [(1, 10, 5), (2, 10, 5), (3, 5, 5)],
+            ["doc_id", "score", "n_tokens"],
+        )
+        got = token_budget_select(df, 100, score_col="score")
+        assert {r.doc_id for r in got.collect()} == {1, 2, 3}
+
+    def test_boundary_stratum_prefix(self, spark):
+        # strata: score 9 (5 tokens) fits fully; score 8 has three docs
+        # of 4 tokens each and only 6 budget tokens remain — greedy
+        # prefix by id keeps doc 2 (cum 4) and stops at doc 4 (cum 8);
+        # doc 6 is excluded even though it would fit alone (prefix, not
+        # knapsack, semantics). score 1 is past the cutoff entirely.
+        df = _docs(
+            spark,
+            [
+                (1, 9, 5),
+                (2, 8, 4),
+                (4, 8, 4),
+                (6, 8, 4),
+                (9, 1, 1),
+            ],
+            ["doc_id", "score", "n_tokens"],
+        )
+        got = {r.doc_id for r in token_budget_select(df, 11).collect()}
+        assert got == {1, 2}
+
+    def test_budget_smaller_than_best_doc(self, spark):
+        df = _docs(
+            spark, [(1, 9, 50), (2, 8, 1)], ["doc_id", "score", "n_tokens"]
+        )
+        got = token_budget_select(df, 10).collect()
+        assert got == []
+
+    def test_matches_global_cumsum_rule(self, spark):
+        # oracle-in-miniature: selection == rows whose cumulative token
+        # sum over (score desc, id asc) stays within budget
+        rows = [(i, (i * 7) % 5, 1 + (i * 3) % 4) for i in range(40)]
+        df = _docs(spark, rows, ["doc_id", "score", "n_tokens"])
+        budget = 37
+        ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+        cum, expect = 0, set()
+        for i, s, t in ordered:
+            cum += t
+            if cum <= budget:
+                expect.add(i)
+        got = {r.doc_id for r in token_budget_select(df, budget).collect()}
+        assert got == expect
+
+
+class TestQuantileNormalize:
+    def test_ties_share_min_rank(self, spark):
+        df = _docs(
+            spark,
+            [(1, "a", 10), (2, "a", 10), (3, "a", 20), (4, "a", 30)],
+            ["doc_id", "source", "score"],
+        )
+        got = {
+            r.doc_id: r.calib_ppm
+            for r in quantile_normalize_scores(
+                df, score_col="score"
+            ).collect()
+        }
+        # n=4: below counts 0,0,2,3 → ppm 0, 0, 666666, 1000000
+        assert got == {1: 0, 2: 0, 3: 666666, 4: 1000000}
+
+    def test_single_row_group_is_zero(self, spark):
+        df = _docs(
+            spark,
+            [(1, "solo", 99), (2, "b", 1), (3, "b", 2)],
+            ["doc_id", "source", "score"],
+        )
+        got = {
+            r.doc_id: r.calib_ppm
+            for r in quantile_normalize_scores(
+                df, score_col="score"
+            ).collect()
+        }
+        assert got == {1: 0, 2: 0, 3: 1000000}
+
+    def test_groups_are_independent(self, spark):
+        df = _docs(
+            spark,
+            [(1, "a", 1), (2, "a", 100), (3, "b", 50), (4, "b", 60)],
+            ["doc_id", "source", "score"],
+        )
+        got = {
+            r.doc_id: r.calib_ppm
+            for r in quantile_normalize_scores(
+                df, score_col="score"
+            ).collect()
+        }
+        assert got == {1: 0, 2: 1000000, 3: 0, 4: 1000000}
+
+
+class TestSourceNgramNovelty:
+    def test_exclusive_vs_shared(self, spark):
+        df = _docs(
+            spark,
+            [
+                # "a b c" shared by both sources; "x y z" exclusive to s1
+                (1, "s1", "a b c and x y z"),
+                (2, "s2", "a b c only"),
+            ],
+            ["doc_id", "source", "text"],
+        )
+        got = {
+            r.source: (r.distinct_grams, r.exclusive_grams, r.exclusive_ppm)
+            for r in source_ngram_novelty(df, n=3).collect()
+        }
+        # s1 grams: "a b c","b c and","c and x","and x y","x y z" (5,
+        # 4 exclusive); s2 grams: "a b c","b c only" (2, 1 exclusive)
+        assert got["s1"] == (5, 4, 800000)
+        assert got["s2"] == (2, 1, 500000)
+
+    def test_short_docs_contribute_nothing(self, spark):
+        df = _docs(
+            spark,
+            [(1, "s1", "one two"), (2, "s2", "a b c")],
+            ["doc_id", "source", "text"],
+        )
+        got = {
+            r.source: r.distinct_grams
+            for r in source_ngram_novelty(df, n=3).collect()
+        }
+        assert got == {"s2": 1}
+
+    def test_within_source_duplicates_counted_once(self, spark):
+        df = _docs(
+            spark,
+            [(1, "s1", "a b c"), (2, "s1", "a b c")],
+            ["doc_id", "source", "text"],
+        )
+        row = source_ngram_novelty(df, n=3).collect()[0]
+        assert (row.distinct_grams, row.exclusive_grams) == (1, 1)
