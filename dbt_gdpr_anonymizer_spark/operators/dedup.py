@@ -945,3 +945,74 @@ def semantic_dedup(
     return assigned.groupBy("cell").applyInPandas(
         _survivors, f"{id_col} {id_t}, cell int"
     )
+
+
+def source_dup_report(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X147 per-source duplication report — the AUDIT twin of
+    :func:`exact_dedup`/:func:`dedup_corpus`: instead of dropping
+    duplicates, quantify WHERE they come from, per source. A source whose
+    duplicates are mostly INTRA-source is re-crawling itself (fix the
+    crawler); one whose duplicates are CROSS-source is a mirror of
+    content already held elsewhere (drop the source, not the docs) — the
+    distinction drives opposite curation actions, which is why real
+    pipelines report both.
+
+    Per source: ``n_docs``, ``dup_docs`` (fingerprint occurs >1× in the
+    corpus), ``intra_dup_docs`` (>1× within the SAME source),
+    ``cross_dup_docs`` (also occurs in ANOTHER source; a doc can be
+    both), and ``dup_ppm`` (= dup_docs·1e6 div n_docs, exact integer).
+
+    Plan: one scan → map-side-combined ``(fingerprint, source)`` counts;
+    corpus-level fingerprint totals are a second aggregate over that
+    ALREADY-COLLAPSED frame (bounded by distinct fingerprints, not docs);
+    one fingerprint-keyed equi-join between the two, then a source-keyed
+    rollup weighted by the per-cell doc counts. The corpus is never
+    shuffled twice and no row-level join touches it. Output: one row per
+    source. Fingerprint identity is ``tx.doc_fingerprint`` (md5 — the
+    exact_dedup stance, engine-portable for the oracle).
+    """
+    cell = (
+        docs.select(
+            tx.doc_fingerprint(text_col).alias("_fp"), F.col(group_col)
+        )
+        .groupBy("_fp", group_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    tot = cell.groupBy("_fp").agg(
+        F.sum("_c").alias("_tot"),
+        F.count(F.lit(1)).alias("_nsrc"),
+    )
+    return (
+        cell.join(tot, "_fp")
+        .groupBy(group_col)
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("_tot") > 1, F.col("_c")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.sum(F.when(F.col("_c") > 1, F.col("_c")).otherwise(0))
+            .cast("bigint")
+            .alias("intra_dup_docs"),
+            F.sum(
+                F.when(F.col("_nsrc") > 1, F.col("_c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cross_dup_docs"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "dup_docs",
+            "intra_dup_docs",
+            "cross_dup_docs",
+            F.expr("(dup_docs * 1000000) div n_docs")
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+    )

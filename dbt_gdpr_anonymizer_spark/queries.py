@@ -1544,6 +1544,7 @@ _CHECK_LAST = [
     "token_budget_select_documents",  # sampling family (stratified/mixture)
     "quantile_normalize_scores_documents",  # stats family (deciles/psi)
     "source_ngram_novelty_documents",  # corpus-stats family (zipf/oov)
+    "source_dup_report_documents",  # dedup-audit family (exact_dedup 2R)
 ]
 
 
@@ -9961,12 +9962,15 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X139 character-distribution gibberish gate (operators/quality.
     char_entropy_profile): per-document Shannon entropy of the char
     frequency distribution plus integer-exact companions (distinct-char
-    count, top-char count, Σcount² collision numerator). Computed
-    entirely array-side in one codegen projection — zero shuffle, zero
-    Python — with the float entropy fold SEQUENCED over the binary-sorted
-    distinct-char array so the oracle replays the identical IEEE addition
-    order via list_reduce (floor·1e4 BIGINT release, the bigram-LM libm
-    precedent)."""
+    count, top-char count, Σcount² collision numerator). Chars explode
+    into map-side-combined (doc, char) counts, one shuffle reassembles
+    the char-sorted per-doc count array, and the float entropy fold is
+    SEQUENCED over that binary-sorted array so the oracle replays the
+    identical IEEE addition order via list_reduce (floor·1e4 BIGINT
+    release, the bigram-LM libm precedent). The r7 all-array-side
+    version computed the same values through interpreted higher-order
+    filters — 42 s at sf0.1 vs ~1.5 s for this plan, bit-identical
+    outputs."""
     from dbt_gdpr_anonymizer_spark.operators.quality import (
         char_entropy_profile,
     )
@@ -10351,3 +10355,51 @@ def source_ngram_novelty_documents(
     return source_ngram_novelty(d, n=3, group_col="source").orderBy(
         "source"
     )
+
+
+@register(
+    "source_dup_report_documents",
+    f"""
+    with w as (select doc_id, source, {_WORDS_SQL} as ws from documents),
+    f as (
+      select source,
+             md5(array_to_string(list_sort(list_distinct(ws)), ' ')) as fp
+      from w
+    ),
+    cell as (select fp, source, count(*) as c from f group by fp, source),
+    tot as (
+      select fp, sum(c) as t, count(*) as nsrc from cell group by fp
+    )
+    select source,
+           cast(sum(c) as bigint) as n_docs,
+           cast(sum(case when t > 1 then c else 0 end) as bigint)
+             as dup_docs,
+           cast(sum(case when c > 1 then c else 0 end) as bigint)
+             as intra_dup_docs,
+           cast(sum(case when nsrc > 1 then c else 0 end) as bigint)
+             as cross_dup_docs,
+           cast((cast(sum(case when t > 1 then c else 0 end) as bigint)
+                 * 1000000) // cast(sum(c) as bigint) as bigint)
+             as dup_ppm
+    from cell join tot using (fp)
+    group by source
+    order by source
+    """,
+)
+def source_dup_report_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X147 per-source duplication audit (operators/dedup.source_dup_report):
+    for each source, how many of its documents duplicate corpus content
+    at all, within itself (re-crawl signal), and across other sources
+    (mirror signal) — the reporting twin of exact_dedup that tells a
+    curator WHICH action to take. All joins/aggregates run on the
+    fingerprint-collapsed frame (bounded by distinct fingerprints, never
+    docs); the oracle replays fingerprint, cells, totals, and the
+    weighted rollup. At sf0.01 the corpus has 61 duplicated fingerprint
+    cells (60 cross-source, 25 intra-source docs), so every arm is
+    exercised."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import source_dup_report
+
+    d = _t(spark, sf_dir, "documents")
+    return source_dup_report(d).orderBy("source")

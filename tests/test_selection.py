@@ -152,3 +152,69 @@ class TestSourceNgramNovelty:
         )
         row = source_ngram_novelty(df, n=3).collect()[0]
         assert (row.distinct_grams, row.exclusive_grams) == (1, 1)
+
+
+class TestSourceDupReport:
+    def test_intra_vs_cross(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            source_dup_report,
+        )
+
+        df = spark.createDataFrame(
+            [
+                # s1 re-crawls itself: docs 1,2 identical (intra)
+                (1, "s1", "alpha beta gamma"),
+                (2, "s1", "alpha beta gamma"),
+                # s2 mirrors s1's content (cross for both)
+                (3, "s2", "alpha beta gamma"),
+                # unique docs
+                (4, "s1", "delta epsilon zeta"),
+                (5, "s2", "eta theta iota"),
+            ],
+            ["doc_id", "source", "text"],
+        )
+        got = {
+            r.source: (
+                r.n_docs,
+                r.dup_docs,
+                r.intra_dup_docs,
+                r.cross_dup_docs,
+                r.dup_ppm,
+            )
+            for r in source_dup_report(df).collect()
+        }
+        # s1: 3 docs; 2 dup (both intra AND cross); ppm = 2e6 div 3
+        assert got["s1"] == (3, 2, 2, 2, 666666)
+        # s2: 2 docs; 1 dup, cross only
+        assert got["s2"] == (2, 1, 0, 1, 500000)
+
+    def test_no_duplicates(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            source_dup_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "s1", "a b"), (2, "s1", "c d")],
+            ["doc_id", "source", "text"],
+        )
+        row = source_dup_report(df).collect()[0]
+        assert (row.dup_docs, row.intra_dup_docs, row.cross_dup_docs) == (
+            0,
+            0,
+            0,
+        )
+
+    def test_word_order_insensitive_fingerprint(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            source_dup_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "s1", "beta alpha"), (2, "s2", "alpha  beta!")],
+            ["doc_id", "source", "text"],
+        )
+        got = {
+            r.source: r.cross_dup_docs
+            for r in source_dup_report(df).collect()
+        }
+        assert got == {"s1": 1, "s2": 1}
