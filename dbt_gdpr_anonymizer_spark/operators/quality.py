@@ -809,16 +809,26 @@ def source_ngram_novelty(
     2⁻⁶⁴ per pair); the oracle uses the gram strings themselves, so a
     collision would surface as a count mismatch.
     """
+    # materialize the words array BEFORE the per-position transform: a
+    # lambda that references the raw words(text) expression re-evaluates
+    # the normalize+split per sequence element in the interpreted HOF
+    # path (the char_entropy lesson) — O(len·grams) per row. Referencing
+    # the materialized column is O(k) per gram.
     ws = tx.words(text_col)
-    grams = docs.select(
+    base = docs.select(
+        F.col(group_col),
+        ws.alias("_ws"),
+        F.greatest(F.size(ws), F.lit(0)).alias("_n"),
+    )
+    grams = base.select(
         F.col(group_col),
         F.explode(
             F.when(
-                F.size(ws) >= n,
+                F.col("_n") >= n,
                 F.transform(
-                    F.sequence(F.lit(1), F.size(ws) - n + 1),
+                    F.sequence(F.lit(1), F.col("_n") - n + 1),
                     lambda i: F.xxhash64(
-                        F.array_join(F.slice(ws, i, n), " ")
+                        F.array_join(F.slice("_ws", i, n), " ")
                     ),
                 ),
             ).otherwise(F.array().cast("array<bigint>"))
