@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences", "chunk_documents", "training_shard_plan"]
 
 
 def pack_sequences(
@@ -122,4 +122,54 @@ def chunk_documents(
                 )
             ).alias("chunk_md5"),
         )
+    )
+
+
+def training_shard_plan(
+    docs: DataFrame,
+    n_shards: int,
+    *,
+    id_col: str = "doc_id",
+    salt: str = "shard_salt",
+) -> DataFrame:
+    """X148 deterministic global shuffle + shard plan — the step between
+    a curated corpus and a distributed dataloader: every document gets a
+    shard (which of ``n_shards`` output files / reader workers owns it)
+    and a position inside that shard, such that the overall order is a
+    reproducible pseudo-random permutation (training-order shuffling is
+    a correctness requirement for SGD, and re-runs must see the SAME
+    order to resume mid-epoch).
+
+    Both coordinates derive from the md5 permutation key of ``id‖salt``
+    (the uniform52 idiom, engine-exact): shard = key mod n_shards,
+    position = rank of the key within the shard (id tie-break).
+    Changing the salt reshuffles everything; changing nothing reproduces
+    the plan bit-for-bit.
+
+    Scale: shard assignment is a pure projection; the per-shard
+    ``row_number`` is one hash-partition sort PER SHARD — md5 balances
+    shard populations by construction (no skew), the per-shard sort is
+    the materialization order a shard writer needs anyway, and shards
+    are independent so the sort parallelism is exactly ``n_shards`` ×
+    executor cores. No global sort, no driver state.
+
+    Returns ``(id_col, shard BIGINT, pos BIGINT)`` — ``pos`` is 1-based
+    within the shard.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.privacy import uniform52
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = uniform52(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    )
+    base = docs.select(
+        F.col(id_col), (key % n_shards).cast("bigint").alias("shard"),
+        key.alias("_k"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_k"), F.col(id_col))
+    return base.select(
+        id_col,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )

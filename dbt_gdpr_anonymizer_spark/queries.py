@@ -1545,6 +1545,7 @@ _CHECK_LAST = [
     "quantile_normalize_scores_documents",  # stats family (deciles/psi)
     "source_ngram_novelty_documents",  # corpus-stats family (zipf/oov)
     "source_dup_report_documents",  # dedup-audit family (exact_dedup 2R)
+    "training_shard_plan_documents",  # layout family (pack_sequences 2R)
 ]
 
 
@@ -10403,3 +10404,39 @@ def source_dup_report_documents(
 
     d = _t(spark, sf_dir, "documents")
     return source_dup_report(d).orderBy("source")
+
+
+def _training_shard_oracle() -> str:
+    k = _h52_sql("concat(cast(doc_id as varchar), '|shard_salt')")
+    return f"""
+    with s as (
+      select doc_id,
+             cast({k} % 16 as bigint) as shard,
+             {k} as k
+      from documents
+    )
+    select doc_id, shard,
+           cast(row_number() over (partition by shard order by k, doc_id)
+                as bigint) as pos
+    from s
+    order by doc_id
+    """
+
+
+@register("training_shard_plan_documents", _training_shard_oracle())
+def training_shard_plan_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X148 deterministic global shuffle + shard plan
+    (operators/packing.training_shard_plan): each document gets a
+    dataloader shard (md5-of-id mod 16) and a reproducible pseudo-random
+    position inside it — the corpus→distributed-dataloader layout step,
+    resumable because re-runs reproduce the permutation bit-for-bit. The
+    oracle replays the 52-bit md5 key (uniform52 twin) and the per-shard
+    rank; no global sort anywhere (one md5-balanced per-shard sort)."""
+    from dbt_gdpr_anonymizer_spark.operators.packing import (
+        training_shard_plan,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return training_shard_plan(d, 16).orderBy("doc_id")

@@ -218,3 +218,64 @@ class TestSourceDupReport:
             for r in source_dup_report(df).collect()
         }
         assert got == {"s1": 1, "s2": 1}
+
+
+class TestTrainingShardPlan:
+    def test_deterministic_and_complete(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.packing import (
+            training_shard_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(100)], ["doc_id", "text"]
+        )
+        a = sorted(map(tuple, training_shard_plan(df, 4).collect()))
+        b = sorted(map(tuple, training_shard_plan(df, 4).collect()))
+        assert a == b  # reproducible permutation
+        assert len(a) == 100
+        shards = {r[1] for r in a}
+        assert shards <= set(range(4)) and len(shards) == 4
+        # positions within each shard are 1..|shard| with no gaps
+        from collections import defaultdict
+
+        per = defaultdict(list)
+        for _id, sh, pos in a:
+            per[sh].append(pos)
+        for sh, ps in per.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    def test_salt_reshuffles(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.packing import (
+            training_shard_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(50)], ["doc_id", "text"]
+        )
+        a = {r.doc_id: (r.shard, r.pos) for r in
+             training_shard_plan(df, 4).collect()}
+        b = {r.doc_id: (r.shard, r.pos) for r in
+             training_shard_plan(df, 4, salt="other").collect()}
+        assert a != b
+
+    def test_n_shards_one(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.packing import (
+            training_shard_plan,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(10)], ["doc_id", "text"]
+        )
+        rows = training_shard_plan(df, 1).collect()
+        assert {r.shard for r in rows} == {0}
+        assert sorted(r.pos for r in rows) == list(range(1, 11))
+
+    def test_rejects_zero_shards(self, spark):
+        import pytest
+        from dbt_gdpr_anonymizer_spark.operators.packing import (
+            training_shard_plan,
+        )
+
+        df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            training_shard_plan(df, 0)
