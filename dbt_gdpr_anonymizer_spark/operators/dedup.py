@@ -1031,3 +1031,63 @@ def source_dup_report(
             .alias("dup_ppm"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    eps_ppm: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """X149 SEMANTIC test-set decontamination — the embedding-space twin
+    of :func:`benchmark_contamination` (which is lexical): flag corpus
+    items whose embedding is eps-close in cosine to ANY held-out
+    benchmark item. Catches paraphrased/translated/reformatted eval leaks
+    that share no word n-gram with the benchmark (the reason modern
+    decontamination runs both tiers — e.g. Llama/GPT-4 report n-gram AND
+    embedding checks).
+
+    Contract: returns ``(id_col, bench_id_col, cos_sim_ppm)`` — one row
+    per CONTAMINATED corpus item, carrying the best-matching benchmark
+    id (ties: lowest id) and the floored-ppm cosine (integral, so the
+    threshold and the argmax are engine-exact).
+
+    Scale: benchmarks are small by construction (eval suites, ≪ corpus),
+    so the plan is EXACT broadcast scoring — corpus streams map-side
+    against the broadcast benchmark, zero recall loss (an LSH/IVF
+    candidate tier would trade recall exactly where misses are the
+    failure mode). Per-item argmax is a struct-max aggregate (no window,
+    one map-side-combined shuffle keyed on the corpus id). Cost is
+    linear in corpus × |benchmark|.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.similarity import cosine_sim
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    b = benchmark.select(
+        F.col(bench_id_col),
+        F.col(vec_col).cast("array<double>").alias("_b"),
+    )
+    scored = c.join(F.broadcast(b)).select(
+        id_col,
+        bench_id_col,
+        F.floor(cosine_sim(F.col("_v"), F.col("_b")) * 1_000_000)
+        .cast("bigint")
+        .alias("_ppm"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("_ppm"), (-F.col(bench_id_col)).alias("_nb")
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("_m._nb")).cast("bigint").alias(bench_id_col),
+        F.col("_m._ppm").alias("cos_sim_ppm"),
+    ).filter(F.col("cos_sim_ppm") >= eps_ppm)

@@ -1546,6 +1546,7 @@ _CHECK_LAST = [
     "source_ngram_novelty_documents",  # corpus-stats family (zipf/oov)
     "source_dup_report_documents",  # dedup-audit family (exact_dedup 2R)
     "training_shard_plan_documents",  # layout family (pack_sequences 2R)
+    "semantic_decontaminate_embeddings",  # contamination family (decontaminate 2R)
 ]
 
 
@@ -10440,3 +10441,72 @@ def training_shard_plan_documents(
 
     d = _t(spark, sf_dir, "documents")
     return training_shard_plan(d, 16).orderBy("doc_id")
+
+
+@register(
+    "semantic_decontaminate_embeddings",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    b as (
+      select vec_id as bench_id,
+             list_transform(range(1, 65),
+               i -> vv[i] + 0.05 * vv[(i % 64) + 1]) as bv
+      from v where vec_id < 25
+    ),
+    scored as (
+      select vec_id, bench_id,
+             cast(floor(1000000 * (
+               list_dot_product(vv, bv)
+                 / (sqrt(list_dot_product(vv, vv))
+                    * sqrt(list_dot_product(bv, bv)))
+             )) as bigint) as ppm
+      from v cross join b
+    ),
+    best as (
+      select vec_id, bench_id, ppm,
+             row_number() over (partition by vec_id
+                                order by ppm desc, bench_id) as rn
+      from scored
+    )
+    select vec_id, cast(bench_id as bigint) as bench_id,
+           ppm as cos_sim_ppm
+    from best where rn = 1 and ppm >= 950000
+    order by vec_id
+    """,
+)
+def semantic_decontaminate_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X149 semantic decontamination (operators/dedup.
+    semantic_decontaminate) — the embedding-space twin of the lexical
+    n-gram check (decontaminate_documents): a benchmark set is planted
+    as deterministic PERTURBATIONS of 25 corpus vectors (each dimension
+    leaks 5% of its cyclic neighbor — cosine ≈ 0.998 to its twin, ≤
+    ~0.55 to everything else in this near-orthogonal corpus), and the
+    operator must flag exactly the 25 paraphrase-like leaks at eps 0.95
+    that share no surface form. Exact broadcast scoring (eval suites are
+    small — recall loss is the failure mode, so no candidate tier), per
+    -item argmax as a struct-max aggregate. The oracle replays the
+    perturbation, the left-fold cosine, and the tie rule."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    bench = v.filter(F.col("vec_id") < 25).select(
+        F.col("vec_id").alias("bench_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.element_at("_v", i)
+            + F.lit(0.05) * F.element_at("_v", (i % 64) + 1),
+        ).alias("embedding"),
+    )
+    out = semantic_decontaminate(
+        v.select("vec_id", F.col("_v").alias("embedding")),
+        bench,
+        eps_ppm=950_000,
+    )
+    return out.orderBy("vec_id")

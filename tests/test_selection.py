@@ -279,3 +279,59 @@ class TestTrainingShardPlan:
         df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             training_shard_plan(df, 0)
+
+
+class TestSemanticDecontaminate:
+    def _df(self, spark, rows, idc):
+        return spark.createDataFrame(rows, [idc, "embedding"])
+
+    def test_flags_only_eps_close(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            semantic_decontaminate,
+        )
+
+        corpus = self._df(
+            spark,
+            [
+                (1, [1.0, 0.0, 0.0]),
+                (2, [0.99, 0.14, 0.0]),  # near bench 10 (cos ~0.99)
+                (3, [0.0, 1.0, 0.0]),
+            ],
+            "vec_id",
+        )
+        bench = self._df(spark, [(10, [1.0, 0.0, 0.0])], "bench_id")
+        got = {
+            r.vec_id: (r.bench_id, r.cos_sim_ppm)
+            for r in semantic_decontaminate(
+                corpus, bench, eps_ppm=950_000
+            ).collect()
+        }
+        assert set(got) == {1, 2}
+        assert got[1] == (10, 999999) or got[1] == (10, 1000000)
+        assert got[2][0] == 10 and got[2][1] >= 950_000
+
+    def test_argmax_tie_prefers_lowest_bench_id(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            semantic_decontaminate,
+        )
+
+        corpus = self._df(spark, [(1, [1.0, 0.0])], "vec_id")
+        bench = self._df(
+            spark, [(7, [1.0, 0.0]), (3, [1.0, 0.0])], "bench_id"
+        )
+        row = semantic_decontaminate(
+            corpus, bench, eps_ppm=900_000
+        ).collect()[0]
+        assert row.bench_id == 3
+
+    def test_empty_when_nothing_close(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            semantic_decontaminate,
+        )
+
+        corpus = self._df(spark, [(1, [1.0, 0.0])], "vec_id")
+        bench = self._df(spark, [(9, [0.0, 1.0])], "bench_id")
+        assert (
+            semantic_decontaminate(corpus, bench, eps_ppm=500_000).count()
+            == 0
+        )
