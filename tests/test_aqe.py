@@ -150,3 +150,47 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
             spark.conf.unset(keys[0])
         else:
             spark.conf.set(keys[0], prior[keys[0]])
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """X150 dynamic partition pruning cert (SPARK-11150) — the runtime
+    mechanism that matters MOST for a partitioned 100 TB lake: a
+    selective filter on the dimension side prunes the fact side's
+    PARTITION list at runtime (directory-level skipping, coarser and
+    cheaper than the X141 row-level bloom probe). The executed plan must
+    carry a dynamicpruning subquery in the fact scan's partition
+    filters, and the result must equal the DPP-off join.
+    """
+    fact_p, dim_p = str(tmp_path / "factp"), str(tmp_path / "dimp")
+    spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("p")
+    ).write.mode("overwrite").partitionBy("p").parquet(fact_p)
+    spark.range(0, 50).select(
+        F.col("id").alias("p"), (F.col("id") % 10).alias("m")
+    ).write.mode("overwrite").parquet(dim_p)
+
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    prior = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "true")
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("m") == 3)
+        joined = fact.join(dim, "p")
+        n = joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:1200]
+        # 5 of 50 partitions survive the dim filter (m == 3), 2000
+        # fact rows each
+        assert n == 5 * 2000
+        spark.conf.set(key, "false")
+        fact2 = spark.read.parquet(fact_p)
+        dim2 = spark.read.parquet(dim_p).filter(F.col("m") == 3)
+        off = fact2.join(dim2, "p")
+        assert off.count() == n
+        plan_off = off._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" not in plan_off.lower()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
