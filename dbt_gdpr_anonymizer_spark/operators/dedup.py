@@ -1091,3 +1091,112 @@ def semantic_decontaminate(
         (-F.col("_m._nb")).cast("bigint").alias(bench_id_col),
         F.col("_m._ppm").alias("cos_sim_ppm"),
     ).filter(F.col("cos_sim_ppm") >= eps_ppm)
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """X151a engine-portable MinHash band buckets: ``(id, band, bucket)``
+    rows where bucket = md5 of the band's concatenated min-hashes and
+    each min-hash is the lexicographic MIN of ``md5(i‖':'‖shingle)`` —
+    every step is md5/string arithmetic both engines share, so unlike
+    the xxhash64 banding inside :func:`lsh_candidate_pairs` (internal,
+    output-verified only) the bucket VALUES themselves are
+    oracle-replayable. That is what an incremental index needs: the
+    persisted index must mean the same thing to every engine and every
+    future run.
+
+    Same explode shape as ``_lsh_candidates_from_sets`` (one md5 per
+    (hash-index, shingle), map-side-combined min aggregate) — never the
+    interpreted nested-HOF form of ``tx.minhash_signature``.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    exploded = sh.select(
+        F.col(id_col), F.explode_outer("sh").alias("_s")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bucket_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"_h{b * r + j}") for j in range(r)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return mins.select(
+        F.col(id_col), F.explode(F.array(*bucket_structs)).alias("_bb")
+    ).select(id_col, F.col("_bb.band").alias("band"),
+             F.col("_bb.bucket").alias("bucket"))
+
+
+def neardup_against_index(
+    new_docs: DataFrame,
+    seen_buckets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """X151 incremental NEAR-dup dedup — the delta-ingest twin of
+    :func:`dedup_against_index` (which is exact-only): production corpora
+    grow by deltas, and re-running pairwise near-dup over corpus ∪ delta
+    per batch is O(corpus) per batch. Here the accumulated state is the
+    ``(band, bucket)`` table from :func:`minhash_band_table`; a delta doc
+    is DROPPED if any of its band buckets (a) already exists in the
+    index — near-dup of ingested content — or (b) is also emitted by a
+    LOWER-id delta doc (greedy first-wins within the batch; the
+    transitive-closure variant is :func:`dedup_corpus` + X28 components,
+    this tier trades that for index-join cost O(delta)).
+
+    Banding semantics (not verified Jaccard): a bucket hit means the
+    band's min-hash rows all agree — the standard LSH candidate
+    criterion; tune bands/hashes for the precision/recall point, and run
+    the pairwise verified tier on the survivors when precision matters.
+
+    Returns survivors ``(id_col, n_buckets BIGINT)``. Append the
+    survivors' buckets to the index and the next delta dedups against
+    corpus ∪ delta without rescanning either.
+    """
+    bt = minhash_band_table(
+        new_docs, text_col, id_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, bands=bands,
+    ).persist()
+    vs_index = bt.join(
+        seen_buckets.select("band", "bucket"), ["band", "bucket"],
+        "left_semi",
+    ).select(id_col).distinct()
+    owner = bt.groupBy("band", "bucket").agg(F.min(id_col).alias("_own"))
+    vs_delta = (
+        bt.join(owner, ["band", "bucket"])
+        .filter(F.col(id_col) > F.col("_own"))
+        .select(id_col)
+        .distinct()
+    )
+    dropped = vs_index.unionByName(vs_delta).distinct()
+    out = (
+        bt.join(dropped, id_col, "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+    )
+    return track_caches(out, bt)

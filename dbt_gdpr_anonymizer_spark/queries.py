@@ -1547,6 +1547,7 @@ _CHECK_LAST = [
     "source_dup_report_documents",  # dedup-audit family (exact_dedup 2R)
     "training_shard_plan_documents",  # layout family (pack_sequences 2R)
     "semantic_decontaminate_embeddings",  # contamination family (decontaminate 2R)
+    "dedup_incremental_neardup_documents",  # incremental family (dedup_incremental 2R)
 ]
 
 
@@ -10510,3 +10511,60 @@ def semantic_decontaminate_embeddings(
         eps_ppm=950_000,
     )
     return out.orderBy("vec_id")
+
+
+def _minhash_band_oracle() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}:' || s)) as h{i}" for i in range(8)
+    )
+    bandsel = " union all ".join(
+        f"select doc_id, {b} as band, "
+        f"md5(concat_ws('|', h{2 * b}, h{2 * b + 1})) as bucket from mins"
+        for b in range(4)
+    )
+    return f"""
+    with w0 as (select doc_id, {_WORDS_SQL} as ws from documents),
+    shs as (select doc_id, {_SHINGLES_SQL} as sh from w0),
+    ex as (select doc_id, unnest(sh) as s from shs),
+    mins as (select doc_id, {mins} from ex group by doc_id),
+    bt as ({bandsel}),
+    idx as (select distinct band, bucket from bt where doc_id < 250),
+    delta as (select * from bt where doc_id >= 250),
+    drop1 as (select distinct doc_id from delta join idx using (band, bucket)),
+    own as (select band, bucket, min(doc_id) as own
+            from delta group by band, bucket),
+    drop2 as (select distinct d.doc_id from delta d
+              join own using (band, bucket) where d.doc_id > own),
+    dropped as (select doc_id from drop1
+                union select doc_id from drop2)
+    select doc_id, cast(count(*) as bigint) as n_buckets
+    from delta where doc_id not in (select doc_id from dropped)
+    group by doc_id
+    order by doc_id
+    """
+
+
+@register("dedup_incremental_neardup_documents", _minhash_band_oracle())
+def dedup_incremental_neardup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X151 incremental NEAR-dup dedup (operators/dedup.
+    neardup_against_index): the corpus's first half (doc_id < 250) is the
+    already-ingested index — its md5-banded MinHash buckets
+    (minhash_band_table: engine-portable md5 min-hashes, md5 band
+    buckets) are the ONLY state kept — and the second half arrives as a
+    delta: a delta doc is dropped on any bucket hit against the index
+    (near-dup of ingested content) or against a lower-id delta doc
+    (greedy first-wins). Cost O(delta), never O(corpus). The oracle
+    replays the full banding arithmetic — min-hash strings, band
+    buckets, both drop arms — so the persisted index semantics themselves
+    are cross-engine-pinned, not just the survivor set."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import (
+        minhash_band_table,
+        neardup_against_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = minhash_band_table(d.filter(F.col("doc_id") < 250))
+    delta = d.filter(F.col("doc_id") >= 250)
+    return neardup_against_index(delta, idx).orderBy("doc_id")

@@ -74,6 +74,11 @@ BNLJ_ALLOWED = {
     #     onto the bucket-bounded (<= n_buckets rows) model table
     "dsir_importance_weights_documents",
     "dsir_gumbel_topk_documents",
+    #   semantic_decontaminate_embeddings — EXACT broadcast scoring
+    #     against the benchmark set is the contract (eval suites are
+    #     small by construction; an LSH candidate tier would lose recall
+    #     exactly where misses are the failure mode)
+    "semantic_decontaminate_embeddings",
 }
 
 

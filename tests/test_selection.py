@@ -335,3 +335,61 @@ class TestSemanticDecontaminate:
             semantic_decontaminate(corpus, bench, eps_ppm=500_000).count()
             == 0
         )
+
+
+class TestNeardupAgainstIndex:
+    def test_drops_index_hits_and_delta_dups(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            minhash_band_table,
+            neardup_against_index,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        idx = minhash_band_table(corpus)
+        delta = spark.createDataFrame(
+            [
+                # identical to ingested doc 1 → all buckets hit → drop
+                (10, "the quick brown fox jumps over the lazy dog"),
+                # fresh content, duplicated within the delta → 11 wins
+                (11, "entirely new content about spark plans"),
+                (12, "entirely new content about spark plans"),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {r.doc_id for r in
+               neardup_against_index(delta, idx).collect()}
+        assert got == {11}
+
+    def test_survivor_bucket_count(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            minhash_band_table,
+            neardup_against_index,
+        )
+
+        idx = minhash_band_table(
+            spark.createDataFrame([(1, "aaa bbb ccc")], ["doc_id", "text"])
+        )
+        delta = spark.createDataFrame(
+            [(5, "xxx yyy zzz www")], ["doc_id", "text"]
+        )
+        rows = neardup_against_index(delta, idx).collect()
+        assert [(r.doc_id, r.n_buckets) for r in rows] == [(5, 4)]
+
+    def test_band_table_is_md5_portable(self, spark):
+        import hashlib
+        from dbt_gdpr_anonymizer_spark.operators.dedup import (
+            minhash_band_table,
+        )
+
+        df = spark.createDataFrame([(1, "aa bb cc")], ["doc_id", "text"])
+        rows = {r.band: r.bucket
+                for r in minhash_band_table(df).collect()}
+        # replay band 0 by hand: shingle set = {"aa bb cc"} (one 3-gram)
+        sh = "aa bb cc"
+        h = [hashlib.md5(f"{i}:{sh}".encode()).hexdigest()
+             for i in range(8)]
+        b0 = hashlib.md5(f"{h[0]}|{h[1]}".encode()).hexdigest()
+        assert rows[0] == b0
