@@ -121,3 +121,85 @@ def export_report(
                 writer.writerows(rows)
         written.append(str(path))
     return written
+
+
+ROPA_SCHEMA = T.StructType(
+    [
+        T.StructField("processing_activity", T.StringType(), False),
+        T.StructField("data_categories", T.StringType(), False),
+        T.StructField("special_category", T.BooleanType(), False),
+        T.StructField("legal_bases", T.StringType(), True),
+        T.StructField("retention_days_max", T.IntegerType(), True),
+        T.StructField("n_pii_columns", T.IntegerType(), False),
+        T.StructField("n_direct_identifiers", T.IntegerType(), False),
+        T.StructField("data_owners", T.StringType(), True),
+        T.StructField("safeguards", T.StringType(), True),
+    ]
+)
+
+
+def processing_records(
+    spark: SparkSession,
+    policies: list[TablePolicy],
+    conf: EngineSettings | None = None,
+) -> DataFrame:
+    """GDPR Art. 30(1) record of processing activities (RoPA) — the
+    register every controller must be able to hand the supervisory
+    authority: one row per processing activity (here: per policied
+    model), aggregating the column-level metadata the policy registry
+    already holds into the Art. 30(1) field set — categories of data
+    (30(1)(c)), retention envelope (30(1)(f), the MAX across columns:
+    the activity keeps data as long as its longest-lived column),
+    technical safeguards (30(1)(g): the distinct anonymization methods
+    applied), legal bases and owners. The reference exports only the
+    column-level inventory (generate_pii_report.sql); the RoPA rollup is
+    the controller-facing artifact derived from the same single source
+    of truth — no second registry to drift.
+
+    Like :func:`pii_inventory`, the output is policy-sized (one row per
+    model), so driver-side assembly is the correct plan at any corpus
+    scale: the register scales with the POLICY, never the data.
+    """
+    conf = conf or settings()
+    rows = []
+    for tp in policies:
+        pii = sorted(tp.pii_columns().items())
+        if not pii:
+            continue
+        cats = sorted({p.pii_type for _, p in pii if p.pii_type})
+        bases = sorted({p.legal_basis for _, p in pii if p.legal_basis})
+        owners = sorted(
+            {p.data_owner or conf.data_owner for _, p in pii}
+        )
+        methods = sorted(
+            {p.anonymization_method for _, p in pii if p.anonymization_method}
+        )
+        rets = [
+            p.retention_days
+            if p.retention_days is not None
+            else conf.retention_days_default
+            for _, p in pii
+        ]
+        rows.append(
+            (
+                tp.name,
+                ",".join(cats),
+                any(
+                    p.pii_type in ("health", "biometric", "special")
+                    for _, p in pii
+                ),
+                ",".join(bases) or None,
+                max(rets) if rets else None,
+                len(pii),
+                sum(
+                    1
+                    for _, p in pii
+                    if p.pii_type == "direct_identifier"
+                ),
+                ",".join(owners) or None,
+                ",".join(methods) or None,
+            )
+        )
+    return spark.createDataFrame(rows, ROPA_SCHEMA).orderBy(
+        "processing_activity"
+    )

@@ -111,3 +111,64 @@ def test_consent_state_latest_wins_and_tiebreak(spark):
         ).collect()
     }
     assert out == {1: False, 2: True, 3: True}
+
+
+def test_processing_records_art30_rollup(spark):
+    """Art. 30 RoPA: one row per policied model, categories/bases/owners
+    aggregated, retention envelope is the MAX, special-category flag set
+    by pii_type, models with no PII omitted."""
+    from dbt_gdpr_anonymizer_spark.operators.report import (
+        processing_records,
+    )
+    from dbt_gdpr_anonymizer_spark.policy import ColumnPolicy, TablePolicy
+
+    policies = [
+        TablePolicy(
+            name="customers",
+            columns={
+                "email": ColumnPolicy(
+                    pii=True,
+                    pii_type="direct_identifier",
+                    anonymization_method="hash",
+                    legal_basis="consent",
+                    retention_days=30,
+                    data_owner="crm",
+                ),
+                "city": ColumnPolicy(
+                    pii=True,
+                    pii_type="quasi_identifier",
+                    anonymization_method="generalize",
+                    legal_basis="legitimate_interest",
+                    retention_days=365,
+                    data_owner="crm",
+                ),
+                "notes": ColumnPolicy(pii=False),
+            },
+        ),
+        TablePolicy(
+            name="visits",
+            columns={
+                "condition": ColumnPolicy(
+                    pii=True,
+                    pii_type="health",
+                    anonymization_method="suppress",
+                    legal_basis="consent",
+                    retention_days=10,
+                ),
+            },
+        ),
+        TablePolicy(name="lookup", columns={"code": ColumnPolicy()}),
+    ]
+    got = {r.processing_activity: r for r in
+           processing_records(spark, policies).collect()}
+    assert set(got) == {"customers", "visits"}  # lookup has no PII
+    c = got["customers"]
+    assert c.data_categories == "direct_identifier,quasi_identifier"
+    assert c.special_category is False
+    assert c.legal_bases == "consent,legitimate_interest"
+    assert c.retention_days_max == 365  # envelope = max across columns
+    assert c.n_pii_columns == 2 and c.n_direct_identifiers == 1
+    assert c.safeguards == "generalize,hash"
+    v = got["visits"]
+    assert v.special_category is True
+    assert v.retention_days_max == 10
