@@ -163,6 +163,7 @@ def pagerank_int(
     src_col: str = "src",
     dst_col: str = "dst",
     id_col: str = "node_id",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """X135 INTEGER-EXACT PageRank (Page et al. 1999) — the link-authority
     signal web-corpus curation ranks domains/pages by, computed so that
@@ -184,9 +185,13 @@ def pagerank_int(
     Scale shape: each iteration is ONE equi-join (ranks ⋈ edges on src)
     plus ONE map-side-partial aggregation on dst, joined back to the node
     spine so rank-less nodes keep the base term. Ranks persist and rotate
-    per iteration (lineage stays one iteration deep — the kmeans loop
-    pattern); out-degrees are computed once. Driver holds no per-node
-    state; everything is partitioned by node id.
+    every ``checkpoint_every`` iterations (the kmeans loop pattern,
+    bounding lineage depth for long runs) — iterations BETWEEN
+    checkpoints chain lazily in one lineage, so a 5-iteration run costs
+    ~2 Spark jobs instead of 6 (per-job scheduling overhead dominated
+    the wall time at bench scale; arithmetic and output are unchanged).
+    Out-degrees are computed once. Driver holds no per-node state;
+    everything is partitioned by node id.
 
     Returns ``(id_col, rank_units BIGINT)`` — rank in 1/scale units.
     """
@@ -201,7 +206,8 @@ def pagerank_int(
     ranks = spine.select(
         id_col, F.lit(scale // n_nodes).cast("long").alias("_r")
     ).persist()
-    for _ in range(iters):
+    prev_persisted = ranks
+    for i in range(iters):
         contribs = (
             ranks.join(deg, ranks[id_col] == deg[src_col])
             .join(
@@ -216,21 +222,20 @@ def pagerank_int(
             )
         )
         summed = contribs.groupBy("_dst").agg(F.sum("_c").alias("_s"))
-        new_ranks = (
-            spine.join(summed, spine[id_col] == summed["_dst"], "left")
-            .select(
-                id_col,
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_pct} * coalesce(_s, 0)) div 100"
-                    )
-                ).alias("_r"),
-            )
-            .persist()
+        new_ranks = spine.join(
+            summed, spine[id_col] == summed["_dst"], "left"
+        ).select(
+            id_col,
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_pct} * coalesce(_s, 0)) div 100")
+            ).alias("_r"),
         )
-        new_ranks.count()  # materialize before dropping the parent
-        ranks.unpersist()
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()  # materialize before dropping the parent
+            prev_persisted.unpersist()
+            prev_persisted = new_ranks
         ranks = new_ranks
     out = ranks.select(
         F.col(id_col), F.col("_r").cast("bigint").alias("rank_units")
