@@ -859,3 +859,89 @@ def source_ngram_novelty(
             .alias("exclusive_ppm"),
         )
     )
+
+
+def token_budget_select_by_group(
+    docs: DataFrame,
+    budget: int | dict,
+    *,
+    group_col: str = "source",
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X154 PER-GROUP token-budget selection — :func:`token_budget_select`
+    with one budget per source: the step that turns a mixture plan's
+    per-source token quotas (X118) into an actual document pick, keeping
+    each source's best documents under ITS budget (a single global budget
+    would let one high-scoring source starve the rest — the opposite of
+    what mixture weighting is for). ``budget`` is an int (same cap for
+    every group) or a dict ``{group: budget}`` (groups absent from the
+    dict are excluded entirely).
+
+    Same scale plan as X144, grouped: ONE map-side-combined
+    (group, score) token histogram — bounded by groups × score domain,
+    never corpus size — yields every group's cutoff stratum + residual
+    driver-side; the cutoffs broadcast back as a tiny join table, strata
+    strictly above a group's cutoff pass with a plain filter, and only
+    boundary strata run the per-group id-ordered cumulative window
+    (bounded by one score value's population per group). Returns the
+    selected rows ``(id_col, group_col, score_col, tokens_col)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.select(id_col, group_col, score_col, tokens_col)
+    hist = (
+        base.groupBy(group_col, score_col)
+        .agg(F.sum(tokens_col).alias("_s"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in hist:
+        per_group.setdefault(r[group_col], []).append(
+            (r[score_col], r["_s"])
+        )
+    cut_rows = []
+    for g, strata in per_group.items():
+        b = budget.get(g) if isinstance(budget, dict) else budget
+        if b is None:
+            continue
+        strata.sort(key=lambda t: -t[0])
+        cum = 0
+        cutoff, rem, all_fit = None, 0, True
+        for score, s in strata:
+            if cum + s <= b:
+                cum += s
+            else:
+                cutoff, rem, all_fit = score, b - cum, False
+                break
+        cut_rows.append((g, cutoff, rem, all_fit))
+    if not cut_rows:
+        return base.limit(0)
+    schema = base.select(
+        group_col,
+        F.col(score_col).alias("_cutoff"),
+        F.lit(0).cast("long").alias("_rem"),
+        F.lit(True).alias("_all_fit"),
+    ).schema
+    cuts = F.broadcast(
+        base.sparkSession.createDataFrame(cut_rows, schema)
+    )
+    j = base.join(cuts, group_col)
+    full = j.filter(
+        F.col("_all_fit") | (F.col(score_col) > F.col("_cutoff"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary = (
+        j.filter(
+            (~F.col("_all_fit")) & (F.col(score_col) == F.col("_cutoff"))
+        )
+        .withColumn("_cum", F.sum(tokens_col).over(w))
+        .filter(F.col("_cum") <= F.col("_rem"))
+    )
+    keep = [id_col, group_col, score_col, tokens_col]
+    return full.select(*keep).unionByName(boundary.select(*keep))

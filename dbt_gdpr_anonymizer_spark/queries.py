@@ -1548,6 +1548,7 @@ _CHECK_LAST = [
     "training_shard_plan_documents",  # layout family (pack_sequences 2R)
     "semantic_decontaminate_embeddings",  # contamination family (decontaminate 2R)
     "dedup_incremental_neardup_documents",  # incremental family (dedup_incremental 2R)
+    "token_budget_by_source_documents",  # selection family (token_budget_select)
 ]
 
 
@@ -10568,3 +10569,71 @@ def dedup_incremental_neardup_documents(
     idx = minhash_band_table(d.filter(F.col("doc_id") < 250))
     delta = d.filter(F.col("doc_id") >= 250)
     return neardup_against_index(delta, idx).orderBy("doc_id")
+
+
+@register(
+    "token_budget_by_source_documents",
+    f"""
+    with w0 as (select doc_id, source, {_WORDS_SQL} as ws0 from documents),
+    w as (select doc_id, source,
+                 list_filter(ws0, t -> t <> '') as ws from w0),
+    s as (
+      select doc_id, source,
+             cast(len(ws) as bigint) as n_tokens,
+             cast(case when len(ws) = 0 then 0
+                  else (len(list_distinct(ws)) * 100) // len(ws) end
+                  as bigint) as ttr_pct
+      from w
+    ),
+    c as (
+      select *,
+             sum(n_tokens) over (partition by source
+                                 order by ttr_pct desc, doc_id) as cum
+      from s
+    )
+    select doc_id, source, ttr_pct, n_tokens from c
+    where cum <= 600
+    order by doc_id
+    """,
+)
+def token_budget_by_source_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X154 per-source token-budget selection (operators/quality.
+    token_budget_select_by_group): every source keeps its best documents
+    under a 600-token quota — the step that turns a mixture plan's
+    per-source budgets into an actual pick without letting one
+    high-scoring source starve the rest. One bounded (source, score)
+    histogram drives all 20 cutoffs; the oracle replays the greedy
+    prefix with one source-partitioned cumulative window."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        token_budget_select_by_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ws = tx.words("text")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.when(F.size(ws) == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            (F.size(F.array_distinct(ws)).cast("bigint") * 100)
+        )
+        .alias("_num"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr("_num div n_tokens"))
+        .cast("bigint")
+        .alias("ttr_pct"),
+    )
+    out = token_budget_select_by_group(
+        s, 600, group_col="source",
+        score_col="ttr_pct", tokens_col="n_tokens",
+    )
+    return out.select(
+        "doc_id", "source", "ttr_pct", "n_tokens"
+    ).orderBy("doc_id")

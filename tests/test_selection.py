@@ -393,3 +393,64 @@ class TestNeardupAgainstIndex:
              for i in range(8)]
         b0 = hashlib.md5(f"{h[0]}|{h[1]}".encode()).hexdigest()
         assert rows[0] == b0
+
+
+class TestTokenBudgetByGroup:
+    def test_per_group_independence_and_dict_budgets(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            token_budget_select_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", 9, 5),
+                (2, "a", 8, 5),  # a: budget 7 → only doc 1
+                (3, "b", 1, 5),
+                (4, "b", 1, 5),  # b: budget 10, tie stratum, both fit
+                (5, "c", 9, 1),  # c: absent from dict → excluded
+            ],
+            ["doc_id", "source", "score", "n_tokens"],
+        )
+        got = {
+            r.doc_id
+            for r in token_budget_select_by_group(
+                df, {"a": 7, "b": 10}, score_col="score"
+            ).collect()
+        }
+        assert got == {1, 3, 4}
+
+    def test_boundary_prefix_within_group(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            token_budget_select_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", 5, 4),
+                (2, "a", 5, 4),
+                (3, "a", 5, 4),  # budget 8 → ids 1,2 (prefix by id)
+                (9, "b", 5, 4),  # other group unaffected
+            ],
+            ["doc_id", "source", "score", "n_tokens"],
+        )
+        got = {
+            r.doc_id
+            for r in token_budget_select_by_group(
+                df, 8, score_col="score"
+            ).collect()
+        }
+        assert got == {1, 2, 9}
+
+    def test_int_budget_applies_to_all_groups(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            token_budget_select_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 2, 3), (2, "b", 2, 3)],
+            ["doc_id", "source", "score", "n_tokens"],
+        )
+        assert (
+            token_budget_select_by_group(df, 3, score_col="score").count()
+            == 2
+        )
