@@ -945,3 +945,43 @@ def token_budget_select_by_group(
     )
     keep = [id_col, group_col, score_col, tokens_col]
     return full.select(*keep).unionByName(boundary.select(*keep))
+
+
+def gate_agreement(
+    docs: DataFrame,
+    *,
+    min_words: int = 20,
+    max_words: int = 80,
+    max_dup_word_ppm: int = 250_000,
+    max_top_bigram_ppm: int = 100_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X155 quality-gate AGREEMENT matrix — the ablation diagnostic a
+    curation team reads before composing gates: the 2³ decision
+    histogram of three independent cut signals (length band,
+    duplicate-word fraction, top-bigram fraction). Cells where gates
+    disagree are where thresholds earn or destroy corpus — two gates
+    that always agree are one gate (drop the expensive one); a gate that
+    uniquely rejects large mass needs its threshold justified. The
+    per-gate marginals are recoverable from the histogram by summation,
+    so the 8 rows are the complete pairwise/threeway agreement picture.
+
+    One :func:`repetition_profile` pass (linear explode+groupBy) feeds
+    all three booleans; the rollup is one map-side-combined aggregate on
+    the ≤8-value key. Returns ``(len_ok, dup_ok, bigram_ok,
+    n_docs BIGINT, words_sum BIGINT)``.
+    """
+    prof = repetition_profile(docs, id_col=id_col, text_col=text_col)
+    gated = prof.select(
+        F.col("n_words").between(min_words, max_words).alias("len_ok"),
+        (F.col("dup_word_ppm") <= max_dup_word_ppm).alias("dup_ok"),
+        (F.col("top_bigram_ppm") <= max_top_bigram_ppm).alias(
+            "bigram_ok"
+        ),
+        "n_words",
+    )
+    return gated.groupBy("len_ok", "dup_ok", "bigram_ok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("words_sum"),
+    )

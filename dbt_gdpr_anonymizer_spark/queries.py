@@ -1549,6 +1549,7 @@ _CHECK_LAST = [
     "semantic_decontaminate_embeddings",  # contamination family (decontaminate 2R)
     "dedup_incremental_neardup_documents",  # incremental family (dedup_incremental 2R)
     "token_budget_by_source_documents",  # selection family (token_budget_select)
+    "gate_agreement_documents",  # quality family (corpus_quality_gate 2R)
 ]
 
 
@@ -10637,3 +10638,49 @@ def token_budget_by_source_documents(
     return out.select(
         "doc_id", "source", "ttr_pct", "n_tokens"
     ).orderBy("doc_id")
+
+
+@register(
+    "gate_agreement_documents",
+    f"""
+    with w as (select doc_id, {_WORDS_G_SQL} as ws from documents),
+    s as (select doc_id, len(ws) as n, len(list_distinct(ws)) as nd, ws
+          from w),
+    b as (select doc_id, ws[i] || ' ' || ws[i + 1] as bg
+          from (select doc_id, ws, unnest(range(1, len(ws))) as i
+                from s where n >= 2)),
+    bc as (select doc_id, bg, count(*) as c from b group by 1, 2),
+    bm as (select doc_id, max(c) as maxc from bc group by 1),
+    prof as (
+      select s.doc_id,
+             cast(n as bigint) as n_words,
+             cast(case when n > 0 then (1000000 * (n - nd)) // n
+                  else 0 end as bigint) as dup_word_ppm,
+             cast(case when n > 1
+                  then (1000000 * coalesce(maxc, 0)) // (n - 1)
+                  else 0 end as bigint) as top_bigram_ppm
+      from s left join bm using (doc_id)
+    )
+    select n_words between 20 and 80 as len_ok,
+           dup_word_ppm <= 250000 as dup_ok,
+           top_bigram_ppm <= 100000 as bigram_ok,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_words) as bigint) as words_sum
+    from prof
+    group by 1, 2, 3
+    order by 1, 2, 3
+    """,
+)
+def gate_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155 quality-gate agreement matrix (operators/quality.
+    gate_agreement): the 2³ decision histogram of the length band,
+    duplicate-word, and top-bigram gates — the ablation artifact that
+    says which gates are redundant and which uniquely reject mass
+    (at sf0.01 the three gates pass 358/58/489 of 500 docs, so
+    disagreement cells are well populated). One repetition_profile pass
+    feeds all booleans; the oracle replays profile, thresholds, and
+    rollup."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import gate_agreement
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return gate_agreement(d).orderBy("len_ok", "dup_ok", "bigram_ok")

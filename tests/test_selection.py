@@ -454,3 +454,44 @@ class TestTokenBudgetByGroup:
             token_budget_select_by_group(df, 3, score_col="score").count()
             == 2
         )
+
+
+class TestGateAgreement:
+    def test_histogram_cells(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            gate_agreement,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                # 25 distinct words → len_ok (20..80), dup_ok, bigram_ok
+                (1, " ".join(f"w{i}" for i in range(25))),
+                # 5 words → len fails; bigram ppm = 1e6//4 = 250000
+                # also fails (tiny docs exceed the rate gate by
+                # construction); dup passes
+                (2, "a b c d e"),
+                # 30 words all "x" → len ok, dup+bigram fail
+                (3, " ".join(["x"] * 30)),
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.len_ok, r.dup_ok, r.bigram_ok): (r.n_docs, r.words_sum)
+            for r in gate_agreement(docs).collect()
+        }
+        assert got[(True, True, True)] == (1, 25)
+        assert got[(False, True, False)] == (1, 5)
+        assert got[(True, False, False)] == (1, 30)
+        assert len(got) == 3
+
+    def test_marginals_recoverable(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            gate_agreement,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j+i}" for j in range(30))) for i in range(6)],
+            ["doc_id", "text"],
+        )
+        rows = gate_agreement(docs).collect()
+        assert sum(r.n_docs for r in rows) == 6
