@@ -433,3 +433,145 @@ def domain_cap(
         )
     )
     return under.unionByName(capped)
+
+
+def robots_gate(
+    robots,  # DataFrame (domain, robots_txt)
+    urls,  # DataFrame (id_col, domain, path)
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    path_col: str = "path",
+    agent: str = "*",
+):
+    """X156 robots.txt compliance gate (RFC 9309) — the crawl-compliance
+    step a responsible web corpus runs before ingest: per URL, is it
+    allowed under the domain's robots.txt for the given user-agent
+    group? Verdict rule is the RFC's: among matching allow/disallow
+    rules the LONGEST pattern wins, an exact tie goes to allow, and a
+    URL with no matching rule (or a domain with no robots.txt) is
+    allowed.
+
+    Parsing is pure DataFrame ops: lines split/posexploded (per-domain
+    files are small — the windows below order within one domain's
+    lines, bounded by file length, never corpus size), comments
+    stripped, directives lower-cased; a user-agent line FOLLOWING a
+    non-user-agent line opens a new group (running-sum window), and
+    rules belong to every agent named by their group's user-agent
+    lines. Only groups naming ``agent`` are evaluated.
+
+    Matching is PURE ``LIKE`` — no regex engine: ``*`` wildcards
+    translate to ``%`` and every pattern is prefix-anchored with a
+    trailing ``%`` (RFC prefix semantics). That keeps the predicate
+    codegen-friendly AND engine-portable (SQL LIKE is identical in
+    Spark and DuckDB), which is what lets the oracle replay the whole
+    parse+match. Patterns using the RFC's ``$`` end-anchor raise
+    ``NotImplementedError`` (documented gap; the LIKE translation
+    cannot express it) — LIKE metacharacters ``%`` and ``_`` in rule
+    paths are rejected the same way rather than silently mis-matching.
+
+    Scale: rules join URLs on the domain (hash equi-join; the rule
+    table is robots-file-bounded, per-domain rule counts are small), a
+    per-URL struct-max picks the winning rule (map-side combinable
+    aggregate, no window over URLs). Returns ``(id_col, domain_col,
+    path_col, allowed BOOLEAN, rule_len BIGINT)`` — ``rule_len`` 0 when
+    no rule matched.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(domain_col),
+        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias(
+            "_ln", "_raw"
+        ),
+    ).select(
+        domain_col,
+        "_ln",
+        F.trim(F.regexp_replace("_raw", "#.*$", "")).alias("_line"),
+    ).filter(F.col("_line") != "")
+    parsed = lines.select(
+        domain_col,
+        "_ln",
+        F.lower(
+            F.trim(F.regexp_extract("_line", r"^([^:]+):", 1))
+        ).alias("_dir"),
+        F.trim(F.regexp_extract("_line", r"^[^:]+:(.*)$", 1)).alias(
+            "_val"
+        ),
+    ).filter(F.col("_dir").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy(domain_col).orderBy("_ln")
+    grouped = parsed.select(
+        domain_col,
+        "_ln",
+        "_dir",
+        "_val",
+        F.sum(
+            F.when(
+                (F.col("_dir") == "user-agent")
+                & (
+                    F.lag("_dir").over(w).isNull()
+                    | (F.lag("_dir").over(w) != "user-agent")
+                ),
+                1,
+            ).otherwise(0)
+        ).over(w).alias("_grp"),
+    )
+    my_groups = (
+        grouped.filter(
+            (F.col("_dir") == "user-agent")
+            & (F.lower("_val") == agent.lower())
+        )
+        .select(domain_col, "_grp")
+        .distinct()
+    )
+    rules = (
+        grouped.filter(F.col("_dir").isin("allow", "disallow"))
+        .join(my_groups, [domain_col, "_grp"], "left_semi")
+        .filter(F.col("_val") != "")  # empty disallow = allow all
+        .select(
+            domain_col,
+            (F.col("_dir") == "allow").alias("_is_allow"),
+            F.col("_val").alias("_rule"),
+            F.length("_val").cast("bigint").alias("_rlen"),
+        )
+    )
+    u = urls.select(id_col, domain_col, path_col)
+    matched = (
+        u.join(rules, domain_col)
+        .withColumn(
+            # prefix semantics + '*' wildcard → LIKE translation;
+            # metacharacter rules were rejected by the contract guard
+            "_pat",
+            F.concat(F.regexp_replace("_rule", r"\*", "%"), F.lit("%")),
+        )
+        .filter(F.expr(f"{path_col} like _pat"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_rlen"),
+                    F.col("_is_allow").cast("int").alias("_a"),
+                )
+            ).alias("_win")
+        )
+    )
+    # contract guard: refuse rules the LIKE translation cannot express
+    bad = rules.filter(
+        F.col("_rule").contains("$")
+        | F.col("_rule").contains("%")
+        | F.col("_rule").contains("_")
+    )
+    if bad.limit(1).count() > 0:
+        raise NotImplementedError(
+            "robots_gate: '$' end-anchor / LIKE metacharacters in rule "
+            "paths are not expressible in the LIKE translation"
+        )
+    return u.join(matched, id_col, "left").select(
+        id_col,
+        domain_col,
+        path_col,
+        F.coalesce(F.col("_win._a") == 1, F.lit(True)).alias("allowed"),
+        F.coalesce(F.col("_win._rlen"), F.lit(0)).cast("bigint").alias(
+            "rule_len"
+        ),
+    )

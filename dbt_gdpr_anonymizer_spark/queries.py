@@ -1550,6 +1550,7 @@ _CHECK_LAST = [
     "dedup_incremental_neardup_documents",  # incremental family (dedup_incremental 2R)
     "token_budget_by_source_documents",  # selection family (token_budget_select)
     "gate_agreement_documents",  # quality family (corpus_quality_gate 2R)
+    "robots_gate_documents",  # web family (url_canonical/domain_cap)
 ]
 
 
@@ -10684,3 +10685,147 @@ def gate_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return gate_agreement(d).orderBy("len_ok", "dup_ok", "bigram_ok")
+
+
+@register(
+    "robots_gate_documents",
+    """
+    with src as (
+      select distinct source,
+             cast(regexp_extract(source, '[0-9]+', 0) as int) as idx
+      from documents
+    ),
+    robots as (
+      select source as domain,
+             concat(
+               'User-agent: archiver', chr(10), 'Disallow: /', chr(10),
+               chr(10),
+               'User-agent: *', chr(10),
+               'Disallow: /p', idx % 3, '*', chr(10),
+               'Allow: /p', idx % 3, '/keep', chr(10),
+               'Disallow: /raw', chr(10)
+             ) as robots_txt
+      from src where idx % 5 <> 0
+    ),
+    ls as (
+      select domain,
+             unnest(list_transform(
+               range(1, len(string_split(robots_txt, chr(10))) + 1),
+               i -> {'ln': i,
+                     'raw': string_split(robots_txt, chr(10))[i]}
+             )) as lr
+      from robots
+    ),
+    lined as (
+      select domain, lr.ln as ln,
+             trim(regexp_replace(lr.raw, '#.*$', '')) as line
+      from ls
+    ),
+    parsed as (
+      select domain, ln,
+             lower(trim(regexp_extract(line, '^([^:]+):', 1))) as dir,
+             trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) as val
+      from lined
+      where line <> ''
+        and lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+            in ('user-agent', 'allow', 'disallow')
+    ),
+    lagged as (
+      select *,
+             lag(dir) over (partition by domain order by ln) as prev
+      from parsed
+    ),
+    grouped as (
+      select *,
+             sum(case when dir = 'user-agent'
+                       and (prev is null or prev <> 'user-agent')
+                      then 1 else 0 end)
+               over (partition by domain order by ln
+                     rows between unbounded preceding and current row)
+               as grp
+      from lagged
+    ),
+    my_groups as (
+      select distinct domain, grp from grouped
+      where dir = 'user-agent' and lower(val) = '*'
+    ),
+    rules as (
+      select g.domain, g.dir = 'allow' as is_allow, g.val as rule,
+             cast(len(g.val) as bigint) as rlen
+      from grouped g join my_groups using (domain, grp)
+      where g.dir in ('allow', 'disallow') and g.val <> ''
+    ),
+    urls as (
+      select doc_id, source as domain,
+             concat('/p', doc_id % 4,
+                    case when doc_id % 7 = 0 then '/keep'
+                         when doc_id % 11 = 0 then 'raw'
+                         else concat('/d', doc_id % 10) end) as path
+      from documents
+    ),
+    m as (
+      select u.doc_id, r.is_allow, r.rlen
+      from urls u join rules r using (domain)
+      where u.path like replace(r.rule, '*', '%') || '%'
+    ),
+    sel as (select doc_id, max(rlen) as L from m group by doc_id),
+    v as (
+      select m.doc_id,
+             max(case when m.is_allow then 1 else 0 end) as a, sel.L
+      from m join sel on m.doc_id = sel.doc_id and m.rlen = sel.L
+      group by m.doc_id, sel.L
+    )
+    select u.doc_id, u.domain, u.path,
+           coalesce(v.a = 1, true) as allowed,
+           cast(coalesce(v.L, 0) as bigint) as rule_len
+    from urls u left join v on u.doc_id = v.doc_id
+    order by u.doc_id
+    """,
+)
+def robots_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 robots.txt compliance gate (operators/web.robots_gate): each
+    source becomes a domain with a synthesized RFC 9309 robots.txt
+    (an ignored 'archiver' group, a '*' group with a wildcard Disallow,
+    a LONGER Allow carve-out that must win by length, and a prefix
+    Disallow; every 5th source publishes no robots.txt — allowed-all
+    arm), and every document becomes a URL whose path lands in the
+    carve-out, the disallowed cohort, the prefix rule, or untouched
+    space on a deterministic doc_id schedule. Pure-LIKE matching keeps
+    parse AND match engine-portable, so the oracle replays the entire
+    pipeline — line split, group windows, rule extraction,
+    longest-match/allow-wins verdicts."""
+    from dbt_gdpr_anonymizer_spark.operators.web import robots_gate
+
+    d = _t(spark, sf_dir, "documents")
+    src = d.select("source").distinct().select(
+        F.col("source"),
+        F.regexp_extract("source", "[0-9]+", 0).cast("int").alias("_i"),
+    )
+    nl = "\n"
+    robots = src.filter(F.col("_i") % 5 != 0).select(
+        F.col("source").alias("domain"),
+        F.concat(
+            F.lit("User-agent: archiver" + nl + "Disallow: /" + nl + nl),
+            F.lit("User-agent: *" + nl),
+            F.lit("Disallow: /p"), (F.col("_i") % 3).cast("string"),
+            F.lit("*" + nl),
+            F.lit("Allow: /p"), (F.col("_i") % 3).cast("string"),
+            F.lit("/keep" + nl),
+            F.lit("Disallow: /raw" + nl),
+        ).alias("robots_txt"),
+    )
+    urls = d.select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.concat(
+            F.lit("/p"), (F.col("doc_id") % 4).cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/keep"))
+            .when(F.col("doc_id") % 11 == 0, F.lit("raw"))
+            .otherwise(
+                F.concat(
+                    F.lit("/d"), (F.col("doc_id") % 10).cast("string")
+                )
+            ),
+        ).alias("path"),
+    )
+    return robots_gate(robots, urls).orderBy("doc_id")

@@ -193,3 +193,67 @@ def test_read_warc_stage(spark):
         ("fa", "http://a/2", 3, "two"),
         ("fb", "http://b/9", 4, "nine"),
     ]
+
+
+class TestRobotsGate:
+    def _gate(self, spark, robots_rows, url_rows):
+        from dbt_gdpr_anonymizer_spark.operators.web import robots_gate
+
+        robots = spark.createDataFrame(
+            robots_rows, ["domain", "robots_txt"]
+        )
+        urls = spark.createDataFrame(
+            url_rows, ["doc_id", "domain", "path"]
+        )
+        return {
+            r.doc_id: (r.allowed, r.rule_len)
+            for r in robots_gate(robots, urls).collect()
+        }
+
+    def test_rfc_semantics(self, spark):
+        robots = [(
+            "d1",
+            "# comment\nUser-agent: *\nDisallow: /private*\n"
+            "Allow: /private/ok\nDisallow: /tmp\n\n"
+            "User-agent: evilbot\nDisallow: /",
+        )]
+        urls = [
+            (1, "d1", "/private/x"),   # wildcard disallow
+            (2, "d1", "/private/ok"),  # longer allow wins
+            (3, "d1", "/tmpfile"),     # PREFIX match (RFC), not exact
+            (4, "d1", "/public"),      # no rule → allowed
+            (5, "d2", "/anything"),    # no robots.txt → allowed
+        ]
+        got = self._gate(spark, robots, urls)
+        assert got[1] == (False, 9)
+        assert got[2] == (True, 11)
+        assert got[3] == (False, 4)
+        assert got[4] == (True, 0)
+        assert got[5] == (True, 0)
+
+    def test_multi_agent_group_and_empty_disallow(self, spark):
+        robots = [(
+            "d1",
+            "User-agent: gptbot\nUser-agent: *\nDisallow: /all/\n"
+            "Allow:\n",
+        )]
+        got = self._gate(
+            spark, robots, [(1, "d1", "/all/page"), (2, "d1", "/ok")]
+        )
+        assert got[1] == (False, 5)
+        assert got[2] == (True, 0)
+
+    def test_tie_goes_to_allow(self, spark):
+        robots = [(
+            "d1",
+            "User-agent: *\nDisallow: /ab\nAllow: /ab\n",
+        )]
+        got = self._gate(spark, robots, [(1, "d1", "/abc")])
+        assert got[1] == (True, 3)
+
+    def test_dollar_anchor_refused(self, spark):
+        import pytest
+
+        robots = [("d1", "User-agent: *\nDisallow: /x$\n")]
+        with pytest.raises(NotImplementedError):
+            self._gate(spark, robots, [(1, "d1", "/x")])
