@@ -998,12 +998,16 @@ def source_dup_report(
         )
         .groupBy("_fp", group_col)
         .agg(F.count(F.lit(1)).alias("_c"))
+        # persisted: the collapsed cell frame feeds BOTH the corpus
+        # totals and the rollup join — without it each plan branch
+        # re-scans the corpus and re-fingerprints (plan-audited, r7)
+        .persist()
     )
     tot = cell.groupBy("_fp").agg(
         F.sum("_c").alias("_tot"),
         F.count(F.lit(1)).alias("_nsrc"),
     )
-    return (
+    out = (
         cell.join(tot, "_fp")
         .groupBy(group_col)
         .agg(
@@ -1031,6 +1035,7 @@ def source_dup_report(
             .alias("dup_ppm"),
         )
     )
+    return track_caches(out, cell)
 
 
 def semantic_decontaminate(

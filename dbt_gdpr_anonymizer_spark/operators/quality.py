@@ -834,10 +834,14 @@ def source_ngram_novelty(
             ).otherwise(F.array().cast("array<bigint>"))
         ).alias("_gh"),
     ).distinct()
+    # persisted: the distinct pair frame feeds BOTH the per-gram source
+    # count and the rollup join — without it each plan branch re-scans
+    # the corpus and re-explodes the grams (plan-audited, r7)
+    grams = grams.persist()
     df_s = grams.groupBy("_gh").agg(
         F.count(F.lit(1)).alias("_ns")
     )
-    return (
+    out = (
         grams.join(df_s, "_gh")
         .groupBy(group_col)
         .agg(
@@ -859,6 +863,7 @@ def source_ngram_novelty(
             .alias("exclusive_ppm"),
         )
     )
+    return track_caches(out, grams)
 
 
 def token_budget_select_by_group(
