@@ -51,6 +51,7 @@ __all__ = [
     "make_png_rgb8",
     "make_gif",
     "synth_png_udf",
+    "synth_png_rgba_udf",
     "synth_gif_udf",
     "mp4_decoder",
     "make_mp4",
@@ -278,20 +279,24 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def make_png_rgb8(
-    pixels: list[list[tuple[int, int, int]]], filter_seed: int = 0
+    pixels: list[list[tuple[int, ...]]], filter_seed: int = 0
 ) -> bytes:
     """Build a REAL PNG (public spec, stdlib ``zlib``+``struct``): 8-bit
-    truecolor (color type 2), no interlace, correct chunk CRCs. Scanline
-    filters CYCLE through all five types (None/Sub/Up/Average/Paeth,
-    row ``y`` gets type ``(filter_seed + y) % 5``), so a decoder that
-    mis-implements ANY unfilter breaks round-trip — the synthesis twin of
+    truecolor (color type 2) for 3-tuple pixels or truecolor+ALPHA
+    (color type 6, r7) for 4-tuple pixels, no interlace, correct chunk
+    CRCs. Scanline filters CYCLE through all five types
+    (None/Sub/Up/Average/Paeth, row ``y`` gets type
+    ``(filter_seed + y) % 5``), so a decoder that mis-implements ANY
+    unfilter breaks round-trip — the synthesis twin of
     :func:`png_decoder`."""
     import struct
     import zlib
 
     h = len(pixels)
     w = len(pixels[0]) if h else 0
-    bpp = 3
+    bpp = len(pixels[0][0]) if h and w else 3
+    if bpp not in (3, 4):
+        raise ValueError("pixels must be RGB (3) or RGBA (4) tuples")
 
     def paeth(a: int, b: int, c: int) -> int:
         p = a + b - c
@@ -349,7 +354,7 @@ def make_png_rgb8(
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if bpp == 3 else 6, 0, 0, 0)
     idat = zlib.compress(b"".join(out_lines))
     return (
         _PNG_SIG
@@ -368,8 +373,11 @@ def png_decoder(payload: bytes) -> list[float]:
     (None/Sub/Up/Average/Paeth), and extracts the same FEATURE_DIM image
     features as :func:`bmp_decoder`: ``[width, height, sum_r, sum_g,
     sum_b, max_channel, min_channel, corner_luma]``. 8-bit truecolor
-    (color type 2), non-interlaced only; other color types / interlace
-    raise ``NotImplementedError`` naming the swap-in."""
+    (color type 2) and truecolor+alpha (color type 6, r7 — the unfilter
+    arithmetic is bpp-generic; alpha participates in max/min_channel,
+    the r/g/b sums and corner luma stay color-only), non-interlaced;
+    palette/grayscale/16-bit/interlace raise ``NotImplementedError``
+    naming the swap-in."""
     import struct
     import zlib
 
@@ -399,13 +407,20 @@ def png_decoder(payload: bytes) -> list[float]:
     w, h, depth, ctype_v, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or ctype_v != 2 or comp != 0 or filt != 0 or interlace != 0:
+    if (
+        depth != 8
+        or ctype_v not in (2, 6)
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+    ):
         raise NotImplementedError(
-            f"only 8-bit truecolor non-interlaced PNG is parsed natively "
-            f"(got depth={depth}, color={ctype_v}, interlace={interlace}); "
-            f"palette/alpha/16-bit need a Pillow-backed decoder"
+            f"only 8-bit truecolor / truecolor+alpha non-interlaced PNG "
+            f"is parsed natively (got depth={depth}, color={ctype_v}, "
+            f"interlace={interlace}); palette/grayscale/16-bit need a "
+            f"Pillow-backed decoder"
         )
-    bpp = 3
+    bpp = 3 if ctype_v == 2 else 4
     stride = w * bpp
     raw_all = zlib.decompress(idat)
     if len(raw_all) != h * (stride + 1):
@@ -439,7 +454,7 @@ def png_decoder(payload: bytes) -> list[float]:
                 raise ValueError(f"PNG filter type {ft} is not in the spec")
             cur[i] = rec % 256
         rows.append(
-            [tuple(cur[i : i + 3]) for i in range(0, stride, 3)]
+            [tuple(cur[i : i + bpp]) for i in range(0, stride, bpp)]
         )
         prior = cur
     flat = [ch for row in rows for px in row for ch in px]
@@ -452,7 +467,7 @@ def png_decoder(payload: bytes) -> list[float]:
         float(sum(px[2] for row in rows for px in row)),
         float(max(flat, default=0)),
         float(min(flat, default=0)),
-        float(sum(tl)),
+        float(sum(tl[:3])),
     ]
 
 
@@ -476,6 +491,39 @@ def synth_png_udf():
                     (d * 7 + y * 31 + x * 13) % 256,
                     (d * 11 + y * 17 + x * 29) % 256,
                     (d * 3 + y * 23 + x * 19) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        return make_png_rgb8(pixels, filter_seed=d)
+
+    def _synth(ids):
+        return ids.map(_one)
+
+    _synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return pandas_udf(_synth, "binary")
+
+
+def synth_png_rgba_udf():
+    """RGBA twin of :func:`synth_png_udf` (color type 6): same closed-form
+    dims and r/g/b channels plus alpha ``(id*5 + y*7 + x*3) % 256``, so
+    the oracle recomputes every released feature — alpha participates in
+    max/min_channel per the decoder contract. Filters cycle with
+    ``filter_seed=id`` as in the RGB twin."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(d: int) -> bytes:
+        d = int(d)
+        w, h = 3 + d % 5, 2 + d % 4
+        pixels = [
+            [
+                (
+                    (d * 7 + y * 31 + x * 13) % 256,
+                    (d * 11 + y * 17 + x * 29) % 256,
+                    (d * 3 + y * 23 + x * 19) % 256,
+                    (d * 5 + y * 7 + x * 3) % 256,
                 )
                 for x in range(w)
             ]

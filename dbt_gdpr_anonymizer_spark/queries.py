@@ -1551,6 +1551,7 @@ _CHECK_LAST = [
     "token_budget_by_source_documents",  # selection family (token_budget_select)
     "gate_agreement_documents",  # quality family (corpus_quality_gate 2R)
     "robots_gate_documents",  # web family (url_canonical/domain_cap)
+    "multimodal_png_rgba_features",  # decode family (png/gif/wav checked)
 ]
 
 
@@ -10829,3 +10830,71 @@ def robots_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path"),
     )
     return robots_gate(robots, urls).orderBy("doc_id")
+
+
+@register(
+    "multimodal_png_rgba_features",
+    """
+    with px as (
+      select doc_id, 3 + doc_id % 5 as w, 2 + doc_id % 4 as h from documents
+    ),
+    f as (
+      select doc_id, w, h,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 [(doc_id*7 + y*31 + x*13) % 256,
+                  (doc_id*11 + y*17 + x*29) % 256,
+                  (doc_id*3 + y*23 + x*19) % 256,
+                  (doc_id*5 + y*7 + x*3) % 256]))) as pxs
+      from px
+    )
+    select doc_id as media_id,
+           cast(w as bigint) as width,
+           cast(h as bigint) as height,
+           cast(list_sum(list_transform(pxs, p -> p[1])) as bigint) as sum_r,
+           cast(list_sum(list_transform(pxs, p -> p[2])) as bigint) as sum_g,
+           cast(list_sum(list_transform(pxs, p -> p[3])) as bigint) as sum_b,
+           cast(list_max(list_transform(pxs, p -> list_max(p))) as bigint)
+             as max_channel,
+           cast(list_min(list_transform(pxs, p -> list_min(p))) as bigint)
+             as min_channel,
+           cast((doc_id*7) % 256 + (doc_id*11) % 256 + (doc_id*3) % 256
+                as bigint) as corner_luma
+    from f order by media_id
+    """,
+)
+def multimodal_png_rgba_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X15c2 RGBA tier of the hermetic PNG codec (r7 wave 2): per-doc
+    truecolor+ALPHA (color type 6) PNGs synthesized with a closed-form
+    fourth channel, decoded by the SAME bpp-generic unfilter path as the
+    RGB tier — alpha participates in max/min_channel, the color sums and
+    corner luma stay RGB-only (the decoder contract). The oracle
+    recomputes every feature from the closed form, so a stride or
+    filter-offset bug specific to 4-byte pixels breaks the hash (the RGB
+    query cannot catch those)."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        real_decoder,
+        synth_png_rgba_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        synth_png_rgba_udf()(F.col("doc_id")).alias("payload"),
+    )
+    feats = decode_features(media, decoder=real_decoder)
+    names = [
+        "width", "height", "sum_r", "sum_g", "sum_b",
+        "max_channel", "min_channel", "corner_luma",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).cast("long").alias(n)
+            for i, n in enumerate(names)
+        ],
+    ).orderBy("media_id")

@@ -160,3 +160,42 @@ def test_term_trim_matches_token_trim(term):
     # trimming is idempotent: a trimmed term never re-trims differently,
     # so join keys are stable under repeated normalization
     assert re.sub(IDENT_TRIM_RE, "", trimmed) == trimmed
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pixels=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255),
+                st.integers(0, 255), st.integers(0, 255),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    ).filter(lambda rows: len({len(r) for r in rows}) == 1),
+    seed=st.integers(0, 4),
+)
+def test_png_rgba_roundtrip_any_grid(pixels, seed):
+    """RGBA (color type 6) grids survive encode→decode under every filter
+    rotation: alpha participates in max/min_channel, the color sums and
+    corner luma stay RGB-only (the decoder contract)."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        make_png_rgb8,
+        png_decoder,
+    )
+
+    feats = png_decoder(make_png_rgb8(pixels, filter_seed=seed))
+    flat = [c for row in pixels for px in row for c in px]
+    assert feats == [
+        float(len(pixels[0])),
+        float(len(pixels)),
+        float(sum(px[0] for row in pixels for px in row)),
+        float(sum(px[1] for row in pixels for px in row)),
+        float(sum(px[2] for row in pixels for px in row)),
+        float(max(flat)),
+        float(min(flat)),
+        float(sum(pixels[0][0][:3])),
+    ]
