@@ -855,3 +855,83 @@ def hard_negatives(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def centroid_drift_int8(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    cohort_col: Column | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X157 embedding centroid drift between two cohorts, integer-exact —
+    the embedding-space twin of the X34 distributional drift (PSI)
+    signal: did a group's SEMANTIC center move between two snapshots /
+    pipeline versions / crawl waves? Float centroids can't be released
+    cross-engine (partial-sum order), so vectors go through the X47
+    deterministic int8 quantization and the release is the integer
+    cross-multiplied L1 drift numerator
+    ``drift_num = Σ_d |sA[d]·nB − sB[d]·nA|`` (divide by ``nA·nB`` for
+    the mean-absolute-centroid-shift proper) plus both cohort counts —
+    BIGINT end to end, immune to summation order. |q| ≤ 128 keeps the
+    cross products in int64 up to ~2·10^8 vectors per cohort; shard or
+    rescale past that (the int8_covariance stance).
+
+    ``cohort_col`` is any 0/1 integer Column (defaults to ``id_col % 2``
+    — the split-halves self-check; pass a snapshot/source indicator for
+    the real comparison).
+
+    Plan: per-row quantization (codegen, no UDF) → posexplode dims
+    (linear, rows×d) → ONE map-side-combined aggregate keyed on
+    (group, dim) with conditional cohort sums → one tiny aggregate to
+    the per-group release. Output is one row per group.
+    """
+    cohort = (
+        cohort_col
+        if cohort_col is not None
+        else (F.col(id_col) % 2).cast("int")
+    )
+    q = quantize_int8(df, vec_col=vec_col, id_col=id_col).select(
+        F.col(id_col),
+        F.col("q_vec").alias("_q"),
+    )
+    base = df.select(
+        F.col(id_col), F.col(group_col), cohort.alias("_coh")
+    ).join(q, id_col)
+    dims = base.select(
+        group_col,
+        "_coh",
+        F.posexplode("_q").alias("_d", "_v"),
+    )
+    per_dim = dims.groupBy(group_col, "_d").agg(
+        F.sum(F.when(F.col("_coh") == 0, F.col("_v")).otherwise(0))
+        .cast("bigint")
+        .alias("_sa"),
+        F.sum(F.when(F.col("_coh") == 1, F.col("_v")).otherwise(0))
+        .cast("bigint")
+        .alias("_sb"),
+    )
+    counts = base.groupBy(group_col).agg(
+        F.sum(F.when(F.col("_coh") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_coh") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return (
+        per_dim.join(counts, group_col)
+        .groupBy(group_col, "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("_sa") * F.col("n_b")
+                    - F.col("_sb") * F.col("n_a")
+                )
+            )
+            .cast("bigint")
+            .alias("drift_num")
+        )
+        .select(group_col, "n_a", "n_b", "drift_num")
+    )

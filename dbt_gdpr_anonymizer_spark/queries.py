@@ -1552,6 +1552,7 @@ _CHECK_LAST = [
     "gate_agreement_documents",  # quality family (corpus_quality_gate 2R)
     "robots_gate_documents",  # web family (url_canonical/domain_cap)
     "multimodal_png_rgba_features",  # decode family (png/gif/wav checked)
+    "embedding_centroid_drift",  # embedding family (int8_quantize/covariance)
 ]
 
 
@@ -10898,3 +10899,68 @@ def multimodal_png_rgba_features(
             for i, n in enumerate(names)
         ],
     ).orderBy("media_id")
+
+
+@register(
+    "embedding_centroid_drift",
+    """
+    with m as (
+      select vec_id, label, cast(vec_id % 2 as int) as coh, embedding,
+             cast(list_aggregate(embedding, 'min') as double) as v_min,
+             cast(list_aggregate(embedding, 'max') as double) as v_max
+      from embeddings
+    ),
+    q as (
+      select vec_id, label, coh,
+             case when v_max > v_min then list_transform(
+                    embedding, x -> cast(floor((cast(x as double) - v_min)
+                                               * 255.0 / (v_max - v_min))
+                                         - 128 as bigint))
+                  else list_transform(embedding, x -> cast(0 as bigint))
+             end as qv
+      from m
+    ),
+    d as (
+      select label, coh,
+             unnest(list_transform(range(1, len(qv) + 1),
+               i -> {'d': i, 'v': qv[i]})) as dv
+      from q
+    ),
+    pd as (
+      select label, dv.d as dim,
+             cast(sum(case when coh = 0 then dv.v else 0 end) as bigint)
+               as sa,
+             cast(sum(case when coh = 1 then dv.v else 0 end) as bigint)
+               as sb
+      from d group by label, dv.d
+    ),
+    c as (
+      select label,
+             cast(sum(case when coh = 0 then 1 else 0 end) as bigint)
+               as n_a,
+             cast(sum(case when coh = 1 then 1 else 0 end) as bigint)
+               as n_b
+      from q group by label
+    )
+    select pd.label, c.n_a, c.n_b,
+           cast(sum(abs(pd.sa * c.n_b - pd.sb * c.n_a)) as bigint)
+             as drift_num
+    from pd join c using (label)
+    group by pd.label, c.n_a, c.n_b
+    order by pd.label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157 embedding centroid drift (operators/similarity.
+    centroid_drift_int8): per label, did the SEMANTIC center move between
+    the two vec_id-parity cohorts? — the embedding-space twin of the PSI
+    distributional drift signal, releasing the integer cross-multiplied
+    L1 drift numerator over X47-quantized vectors (BIGINT end to end, no
+    float centroid ever released). The oracle replays quantization,
+    per-dimension cohort sums, and the cross-multiplied fold."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        centroid_drift_int8,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_drift_int8(e).orderBy("label")

@@ -133,3 +133,52 @@ def test_hard_negatives_exclusions_and_ceiling(spark):
     by_rank = [r["neg_id"] for r in sorted(
         got, key=lambda r: -r["cos_sim_ppm"])]
     assert by_rank[0] == 5  # cos(q,5) > cos(q,3) > cos(q,4)
+
+
+class TestCentroidDriftInt8:
+    def test_identical_cohorts_zero_drift(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            centroid_drift_int8,
+        )
+
+        # ids 0/1 and 2/3 carry the same vector -> both cohorts have the
+        # same centroid -> drift_num must be exactly 0
+        rows = [
+            (0, [1.0, 5.0, 9.0], 7),
+            (1, [1.0, 5.0, 9.0], 7),
+            (2, [4.0, 0.0, 2.0], 7),
+            (3, [4.0, 0.0, 2.0], 7),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        got = centroid_drift_int8(df).collect()
+        assert [(r.label, r.n_a, r.n_b, r.drift_num) for r in got] == [
+            (7, 2, 2, 0)
+        ]
+
+    def test_shifted_cohort_detected(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            centroid_drift_int8,
+        )
+
+        rows = [
+            (0, [0.0, 1.0], 1),   # cohort A
+            (1, [1.0, 0.0], 1),   # cohort B: opposite corner
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        r = centroid_drift_int8(df).collect()[0]
+        # quantized: [0,1]->[-128,127], [1,0]->[127,-128]; nA=nB=1
+        # drift = |−128·1 − 127·1| + |127·1 − (−128)·1| = 255 + 255
+        assert (r.n_a, r.n_b, r.drift_num) == (1, 1, 510)
+
+    def test_groups_independent(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            centroid_drift_int8,
+        )
+
+        rows = [
+            (0, [0.0, 1.0], 1), (1, [0.0, 1.0], 1),
+            (2, [0.0, 1.0], 2), (3, [1.0, 0.0], 2),
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        got = {r.label: r.drift_num for r in centroid_drift_int8(df).collect()}
+        assert got[1] == 0 and got[2] == 510
