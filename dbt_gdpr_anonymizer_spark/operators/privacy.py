@@ -618,3 +618,53 @@ def dp_quantile(
         .agg(F.min("_edge").cast("bigint").alias("dp_quantile_edge"))
         .orderBy(group_col)
     )
+
+
+def anonymization_utility_report(
+    df: DataFrame,
+    qi_cols: list[str],
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """X158 anonymization UTILITY / information-loss report — the other
+    half of the k-anonymity tradeoff the reference's validators never
+    quantify: privacy gates (X69 generalize_to_k, A1 k_anonymity) tell
+    you a release is safe, this tells you what analytic utility it cost.
+    Standard k-anonymization metrics over the quasi-identifier
+    equivalence classes, all integer-exact:
+
+    * ``n_rows`` / ``n_classes`` / ``avg_class_size_ppm`` — mean
+      equivalence-class size (= n/#EC, released as exact integral ppm):
+      the coarser the generalization, the larger the classes and the
+      less discernible the individuals AND the data.
+    * ``discernibility`` = Σ|EC|² (Bayardo–Agrawal DM): every row pays
+      a penalty equal to its class size — the classic cost function
+      k-anonymizers minimize. BIGINT (|EC| ≤ n keeps Σ|EC|² ≤ n² —
+      within int64 to ~3·10^9 rows; shard past that).
+    * ``suppressed_rows`` — rows in classes still below ``k`` (the mass
+      a suppress-the-remainder release would delete), and
+      ``under_k_classes``.
+
+    One map-side-combined aggregate on the QI key (bounded by QI-domain
+    cardinality), then a 1-row rollup — the same shape as A1's
+    k-anonymity check, so the utility report is free at any scale.
+    """
+    cls = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_c"))
+    return cls.agg(
+        F.sum("_c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.expr(
+            "(cast(sum(_c) as bigint) * 1000000) div count(1)"
+        )
+        .cast("bigint")
+        .alias("avg_class_size_ppm"),
+        F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias(
+            "discernibility"
+        ),
+        F.sum(F.when(F.col("_c") < k, F.col("_c")).otherwise(0))
+        .cast("bigint")
+        .alias("suppressed_rows"),
+        F.sum(F.when(F.col("_c") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("under_k_classes"),
+    )

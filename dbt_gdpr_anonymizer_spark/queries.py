@@ -1553,6 +1553,7 @@ _CHECK_LAST = [
     "robots_gate_documents",  # web family (url_canonical/domain_cap)
     "multimodal_png_rgba_features",  # decode family (png/gif/wav checked)
     "embedding_centroid_drift",  # embedding family (int8_quantize/covariance)
+    "anonymization_utility_customers",  # privacy family (k_anonymity 2R)
 ]
 
 
@@ -10964,3 +10965,48 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return centroid_drift_int8(e).orderBy("label")
+
+
+@register(
+    "anonymization_utility_customers",
+    """
+    with cls as (
+      select c_mktsegment, n.n_name, count(*) as c
+      from customer join nation n on c_nationkey = n.n_nationkey
+      group by c_mktsegment, n.n_name
+    )
+    select cast(sum(c) as bigint) as n_rows,
+           cast(count(*) as bigint) as n_classes,
+           cast((cast(sum(c) as bigint) * 1000000) // count(*) as bigint)
+             as avg_class_size_ppm,
+           cast(sum(c * c) as bigint) as discernibility,
+           cast(sum(case when c < 5 then c else 0 end) as bigint)
+             as suppressed_rows,
+           cast(sum(case when c < 5 then 1 else 0 end) as bigint)
+             as under_k_classes
+    from cls
+    """,
+)
+def anonymization_utility_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X158 anonymization utility / information-loss report
+    (operators/privacy.anonymization_utility_report) over the
+    (mktsegment × nation) quasi-identifier release the k-anonymity
+    queries gate: Bayardo-Agrawal discernibility Σ|EC|², mean
+    equivalence-class size in exact ppm, and the suppression mass a
+    below-k cleanup would delete — the cost side of the privacy
+    tradeoff, integer-exact end to end. Same aggregate shape as the
+    k-anonymity check, so the report is free at any scale."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import (
+        anonymization_utility_report,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = c.join(
+        n, c["c_nationkey"] == n["n_nationkey"]
+    ).select("c_mktsegment", "n_name")
+    return anonymization_utility_report(
+        joined, ["c_mktsegment", "n_name"], k=5
+    )

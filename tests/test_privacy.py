@@ -361,3 +361,23 @@ def test_dp_quantile_integer_mechanism(spark):
     )
     got = dp_quantile(df2, "seg", "val", lo=0, hi=1000, width=100).collect()
     assert len(got) == 1 and 100 <= got[0]["dp_quantile_edge"] <= 1000
+
+
+def test_anonymization_utility_report(spark):
+    """X158: discernibility = sum of squared class sizes, ppm mean class
+    size is integral, suppression mass counts below-k rows/classes."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import (
+        anonymization_utility_report,
+    )
+
+    rows = (
+        [("a", "x")] * 6      # class of 6 (>= k)
+        + [("a", "y")] * 3    # class of 3 (< k: suppressed)
+        + [("b", "x")] * 1    # class of 1 (< k: suppressed)
+    )
+    df = spark.createDataFrame(rows, ["seg", "nat"])
+    r = anonymization_utility_report(df, ["seg", "nat"], k=5).collect()[0]
+    assert r.n_rows == 10 and r.n_classes == 3
+    assert r.avg_class_size_ppm == (10 * 1_000_000) // 3
+    assert r.discernibility == 36 + 9 + 1
+    assert r.suppressed_rows == 4 and r.under_k_classes == 2
