@@ -752,11 +752,16 @@ def quantile_normalize_scores(
     one hash equi-join. The corpus is never sorted.
 
     Returns ``docs`` columns ``(id_col, group_col, score_col)`` plus
-    ``calib_ppm`` (BIGINT).
+    ``calib_ppm`` (BIGINT). Rows with a NULL score are EXCLUDED (made
+    explicit here — a NULL would otherwise vanish silently through the
+    rank equi-join): a missing quality score has no rank, and callers
+    should quarantine those rows, not calibrate them.
     """
     from pyspark.sql.window import Window
 
-    base = docs.select(id_col, group_col, score_col)
+    base = docs.select(id_col, group_col, score_col).filter(
+        F.col(score_col).isNotNull()
+    )
     cnt = base.groupBy(group_col, score_col).agg(
         F.count(F.lit(1)).alias("_c")
     )

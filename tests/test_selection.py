@@ -495,3 +495,21 @@ class TestGateAgreement:
         )
         rows = gate_agreement(docs).collect()
         assert sum(r.n_docs for r in rows) == 6
+
+
+def test_quantile_normalize_null_scores_excluded(spark):
+    """NULL scores are excluded explicitly (no rank without a score) —
+    and their absence must not perturb the non-null ranks."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        quantile_normalize_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "a", 20)],
+        "doc_id long, source string, score long",
+    )
+    got = {
+        r.doc_id: r.calib_ppm
+        for r in quantile_normalize_scores(df, score_col="score").collect()
+    }
+    assert got == {1: 0, 3: 1000000}
