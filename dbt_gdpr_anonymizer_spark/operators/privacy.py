@@ -668,3 +668,48 @@ def anonymization_utility_report(
         .cast("bigint")
         .alias("under_k_classes"),
     )
+
+
+def dp_budget_ledger(
+    releases: DataFrame,
+    budget_micro: int,
+    *,
+    dataset_col: str = "dataset",
+    eps_col: str = "epsilon_micro",
+    order_col: str = "seq",
+) -> DataFrame:
+    """X159 differential-privacy BUDGET LEDGER — the accounting layer the
+    X42/X76/X124 mechanisms assume but nothing enforced: under basic
+    sequential composition the epsilons of every release against a
+    dataset ADD, so a curator must track the running total and refuse
+    releases past the budget. Epsilons are integer MICRO-epsilons
+    (1e-6 units — budget arithmetic must not float-drift any more than
+    money does).
+
+    Per dataset, releases are ordered by ``order_col`` and admitted
+    while the running epsilon total stays within ``budget_micro`` —
+    prefix semantics (the X144 rule): once the budget is crossed, every
+    later release is refused, even one that would fit alone (admitting
+    it would make admission order-dependent). Returns every ledger row
+    with ``cum_eps_micro`` (BIGINT, admitted releases only — refused
+    rows carry the would-be total) and ``admitted`` BOOLEAN.
+
+    Scale: a ledger is release-metadata, not data — per-dataset windows
+    over handfuls of rows. The shape still avoids any global sort
+    (windows partition by dataset).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(dataset_col)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return releases.select(
+        dataset_col,
+        order_col,
+        F.col(eps_col).cast("bigint").alias(eps_col),
+        F.sum(eps_col).over(w).cast("bigint").alias("cum_eps_micro"),
+    ).withColumn(
+        "admitted", F.col("cum_eps_micro") <= F.lit(budget_micro)
+    )

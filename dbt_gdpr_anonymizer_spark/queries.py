@@ -1554,6 +1554,7 @@ _CHECK_LAST = [
     "multimodal_png_rgba_features",  # decode family (png/gif/wav checked)
     "embedding_centroid_drift",  # embedding family (int8_quantize/covariance)
     "anonymization_utility_customers",  # privacy family (k_anonymity 2R)
+    "dp_budget_ledger_events",  # DP family (dp_noisy/dp_median parked)
 ]
 
 
@@ -11010,3 +11011,66 @@ def anonymization_utility_customers(
     return anonymization_utility_report(
         joined, ["c_mktsegment", "n_name"], k=5
     )
+
+
+@register(
+    "dp_budget_ledger_events",
+    """
+    with days as (
+      select distinct event_type,
+             cast(date_trunc('day', ts::timestamp) as date) as day
+      from events
+    ),
+    rel as (
+      select event_type as dataset,
+             row_number() over (partition by event_type order by day)
+               as seq,
+             cast(100000 + (day(day) % 3) * 50000 as bigint)
+               as epsilon_micro
+      from days
+    ),
+    led as (
+      select dataset, seq, epsilon_micro,
+             cast(sum(epsilon_micro) over (
+               partition by dataset order by seq
+               rows between unbounded preceding and current row)
+               as bigint) as cum_eps_micro
+      from rel
+    )
+    select dataset, cast(seq as bigint) as seq, epsilon_micro,
+           cum_eps_micro, cum_eps_micro <= 1000000 as admitted
+    from led
+    order by dataset, seq
+    """,
+)
+def dp_budget_ledger_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159 DP privacy-budget ledger (operators/privacy.dp_budget_ledger):
+    one synthetic release per (event_type, day) with a deterministic
+    integer micro-epsilon; under sequential composition the running
+    per-dataset total admits releases while <= 1.0 epsilon (prefix
+    semantics — a crossed budget refuses everything after it). The
+    oracle replays the release synthesis and the cumulative admission."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import dp_budget_ledger
+    from pyspark.sql.window import Window
+
+    e = _events(spark, sf_dir)
+    days = (
+        e.select(
+            "event_type", F.to_date(F.col("ts")).alias("day")
+        )
+        .distinct()
+    )
+    rel = days.select(
+        F.col("event_type").alias("dataset"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("seq"),
+        (
+            F.lit(100_000)
+            + (F.dayofmonth("day") % 3).cast("bigint") * 50_000
+        )
+        .cast("bigint")
+        .alias("epsilon_micro"),
+    )
+    return dp_budget_ledger(rel, 1_000_000).orderBy("dataset", "seq")

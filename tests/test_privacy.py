@@ -381,3 +381,27 @@ def test_anonymization_utility_report(spark):
     assert r.avg_class_size_ppm == (10 * 1_000_000) // 3
     assert r.discernibility == 36 + 9 + 1
     assert r.suppressed_rows == 4 and r.under_k_classes == 2
+
+
+def test_dp_budget_ledger_prefix_admission(spark):
+    """X159: running per-dataset epsilon total; once the budget is
+    crossed every later release refuses, even one that would fit."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import dp_budget_ledger
+
+    rel = spark.createDataFrame(
+        [
+            ("d1", 1, 600_000),
+            ("d1", 2, 500_000),  # crosses 1.0 → refused
+            ("d1", 3, 100_000),  # would fit alone → still refused (prefix)
+            ("d2", 1, 900_000),  # independent dataset
+        ],
+        ["dataset", "seq", "epsilon_micro"],
+    )
+    got = {
+        (r.dataset, r.seq): (r.cum_eps_micro, r.admitted)
+        for r in dp_budget_ledger(rel, 1_000_000).collect()
+    }
+    assert got[("d1", 1)] == (600_000, True)
+    assert got[("d1", 2)] == (1_100_000, False)
+    assert got[("d1", 3)] == (1_200_000, False)
+    assert got[("d2", 1)] == (900_000, True)
