@@ -241,4 +241,10 @@ def pagerank_int(
         F.col(id_col), F.col("_r").cast("bigint").alias("rank_units")
     )
     deg.unpersist()
-    return track_caches(out, ranks, spine)
+    # Track the LIVE persisted frame, not just the final `ranks`: after the
+    # loop `ranks` is usually a lazy chain on top of `prev_persisted` (the
+    # last checkpoint, or the initial ranks when iters < checkpoint_every).
+    # Tracking only `ranks` leaked one cached DataFrame per call for the
+    # session lifetime. unpersist() on a non-persisted frame is a no-op, so
+    # tracking both is safe in every branch.
+    return track_caches(out, prev_persisted, ranks, spine)

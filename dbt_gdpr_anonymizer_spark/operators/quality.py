@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
@@ -658,6 +659,71 @@ def char_entropy_profile(
     )
 
 
+def _bucketed_prefix_filter(
+    df: DataFrame,
+    rem: int,
+    *,
+    tokens_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Distributed greedy-prefix filter: keep rows, in ``id_col`` order,
+    while the running ``tokens_col`` total stays ≤ ``rem`` — WITHOUT a
+    single-partition global window. Two-pass offset scheme: (a) rows are
+    range-bucketed on ``id_col`` via driver-collected split points
+    (approxQuantile — splits need not be balanced, only consistent), (b)
+    per-bucket token totals (≤ ``n_buckets`` rows) collect and prefix-sum
+    driver-side into per-bucket offsets, (c) each bucket runs its OWN
+    id-ordered cumulative window and adds its broadcast offset. Output is
+    bit-identical to the global-window formulation (integer sums are
+    associative); the plan is as parallel as the bucket count.
+
+    Requires a numeric ``id_col`` (approxQuantile); callers fall back to
+    the global window otherwise.
+    """
+    from pyspark.sql.window import Window
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    splits = sorted(set(df.stat.approxQuantile(id_col, probs, 0.001)))
+    bucket = F.lit(0)
+    for s in splits:
+        bucket = bucket + F.when(F.col(id_col) > F.lit(s), 1).otherwise(0)
+    b = df.withColumn("_b", bucket)
+    totals = {
+        r["_b"]: r["_t"]
+        for r in b.groupBy("_b")
+        .agg(F.sum(tokens_col).alias("_t"))
+        .collect()
+    }
+    off_rows, run = [], 0
+    for k in sorted(totals):
+        off_rows.append((k, run))
+        run += totals[k]
+    spark = df.sparkSession
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    offs = F.broadcast(
+        spark.createDataFrame(
+            off_rows,
+            StructType(
+                [
+                    StructField("_b", IntegerType(), False),
+                    StructField("_off", LongType(), False),
+                ]
+            ),
+        )
+    )
+    w = Window.partitionBy("_b").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.join(offs, "_b")
+        .withColumn("_cum", F.sum(tokens_col).over(w) + F.col("_off"))
+        .filter(F.col("_cum") <= F.lit(rem))
+        .drop("_b", "_off", "_cum")
+    )
+
+
 def token_budget_select(
     docs: DataFrame,
     budget: int,
@@ -665,6 +731,7 @@ def token_budget_select(
     score_col: str = "score",
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
+    max_boundary_rows: int = 4_000_000,
 ) -> DataFrame:
     """X144 token-budget data selection (the "select the best N tokens"
     step every pretraining run ends with — DoReMi/DSIR downstream, Xie et
@@ -696,32 +763,50 @@ def token_budget_select(
     base = docs.select(id_col, score_col, tokens_col)
     hist = (
         base.groupBy(score_col)
-        .agg(F.sum(tokens_col).alias("_s"))
+        .agg(
+            F.sum(tokens_col).alias("_s"),
+            F.count(F.lit(1)).alias("_c"),
+        )
         .collect()
     )
     hist.sort(key=lambda r: -r[score_col])
     cum = 0
     cutoff = None  # first stratum that does not fully fit
     rem = 0
+    boundary_rows = 0
     for r in hist:
         if cum + r["_s"] <= budget:
             cum += r["_s"]
         else:
             cutoff = r[score_col]
             rem = budget - cum
+            boundary_rows = r["_c"]
             break
     if cutoff is None:
         return base  # everything fits
     full = base.filter(F.col(score_col) > F.lit(cutoff))
-    w = Window.orderBy(F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    stratum = base.filter(F.col(score_col) == F.lit(cutoff))
+    numeric_id = isinstance(
+        base.schema[id_col].dataType, NumericType
     )
-    boundary = (
-        base.filter(F.col(score_col) == F.lit(cutoff))
-        .withColumn("_cum", F.sum(tokens_col).over(w))
-        .filter(F.col("_cum") <= F.lit(rem))
-        .drop("_cum")
-    )
+    if boundary_rows > max_boundary_rows and numeric_id:
+        # Degenerate-input guard (all-ties corpora — constant scorers,
+        # default-filled scores — make the "boundary stratum" the whole
+        # corpus): past the threshold the id-ordered cumulative sum runs
+        # through the range-bucketed two-pass scheme instead of one
+        # global-ordered window. Bit-identical output either way.
+        boundary = _bucketed_prefix_filter(
+            stratum, rem, tokens_col=tokens_col, id_col=id_col
+        )
+    else:
+        w = Window.orderBy(F.col(id_col)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        boundary = (
+            stratum.withColumn("_cum", F.sum(tokens_col).over(w))
+            .filter(F.col("_cum") <= F.lit(rem))
+            .drop("_cum")
+        )
     return full.unionByName(boundary)
 
 
@@ -928,12 +1013,30 @@ def token_budget_select_by_group(
         cut_rows.append((g, cutoff, rem, all_fit))
     if not cut_rows:
         return base.limit(0)
-    schema = base.select(
-        group_col,
-        F.col(score_col).alias("_cutoff"),
-        F.lit(0).cast("long").alias("_rem"),
-        F.lit(True).alias("_all_fit"),
-    ).schema
+    # Build the cutoff schema EXPLICITLY nullable: deriving it from
+    # base.select(...) inherits the score column's nullability, and a
+    # group whose strata all fit carries cutoff=None — with a
+    # non-nullable score column (e.g. derived from count()/lit()) row
+    # construction would fail on otherwise valid input.
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(
+                group_col, base.schema[group_col].dataType, True
+            ),
+            StructField(
+                "_cutoff", base.schema[score_col].dataType, True
+            ),
+            StructField("_rem", LongType(), True),
+            StructField("_all_fit", BooleanType(), False),
+        ]
+    )
     cuts = F.broadcast(
         base.sparkSession.createDataFrame(cut_rows, schema)
     )

@@ -25,7 +25,83 @@ __all__ = [
     "salted_join",
     "incremental_merge",
     "snapshot_diff",
+    "global_row_number",
+    "snapshot_merge",
 ]
+
+
+def global_row_number(
+    df: DataFrame,
+    order_col: str,
+    *,
+    out_col: str = "rn",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact global ``row_number() over (order by order_col)`` WITHOUT the
+    single-partition window Spark plans for an unpartitioned ORDER BY (the
+    100×-scale killer: the whole input serializes through one task, and
+    WindowExec warns on every planning). Two-pass offset scheme instead:
+
+    1. range-bucket rows on ``order_col`` using driver-collected
+       approxQuantile split points (splits need not be balanced or even
+       deterministic — ONLY consistent between the two passes, which they
+       are because they're collected once);
+    2. per-bucket row counts (≤ ``n_buckets`` rows) collect and
+       prefix-sum into per-bucket offsets, broadcast back;
+    3. each bucket runs its own ``row_number`` ordered by ``order_col``
+       and adds its offset.
+
+    Output numbering is identical to the global window whenever
+    ``order_col`` values are distinct; under ties the within-tie order is
+    arbitrary in BOTH formulations (ties land in one bucket, so the
+    distribution of tied ranks is the same set either way). Requires a
+    numeric ``order_col`` (approxQuantile). The bucketed input is
+    persisted across the two passes; the cache is tracked on the result
+    for ``release_caches``.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    splits = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
+    bucket = F.lit(0)
+    for s in splits:
+        bucket = bucket + F.when(
+            F.col(order_col) > F.lit(s), 1
+        ).otherwise(0)
+    b = df.withColumn("_gb", bucket).persist()
+    counts = {
+        r["_gb"]: r["_c"]
+        for r in b.groupBy("_gb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    }
+    off_rows, run = [], 0
+    for k in sorted(counts):
+        off_rows.append((k, run))
+        run += counts[k]
+    offs = F.broadcast(
+        df.sparkSession.createDataFrame(
+            off_rows,
+            StructType(
+                [
+                    StructField("_gb", IntegerType(), False),
+                    StructField("_goff", LongType(), False),
+                ]
+            ),
+        )
+    )
+    w = Window.partitionBy("_gb").orderBy(F.col(order_col))
+    out = (
+        b.join(offs, "_gb")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) + F.col("_goff")).cast("long"),
+        )
+        .drop("_gb", "_goff")
+    )
+    return track_caches(out, b)
 
 
 def asof_join(

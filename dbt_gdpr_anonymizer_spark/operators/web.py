@@ -479,9 +479,14 @@ def robots_gate(
     """
     from pyspark.sql import Window
 
+    # Split on \r?\n, not "\n": RFC 9309 explicitly permits CRLF line
+    # endings (common in the wild), and trim() in both Spark and DuckDB
+    # strips only spaces — a trailing \r left on every directive/value
+    # would make NO rule match, silently reporting every URL allowed
+    # (the worst failure mode for a compliance gate).
     lines = robots.select(
         F.col(domain_col),
-        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias(
+        F.posexplode(F.split(F.col("robots_txt"), r"\r?\n")).alias(
             "_ln", "_raw"
         ),
     ).select(
@@ -516,6 +521,12 @@ def robots_gate(
             ).otherwise(0)
         ).over(w).alias("_grp"),
     )
+    # RFC 9309 group selection: use the groups naming ``agent`` when the
+    # file has any; otherwise FALL BACK to the '*' groups (per domain —
+    # the fallback is a property of each robots.txt file). Without the
+    # fallback, robots_gate(agent="somebot") against a file containing
+    # only 'User-agent: *' evaluated zero rules and allowed everything —
+    # permissive failure in a compliance gate.
     my_groups = (
         grouped.filter(
             (F.col("_dir") == "user-agent")
@@ -524,6 +535,24 @@ def robots_gate(
         .select(domain_col, "_grp")
         .distinct()
     )
+    if agent != "*":
+        star_groups = (
+            grouped.filter(
+                (F.col("_dir") == "user-agent") & (F.col("_val") == "*")
+            )
+            .select(domain_col, "_grp")
+            .distinct()
+        )
+        # domains with at least one specific-agent group keep ONLY those;
+        # all other domains use their '*' groups (anti-join is bounded by
+        # the robots table, never corpus size)
+        my_groups = my_groups.unionByName(
+            star_groups.join(
+                my_groups.select(domain_col).distinct(),
+                domain_col,
+                "left_anti",
+            )
+        )
     rules = (
         grouped.filter(F.col("_dir").isin("allow", "disallow"))
         .join(my_groups, [domain_col, "_grp"], "left_semi")

@@ -7276,20 +7276,23 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — the classic sequence-integrity check (missing-id audit,
     ingest-completeness verification: holes in an append-only id space
     mean lost batches). The `key − row_number()` trick makes each
-    contiguous run a constant group key, so the whole detection is one
-    global-ordered window + one partial-agg groupBy. A single global
-    sort is inherent to total sequence numbering at any scale; for
-    per-shard audits, partition the window by shard to restore
-    parallelism. First 100 runs released."""
-    from pyspark.sql import Window
+    contiguous run a constant group key. The sequence numbering is NOT a
+    global-ordered window (which plans a single-partition WindowExec —
+    the whole filtered table through one task at scale): it's the
+    range-bucketed two-pass scheme (relational.global_row_number —
+    per-bucket row_number + broadcast cumulative bucket counts), exact
+    and identical to the global window because keys are distinct. First
+    100 runs released."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        global_row_number,
+    )
 
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "O"
     ).select("o_orderkey")
-    w = Window.orderBy("o_orderkey")
-    g = o.select(
+    g = global_row_number(o, "o_orderkey", out_col="_rn").select(
         "o_orderkey",
-        (F.col("o_orderkey") - F.row_number().over(w)).alias("grp"),
+        (F.col("o_orderkey") - F.col("_rn")).alias("grp"),
     )
     return (
         g.groupBy("grp")
@@ -10699,8 +10702,8 @@ def gate_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(regexp_extract(source, '[0-9]+', 0) as int) as idx
       from documents
     ),
-    robots as (
-      select source as domain,
+    robots0 as (
+      select source as domain, idx,
              concat(
                'User-agent: archiver', chr(10), 'Disallow: /', chr(10),
                chr(10),
@@ -10711,12 +10714,21 @@ def gate_agreement_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) as robots_txt
       from src where idx % 5 <> 0
     ),
+    robots as (
+      select domain,
+             case when idx % 2 = 0
+                  then replace(robots_txt, chr(10), chr(13) || chr(10))
+                  else robots_txt end as robots_txt
+      from robots0
+    ),
     ls as (
       select domain,
              unnest(list_transform(
-               range(1, len(string_split(robots_txt, chr(10))) + 1),
+               range(1, len(regexp_split_to_array(robots_txt,
+                                                  '\r?\n')) + 1),
                i -> {'ln': i,
-                     'raw': string_split(robots_txt, chr(10))[i]}
+                     'raw': regexp_split_to_array(robots_txt,
+                                                  '\r?\n')[i]}
              )) as lr
       from robots
     ),
@@ -10808,6 +10820,7 @@ def robots_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     nl = "\n"
     robots = src.filter(F.col("_i") % 5 != 0).select(
         F.col("source").alias("domain"),
+        F.col("_i"),
         F.concat(
             F.lit("User-agent: archiver" + nl + "Disallow: /" + nl + nl),
             F.lit("User-agent: *" + nl),
@@ -10816,7 +10829,17 @@ def robots_gate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Allow: /p"), (F.col("_i") % 3).cast("string"),
             F.lit("/keep" + nl),
             F.lit("Disallow: /raw" + nl),
-        ).alias("robots_txt"),
+        ).alias("_txt"),
+    ).select(
+        "domain",
+        # even-idx domains publish CRLF files (RFC 9309 permits both) so
+        # the driver exercises the \r?\n tolerant parse end to end
+        F.when(
+            F.col("_i") % 2 == 0,
+            F.regexp_replace("_txt", "\n", "\r\n"),
+        )
+        .otherwise(F.col("_txt"))
+        .alias("robots_txt"),
     )
     urls = d.select(
         "doc_id",

@@ -101,3 +101,31 @@ def test_pagerank_int_matches_reference_recurrence(spark):
     assert got[0] > got[1] > got[3]  # hub > linked leaf > plain leaf
     # total mass is bounded by the scale (floor division only loses mass)
     assert sum(got.values()) <= scale
+
+
+def test_pagerank_releases_all_caches(spark):
+    """r8 ADVICE: the checkpoint rotation left the live checkpoint cache
+    untracked (track_caches saw only the final lazy `ranks`), leaking one
+    cached DataFrame per call. After release_caches the persistent-RDD
+    registry must return to its baseline — in both the iters <
+    checkpoint_every and the checkpointed regimes."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4)], "node_id long"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    for iters, ck in ((2, 4), (5, 2)):
+        baseline = jsc.getPersistentRDDs().size()
+        out = pagerank_int(
+            edges, nodes, iters=iters, checkpoint_every=ck
+        )
+        out.collect()
+        release_caches(out)
+        assert jsc.getPersistentRDDs().size() == baseline, (
+            f"leaked caches with iters={iters}, checkpoint_every={ck}"
+        )

@@ -9,6 +9,13 @@ cluster:
   whose build side is an explicitly broadcast, provably small query /
   centroid set (that IS the brute-force contract; the LSH/IVF tiers are
   the scale path).
+* Unpartitioned ``Window`` (empty partitionSpec — Spark plans it as a
+  single-partition WindowExec, serializing the whole input through one
+  task) — only over inputs bounded by CONSTRUCTION, never corpus-sized
+  (see WINDOW_GLOBAL_ALLOWED). r8: orderkey_gap_islands' global
+  row_number was rewritten onto relational.global_row_number (range
+  buckets + broadcast offsets) specifically so it does NOT need an
+  allowlist slot here.
 
 Catching these at plan level keeps a future query edit from silently
 reintroducing an all-pairs join that works at sf0.01 and dies at 100 TB.
@@ -82,12 +89,47 @@ BNLJ_ALLOWED = {
 }
 
 
+# Allowed unpartitioned-Window cases — every global window below runs
+# over a frame bounded by CONSTRUCTION, never by corpus size:
+#   word_frequency_zipf — rank over the 100 surviving top terms;
+#   temperature_resample_documents — Σ over the GROUP-SIZES table
+#     (group-cardinality rows: languages/domains), not the corpus;
+#   token_budget_select_documents — the cumulative window runs over the
+#     single boundary score-stratum only (one ppm value's population);
+#     degenerate all-ties corpora are routed to the range-bucketed
+#     two-pass scheme by the max_boundary_rows guard (r8).
+WINDOW_GLOBAL_ALLOWED = {
+    "word_frequency_zipf",
+    "temperature_resample_documents",
+    "token_budget_select_documents",
+}
+
+
+def _unpartitioned_windows(jnode, acc):
+    """Collect logical Window nodes with an empty partitionSpec (the
+    shape Spark executes as a single-partition WindowExec)."""
+    if jnode.getClass().getSimpleName() == "Window":
+        if jnode.partitionSpec().isEmpty():
+            acc.append(jnode.toString().splitlines()[0])
+    ch = jnode.children()
+    for i in range(ch.size()):
+        _unpartitioned_windows(ch.apply(i), acc)
+    return acc
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_unbounded_join_in_plan(spark, name):
     df = all_queries()[name](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join outside the brute-force allowlist"
+        )
+    if name not in WINDOW_GLOBAL_ALLOWED:
+        hits = _unpartitioned_windows(qe.optimizedPlan(), [])
+        assert not hits, (
+            f"{name}: unpartitioned Window (single-partition WindowExec "
+            f"at scale) outside the bounded-frame allowlist: {hits}"
         )

@@ -146,3 +146,59 @@ def test_snapshot_diff_statuses(spark):
         3: ("changed", "c", "C2"),
         4: ("added", None, "d"),
     }
+
+
+def test_global_row_number_matches_sequential(spark):
+    """global_row_number must reproduce row_number() over (order by k)
+    exactly on distinct keys — across partitionings and with gaps/
+    negative values — while planning NO unpartitioned Window."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        global_row_number,
+    )
+
+    keys = sorted({(i * 37) % 1009 - 200 for i in range(400)})
+    expect = {k: i + 1 for i, k in enumerate(keys)}
+    for nparts in (1, 7):
+        df = spark.createDataFrame(
+            [(k,) for k in keys], "k long"
+        ).repartition(nparts)
+        out = global_row_number(df, "k", out_col="rn", n_buckets=8)
+        got = {r["k"]: r["rn"] for r in out.collect()}
+        release_caches(out)
+        assert got == expect
+
+
+def test_global_row_number_plan_has_no_global_window(spark):
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        global_row_number,
+    )
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = global_row_number(df, "k", n_buckets=8)
+
+    def walk(node, acc):
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                acc.append(node)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), acc)
+        return acc
+
+    hits = walk(out._jdf.queryExecution().optimizedPlan(), [])
+    release_caches(out)
+    assert hits == []
+
+
+def test_global_row_number_empty_input(spark):
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        global_row_number,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "k").filter("k < 0")
+    out = global_row_number(df, "k")
+    assert out.collect() == []
+    release_caches(out)

@@ -513,3 +513,71 @@ def test_quantile_normalize_null_scores_excluded(spark):
         for r in quantile_normalize_scores(df, score_col="score").collect()
     }
     assert got == {1: 0, 3: 1000000}
+
+
+class TestTokenBudgetAllTiesGuard:
+    """r8: a degenerate all-ties corpus (constant scorer) makes the
+    boundary stratum the WHOLE corpus — past max_boundary_rows the
+    cumulative sum must route through the range-bucketed two-pass
+    scheme, with output identical to the global-window formulation."""
+
+    def test_bucketed_path_matches_global(self, spark):
+        rows = [(i, 7, 1 + (i * 3) % 4) for i in range(300)]
+        df = _docs(spark, rows, ["doc_id", "score", "n_tokens"])
+        budget = 190
+        ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+        cum, expect = 0, set()
+        for i, s, t in ordered:
+            cum += t
+            if cum <= budget:
+                expect.add(i)
+        # force the guarded path (threshold far below the stratum size)
+        got_df = token_budget_select(df, budget, max_boundary_rows=10)
+        got = {r.doc_id for r in got_df.collect()}
+        assert got == expect
+        # and the guarded plan must contain no unpartitioned Window
+        def walk(node, acc):
+            if node.getClass().getSimpleName() == "Window":
+                if node.partitionSpec().isEmpty():
+                    acc.append(node)
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i), acc)
+            return acc
+
+        assert walk(
+            got_df._jdf.queryExecution().optimizedPlan(), []
+        ) == []
+
+    def test_default_path_unchanged(self, spark):
+        rows = [(i, 7, 2) for i in range(20)]
+        df = _docs(spark, rows, ["doc_id", "score", "n_tokens"])
+        got = {
+            r.doc_id for r in token_budget_select(df, 10).collect()
+        }
+        assert got == {0, 1, 2, 3, 4}
+
+
+class TestByGroupNonNullableScore:
+    def test_all_fit_group_with_non_nullable_score(self, spark):
+        """A group whose strata all fit carries cutoff=None; with a
+        NON-nullable score column (lit/count-derived) the broadcast
+        cutoff row construction previously failed on nullability."""
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            token_budget_select_by_group,
+        )
+
+        df = _docs(
+            spark,
+            [(1, "a", 3), (2, "a", 3), (3, "b", 3)],
+            ["doc_id", "source", "n_tokens"],
+        ).withColumn("score", F.lit(5))  # non-nullable by construction
+        assert not df.schema["score"].nullable
+        got = {
+            r.doc_id
+            for r in token_budget_select_by_group(
+                df.select("doc_id", "source", "score", "n_tokens"),
+                100,
+            ).collect()
+        }
+        assert got == {1, 2, 3}

@@ -257,3 +257,77 @@ class TestRobotsGate:
         robots = [("d1", "User-agent: *\nDisallow: /x$\n")]
         with pytest.raises(NotImplementedError):
             self._gate(spark, robots, [(1, "d1", "/x")])
+
+
+class TestRobotsGateR8:
+    """r8 ADVICE fixes: CRLF-terminated files and the RFC 9309 fallback
+    to the '*' group for agents with no group of their own."""
+
+    def _gate(self, spark, robots_rows, url_rows, agent="*"):
+        from dbt_gdpr_anonymizer_spark.operators.web import robots_gate
+
+        robots = spark.createDataFrame(
+            robots_rows, ["domain", "robots_txt"]
+        )
+        urls = spark.createDataFrame(
+            url_rows, ["doc_id", "domain", "path"]
+        )
+        return {
+            r.doc_id: (r.allowed, r.rule_len)
+            for r in robots_gate(robots, urls, agent=agent).collect()
+        }
+
+    def test_crlf_line_endings(self, spark):
+        # RFC 9309 permits CRLF; before the \r?\n split a trailing \r on
+        # every directive made no rule match — silently allowing all.
+        robots = [(
+            "d1",
+            "User-agent: *\r\nDisallow: /private*\r\n"
+            "Allow: /private/ok\r\nDisallow: /tmp\r\n",
+        )]
+        got = self._gate(spark, robots, [
+            (1, "d1", "/private/x"),
+            (2, "d1", "/private/ok"),
+            (3, "d1", "/tmpfile"),
+            (4, "d1", "/public"),
+        ])
+        assert got[1] == (False, 9)
+        assert got[2] == (True, 11)
+        assert got[3] == (False, 4)
+        assert got[4] == (True, 0)
+
+    def test_agent_falls_back_to_star_group(self, spark):
+        # d1 has ONLY a '*' group: somebot must inherit it (RFC 9309
+        # group selection), not evaluate zero rules.
+        robots = [("d1", "User-agent: *\nDisallow: /no\n")]
+        got = self._gate(
+            spark, robots, [(1, "d1", "/no/x"), (2, "d1", "/ok")],
+            agent="somebot",
+        )
+        assert got[1] == (False, 3)
+        assert got[2] == (True, 0)
+
+    def test_specific_group_shadows_star(self, spark):
+        # a domain WITH a somebot group uses only that group; a domain
+        # without one falls back to its '*' group — per-domain decision.
+        robots = [
+            (
+                "d1",
+                "User-agent: somebot\nDisallow: /only-some\n\n"
+                "User-agent: *\nDisallow: /star\n",
+            ),
+            ("d2", "User-agent: *\nDisallow: /star\n"),
+        ]
+        got = self._gate(
+            spark,
+            robots,
+            [
+                (1, "d1", "/star/x"),       # star rule must NOT apply
+                (2, "d1", "/only-some/x"),  # somebot rule applies
+                (3, "d2", "/star/x"),       # fallback to '*' on d2
+            ],
+            agent="somebot",
+        )
+        assert got[1] == (True, 0)
+        assert got[2] == (False, 10)
+        assert got[3] == (False, 5)
