@@ -104,6 +104,93 @@ def global_row_number(
     return track_caches(out, b)
 
 
+def snapshot_merge(
+    snapshot: DataFrame | None,
+    source: DataFrame,
+    *,
+    key: str,
+    updated_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """dbt TIMESTAMP-strategy snapshot merge — the last declared reference
+    construct without a twin (the reference configures timestamp-strategy
+    snapshots at dbt_project.yml:161-173 but ships an empty snapshots
+    dir): given the current SCD2 snapshot state and a new source state,
+    emit the next snapshot state.
+
+    dbt's rule (snapshot materialization, timestamp strategy): a source
+    row whose ``updated_col`` is STRICTLY newer than its key's current
+    version opens a new version (``valid_from = updated``) and closes the
+    old one (``valid_to = new updated``); a source row with an equal or
+    older timestamp is a no-op; keys absent from the source keep their
+    current version open (dbt does not invalidate hard deletes by
+    default); keys absent from the snapshot insert fresh. Source must
+    carry at most one row per key per run (the dbt uniqueness contract —
+    duplicate-key behavior is undefined there too).
+
+    Re-running with the same source is IDEMPOTENT (the strict ``>``:
+    the second pass sees updated == valid_from and no-ops) — the
+    kill-and-resume property a scheduler retry needs.
+
+    Plan: ONE full-outer hash join on ``key`` between the snapshot's
+    current versions and the source, then three disjoint projections
+    unioned with the closed history — one shuffle regardless of history
+    depth; history rows are never rewritten. Returns
+    ``(key, *attr_cols, valid_from, valid_to)`` where ``valid_from`` /
+    ``valid_to`` carry ``updated_col`` values and an open version has
+    ``valid_to IS NULL``.
+    """
+    src = source.select(
+        F.col(key),
+        F.col(updated_col).alias("_s_upd"),
+        *[F.col(a).alias(f"_s_{a}") for a in attr_cols],
+        F.lit(1).alias("_s_here"),
+    )
+    if snapshot is None:
+        return src.select(
+            key,
+            *[F.col(f"_s_{a}").alias(a) for a in attr_cols],
+            F.col("_s_upd").alias("valid_from"),
+            F.lit(None).cast(source.schema[updated_col].dataType).alias(
+                "valid_to"
+            ),
+        )
+    snap = snapshot.select(key, *attr_cols, "valid_from", "valid_to")
+    hist = snap.filter(F.col("valid_to").isNotNull())
+    cur = snap.filter(F.col("valid_to").isNull()).withColumn(
+        "_c_here", F.lit(1)
+    )
+    j = cur.join(src, key, "full_outer")
+    changed = (
+        F.col("_c_here").isNotNull()
+        & F.col("_s_here").isNotNull()
+        & (F.col("_s_upd") > F.col("valid_from"))
+    )
+    closed = j.filter(changed).select(
+        key,
+        *attr_cols,
+        "valid_from",
+        F.col("_s_upd").alias("valid_to"),
+    )
+    kept_cur = j.filter(
+        F.col("_c_here").isNotNull() & ~changed
+    ).select(key, *attr_cols, "valid_from", "valid_to")
+    opened = j.filter(
+        F.col("_s_here").isNotNull()
+        & (F.col("_c_here").isNull() | changed)
+    ).select(
+        key,
+        *[F.col(f"_s_{a}").alias(a) for a in attr_cols],
+        F.col("_s_upd").alias("valid_from"),
+        F.lit(None).cast(snap.schema["valid_from"].dataType).alias(
+            "valid_to"
+        ),
+    )
+    return hist.unionByName(closed).unionByName(kept_cur).unionByName(
+        opened
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

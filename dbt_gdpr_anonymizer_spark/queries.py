@@ -1496,7 +1496,57 @@ _CHECK_LAST = [
     "t_closeness_segments",
     "unpivot_event_counts",
     "word_frequency_zipf",
-    # still parked (r8 window — local + pandas-mode green, family-covered
+    # ------------------------------------------------------------------
+    # r8 rotation (executing the plan at SURVEY §7 end-of-r7): 27 parked
+    # rows PROMOTED into the checked window (removed from the parked
+    # blocks below) — prioritized by the r7 VERDICT's first-exposure
+    # list: semantic dedup, duplicate-span removal, BPE learn+tokenize,
+    # PageRank, MP4/GIF/JPEG decoders, dp_median, the selection tier
+    # (token-budget global+by-source, quantile calibration, n-gram
+    # novelty, dup report, shard plan, DSIR weights+Gumbel top-k),
+    # semantic decontamination, char entropy, html extract, bigram LM,
+    # SFT stats, NFC profile, domain cap, stream quota, robots_gate
+    # (ALSO promoted by rule: its compared fixture now publishes CRLF
+    # robots.txt files — output-affecting change), and dp_budget_ledger.
+    # The 29 rows demoted below each hold TWO rounds of driver green
+    # (r6+r7 artifacts) on byte-unchanged compared outputs. The two NEW
+    # r8 queries (mart_pipeline_services, scd2_snapshot_orders) enter by
+    # construction. Front total: exactly 50. The 13 rows still parked in
+    # the r7-late block + the 15 family-covered holdovers are the r9
+    # promotion cohort (the 21 r7-promoted rows reach two-round green
+    # then).
+    # ------------------------------------------------------------------
+    # demoted r8 with 2 rounds of green (r6+r7), unchanged outputs:
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "consent_gated_spend",
+    "encoding_profile_documents",
+    "erasure_cascade_large_list",
+    "exact_median_event_values",
+    "iban_pii_scan",
+    "k_anonymity_generalize",
+    "kmeans_embedding_clusters",
+    "mask_fpe_phone",
+    "microaggregate_acctbal",
+    "multimodal_wav_features",
+    "nir_pii_scan",
+    "portability_export",
+    "python_datasource_ingest",
+    "python_stream_source_ingest",
+    "q10_returned_items",
+    "q16_parts_supplier_counts",
+    "q18_large_volume_customers",
+    "q3_shipping_priority",
+    "rectification_patch_customers",
+    "siret_pii_scan",
+    "stream_interval_join_clicks",
+    "stream_outer_join_purchases",
+    "stream_static_enrich",
+    "stream_upsert_events",
+    "stream_watermark_late_data",
+    "udtf_chunk_documents",
+    "variant_props_extract",
+    # still parked (r9 window — local + pandas-mode green, family-covered
     # by a checked representative this round):
     "corpus_snapshot_diff",  # diff family (scd2/incremental_merge checked r≤6)
     "vocab_oov_rate",  # vocab family (word_frequency_zipf 2R green)
@@ -1515,46 +1565,19 @@ _CHECK_LAST = [
     "embedding_dim_stats",  # embedding family (ann_* r6 green)
     # r7-LATE new queries, parked to hold the front at exactly 50 (the
     # r8 rotation has 29 demotable slots for 15+these parked rows):
-    "semantic_dedup_embeddings",  # kmeans CTEs shared with checked kmeans query
-    "remove_duplicate_spans_documents",  # gram machinery shared with checked cross_doc profile
-    "multimodal_mp4_features",  # decode plumbing shared with checked wav/decode queries
-    "dp_median_acctbal_by_segment",  # DP family (dp_noisy_order_counts has 2R green)
-    "bpe_learn_documents",  # vocab family (word_frequency_zipf has 2R green)
-    "bpe_tokenize_documents",  # apply twin of bpe_learn_documents
     "canary_scrub_audit",  # scrub family (scrub_text_pii / stream_scrub checked r<=6)
-    "html_text_extract_documents",  # regex-chain family (scrub/regex_pii checked)
-    "bigram_lm_perplexity_documents",  # corpus-stats family (bm25/tfidf checked)
     "naive_bayes_lang_classifier",  # corpus-stats family (bm25/tfidf checked)
-    "multimodal_gif_features",  # decode family (png/wav/decode queries checked)
     "embedding_int8_covariance",  # embedding family (int8_quantize/dim_stats)
     "warc_ingest_documents",  # ingest family (jsonl_flatten/corrupt_record)
     "phrase_search_documents",  # retrieval family (bm25/sparse_cosine)
-    "dsir_importance_weights_documents",  # corpus-stats family (bigram LM)
-    "dsir_gumbel_topk_documents",  # sampling family (stratified/priority)
     "url_canonical_dedup_documents",  # web family (html_extract/warc)
-    "multimodal_jpeg_features",  # decode family (png/gif/wav/mp4 checked)
-    "pagerank_documents",  # graph family (neardup_components checked)
-    "domain_cap_documents",  # web family (url_canonical/html_extract)
-    "sft_chat_stats_documents",  # json family (jsonl_flatten/variant checked)
-    "unicode_nfc_profile_documents",  # text family (encoding_profile checked)
-    "char_entropy_documents",  # text family (quality_deciles/repetition)
     "hard_negatives_embeddings",  # ann family (lsh/ivf/cosine checked)
-    "stream_quota_documents",  # streaming-state family (sessionize/dedup)
     "script_profile_documents",  # text family (lang_id/encoding_profile)
-    "token_budget_select_documents",  # sampling family (stratified/mixture)
-    "quantile_normalize_scores_documents",  # stats family (deciles/psi)
-    "source_ngram_novelty_documents",  # corpus-stats family (zipf/oov)
-    "source_dup_report_documents",  # dedup-audit family (exact_dedup 2R)
-    "training_shard_plan_documents",  # layout family (pack_sequences 2R)
-    "semantic_decontaminate_embeddings",  # contamination family (decontaminate 2R)
     "dedup_incremental_neardup_documents",  # incremental family (dedup_incremental 2R)
-    "token_budget_by_source_documents",  # selection family (token_budget_select)
     "gate_agreement_documents",  # quality family (corpus_quality_gate 2R)
-    "robots_gate_documents",  # web family (url_canonical/domain_cap)
     "multimodal_png_rgba_features",  # decode family (png/gif/wav checked)
     "embedding_centroid_drift",  # embedding family (int8_quantize/covariance)
     "anonymization_utility_customers",  # privacy family (k_anonymity 2R)
-    "dp_budget_ledger_events",  # DP family (dp_noisy/dp_median parked)
 ]
 
 
@@ -11097,3 +11120,360 @@ def dp_budget_ledger_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("epsilon_micro"),
     )
     return dp_budget_ledger(rel, 1_000_000).orderBy("dataset", "seq")
+
+
+@register(
+    "mart_pipeline_services",
+    f"""
+    with raw as (
+      select cast(c_custkey as varchar) as service_id,
+             c_custkey as k,
+             case when c_custkey % 17 = 0 then null else c_name end
+               as service_name,
+             'Org ' || cast(c_custkey % 7 as varchar)
+               as parent_organization,
+             case when c_custkey % 23 = 0 then null else
+               ['ministere','etablissement-public','service-deconcentre',
+                'autorite-administrative-independante','institution',
+                'conseil-comite-commission-organisme-consultatif']
+               [(c_custkey % 6) + 1] end as organization_type,
+             case when c_custkey % 25 = 0 then null
+                  when c_custkey % 10 = 0 then null
+                  else lower(replace(c_name, ' ', '.'))
+                       || '@service.gouv.fr' end as contact_email,
+             case when c_custkey % 25 = 0 then null
+                  when c_custkey % 7 = 0 then null
+                  else '+33 ' || lpad(
+                    cast(c_custkey % 1000000000 as varchar), 9, '5')
+                  end as contact_phone,
+             case when c_custkey % 25 = 0 then null
+                  when c_custkey % 4 = 0 then null
+                  else cast(c_custkey as varchar) || ' rue de la Paix'
+                  end as street_address,
+             ['75','59','69','13','33','31','98'][(c_custkey % 7) + 1]
+               || lpad(cast(c_custkey % 1000 as varchar), 3, '0')
+               as postal_code,
+             n_name as city, n_name as commune,
+             case when c_custkey % 25 = 0 or c_custkey % 13 = 0 then null
+                  else cast(c_acctbal % 90 as double) end as latitude,
+             case when c_custkey % 25 = 0 or c_custkey % 13 = 0 then null
+                  else cast((c_acctbal * 2) % 180 as double) end
+               as longitude,
+             lpad(cast(c_custkey % 100000 as varchar), 5, '0')
+               as insee_code,
+             date '2024-01-01' + cast(c_custkey % 365 as int)
+               as last_updated
+      from customer join nation on c_nationkey = n_nationkey
+    ),
+    staged as (
+      select *,
+             case when contact_email is not null then 1 else 0 end
+               as has_email,
+             case when contact_phone is not null then 1 else 0 end
+               as has_phone,
+             case when street_address is not null then 1 else 0 end
+               as has_address,
+             case when latitude is not null and longitude is not null
+                  then 1 else 0 end as has_coordinates
+      from raw
+      where service_id is not null and service_name is not null
+    ),
+    anon as (
+      select service_id, k, service_name, parent_organization,
+             organization_type,
+             case when contact_email is not null and contact_email != ''
+               then 'user_' || substr(sha256(
+                      lower(trim(contact_email)) || '{SALT}'), 1, 16)
+                    || '@anonymized.gouv.fr' end as contact_email,
+             case when contact_phone is not null and contact_phone != ''
+               then substr(trim(contact_phone), 1, 6) || ' XX XX XX XX'
+               end as contact_phone,
+             postal_code, city, commune,
+             cast(cast(latitude as decimal(18,2)) as double) as latitude,
+             cast(cast(longitude as decimal(18,2)) as double)
+               as longitude,
+             insee_code, last_updated,
+             has_email, has_phone, has_address, has_coordinates
+      from staged
+    ),
+    m as (
+      select service_id, k, service_name, parent_organization,
+             organization_type,
+             case organization_type
+               when 'ministere' then 'Ministère'
+               when 'autorite-administrative-independante'
+                 then 'Autorité Indépendante'
+               when 'etablissement-public' then 'Établissement Public'
+               when 'service-central' then 'Service Central'
+               else 'Autre' end as organization_type_label,
+             contact_email, contact_phone, city, commune,
+             substr(postal_code, 1, 2) as department_code,
+             case substr(postal_code, 1, 2)
+               when '75' then 'Île-de-France'
+               when '59' then 'Hauts-de-France'
+               when '69' then 'Auvergne-Rhône-Alpes'
+               when '13' then 'Provence-Alpes-Côte d''Azur'
+               when '33' then 'Nouvelle-Aquitaine'
+               when '31' then 'Occitanie'
+               else 'Autre région' end as region,
+             cast(cast(latitude as decimal(18,2)) as varchar)
+               as latitude_2dp,
+             cast(cast(longitude as decimal(18,2)) as varchar)
+               as longitude_2dp,
+             'geo_' || cast(cast(latitude as decimal(18,2)) as varchar)
+               || '_'
+               || cast(cast(longitude as decimal(18,2)) as varchar)
+               as geohash,
+             insee_code, postal_code,
+             has_email, has_phone, has_address, has_coordinates,
+             has_email + has_phone + has_address + has_coordinates
+               as data_completeness_score,
+             case when has_email + has_phone + has_address
+                       + has_coordinates >= 3 then 'Complet'
+                  when has_email + has_phone + has_address
+                       + has_coordinates = 2 then 'Partiel'
+                  else 'Minimal' end as data_quality_level,
+             strftime(last_updated, '%Y-%m-%d') as last_updated,
+             '1.0.0' as anonymization_version,
+             'GDPR Anonymizer v1.0.0' as processing_pipeline,
+             'Conforme GDPR - Art. 4.5 (Pseudonymisation)'
+               as legal_status,
+             'Licence Ouverte / Open Licence' as license
+      from anon
+      where service_name is not null
+        and organization_type is not null
+        and has_email + has_phone + has_address + has_coordinates >= 1
+    )
+    select service_id, service_name, parent_organization,
+           organization_type, organization_type_label, contact_email,
+           contact_phone, city, commune, department_code, region,
+           latitude_2dp, longitude_2dp, geohash, insee_code, postal_code,
+           has_email, has_phone, has_address, has_coordinates,
+           data_completeness_score, data_quality_level, last_updated,
+           anonymization_version, processing_pipeline, legal_status,
+           license
+    from m order by service_id
+    """,
+)
+def mart_pipeline_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END 4-layer pipeline oracle (r7 VERDICT 'What's missing' #2):
+    staging → anonymize → enrich → mart (plans/pipeline.py:99-242) —
+    the reference's actual PRODUCT (mart_services_open_data.sql:37-146) —
+    composed in ONE registry query against a DuckDB oracle that replays
+    every layer: the staging not-null gate and completeness flags, the
+    policy-driven masking (hash_sha256 email, mask_partial phone,
+    aggregate_to_city address, round_2_decimals coordinates), the enrich
+    department/geohash derivations, and the mart renames, type-label /
+    region CASE maps, quality scoring, and publication filter. The raw
+    services table is synthesized deterministically from customer ⋈
+    nation (broadcast dim join): NULL schedules exercise every flag arm,
+    every 17th name drops in staging, every 23rd type drops in the mart
+    filter, and every 25th row nulls ALL four PII fields so the
+    completeness >= 1 publication gate actually removes rows.
+    Nondeterministic audit timestamps (loaded_at / anonymized_at /
+    mart_created_at) are excluded from the release; coordinates release
+    as the decimal(18,2)-cast STRINGS both engines render identically
+    (module float rule)."""
+    from dbt_gdpr_anonymizer_spark.config import EngineSettings
+    from dbt_gdpr_anonymizer_spark.plans.pipeline import (
+        anonymize,
+        enrich,
+        mart,
+        staging,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    k = F.col("c_custkey")
+    types = F.array(
+        *[
+            F.lit(x)
+            for x in [
+                "ministere",
+                "etablissement-public",
+                "service-deconcentre",
+                "autorite-administrative-independante",
+                "institution",
+                "conseil-comite-commission-organisme-consultatif",
+            ]
+        ]
+    )
+    depts = F.array(
+        *[F.lit(x) for x in ["75", "59", "69", "13", "33", "31", "98"]]
+    )
+    raw = c.join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    ).select(
+        k.cast("string").alias("service_id"),
+        F.when(k % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_name"))
+        .alias("service_name"),
+        F.concat(F.lit("Org "), (k % 7).cast("string")).alias(
+            "parent_organization"
+        ),
+        F.when(k % 23 == 0, F.lit(None).cast("string"))
+        .otherwise(F.element_at(types, (k % 6 + 1).cast("int")))
+        .alias("organization_type"),
+        F.when((k % 25 == 0) | (k % 10 == 0), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+                F.lit("@service.gouv.fr"),
+            )
+        )
+        .alias("contact_email"),
+        F.when((k % 25 == 0) | (k % 7 == 0), F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("+33 "),
+                F.lpad((k % 1000000000).cast("string"), 9, "5"),
+            )
+        )
+        .alias("contact_phone"),
+        F.lit("https://annuaire.gouv.fr").alias("website"),
+        F.when((k % 25 == 0) | (k % 4 == 0), F.lit(None).cast("string"))
+        .otherwise(F.concat(k.cast("string"), F.lit(" rue de la Paix")))
+        .alias("street_address"),
+        F.concat(
+            F.element_at(depts, (k % 7 + 1).cast("int")),
+            F.lpad((k % 1000).cast("string"), 3, "0"),
+        ).alias("postal_code"),
+        F.col("n_name").alias("city"),
+        F.col("n_name").alias("commune"),
+        F.when((k % 25 == 0) | (k % 13 == 0), F.lit(None).cast("double"))
+        .otherwise((F.col("c_acctbal") % 90).cast("double"))
+        .alias("latitude"),
+        F.when((k % 25 == 0) | (k % 13 == 0), F.lit(None).cast("double"))
+        .otherwise(((F.col("c_acctbal") * 2) % 180).cast("double"))
+        .alias("longitude"),
+        F.lpad((k % 100000).cast("string"), 5, "0").alias("insee_code"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (k % 365).cast("int")
+        ).alias("last_updated"),
+    )
+    conf = EngineSettings(salt_key=SALT)
+    m = mart(enrich(anonymize(staging(raw), conf=conf), conf), conf)
+    return m.select(
+        "service_id",
+        "service_name",
+        "parent_organization",
+        "organization_type",
+        "organization_type_label",
+        "contact_email",
+        "contact_phone",
+        "city",
+        "commune",
+        "department_code",
+        "region",
+        F.col("latitude").cast("decimal(18,2)").cast("string").alias(
+            "latitude_2dp"
+        ),
+        F.col("longitude").cast("decimal(18,2)").cast("string").alias(
+            "longitude_2dp"
+        ),
+        "geohash",
+        "insee_code",
+        "postal_code",
+        "has_email",
+        "has_phone",
+        "has_address",
+        "has_coordinates",
+        "data_completeness_score",
+        "data_quality_level",
+        F.date_format("last_updated", "yyyy-MM-dd").alias("last_updated"),
+        "anonymization_version",
+        "processing_pipeline",
+        "legal_status",
+        "license",
+    ).orderBy("service_id")
+
+
+@register(
+    "scd2_snapshot_orders",
+    """
+    with b1 as (
+      select o_orderkey as k, o_orderstatus as status,
+             o_orderdate as upd
+      from orders where o_orderdate < date '1996-01-01'
+    ),
+    b2 as (
+      select o_orderkey as k, o_orderstatus as status,
+             o_orderdate as upd
+      from orders where o_orderdate >= date '1996-01-01'
+      union all
+      select o_orderkey, 'U', o_orderdate + interval 30 day
+      from orders
+      where o_orderdate < date '1996-01-01' and o_orderkey % 3 = 0
+      union all
+      select o_orderkey, o_orderstatus, o_orderdate
+      from orders
+      where o_orderdate < date '1996-01-01' and o_orderkey % 5 = 0
+        and o_orderkey % 3 <> 0
+    ),
+    merged as (
+      select b1.k, b1.status,
+             strftime(b1.upd, '%Y-%m-%d') as valid_from,
+             strftime(b2.upd, '%Y-%m-%d') as valid_to
+      from b1 join b2 on b1.k = b2.k and b2.upd > b1.upd
+      union all
+      select b2.k, b2.status, strftime(b2.upd, '%Y-%m-%d'), null
+      from b2 left join b1 on b1.k = b2.k
+      where b1.k is null or b2.upd > b1.upd
+      union all
+      select b1.k, b1.status, strftime(b1.upd, '%Y-%m-%d'), null
+      from b1 left join b2 on b1.k = b2.k and b2.upd > b1.upd
+      where b2.k is null
+    )
+    select k as o_orderkey, status as o_orderstatus,
+           valid_from, valid_to, valid_to is null as is_current
+    from merged order by o_orderkey, valid_from
+    """,
+)
+def scd2_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 TIMESTAMP-strategy snapshot (relational.snapshot_merge — the
+    reference's declared-but-unshipped dbt snapshot surface,
+    dbt_project.yml:161-173): run 1 snapshots pre-1996 orders; run 2
+    merges (a) post-1996 orders as new keys, (b) a 'U'-status update 30
+    days later for every 3rd pre-1996 key (opens a version, closes the
+    old one), and (c) an unchanged re-send for every 5th non-updated key
+    (equal timestamp — the idempotent no-op arm). The oracle replays the
+    merge rule relationally: one join arm per version-disposition.
+    Validity bounds release as yyyy-MM-dd strings (the date-release
+    precedent); is_current derives from the open interval."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        snapshot_merge,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("upd"),
+    )
+    split = F.lit("1996-01-01").cast("date")
+    b1 = o.filter(F.col("upd") < split)
+    b2 = (
+        o.filter(F.col("upd") >= split)
+        .unionByName(
+            b1.filter(F.col("k") % 3 == 0).select(
+                "k",
+                F.lit("U").alias("status"),
+                (F.col("upd") + F.expr("INTERVAL 30 DAYS")).alias("upd"),
+            )
+        )
+        .unionByName(
+            b1.filter((F.col("k") % 5 == 0) & (F.col("k") % 3 != 0))
+        )
+    )
+    snap0 = snapshot_merge(
+        None, b1, key="k", updated_col="upd", attr_cols=["status"]
+    )
+    snap1 = snapshot_merge(
+        snap0, b2, key="k", updated_col="upd", attr_cols=["status"]
+    )
+    return snap1.select(
+        F.col("k").alias("o_orderkey"),
+        F.col("status").alias("o_orderstatus"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("o_orderkey", "valid_from")

@@ -202,3 +202,80 @@ def test_global_row_number_empty_input(spark):
     out = global_row_number(df, "k")
     assert out.collect() == []
     release_caches(out)
+
+
+class TestSnapshotMerge:
+    """dbt timestamp-strategy snapshot semantics
+    (reference dbt_project.yml:161-173 declares them, ships none)."""
+
+    def _merge(self, snap, src):
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            snapshot_merge,
+        )
+
+        return snapshot_merge(
+            snap, src, key="k", updated_col="upd",
+            attr_cols=["status"],
+        )
+
+    def _rows(self, df):
+        return sorted(
+            (r.k, r.status, r.valid_from, r.valid_to)
+            for r in df.collect()
+        )
+
+    def test_initial_then_merge(self, spark):
+        b1 = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01 00:00:00")),
+             (2, "b", ts("2024-01-02 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        snap0 = self._merge(None, b1)
+        assert self._rows(snap0) == [
+            (1, "a", ts("2024-01-01 00:00:00"), None),
+            (2, "b", ts("2024-01-02 00:00:00"), None),
+        ]
+        b2 = spark.createDataFrame(
+            [
+                (1, "A2", ts("2024-02-01 00:00:00")),  # newer -> new version
+                (2, "b", ts("2024-01-02 00:00:00")),   # equal ts -> no-op
+                (3, "c", ts("2024-02-03 00:00:00")),   # new key
+            ],
+            "k long, status string, upd timestamp",
+        )
+        snap1 = self._merge(snap0, b2)
+        assert self._rows(snap1) == [
+            (1, "A2", ts("2024-02-01 00:00:00"), None),
+            (1, "a", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")),
+            (2, "b", ts("2024-01-02 00:00:00"), None),
+            (3, "c", ts("2024-02-03 00:00:00"), None),
+        ]
+        # absent key (2 missing from source) keeps its open version
+        b3 = spark.createDataFrame(
+            [(1, "A3", ts("2024-03-01 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        snap2 = self._merge(snap1, b3)
+        got = self._rows(snap2)
+        assert (2, "b", ts("2024-01-02 00:00:00"), None) in got
+        assert (1, "A3", ts("2024-03-01 00:00:00"), None) in got
+        assert (
+            1, "A2", ts("2024-02-01 00:00:00"), ts("2024-03-01 00:00:00")
+        ) in got
+        assert len(got) == 5
+
+    def test_rerun_same_source_is_idempotent(self, spark):
+        b1 = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01 00:00:00")),
+             (2, "b", ts("2024-01-02 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        snap0 = self._merge(None, b1)
+        b2 = spark.createDataFrame(
+            [(1, "A2", ts("2024-02-01 00:00:00")),
+             (3, "c", ts("2024-02-03 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        once = self._merge(snap0, b2)
+        twice = self._merge(once, b2)  # scheduler retry / kill-and-resume
+        assert self._rows(once) == self._rows(twice)
