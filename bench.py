@@ -107,6 +107,15 @@ HEADLINE = [
     "domain_cap_documents",
     "char_entropy_documents",
     "sft_chat_stats_documents",
+    # r8 new plan shapes: the 4-layer masking pipeline composition (one
+    # Catalyst-fused projection chain over a broadcast dim join), the
+    # two-run SCD2 snapshot merge (full-outer join + disjoint-arm unions,
+    # twice), and the rewritten gap-islands (range-bucketed two-pass
+    # row_number replacing the single-partition global window — timed so
+    # a regression back to the global sort shows up as a step change).
+    "mart_pipeline_services",
+    "scd2_snapshot_orders",
+    "orderkey_gap_islands",
 ]
 
 # neardup_components drift note (r5, data-backed): decomposed timing at
@@ -339,6 +348,41 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
+    # r8 (r7 VERDICT #8): ALSO append to an accumulating history so
+    # per-query Spark times survive the driver overwriting
+    # BENCH_DETAIL.json each round — the r6-vs-r7 per-query regression
+    # comparison was impossible because r6's timings were lost. Each line
+    # is self-identifying (UTC timestamp + git HEAD at run time).
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = None
+    hist_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_DETAIL_HISTORY.jsonl",
+    )
+    with open(hist_path, "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "ts_utc": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                    "git_head": head,
+                    **detail,
+                },
+                sort_keys=True,
+            )
+            + "\n"
+        )
     compact = {
         "metric": "headline_total_wall",
         "value": detail["value"],
