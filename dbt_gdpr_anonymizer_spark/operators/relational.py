@@ -59,10 +59,22 @@ def global_row_number(
     persisted across the two passes; the cache is tracked on the result
     for ``release_caches``.
     """
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        NumericType,
+        StructField,
+        StructType,
+    )
 
     from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
+    if not isinstance(df.schema[order_col].dataType, NumericType):
+        raise ValueError(
+            f"global_row_number: order_col {order_col!r} must be numeric "
+            "(range buckets come from approxQuantile); for other types, "
+            "map to a numeric sort key first"
+        )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     splits = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
     bucket = F.lit(0)
@@ -109,40 +121,70 @@ def snapshot_merge(
     source: DataFrame,
     *,
     key: str,
-    updated_col: str,
+    updated_col: str | None = None,
     attr_cols: Sequence[str],
+    strategy: str = "timestamp",
+    check_cols: Sequence[str] | None = None,
+    run_ts=None,
 ) -> DataFrame:
-    """dbt TIMESTAMP-strategy snapshot merge — the last declared reference
+    """dbt snapshot merge, BOTH strategies — the last declared reference
     construct without a twin (the reference configures timestamp-strategy
     snapshots at dbt_project.yml:161-173 but ships an empty snapshots
     dir): given the current SCD2 snapshot state and a new source state,
     emit the next snapshot state.
 
-    dbt's rule (snapshot materialization, timestamp strategy): a source
-    row whose ``updated_col`` is STRICTLY newer than its key's current
-    version opens a new version (``valid_from = updated``) and closes the
-    old one (``valid_to = new updated``); a source row with an equal or
-    older timestamp is a no-op; keys absent from the source keep their
-    current version open (dbt does not invalidate hard deletes by
-    default); keys absent from the snapshot insert fresh. Source must
-    carry at most one row per key per run (the dbt uniqueness contract —
-    duplicate-key behavior is undefined there too).
+    ``strategy="timestamp"`` (dbt's declared one): a source row whose
+    ``updated_col`` is STRICTLY newer than its key's current version
+    opens a new version (``valid_from = updated``) and closes the old one
+    (``valid_to = new updated``); a source row with an equal or older
+    timestamp is a no-op. Re-running with the same source is IDEMPOTENT
+    (the strict ``>``: the second pass sees updated == valid_from and
+    no-ops) — the kill-and-resume property a scheduler retry needs.
 
-    Re-running with the same source is IDEMPOTENT (the strict ``>``:
-    the second pass sees updated == valid_from and no-ops) — the
-    kill-and-resume property a scheduler retry needs.
+    ``strategy="check"`` (dbt's other strategy, for sources without a
+    reliable updated_at): a source row is a change when ANY ``check_cols``
+    value differs NULL-SAFELY from the current version; versions are
+    stamped with the caller-supplied ``run_ts`` (an explicit literal, per
+    the repo's no-current_timestamp determinism rule — dbt stamps the run
+    wall clock here, which is exactly what makes its snapshots
+    unreproducible). ``check_cols`` defaults to ``attr_cols``; ``run_ts``
+    must advance between runs (dbt has the same contract). Re-running the
+    same source is idempotent regardless of run_ts: equal attrs are
+    no-ops.
+
+    Shared rules: keys absent from the source keep their current version
+    open (dbt does not invalidate hard deletes by default); keys absent
+    from the snapshot insert fresh. Source must carry at most one row per
+    key per run (the dbt uniqueness contract — duplicate-key behavior is
+    undefined there too).
 
     Plan: ONE full-outer hash join on ``key`` between the snapshot's
     current versions and the source, then three disjoint projections
     unioned with the closed history — one shuffle regardless of history
     depth; history rows are never rewritten. Returns
-    ``(key, *attr_cols, valid_from, valid_to)`` where ``valid_from`` /
-    ``valid_to`` carry ``updated_col`` values and an open version has
+    ``(key, *attr_cols, valid_from, valid_to)`` where an open version has
     ``valid_to IS NULL``.
     """
+    if strategy == "timestamp":
+        if updated_col is None:
+            raise ValueError(
+                "snapshot_merge: strategy='timestamp' requires updated_col"
+            )
+        stamp = F.col(updated_col)
+    elif strategy == "check":
+        if run_ts is None:
+            raise ValueError(
+                "snapshot_merge: strategy='check' requires an explicit "
+                "run_ts (dbt stamps the run wall clock here; this engine "
+                "requires the literal so snapshots stay reproducible)"
+            )
+        stamp = F.lit(run_ts)
+        check_cols = list(check_cols if check_cols is not None else attr_cols)
+    else:
+        raise ValueError(f"snapshot_merge: unknown strategy {strategy!r}")
     src = source.select(
         F.col(key),
-        F.col(updated_col).alias("_s_upd"),
+        stamp.alias("_s_upd"),
         *[F.col(a).alias(f"_s_{a}") for a in attr_cols],
         F.lit(1).alias("_s_here"),
     )
@@ -151,7 +193,7 @@ def snapshot_merge(
             key,
             *[F.col(f"_s_{a}").alias(a) for a in attr_cols],
             F.col("_s_upd").alias("valid_from"),
-            F.lit(None).cast(source.schema[updated_col].dataType).alias(
+            F.lit(None).cast(src.schema["_s_upd"].dataType).alias(
                 "valid_to"
             ),
         )
@@ -161,10 +203,16 @@ def snapshot_merge(
         "_c_here", F.lit(1)
     )
     j = cur.join(src, key, "full_outer")
+    if strategy == "timestamp":
+        is_change = F.col("_s_upd") > F.col("valid_from")
+    else:  # check: any tracked column differs, null-safely
+        is_change = ~F.struct(
+            *[F.col(c) for c in check_cols]
+        ).eqNullSafe(F.struct(*[F.col(f"_s_{c}") for c in check_cols]))
     changed = (
         F.col("_c_here").isNotNull()
         & F.col("_s_here").isNotNull()
-        & (F.col("_s_upd") > F.col("valid_from"))
+        & is_change
     )
     closed = j.filter(changed).select(
         key,

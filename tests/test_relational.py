@@ -279,3 +279,66 @@ class TestSnapshotMerge:
         once = self._merge(snap0, b2)
         twice = self._merge(once, b2)  # scheduler retry / kill-and-resume
         assert self._rows(once) == self._rows(twice)
+
+
+class TestSnapshotMergeCheckStrategy:
+    """dbt's CHECK strategy (for sources without a reliable updated_at):
+    change = any check_col differs null-safely; versions stamp the
+    caller-supplied run_ts literal."""
+
+    def _merge(self, spark, snap, rows, run_ts):
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            snapshot_merge,
+        )
+
+        src = spark.createDataFrame(rows, "k long, status string")
+        return snapshot_merge(
+            snap, src, key="k", attr_cols=["status"],
+            strategy="check", run_ts=run_ts,
+        )
+
+    def test_check_versions_and_noop(self, spark):
+        snap0 = self._merge(
+            spark, None,
+            [(1, "a"), (2, None)], ts("2024-01-01 00:00:00"),
+        )
+        # NULL attr + unchanged re-send must be a no-op (null-safe
+        # compare); changed attr opens a run_ts-stamped version
+        snap1 = self._merge(
+            spark, snap0,
+            [(1, "A2"), (2, None), (3, "c")], ts("2024-02-01 00:00:00"),
+        )
+        got = sorted(
+            (r.k, r.status, r.valid_from, r.valid_to)
+            for r in snap1.collect()
+        )
+        assert got == [
+            (1, "A2", ts("2024-02-01 00:00:00"), None),
+            (1, "a", ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00")),
+            (2, None, ts("2024-01-01 00:00:00"), None),
+            (3, "c", ts("2024-02-01 00:00:00"), None),
+        ]
+        # idempotence: same source again at a LATER run_ts — all no-ops
+        snap2 = self._merge(
+            spark, snap1,
+            [(1, "A2"), (2, None), (3, "c")], ts("2024-03-01 00:00:00"),
+        )
+        assert sorted(
+            (r.k, r.status, r.valid_from, r.valid_to)
+            for r in snap2.collect()
+        ) == got
+
+    def test_check_requires_run_ts(self, spark):
+        import pytest
+
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            snapshot_merge,
+        )
+
+        src = spark.createDataFrame([(1, "a")], "k long, status string")
+        with pytest.raises(ValueError, match="run_ts"):
+            snapshot_merge(
+                None, src, key="k", attr_cols=["status"], strategy="check"
+            )
+        with pytest.raises(ValueError, match="updated_col"):
+            snapshot_merge(None, src, key="k", attr_cols=["status"])
