@@ -240,11 +240,15 @@ def pagerank_int(
     out = ranks.select(
         F.col(id_col), F.col("_r").cast("bigint").alias("rank_units")
     )
-    deg.unpersist()
-    # Track the LIVE persisted frame, not just the final `ranks`: after the
-    # loop `ranks` is usually a lazy chain on top of `prev_persisted` (the
-    # last checkpoint, or the initial ranks when iters < checkpoint_every).
-    # Tracking only `ranks` leaked one cached DataFrame per call for the
-    # session lifetime. unpersist() on a non-persisted frame is a no-op, so
-    # tracking both is safe in every branch.
-    return track_caches(out, prev_persisted, ranks, spine)
+    # Track the LIVE persisted frames, not just the final `ranks`: after
+    # the loop `ranks` is usually a lazy chain on top of `prev_persisted`
+    # (the last checkpoint, or the initial ranks when iters <
+    # checkpoint_every). Tracking only `ranks` leaked one cached DataFrame
+    # per call for the session lifetime. `deg` stays tracked too (NOT
+    # eagerly unpersisted here): the returned plan is still lazy and its
+    # post-checkpoint iterations join deg once per remaining iteration —
+    # an eager unpersist would make consumption recompute the out-degree
+    # aggregation, contradicting the "computed once" contract. unpersist()
+    # on a non-persisted frame is a no-op, so tracking all is safe in
+    # every branch.
+    return track_caches(out, prev_persisted, ranks, spine, deg)

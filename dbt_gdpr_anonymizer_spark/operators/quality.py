@@ -669,59 +669,38 @@ def _bucketed_prefix_filter(
 ) -> DataFrame:
     """Distributed greedy-prefix filter: keep rows, in ``id_col`` order,
     while the running ``tokens_col`` total stays ≤ ``rem`` — WITHOUT a
-    single-partition global window. Two-pass offset scheme: (a) rows are
-    range-bucketed on ``id_col`` via driver-collected split points
-    (approxQuantile — splits need not be balanced, only consistent), (b)
-    per-bucket token totals (≤ ``n_buckets`` rows) collect and prefix-sum
-    driver-side into per-bucket offsets, (c) each bucket runs its OWN
-    id-ordered cumulative window and adds its broadcast offset. Output is
-    bit-identical to the global-window formulation (integer sums are
-    associative); the plan is as parallel as the bucket count.
+    single-partition global window. Built on the shared two-pass
+    range-bucket machinery (``relational.range_bucket_offsets``, with
+    ``weight_col``): each bucket runs its OWN id-ordered cumulative
+    window and adds its broadcast preceding-buckets token total. Output
+    is bit-identical to the global-window formulation (integer sums are
+    associative); the plan is as parallel as the bucket count, and the
+    bucketed frame is persisted across the passes (it only routes here
+    when the stratum is ≥ millions of rows — exactly when recomputing
+    the scan per pass would hurt). The helper's cache is re-tracked on
+    the result; callers that transform further must re-track again.
 
     Requires a numeric ``id_col`` (approxQuantile); callers fall back to
     the global window otherwise.
     """
     from pyspark.sql.window import Window
 
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    splits = sorted(set(df.stat.approxQuantile(id_col, probs, 0.001)))
-    bucket = F.lit(0)
-    for s in splits:
-        bucket = bucket + F.when(F.col(id_col) > F.lit(s), 1).otherwise(0)
-    b = df.withColumn("_b", bucket)
-    totals = {
-        r["_b"]: r["_t"]
-        for r in b.groupBy("_b")
-        .agg(F.sum(tokens_col).alias("_t"))
-        .collect()
-    }
-    off_rows, run = [], 0
-    for k in sorted(totals):
-        off_rows.append((k, run))
-        run += totals[k]
-    spark = df.sparkSession
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
-
-    offs = F.broadcast(
-        spark.createDataFrame(
-            off_rows,
-            StructType(
-                [
-                    StructField("_b", IntegerType(), False),
-                    StructField("_off", LongType(), False),
-                ]
-            ),
-        )
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        range_bucket_offsets,
     )
-    w = Window.partitionBy("_b").orderBy(F.col(id_col)).rowsBetween(
+
+    bo = range_bucket_offsets(
+        df, id_col, weight_col=tokens_col, n_buckets=n_buckets
+    )
+    w = Window.partitionBy("_gb").orderBy(F.col(id_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        b.join(offs, "_b")
-        .withColumn("_cum", F.sum(tokens_col).over(w) + F.col("_off"))
+    out = (
+        bo.withColumn("_cum", F.sum(tokens_col).over(w) + F.col("_goff"))
         .filter(F.col("_cum") <= F.lit(rem))
-        .drop("_b", "_off", "_cum")
+        .drop("_gb", "_goff", "_cum")
     )
+    return track_caches(out, *getattr(bo, "cached_deps", ()))
 
 
 def token_budget_select(
@@ -807,7 +786,12 @@ def token_budget_select(
             .filter(F.col("_cum") <= F.lit(rem))
             .drop("_cum")
         )
-    return full.unionByName(boundary)
+    # re-track the guarded path's persisted bucket frame through the
+    # union (attributes don't survive plan transforms)
+    return track_caches(
+        full.unionByName(boundary),
+        *getattr(boundary, "cached_deps", ()),
+    )
 
 
 def quantile_normalize_scores(

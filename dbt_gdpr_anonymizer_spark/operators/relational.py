@@ -25,39 +25,41 @@ __all__ = [
     "salted_join",
     "incremental_merge",
     "snapshot_diff",
+    "range_bucket_offsets",
     "global_row_number",
     "snapshot_merge",
 ]
 
 
-def global_row_number(
+def range_bucket_offsets(
     df: DataFrame,
     order_col: str,
     *,
-    out_col: str = "rn",
+    weight_col: str | None = None,
     n_buckets: int = 64,
 ) -> DataFrame:
-    """Exact global ``row_number() over (order by order_col)`` WITHOUT the
-    single-partition window Spark plans for an unpartitioned ORDER BY (the
-    100×-scale killer: the whole input serializes through one task, and
-    WindowExec warns on every planning). Two-pass offset scheme instead:
+    """Shared two-pass machinery for exact global order-dependent
+    computations WITHOUT a single-partition window (the 100×-scale
+    killer: an unpartitioned ORDER BY serializes the whole input through
+    one task). Returns ``df`` plus two columns:
 
-    1. range-bucket rows on ``order_col`` using driver-collected
-       approxQuantile split points (splits need not be balanced or even
-       deterministic — ONLY consistent between the two passes, which they
-       are because they're collected once);
-    2. per-bucket row counts (≤ ``n_buckets`` rows) collect and
-       prefix-sum into per-bucket offsets, broadcast back;
-    3. each bucket runs its own ``row_number`` ordered by ``order_col``
-       and adds its offset.
+    * ``_gb`` — a range bucket on ``order_col`` from driver-collected
+      approxQuantile split points (splits need not be balanced or even
+      deterministic — ONLY consistent between the two passes, which they
+      are because they're collected once);
+    * ``_goff`` — the exact total of all PRECEDING buckets (row count,
+      or ``sum(weight_col)`` when given), broadcast back from a
+      ≤ ``n_buckets``-row driver prefix sum.
 
-    Output numbering is identical to the global window whenever
-    ``order_col`` values are distinct; under ties the within-tie order is
-    arbitrary in BOTH formulations (ties land in one bucket, so the
-    distribution of tied ranks is the same set either way). Requires a
-    numeric ``order_col`` (approxQuantile). The bucketed input is
-    persisted across the two passes; the cache is tracked on the result
-    for ``release_caches``.
+    A per-bucket window ordered by ``order_col`` plus ``_goff`` then
+    equals the corresponding global window exactly (integer counts/sums
+    are associative): ``row_number() + _goff`` for global numbering,
+    ``sum(w).over(bucket window) + _goff`` for a global running total.
+    Requires a numeric ``order_col`` (approxQuantile). The bucketed
+    input is persisted across the two passes; the cache is tracked on
+    the result for ``release_caches`` — wrappers that transform the
+    plan further must RE-TRACK (attributes don't survive plan
+    transforms; see operators/caching.py).
     """
     from pyspark.sql.types import (
         IntegerType,
@@ -71,9 +73,9 @@ def global_row_number(
 
     if not isinstance(df.schema[order_col].dataType, NumericType):
         raise ValueError(
-            f"global_row_number: order_col {order_col!r} must be numeric "
-            "(range buckets come from approxQuantile); for other types, "
-            "map to a numeric sort key first"
+            f"range_bucket_offsets: order_col {order_col!r} must be "
+            "numeric (range buckets come from approxQuantile); for other "
+            "types, map to a numeric sort key first"
         )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     splits = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))
@@ -83,16 +85,19 @@ def global_row_number(
             F.col(order_col) > F.lit(s), 1
         ).otherwise(0)
     b = df.withColumn("_gb", bucket).persist()
-    counts = {
-        r["_gb"]: r["_c"]
-        for r in b.groupBy("_gb")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .collect()
+    agg = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col))
+    )
+    totals = {
+        r["_gb"]: r["_t"]
+        for r in b.groupBy("_gb").agg(agg.alias("_t")).collect()
     }
     off_rows, run = [], 0
-    for k in sorted(counts):
-        off_rows.append((k, run))
-        run += counts[k]
+    for k in sorted(totals):
+        off_rows.append((k, int(run)))
+        run += totals[k]
     offs = F.broadcast(
         df.sparkSession.createDataFrame(
             off_rows,
@@ -104,16 +109,33 @@ def global_row_number(
             ),
         )
     )
+    return track_caches(b.join(offs, "_gb"), b)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_col: str,
+    *,
+    out_col: str = "rn",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact global ``row_number() over (order by order_col)`` via
+    :func:`range_bucket_offsets`: each bucket runs its own row_number and
+    adds its broadcast offset. Output numbering is identical to the
+    global window whenever ``order_col`` values are distinct; under ties
+    the within-tie order is arbitrary in BOTH formulations (ties land in
+    one bucket, so the distribution of tied ranks is the same set either
+    way). The cache tracked by the helper is re-tracked on the result.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
+    bo = range_bucket_offsets(df, order_col, n_buckets=n_buckets)
     w = Window.partitionBy("_gb").orderBy(F.col(order_col))
-    out = (
-        b.join(offs, "_gb")
-        .withColumn(
-            out_col,
-            (F.row_number().over(w) + F.col("_goff")).cast("long"),
-        )
-        .drop("_gb", "_goff")
-    )
-    return track_caches(out, b)
+    out = bo.withColumn(
+        out_col,
+        (F.row_number().over(w) + F.col("_goff")).cast("long"),
+    ).drop("_gb", "_goff")
+    return track_caches(out, *getattr(bo, "cached_deps", ()))
 
 
 def snapshot_merge(
@@ -156,7 +178,12 @@ def snapshot_merge(
     open (dbt does not invalidate hard deletes by default); keys absent
     from the snapshot insert fresh. Source must carry at most one row per
     key per run (the dbt uniqueness contract — duplicate-key behavior is
-    undefined there too).
+    undefined there too). Timestamp-strategy source rows with a NULL
+    ``updated_col`` are IGNORED (treated as absent — current version
+    stays open, new keys don't insert): an unordered change cannot be
+    versioned, and letting the NULL flow through the strict ``>`` would
+    silently DELETE the key's open version (three-valued logic fails all
+    three disjoint arms).
 
     Plan: ONE full-outer hash join on ``key`` between the snapshot's
     current versions and the source, then three disjoint projections
@@ -187,7 +214,7 @@ def snapshot_merge(
         stamp.alias("_s_upd"),
         *[F.col(a).alias(f"_s_{a}") for a in attr_cols],
         F.lit(1).alias("_s_here"),
-    )
+    ).filter(F.col("_s_upd").isNotNull())
     if snapshot is None:
         return src.select(
             key,

@@ -68,6 +68,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _retrack(out: DataFrame, *stages: DataFrame) -> DataFrame:
+    """Carry ``cached_deps`` from operator outputs onto the final query
+    result. DataFrame attributes do NOT survive plan transforms
+    (operators/caching.py contract), so a registry query that wraps a
+    cache-tracking operator in .select()/.orderBy()/.unionByName() must
+    re-track — otherwise release_caches() on the query result frees
+    nothing and every bench/check invocation leaks the operator's
+    persisted blocks for the session lifetime (found empirically by
+    scripts/audit_cache_leaks.py, r8)."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
+    deps: list[DataFrame] = []
+    for s in stages:
+        deps.extend(getattr(s, "cached_deps", ()))
+    return track_caches(out, *deps)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark 4.x rejects.
 
@@ -734,9 +751,10 @@ def dp_noisy_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.dedup import edit_distance_pairs
 
-    return edit_distance_pairs(
+    pairs = edit_distance_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", max_distance=8
-    ).orderBy("doc_id_a", "doc_id_b")
+    )
+    return _retrack(pairs.orderBy("doc_id_a", "doc_id_b"), pairs)
 
 
 @register(
@@ -1707,9 +1725,8 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.dedup import dedup_corpus
 
-    return dedup_corpus(_t(spark, sf_dir, "documents"), threshold=0.7).select(
-        "doc_id"
-    )
+    surv = dedup_corpus(_t(spark, sf_dir, "documents"), threshold=0.7)
+    return _retrack(surv.select("doc_id"), surv)
 
 
 @register(
@@ -1956,13 +1973,18 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.dedup import ngram_jaccard_pairs
     from dbt_gdpr_anonymizer_spark.operators.graph import connected_components
 
-    pairs = ngram_jaccard_pairs(
+    pairs0 = ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.7
-    ).select("doc_id_a", "doc_id_b")
-    return connected_components(
-        pairs, src="doc_id_a", dst="doc_id_b", iters=4,
+    )
+    comp = connected_components(
+        pairs0.select("doc_id_a", "doc_id_b"),
+        src="doc_id_a", dst="doc_id_b", iters=4,
         max_driver_edges=1_000_000
-    ).select(F.col("node").alias("doc_id"), "component")
+    )
+    return _retrack(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        pairs0, comp,
+    )
 
 
 # positional k=3 word grams (order kept, duplicates kept — winnowing needs
@@ -3818,11 +3840,10 @@ def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbt_gdpr_anonymizer_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.7).select(
-        "doc_id_a", "doc_id_b"
-    )
+    pairs0 = ngram_jaccard_pairs(docs, threshold=0.7)
     comps = connected_components(
-        pairs, src="doc_id_a", dst="doc_id_b", iters=4,
+        pairs0.select("doc_id_a", "doc_id_b"),
+        src="doc_id_a", dst="doc_id_b", iters=4,
         max_driver_edges=1_000_000
     )
     m = comps.join(
@@ -3830,7 +3851,7 @@ def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps["node"] == F.col("doc_id"),
     )
     w = W.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
-    return (
+    return _retrack(
         m.withColumn("_rk", F.row_number().over(w))
         .withColumn(
             "n_members", F.count(F.lit(1)).over(W.partitionBy("component"))
@@ -3841,7 +3862,8 @@ def neardup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("keep_doc_id"),
             "n_members",
         )
-        .orderBy("component")
+        .orderBy("component"),
+        pairs0, comps,
     )
 
 
@@ -7313,11 +7335,12 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "O"
     ).select("o_orderkey")
-    g = global_row_number(o, "o_orderkey", out_col="_rn").select(
+    rn = global_row_number(o, "o_orderkey", out_col="_rn")
+    g = rn.select(
         "o_orderkey",
         (F.col("o_orderkey") - F.col("_rn")).alias("grp"),
     )
-    return (
+    return _retrack(
         g.groupBy("grp")
         .agg(
             F.min("o_orderkey").alias("run_start"),
@@ -7326,7 +7349,8 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("run_start", "run_end", "run_len")
         .orderBy("run_start")
-        .limit(100)
+        .limit(100),
+        rn,
     )
 
 
@@ -8191,13 +8215,10 @@ def erasure_cascade_large_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@mairie-exemple.fr"),
         ).alias("term")
     )
-    return (
-        erasure_survivors(
-            injected, banned, text_col="t", id_col="doc_id", max_terms=0
-        )
-        .select("doc_id")
-        .orderBy("doc_id")
+    surv = erasure_survivors(
+        injected, banned, text_col="t", id_col="doc_id", max_terms=0
     )
+    return _retrack(surv.select("doc_id").orderBy("doc_id"), surv)
 
 
 @register(
@@ -8306,9 +8327,8 @@ def cross_doc_span_profile_documents(
         cross_doc_span_profile,
     )
 
-    return cross_doc_span_profile(
-        _t(spark, sf_dir, "documents"), k=5
-    ).orderBy("doc_id")
+    prof = cross_doc_span_profile(_t(spark, sf_dir, "documents"), k=5)
+    return _retrack(prof.orderBy("doc_id"), prof)
 
 
 @register(
@@ -8496,12 +8516,15 @@ def remove_duplicate_spans_documents(
     )
 
     out = remove_duplicate_spans(_t(spark, sf_dir, "documents"), k=5)
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        "n_tokens_removed",
-        F.md5("clean_text").alias("clean_fp"),
-    ).orderBy("doc_id")
+    return _retrack(
+        out.select(
+            "doc_id",
+            "n_tokens",
+            "n_tokens_removed",
+            F.md5("clean_text").alias("clean_fp"),
+        ).orderBy("doc_id"),
+        out,
+    )
 
 
 @register(
@@ -9003,11 +9026,14 @@ def bigram_lm_perplexity_documents(
 
     d = _t(spark, sf_dir, "documents")
     out = bigram_lm_scores(d, text_col="text", id_col="doc_id")
-    return out.select(
-        "doc_id",
-        "n_bigrams",
-        F.floor(F.col("xent") * 10000).cast("bigint").alias("xent_e4"),
-    ).orderBy("doc_id")
+    return _retrack(
+        out.select(
+            "doc_id",
+            "n_bigrams",
+            F.floor(F.col("xent") * 10000).cast("bigint").alias("xent_e4"),
+        ).orderBy("doc_id"),
+        out,
+    )
 
 
 @register(
@@ -9080,14 +9106,17 @@ def naive_bayes_lang_classifier(
         label=F.col("lang") == F.lit("en"),
         train=F.col("doc_id") % 4 == 0,
     )
-    return out.select(
-        "doc_id",
-        "n_tokens",
-        F.floor(F.col("logodds") * 10000).cast("bigint").alias(
-            "logodds_e4"
-        ),
-        "pred_pos",
-    ).orderBy("doc_id")
+    return _retrack(
+        out.select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("logodds") * 10000).cast("bigint").alias(
+                "logodds_e4"
+            ),
+            "pred_pos",
+        ).orderBy("doc_id"),
+        out,
+    )
 
 
 @register(
@@ -9432,11 +9461,14 @@ def dsir_importance_weights_documents(
     out = dsir_importance_weights(
         d, F.coalesce(F.col("lang") == "en", F.lit(False)), n_buckets=1024
     )
-    return out.select(
-        "doc_id",
-        "n_feats",
-        F.floor(F.col("logw") * 10000).cast("bigint").alias("logw_e4"),
-    ).orderBy("doc_id")
+    return _retrack(
+        out.select(
+            "doc_id",
+            "n_feats",
+            F.floor(F.col("logw") * 10000).cast("bigint").alias("logw_e4"),
+        ).orderBy("doc_id"),
+        out,
+    )
 
 
 @register(
@@ -9479,12 +9511,15 @@ def dsir_gumbel_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=1024,
         salt="dsir",
     )
-    return out.select(
-        "doc_id",
-        "n_feats",
-        F.floor(F.col("gumbel_key") * 10000)
-        .cast("bigint")
-        .alias("gumbel_key_e4"),
+    return _retrack(
+        out.select(
+            "doc_id",
+            "n_feats",
+            F.floor(F.col("gumbel_key") * 10000)
+            .cast("bigint")
+            .alias("gumbel_key_e4"),
+        ),
+        out,
     )
 
 
@@ -9720,7 +9755,8 @@ def pagerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst") != F.col("src"))
     )
     nodes = d.select(F.col("doc_id").alias("node_id"))
-    return pagerank_int(edges, nodes, iters=5).orderBy("node_id")
+    ranks = pagerank_int(edges, nodes, iters=5)
+    return _retrack(ranks.orderBy("node_id"), ranks)
 
 
 def _domain_cap_oracle() -> str:
@@ -10388,9 +10424,8 @@ def source_ngram_novelty_documents(
     )
 
     d = _t(spark, sf_dir, "documents")
-    return source_ngram_novelty(d, n=3, group_col="source").orderBy(
-        "source"
-    )
+    nov = source_ngram_novelty(d, n=3, group_col="source")
+    return _retrack(nov.orderBy("source"), nov)
 
 
 @register(
@@ -10438,7 +10473,8 @@ def source_dup_report_documents(
     from dbt_gdpr_anonymizer_spark.operators.dedup import source_dup_report
 
     d = _t(spark, sf_dir, "documents")
-    return source_dup_report(d).orderBy("source")
+    rep_ = source_dup_report(d)
+    return _retrack(rep_.orderBy("source"), rep_)
 
 
 def _training_shard_oracle() -> str:
@@ -10600,7 +10636,8 @@ def dedup_incremental_neardup_documents(
     d = _t(spark, sf_dir, "documents")
     idx = minhash_band_table(d.filter(F.col("doc_id") < 250))
     delta = d.filter(F.col("doc_id") >= 250)
-    return neardup_against_index(delta, idx).orderBy("doc_id")
+    kept = neardup_against_index(delta, idx)
+    return _retrack(kept.orderBy("doc_id"), kept)
 
 
 @register(

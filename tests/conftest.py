@@ -61,3 +61,22 @@ RAW_SCHEMA = (
 @pytest.fixture(scope="session")
 def ci_raw(spark):
     return spark.createDataFrame(CI_ROWS, RAW_SCHEMA)
+
+
+def unpartitioned_windows(df) -> list[str]:
+    """Collect logical Window nodes with an empty partitionSpec — the
+    shape Spark executes as a single-partition WindowExec (whole input
+    through one task). Shared by the registry-wide plan-invariant test
+    and the operator-level plan-shape tests; change detection logic HERE,
+    not in per-test copies."""
+
+    def walk(node, acc):
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                acc.append(node.toString().splitlines()[0])
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), acc)
+        return acc
+
+    return walk(df._jdf.queryExecution().optimizedPlan(), [])

@@ -105,18 +105,6 @@ WINDOW_GLOBAL_ALLOWED = {
 }
 
 
-def _unpartitioned_windows(jnode, acc):
-    """Collect logical Window nodes with an empty partitionSpec (the
-    shape Spark executes as a single-partition WindowExec)."""
-    if jnode.getClass().getSimpleName() == "Window":
-        if jnode.partitionSpec().isEmpty():
-            acc.append(jnode.toString().splitlines()[0])
-    ch = jnode.children()
-    for i in range(ch.size()):
-        _unpartitioned_windows(ch.apply(i), acc)
-    return acc
-
-
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_unbounded_join_in_plan(spark, name):
     df = all_queries()[name](spark, SF_DIR)
@@ -128,7 +116,9 @@ def test_no_unbounded_join_in_plan(spark, name):
             f"{name}: nested-loop join outside the brute-force allowlist"
         )
     if name not in WINDOW_GLOBAL_ALLOWED:
-        hits = _unpartitioned_windows(qe.optimizedPlan(), [])
+        from tests.conftest import unpartitioned_windows
+
+        hits = unpartitioned_windows(df)
         assert not hits, (
             f"{name}: unpartitioned Window (single-partition WindowExec "
             f"at scale) outside the bounded-frame allowlist: {hits}"

@@ -175,19 +175,11 @@ def test_global_row_number_plan_has_no_global_window(spark):
         global_row_number,
     )
 
+    from tests.conftest import unpartitioned_windows
+
     df = spark.range(1000).withColumnRenamed("id", "k")
     out = global_row_number(df, "k", n_buckets=8)
-
-    def walk(node, acc):
-        if node.getClass().getSimpleName() == "Window":
-            if node.partitionSpec().isEmpty():
-                acc.append(node)
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i), acc)
-        return acc
-
-    hits = walk(out._jdf.queryExecution().optimizedPlan(), [])
+    hits = unpartitioned_windows(out)
     release_caches(out)
     assert hits == []
 
@@ -342,3 +334,35 @@ class TestSnapshotMergeCheckStrategy:
             )
         with pytest.raises(ValueError, match="updated_col"):
             snapshot_merge(None, src, key="k", attr_cols=["status"])
+
+
+def test_snapshot_merge_ignores_null_updated_rows(spark):
+    """A NULL updated_col source row must be IGNORED (treated as absent),
+    not silently delete the key's open version: the strict > under
+    three-valued logic would fail all three disjoint arms and the key
+    would vanish (r8 review finding)."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        snapshot_merge,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "a", ts("2024-01-01 00:00:00"))],
+        "k long, status string, upd timestamp",
+    )
+    snap0 = snapshot_merge(
+        None, b1, key="k", updated_col="upd", attr_cols=["status"]
+    )
+    b2 = spark.createDataFrame(
+        [(1, "x", None), (2, "new", None)],
+        "k long, status string, upd timestamp",
+    )
+    snap1 = snapshot_merge(
+        snap0, b2, key="k", updated_col="upd", attr_cols=["status"]
+    )
+    got = sorted(
+        (r.k, r.status, r.valid_from, r.valid_to)
+        for r in snap1.collect()
+    )
+    # key 1's open version survives untouched; the NULL-stamped new key
+    # does not insert (an unordered change cannot be versioned)
+    assert got == [(1, "a", ts("2024-01-01 00:00:00"), None)]

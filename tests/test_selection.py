@@ -536,18 +536,9 @@ class TestTokenBudgetAllTiesGuard:
         got = {r.doc_id for r in got_df.collect()}
         assert got == expect
         # and the guarded plan must contain no unpartitioned Window
-        def walk(node, acc):
-            if node.getClass().getSimpleName() == "Window":
-                if node.partitionSpec().isEmpty():
-                    acc.append(node)
-            ch = node.children()
-            for i in range(ch.size()):
-                walk(ch.apply(i), acc)
-            return acc
+        from tests.conftest import unpartitioned_windows
 
-        assert walk(
-            got_df._jdf.queryExecution().optimizedPlan(), []
-        ) == []
+        assert unpartitioned_windows(got_df) == []
 
     def test_default_path_unchanged(self, spark):
         rows = [(i, 7, 2) for i in range(20)]
