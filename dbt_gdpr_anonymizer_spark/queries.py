@@ -9755,7 +9755,12 @@ def pagerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst") != F.col("src"))
     )
     nodes = d.select(F.col("doc_id").alias("node_id"))
-    ranks = pagerank_int(edges, nodes, iters=5)
+    # checkpoint_every=5: a 5-iteration run chains in ONE lineage (each
+    # iteration references the previous ranks once, so the plan grows
+    # linearly, not exponentially) — the mid-run materialization the
+    # default interval would pay at i=4 buys nothing at this depth.
+    # Long runs should keep the rotation (lineage/replay bounding).
+    ranks = pagerank_int(edges, nodes, iters=5, checkpoint_every=5)
     return _retrack(ranks.orderBy("node_id"), ranks)
 
 
