@@ -29,11 +29,19 @@ def main() -> None:
     spark = get_spark("sweep")
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+
     for name, fn in all_queries().items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            df.collect()
             times[name] = round(time.time() - t0, 2)
+            # r8: query results now re-track their operators' persisted
+            # intermediates, so release them — without this the sweep
+            # accumulates blocks across 199 queries and late-query
+            # timings pay eviction pressure
+            release_caches(df)
         except Exception as e:  # noqa: BLE001
             errs[name] = f"{type(e).__name__}: {e}"[:200]
     for name, sec in sorted(times.items(), key=lambda kv: -kv[1]):
