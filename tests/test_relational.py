@@ -366,3 +366,59 @@ def test_snapshot_merge_ignores_null_updated_rows(spark):
     # key 1's open version survives untouched; the NULL-stamped new key
     # does not insert (an unordered change cannot be versioned)
     assert got == [(1, "a", ts("2024-01-01 00:00:00"), None)]
+
+
+def test_global_row_number_null_keys_match_window_semantics(spark):
+    """NULL order keys: approxQuantile ignores them and every comparison
+    against a split is NULL -> otherwise(0), so NULLs land in bucket 0
+    and order NULLS FIRST within it — exactly the global window's
+    ascending NULLS FIRST placement. Pin it."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        global_row_number,
+    )
+
+    rows = [(None,), (5,), (None,), (1,), (9,)]
+    df = spark.createDataFrame(rows, "k long")
+    out = global_row_number(df, "k", out_col="rn", n_buckets=4)
+    got = sorted(
+        ((r["k"], r["rn"]) for r in out.collect()),
+        key=lambda t: t[1],
+    )
+    release_caches(out)
+    # two NULLs first (ranks 1-2 in either order), then 1, 5, 9
+    assert [k for k, _ in got[:2]] == [None, None]
+    assert [k for k, _ in got[2:]] == [1, 5, 9]
+    assert [rn for _, rn in got] == [1, 2, 3, 4, 5]
+
+
+def test_range_bucket_offsets_weighted_totals(spark):
+    """weight_col path: _goff must equal the exact sum of preceding
+    buckets' weights, so bucket-local cumulative sums + offset equal the
+    global running total."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        range_bucket_offsets,
+    )
+
+    rows = [(i, (i * 3) % 7 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    bo = range_bucket_offsets(df, "k", weight_col="w", n_buckets=4)
+    win = Window.partitionBy("_gb").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = {
+        r["k"]: r["cum"]
+        for r in bo.withColumn(
+            "cum", F.sum("w").over(win) + F.col("_goff")
+        ).collect()
+    }
+    release_caches(bo)
+    run, expect = 0, {}
+    for k, w in sorted(rows):
+        run += w
+        expect[k] = run
+    assert got == expect
