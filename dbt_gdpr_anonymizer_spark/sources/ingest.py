@@ -32,6 +32,7 @@ __all__ = [
     "read_services_jsonl",
     "flatten_services",
     "deterministic_sample",
+    "md5_bucketed_rank",
     "stratified_sample",
     "write_seed_csv",
     "read_seed_csv",
@@ -228,6 +229,61 @@ def deterministic_sample(df: DataFrame, n: int, key: str) -> DataFrame:
     return df.orderBy(F.md5(F.col(key).cast("string")), key).limit(n)
 
 
+def md5_bucketed_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    *,
+    out_col: str = "_rk",
+) -> DataFrame:
+    """Rank rows within each group by the md5 permutation —
+    ``row_number() over (partition by group order by md5(key), key)`` —
+    WITHOUT a hot group serializing through one window partition (the
+    documented stratified/temperature caveat: one giant source/language
+    IS the norm, and its whole population sorted in a single task is a
+    100×-scale straggler).
+
+    Because the sort key is md5, sub-buckets need NO quantile pass: the
+    first hex byte is uniform by construction, so ``(group, first-byte)``
+    windows are ~256-way balanced within every group, and ordering by
+    ``(bucket, md5, key)`` equals ordering by ``(md5, key)`` exactly (the
+    bucket IS the md5's leading byte). Preceding-bucket offsets come from
+    one map-side-combined ``(group, bucket)`` count aggregate — bounded
+    by groups × 256, never data volume — windowed over that bounded
+    frame and broadcast back. NULL keys hash to NULL and bucket to −1,
+    ranking first within their group exactly like the global window's
+    NULLS FIRST. Identical output to the single-window formulation; two
+    bounded shuffles instead of one potentially-hot one.
+    """
+    m = F.md5(F.col(key).cast("string"))
+    t = df.withColumn("_m", m).withColumn(
+        "_mb",
+        F.coalesce(
+            F.conv(F.substring(F.col("_m"), 1, 2), 16, 10).cast("int"),
+            F.lit(-1),
+        ),
+    )
+    counts = t.groupBy(*group_cols, "_mb").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wo = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_mb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        *group_cols,
+        "_mb",
+        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_moff"),
+    )
+    w = Window.partitionBy(*group_cols, "_mb").orderBy("_m", key)
+    return (
+        t.join(F.broadcast(offs), [*group_cols, "_mb"])
+        .withColumn(out_col, F.row_number().over(w) + F.col("_moff"))
+        .drop("_m", "_mb", "_moff")
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata: list[str], n_per_stratum: int, key: str
 ) -> DataFrame:
@@ -235,18 +291,16 @@ def stratified_sample(
     training-data shape: n docs per language/domain/quality bucket).
 
     Same md5-permutation trick as :func:`deterministic_sample` but ranked
-    WITHIN each stratum via one window — a single hash-partition shuffle on
-    the strata columns, no driver-side group enumeration, no second pass.
-    ``df.sampleBy`` is fraction-based and nondeterministic across
-    partitionings; this is exact-n and stable across engines and runs.
-    Rows ranked beyond ``n_per_stratum`` are pruned before any downstream
-    work (rank filter pushes into the window stage).
+    WITHIN each stratum — via :func:`md5_bucketed_rank` since r8, so a
+    hot stratum spreads over ~256 balanced sub-windows instead of
+    serializing in one task (selection identical; the bucket is the md5's
+    leading byte, so bucketed order IS md5 order). ``df.sampleBy`` is
+    fraction-based and nondeterministic across partitionings; this is
+    exact-n and stable across engines and runs. Rows ranked beyond
+    ``n_per_stratum`` are pruned before any downstream work.
     """
-    w = Window.partitionBy(*strata).orderBy(
-        F.md5(F.col(key).cast("string")), key
-    )
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        md5_bucketed_rank(df, strata, key)
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
@@ -286,9 +340,9 @@ def temperature_resample(
     rows, broadcast back), one window shuffle for the md5-permutation
     ranks (same deterministic-permutation idiom as
     :func:`stratified_sample`); rank ≤ quota prunes before downstream
-    work. Hot-group caveat as stratified_sample: a single giant group
-    serializes in its window partition — pre-shard if one group exceeds an
-    executor.
+    work. The r8 md5-bucketed rank removed the old hot-group caveat: a
+    giant group now spreads over ~256 balanced sub-windows (the bucket is
+    the md5's leading byte, so selection is unchanged).
     """
     if exact_total:
         sizes = _exact_total_quotas(df, group_col, n_target, sqrt_temperature)
@@ -310,12 +364,14 @@ def temperature_resample(
                 ),
             )
         )
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(key).cast("string")), key
-    )
+    # md5_bucketed_rank (r8) replaces the per-group window: a hot group
+    # no longer serializes in one task (the old docstring caveat); the
+    # bucketed rank is identical to the single-window rank because the
+    # bucket is the md5's leading byte.
     return (
-        df.join(F.broadcast(sizes), group_col)
-        .withColumn("_rk", F.row_number().over(w))
+        md5_bucketed_rank(
+            df.join(F.broadcast(sizes), group_col), [group_col], key
+        )
         .filter(F.col("_rk") <= F.col("_quota"))
         .drop("_rk", "_quota")
     )

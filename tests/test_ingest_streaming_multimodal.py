@@ -745,3 +745,52 @@ def test_jpeg_decoder_rejects_malformed():
     # (8*(100-128) = -224 is not divisible by 5)
     with pytest.raises(ValueError, match="divide"):
         make_jpeg_gray([[100]], q=5)
+
+
+class TestMd5BucketedRank:
+    """r8: the hot-stratum fix — md5-prefix sub-buckets must reproduce
+    the single-window md5 rank EXACTLY (the bucket is the md5's leading
+    byte, so bucketed order IS md5 order), while keeping every window
+    partitioned."""
+
+    def test_matches_single_window_rank(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from dbt_gdpr_anonymizer_spark.sources.ingest import (
+            md5_bucketed_rank,
+        )
+
+        # skewed: one hot group with 300 rows, two tiny ones
+        rows = [(i, "hot") for i in range(300)] + [
+            (1000, "a"), (1001, "a"), (2000, "b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        got = {
+            (r["grp"], r["doc_id"]): r["_rk"]
+            for r in md5_bucketed_rank(df, ["grp"], "doc_id").collect()
+        }
+        w = Window.partitionBy("grp").orderBy(
+            F.md5(F.col("doc_id").cast("string")), "doc_id"
+        )
+        expect = {
+            (r["grp"], r["doc_id"]): r["_rk"]
+            for r in df.withColumn(
+                "_rk", F.row_number().over(w)
+            ).collect()
+        }
+        assert got == expect
+
+    def test_plan_has_no_unpartitioned_window(self, spark):
+        from tests.conftest import unpartitioned_windows
+
+        from dbt_gdpr_anonymizer_spark.sources.ingest import (
+            md5_bucketed_rank,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g") for i in range(50)], "doc_id long, grp string"
+        )
+        assert unpartitioned_windows(
+            md5_bucketed_rank(df, ["grp"], "doc_id")
+        ) == []
