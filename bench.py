@@ -373,6 +373,10 @@ def main() -> None:
         f.write(
             json.dumps(
                 {
+                    # "ts" is the canonical key (r8 VERDICT #4 audited for
+                    # it and read the missing key as null); "ts_utc" kept
+                    # for the r8-era lines' shape.
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                     "ts_utc": time.strftime(
                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                     ),

@@ -63,6 +63,7 @@ def range_bucket_offsets(
     """
     from pyspark.sql.types import (
         IntegerType,
+        IntegralType,
         LongType,
         NumericType,
         StructField,
@@ -76,6 +77,19 @@ def range_bucket_offsets(
             f"range_bucket_offsets: order_col {order_col!r} must be "
             "numeric (range buckets come from approxQuantile); for other "
             "types, map to a numeric sort key first"
+        )
+    if weight_col is not None and not isinstance(
+        df.schema[weight_col].dataType, IntegralType
+    ):
+        # The prefix sum below runs through int(run): a double/decimal
+        # weight would silently truncate and break the documented exact
+        # equivalence to the global running total. All current callers
+        # pass integral token counts; fail fast rather than drift.
+        raise ValueError(
+            f"range_bucket_offsets: weight_col {weight_col!r} must be an "
+            "integral type (the broadcast prefix sum is exact integer "
+            "arithmetic); scale fractional weights to integer units "
+            "(_cents/_ppm) first"
         )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     splits = sorted(set(df.stat.approxQuantile(order_col, probs, 0.001)))

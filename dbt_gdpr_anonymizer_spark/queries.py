@@ -1350,7 +1350,8 @@ _CHECK_LAST = [
     "phone_functions",
     "email_functions",
     "surrogate_key",
-    "session_window_rollup",  # twin of sessionize_events (checked)
+    # session_window_rollup: PROMOTED r9 (VERDICT r8 item 2 — parked since
+    # r3 with no rotation slot; longest-parked row in the registry)
     "suppress_column",  # mask family (mask_email/phone/coords checked)
     "haversine",  # geo family (geohash, valid_coordinates' twin checked)
     "valid_coordinates",
@@ -1564,15 +1565,53 @@ _CHECK_LAST = [
     "stream_watermark_late_data",
     "udtf_chunk_documents",
     "variant_props_extract",
-    # still parked (r9 window — local + pandas-mode green, family-covered
-    # by a checked representative this round):
-    "corpus_snapshot_diff",  # diff family (scd2/incremental_merge checked r≤6)
-    "vocab_oov_rate",  # vocab family (word_frequency_zipf 2R green)
-    "dp_noisy_spend_by_priority",  # DP family (dp_noisy_order_counts 2R)
-    "dataset_card_by_source",  # reporting family (pii_inventory 2R)
-    "outlier_events_exact",  # stats family (event_value_stats 2R)
-    "event_value_trend",  # stats family (event_value_percentiles 2R)
-    "mask_generalize_order_dates",  # masking (mask_fpe/k_anon_generalize r6)
+    # ------------------------------------------------------------------
+    # r9 rotation (executing the plan at SURVEY §7 end-of-r8): 21 parked
+    # rows PROMOTED into the checked window (removed from the parked
+    # blocks below) — the 13 r7-late first-exposure rows (canary scrub,
+    # naive Bayes, int8 covariance, WARC ingest, phrase search, URL
+    # canonicalize, hard negatives, script profile, incremental near-dup,
+    # gate agreement, PNG RGBA, centroid drift, anonymization utility),
+    # 7 of the 8 planned holdovers longest-parked-first (snapshot diff,
+    # OOV rate, DP spend-by-priority, dataset card, outliers, trend,
+    # date generalization), and session_window_rollup (VERDICT r8 item 2:
+    # parked since r3 with no rotation slot — the longest-parked row in
+    # the registry; token_length_histogram defers to r10 in its place,
+    # family-covered by quality_deciles' 2R green). The 21 rows demoted
+    # below each hold TWO rounds of driver green (r7+r8 artifacts) on
+    # byte-unchanged compared outputs — orderkey_gap_islands qualifies
+    # per the r8 plan's note: its r8 row is green ON the bucketed plan,
+    # and the compared output was byte-unchanged from r7, so the r7
+    # artifact counts. NO new-query slots budgeted this round (r8
+    # VERDICT: verification debt is the binding constraint). Front
+    # total: exactly 50 (the 27 r8-promoted rows stay for their second
+    # round).
+    # ------------------------------------------------------------------
+    # demoted r9 with 2 rounds of green (r7+r8), unchanged outputs:
+    "ann_recall_report",
+    "approx_distinct_sketch",
+    "boilerplate_line_filter_documents",
+    "cohort_retention",
+    "cross_doc_span_profile_documents",
+    "erasure_cascade_documents",
+    "event_transition_matrix",
+    "event_value_drift_psi",
+    "funnel_conversion",
+    "key_skew_report",
+    "mixture_sampling_plan",
+    "multimodal_png_features",
+    "null_safe_join_users",
+    "observed_scan_metrics",
+    "orderkey_gap_islands",
+    "pseudonym_spend_by_token",
+    "retention_sweep_audit",
+    "rolling_7day_revenue",
+    "salted_join_revenue_by_segment",
+    "set_ops_customers",
+    "subject_access_extract",
+    # still parked (r10 window — local + pandas-mode green, family-covered
+    # by a checked representative; the 8th holdover joins them so the
+    # session_window_rollup promotion keeps the front at exactly 50):
     "token_length_histogram",  # text family (quality_deciles 2R)
     "orc_roundtrip_documents",  # format family (parquet everywhere)
     "winsorized_stats_events",  # stats family (exact_median r6)
@@ -1581,21 +1620,6 @@ _CHECK_LAST = [
     "corrupt_record_quarantine",  # ingest family (jsonl_flatten 2R)
     "grouping_sets_revenue",  # grouping-sets family (cube/rollup 2R)
     "embedding_dim_stats",  # embedding family (ann_* r6 green)
-    # r7-LATE new queries, parked to hold the front at exactly 50 (the
-    # r8 rotation has 29 demotable slots for 15+these parked rows):
-    "canary_scrub_audit",  # scrub family (scrub_text_pii / stream_scrub checked r<=6)
-    "naive_bayes_lang_classifier",  # corpus-stats family (bm25/tfidf checked)
-    "embedding_int8_covariance",  # embedding family (int8_quantize/dim_stats)
-    "warc_ingest_documents",  # ingest family (jsonl_flatten/corrupt_record)
-    "phrase_search_documents",  # retrieval family (bm25/sparse_cosine)
-    "url_canonical_dedup_documents",  # web family (html_extract/warc)
-    "hard_negatives_embeddings",  # ann family (lsh/ivf/cosine checked)
-    "script_profile_documents",  # text family (lang_id/encoding_profile)
-    "dedup_incremental_neardup_documents",  # incremental family (dedup_incremental 2R)
-    "gate_agreement_documents",  # quality family (corpus_quality_gate 2R)
-    "multimodal_png_rgba_features",  # decode family (png/gif/wav checked)
-    "embedding_centroid_drift",  # embedding family (int8_quantize/covariance)
-    "anonymization_utility_customers",  # privacy family (k_anonymity 2R)
 ]
 
 

@@ -235,6 +235,7 @@ def md5_bucketed_rank(
     key: str,
     *,
     out_col: str = "_rk",
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Rank rows within each group by the md5 permutation —
     ``row_number() over (partition by group order by md5(key), key)`` —
@@ -252,8 +253,20 @@ def md5_bucketed_rank(
     by groups × 256, never data volume — windowed over that bounded
     frame and broadcast back. NULL keys hash to NULL and bucket to −1,
     ranking first within their group exactly like the global window's
-    NULLS FIRST. Identical output to the single-window formulation; two
-    bounded shuffles instead of one potentially-hot one.
+    NULLS FIRST; NULL GROUP values are ordinary partitions in the window
+    formulation, so the offset join is null-safe equality (a plain
+    name-list join would silently drop whole NULL strata). Identical
+    output to the single-window formulation; two bounded shuffles
+    instead of one potentially-hot one.
+
+    ``broadcast_offsets`` keeps the explicit broadcast hint on the
+    offset frame — correct for the class-label strata the in-repo
+    callers pass (languages, sources, quality buckets: cardinality is
+    the label vocabulary, so groups × ≤257 buckets stays driver-safe).
+    Pass ``False`` for unbounded group domains (per-URL-domain at crawl
+    scale): the hint is dropped and AQE decides broadcast-vs-shuffle
+    from the aggregate's RUNTIME size — the row-count check a static
+    threshold can't do without an extra pass over the data.
     """
     m = F.md5(F.col(key).cast("string"))
     t = df.withColumn("_m", m).withColumn(
@@ -272,15 +285,26 @@ def md5_bucketed_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offs = counts.select(
-        *group_cols,
-        "_mb",
+        *[F.col(c).alias(f"_g{i}") for i, c in enumerate(group_cols)],
+        F.col("_mb").alias("_mbo"),
         F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_moff"),
     )
+    if broadcast_offsets:
+        offs = F.broadcast(offs)
+    cond = F.col("_mb") == F.col("_mbo")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_g{i}"))
     w = Window.partitionBy(*group_cols, "_mb").orderBy("_m", key)
     return (
-        t.join(F.broadcast(offs), [*group_cols, "_mb"])
+        t.join(offs, cond)
         .withColumn(out_col, F.row_number().over(w) + F.col("_moff"))
-        .drop("_m", "_mb", "_moff")
+        .drop(
+            "_m",
+            "_mb",
+            "_mbo",
+            "_moff",
+            *[f"_g{i}" for i in range(len(group_cols))],
+        )
     )
 
 

@@ -794,3 +794,47 @@ class TestMd5BucketedRank:
         assert unpartitioned_windows(
             md5_bucketed_rank(df, ["grp"], "doc_id")
         ) == []
+
+    def test_null_stratum_is_a_normal_partition(self, spark):
+        """r9 (ADVICE r8): Window.partitionBy treats a NULL group value as
+        an ordinary partition, so the offset join must be null-safe — a
+        name-list inner join silently dropped whole NULL strata."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from dbt_gdpr_anonymizer_spark.sources.ingest import (
+            md5_bucketed_rank,
+            stratified_sample,
+        )
+
+        rows = (
+            [(i, None) for i in range(40)]
+            + [(100 + i, "a") for i in range(7)]
+            + [(200, "b")]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, grp string")
+        for bc in (True, False):
+            got = {
+                (r["grp"], r["doc_id"]): r["_rk"]
+                for r in md5_bucketed_rank(
+                    df, ["grp"], "doc_id", broadcast_offsets=bc
+                ).collect()
+            }
+            w = Window.partitionBy("grp").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+            expect = {
+                (r["grp"], r["doc_id"]): r["_rk"]
+                for r in df.withColumn(
+                    "_rk", F.row_number().over(w)
+                ).collect()
+            }
+            assert got == expect, f"broadcast_offsets={bc}"
+        # end-to-end: the NULL stratum contributes exactly n rows
+        samp = stratified_sample(df, ["grp"], 3, "doc_id").collect()
+        by_grp = {}
+        for r in samp:
+            by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+        assert len(by_grp[None]) == 3
+        assert len(by_grp["a"]) == 3
+        assert by_grp["b"] == [200]

@@ -422,3 +422,20 @@ def test_range_bucket_offsets_weighted_totals(spark):
         run += w
         expect[k] = run
     assert got == expect
+
+
+def test_range_bucket_offsets_rejects_fractional_weights(spark):
+    """r9 (ADVICE r8): the broadcast prefix sum is exact integer
+    arithmetic (int(run)); a double weight_col would silently truncate
+    the offsets, so it must fail fast instead."""
+    import pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        range_bucket_offsets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 0.5) for i in range(10)], "k long, w double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        range_bucket_offsets(df, "k", weight_col="w", n_buckets=2)
