@@ -79,19 +79,32 @@ def naive_bayes_scores(
 
     n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
     t_pos, t_neg, v = F.col("t_pos"), F.col("t_neg"), F.col("v")
-    # Per-occurrence log-ratio; OOV tokens (left join miss) fall to the
-    # smoothing floor ln((1/(t_pos+v)) / (1/(t_neg+v))).
-    ratio = F.log(
-        (F.coalesce("c_pos", F.lit(0)) + F.lit(1.0)) / (t_pos + v)
-    ) - F.log((F.coalesce("c_neg", F.lit(0)) + F.lit(1.0)) / (t_neg + v))
-
+    # r9 CPU cut: fold the smoothing logs onto the vocabulary-bounded
+    # model table — two ``ln`` calls per DISTINCT word, not per corpus
+    # token, and the token-stream join carries one double instead of two
+    # counts. Each per-token double is bit-identical to the old
+    # per-occurrence formula (same expression over the same inputs), so
+    # the oracle hash is unchanged. OOV tokens (left-join miss) fall to
+    # the smoothing floor ln((1/(t_pos+v)) / (1/(t_neg+v))), computed
+    # from the same 1-row broadcast with the same (0+1.0) numerator
+    # shape the per-occurrence formula produced.
+    word_ratio = wc.crossJoin(F.broadcast(tok_totals)).select(
+        "w",
+        (
+            F.log((F.col("c_pos") + F.lit(1.0)) / (t_pos + v))
+            - F.log((F.col("c_neg") + F.lit(1.0)) / (t_neg + v))
+        ).alias("_lr"),
+    )
+    oov_floor = F.log((F.lit(0) + F.lit(1.0)) / (t_pos + v)) - F.log(
+        (F.lit(0) + F.lit(1.0)) / (t_neg + v)
+    )
     contrib = (
-        toks.join(wc, "w", "left")
+        toks.join(word_ratio, "w", "left")
         .crossJoin(stats)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(ratio).alias("token_ll"),
+            F.sum(F.coalesce(F.col("_lr"), oov_floor)).alias("token_ll"),
         )
     )
     # Empty-class training splits make the prior undefined: fail loudly at

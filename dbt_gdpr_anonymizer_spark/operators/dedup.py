@@ -891,13 +891,18 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    from dbt_gdpr_anonymizer_spark.operators.similarity import kmeans_fit
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        kmeans_fit_model,
+    )
 
-    cents = kmeans_fit(
+    # kmeans_fit_model returns the driver-local k×dim model directly —
+    # the assignment kernel below broadcasts it via closure, so wrapping
+    # it in a centroid DataFrame only to collect it back (the pre-r9
+    # shape) paid a whole round-trip job inside the timed window.
+    model = kmeans_fit_model(
         vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         fit_sample_n=fit_sample_n,
     )
-    model = [list(r[1]) for r in sorted(cents.collect(), key=lambda r: r[0])]
     model_np = np.asarray(model, dtype=np.float64)
     dim = model_np.shape[1]
     cnrm = np.empty(len(model_np), dtype=np.float64)

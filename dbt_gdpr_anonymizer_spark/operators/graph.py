@@ -164,6 +164,7 @@ def pagerank_int(
     dst_col: str = "dst",
     id_col: str = "node_id",
     checkpoint_every: int = 4,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """X135 INTEGER-EXACT PageRank (Page et al. 1999) — the link-authority
     signal web-corpus curation ranks domains/pages by, computed so that
@@ -194,12 +195,22 @@ def pagerank_int(
     everything is partitioned by node id.
 
     Returns ``(id_col, rank_units BIGINT)`` — rank in 1/scale units.
+
+    ``n_nodes`` skips the node-count job when the caller already knows
+    the cardinality (typical: the caller counted the corpus to build the
+    edge synthesis, or the spine is a bounded dimension) — at bench
+    scale one whole job is the local-JVM scheduling floor.
     """
-    n_nodes = nodes.count()
+    if n_nodes is None:
+        n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank_int: empty node set")
     base = ((100 - damping_pct) * scale) // 100 // n_nodes
-    deg = edges.groupBy(src_col).agg(
+    # The edge list is read once and persisted: every iteration joins it,
+    # and without the cache each of the `iters` joins would re-run the
+    # source scan (and whatever synthesis built the edges).
+    edge_pairs = edges.select(src_col, dst_col).persist()
+    deg = edge_pairs.groupBy(src_col).agg(
         F.count(F.lit(1)).alias("_outdeg")
     ).persist()
     spine = nodes.select(F.col(id_col)).persist()
@@ -210,10 +221,7 @@ def pagerank_int(
     for i in range(iters):
         contribs = (
             ranks.join(deg, ranks[id_col] == deg[src_col])
-            .join(
-                edges.select(src_col, dst_col),
-                src_col,
-            )
+            .join(edge_pairs, src_col)
             .select(
                 F.col(dst_col).alias("_dst"),
                 # integral division (Spark `div`, DuckDB `//`) — double
@@ -251,4 +259,4 @@ def pagerank_int(
     # aggregation, contradicting the "computed once" contract. unpersist()
     # on a non-persisted frame is a no-op, so tracking all is safe in
     # every branch.
-    return track_caches(out, prev_persisted, ranks, spine, deg)
+    return track_caches(out, prev_persisted, ranks, spine, deg, edge_pairs)

@@ -10,13 +10,15 @@ smoothing**, end to end in DataFrame ops:
   score:  per-document mean negative log-likelihood
           ``-ln P(w_i | w_{i-1})`` with ``P = (c12 + 1) / (c1 + V)``.
 
-Scale design (100 TB): the exploded bigram frame is persisted and shared by
-the model-count aggregation and the scoring join, so the corpus is tokenized
-exactly once. The model tables are vocabulary-bounded (not corpus-bounded) —
-the scoring joins are plain equi-joins on the bigram / prefix-word keys that
-AQE converts to broadcasts when the vocabulary is small. No driver-side
-state, no UDFs; ``ln`` is used (not ``log2``) because the two oracle engines
-agree on natural log bit-for-bit (the bm25/tfidf precedent).
+Scale design (100 TB): the (id, tokens) frame is persisted and shared, so
+the corpus is tokenized exactly once and the cached frame is array-per-doc —
+far smaller than the exploded event stream. The smoothing arithmetic is
+folded onto the vocabulary-bounded model table (one ``ln`` per DISTINCT
+bigram, not per corpus event), leaving a single events-sized equi-join on
+the bigram key that AQE converts to a broadcast when the vocabulary is
+small. No driver-side state, no UDFs; ``ln`` is used (not ``log2``) because
+the two oracle engines agree on natural log bit-for-bit (the bm25/tfidf
+precedent).
 
 Extension surface beyond the reference (no LM anywhere in
 tabodino/dbt-gdpr-anonymizer).
@@ -62,10 +64,14 @@ def bigram_lm_scores(
     """
     from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
-    toks = docs.select(F.col(id_col), words(text_col).alias("ws"))
-    # One tokenization pass feeds both the model counts and the scoring
-    # join: persist the exploded bigram events (released by the caller via
-    # caching.release_caches after the action, per repo convention).
+    # One tokenization pass feeds everything: persist the (id, tokens)
+    # frame and derive bigram events, unigram counts, and the id spine
+    # from the cache. The exploded event stream is persisted TOO — it is
+    # consumed twice (model counts + scoring join) and bigram_array is a
+    # zip_with lambda, i.e. interpreted HOF work that must not re-run
+    # per consumer (the char_entropy lesson). Both caches are released
+    # by the caller via caching.release_caches after the action.
+    toks = docs.select(F.col(id_col), words(text_col).alias("ws")).persist()
     events = toks.select(
         id_col, F.explode(bigram_array(F.col("ws"))).alias("bg")
     ).persist()
@@ -78,22 +84,30 @@ def bigram_lm_scores(
     )
     vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
 
+    # r9 job-count/CPU cut: fold the smoothing arithmetic onto the
+    # vocabulary-bounded MODEL table — one ln per distinct bigram instead
+    # of one per corpus event, and ONE events-sized equi-join instead of
+    # two. The per-event double is bit-identical (same formula over the
+    # same (c12, c1, v) inputs), so the oracle hash is unchanged.
     neg_ll = -F.log(
         (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
     )
-    scored = (
-        events.withColumn("w1", F.split("bg", " ").getItem(0))
-        .join(bigrams, "bg")
+    model = (
+        bigrams.withColumn("w1", F.split("bg", " ").getItem(0))
         .join(unigrams, F.col("w1") == F.col("w"))
         .crossJoin(F.broadcast(vocab))
+        .select("bg", neg_ll.alias("_nll"))
+    )
+    scored = (
+        events.join(model, "bg")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum(neg_ll) / F.count(F.lit(1))).alias("xent"),
+            (F.sum("_nll") / F.count(F.lit(1))).alias("xent"),
         )
     )
     out = (
-        docs.select(id_col)
+        toks.select(id_col)
         .join(scored, id_col, "left")
         .select(
             id_col,
@@ -103,4 +117,4 @@ def bigram_lm_scores(
             "xent",
         )
     )
-    return track_caches(out, events)
+    return track_caches(out, toks, events)

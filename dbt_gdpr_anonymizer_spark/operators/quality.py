@@ -245,9 +245,12 @@ def cross_doc_span_profile(
     than ``k`` words release ``(0, 0)``.
     """
     ws = tx.words(text_col)
+    # persisted (r9): both the gram explode and the final rejoin need the
+    # tokenized frame (even the rejoin's _n is size(words(text))) — the
+    # cache cuts the second source scan + regex tokenization pass.
     base = docs.select(
         F.col(id_col), ws.alias("_ws"), F.size(ws).alias("_n")
-    )
+    ).persist()
     # grams shuffle as 8-byte xxhash64 keys, not ~k-word strings — the
     # same md5-fingerprint collision stance as exact_dedup (P(collision)
     # ~ n²/2^65; a collision would need two distinct grams in one corpus)
@@ -304,7 +307,7 @@ def cross_doc_span_profile(
             .alias("shared_span_ppm"),
         )
     )
-    return track_caches(out, grams)
+    return track_caches(out, grams, base)
 
 
 def remove_duplicate_spans(
@@ -335,13 +338,16 @@ def remove_duplicate_spans(
     documents shorter than ``k`` words pass through unchanged.
     """
     ws = tx.words(text_col)
+    # persisted (r9): the tokenized frame feeds the gram explode, the
+    # positional token list, AND the final rejoin — without the cache the
+    # source scan + regex tokenization ran three times per query.
     base = docs.select(
         F.col(id_col),
         ws.alias("_ws"),
         # greatest(…, 0): NULL text yields a NULL word array whose size()
         # is -1 — release 0 tokens, not -1
         F.greatest(F.size(ws), F.lit(0)).alias("_n"),
-    )
+    ).persist()
     grams = base.select(
         id_col,
         F.explode(
@@ -414,7 +420,7 @@ def remove_duplicate_spans(
             .alias("n_tokens_removed"),
         )
     )
-    return track_caches(out, grams)
+    return track_caches(out, grams, base)
 
 
 def dsir_importance_weights(
@@ -849,7 +855,20 @@ def quantile_normalize_scores(
             )
         ).alias("_n"),
     )
-    return base.join(ranked, [group_col, score_col]).select(
+    # Null-safe on the GROUP key (r9, the md5_bucketed_rank lesson): a
+    # NULL group is an ordinary partition to the window above, so the
+    # rank join-back must not drop it. Scores are non-null by the filter.
+    ranked = ranked.select(
+        F.col(group_col).alias("_gj"),
+        F.col(score_col).alias("_sj"),
+        "_below",
+        "_n",
+    )
+    return base.join(
+        ranked,
+        F.col(group_col).eqNullSafe(F.col("_gj"))
+        & (F.col(score_col) == F.col("_sj")),
+    ).select(
         id_col,
         group_col,
         score_col,
@@ -1021,10 +1040,18 @@ def token_budget_select_by_group(
             StructField("_all_fit", BooleanType(), False),
         ]
     )
+    # Null-safe on the group key (r9): a NULL group is a legitimate
+    # histogram stratum (groupBy keeps it, and its budget resolves via
+    # budget.get(None) / the int-budget arm) — a name-list join would
+    # silently drop its rows here despite a computed cutoff row.
     cuts = F.broadcast(
-        base.sparkSession.createDataFrame(cut_rows, schema)
+        base.sparkSession.createDataFrame(cut_rows, schema).select(
+            F.col(group_col).alias("_gj"), "_cutoff", "_rem", "_all_fit"
+        )
     )
-    j = base.join(cuts, group_col)
+    j = base.join(
+        cuts, F.col(group_col).eqNullSafe(F.col("_gj"))
+    ).drop("_gj")
     full = j.filter(
         F.col("_all_fit") | (F.col(score_col) > F.col("_cutoff"))
     )

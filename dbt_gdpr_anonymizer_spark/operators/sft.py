@@ -82,9 +82,25 @@ def chat_stats(
 
     Returns one row per input row; malformed transcripts survive with
     ``parse_ok = false`` (filter or quarantine downstream).
+
+    The parse and the role projection are BOUND as real fields in an
+    intermediate projection (r9): the stats columns are higher-order
+    functions, which evaluate interpreted — inlining ``from_json`` (and
+    whatever synthesis produced the JSON column upstream) into each of
+    the ~8 output expressions re-parsed the transcript once per column
+    per row. ``CollapseProject`` keeps the two projections separate
+    because the bound aliases are non-cheap and multiply referenced, so
+    the parse runs exactly once per row.
     """
-    p = _parsed(json_col)
-    roles = F.transform(p, lambda m: m["role"])
+    bound = convs.select(
+        "*",
+        _parsed(json_col).alias("_p"),
+    ).select(
+        "*",
+        F.transform(F.col("_p"), lambda m: m["role"]).alias("_roles"),
+    )
+    p = F.col("_p")
+    roles = F.col("_roles")
     # Offset 1 if the transcript opens with a system message; expected
     # role at message i is then user/assistant by (i - off) parity.
     off = F.when(
@@ -106,7 +122,7 @@ def chat_stats(
     n_role = lambda name: F.size(  # noqa: E731
         F.filter(roles, lambda r: r == name)
     ).cast("bigint")
-    return convs.select(
+    return bound.select(
         F.col(id_col),
         p.isNotNull().alias("parse_ok"),
         F.coalesce(F.size(p), F.lit(-1)).cast("bigint").alias("n_turns"),

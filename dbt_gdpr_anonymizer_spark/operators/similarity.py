@@ -35,6 +35,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "kmeans_fit",
+    "kmeans_fit_model",
     "cell_assign_expr",
     "quantize_int8",
     "int8_covariance",
@@ -354,8 +355,43 @@ def kmeans_fit(
     the corpus — assignment over everything is ``ivf_assign``'s job after
     fitting, not the fit's. A 100k sample pins centroids to the same
     cluster structure; pass ``None`` to fit on the full corpus.
+
+    Callers that consume the model DRIVER-SIDE (SemDeDup's numpy
+    assignment kernel) should call :func:`kmeans_fit_model` instead —
+    wrapping the driver-local model in a DataFrame only to collect it
+    back costs a whole round-trip job.
     """
-    spark = vectors.sparkSession
+    model = kmeans_fit_model(
+        vectors,
+        k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        fit_sample_n=fit_sample_n,
+        driver_fit_max=driver_fit_max,
+    )
+    return vectors.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(model)],
+        f"centroid_id int, {vec_col} array<double>",
+    )
+
+
+def kmeans_fit_model(
+    vectors: DataFrame,
+    k: int,
+    *,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_n: int | None = 100_000,
+    driver_fit_max: int = 200_000,
+) -> list[list[float]]:
+    """:func:`kmeans_fit`'s engine, returning the fitted centroids as the
+    driver-local ``list[list[float]]`` model (index = centroid_id) —
+    identical values, no DataFrame round trip. The model is k×dim state,
+    never data; see :func:`kmeans_fit` for semantics and the fit-sample /
+    driver-fit bounding story.
+    """
     sampled = None
     if fit_sample_n is not None:
         from dbt_gdpr_anonymizer_spark.sources.ingest import (
@@ -367,12 +403,6 @@ def kmeans_fit(
         # corpus once per iteration; released before returning.
         sampled = deterministic_sample(vectors, fit_sample_n, id_col).persist()
         vectors = sampled
-    def _centroid_df(cents: list[list[float]]) -> DataFrame:
-        return spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            f"centroid_id int, {vec_col} array<double>",
-        )
-
     # Driver-fit fast path: the FIT is model estimation over a BOUNDED
     # row set (the fit_sample cap, or a corpus that happens to be small).
     # When it fits comfortably on the driver, collect once and run the
@@ -425,7 +455,7 @@ def kmeans_fit(
             cents = new_cents
         if sampled is not None:
             sampled.unpersist()
-        return _centroid_df([[float(v) for v in c] for c in cents])
+        return [[float(v) for v in c] for c in cents]
 
     seed_rows = (
         vectors.orderBy(id_col)
@@ -462,7 +492,7 @@ def kmeans_fit(
         centroids = new_cents
     if sampled is not None:
         sampled.unpersist()
-    return _centroid_df(centroids)
+    return [[float(x) for x in c] for c in centroids]
 
 
 def cell_assign_expr(v: Column, centroids: list[list[float]]) -> Column:

@@ -417,13 +417,27 @@ def domain_cap(
     # join is left to Catalyst/AQE (runtime-broadcast when it fits, one
     # domain-keyed shuffle when not). Only `over` is broadcast
     # unconditionally: few domains exceed any sane cap by construction.
-    with_tot = base.join(totals, "domain")
+    # Both joins are NULL-SAFE on the domain key (r9, the
+    # md5_bucketed_rank lesson): a NULL registered domain (NULL url) is
+    # an ordinary group to groupBy and to the rank window's partitionBy,
+    # but a name-list inner join would silently drop those rows —
+    # violating the every-input-row contract.
+    with_tot = base.join(
+        totals.select(
+            F.col("domain").alias("_dj"), "domain_total"
+        ),
+        F.col("domain").eqNullSafe(F.col("_dj")),
+    ).drop("_dj")
     under = with_tot.filter(F.col("domain_total") <= cap).select(
         id_col, "domain", "domain_total", F.lit(True).alias("kept")
     )
     w = Window.partitionBy("domain").orderBy(F.col(id_col).asc())
     capped = (
-        with_tot.join(F.broadcast(over.select("domain")), "domain")
+        with_tot.join(
+            F.broadcast(over.select(F.col("domain").alias("_do"))),
+            F.col("domain").eqNullSafe(F.col("_do")),
+        )
+        .drop("_do")
         .withColumn("_rk", F.row_number().over(w))
         .select(
             id_col,

@@ -9784,7 +9784,9 @@ def pagerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linearly, not exponentially) — the mid-run materialization the
     # default interval would pay at i=4 buys nothing at this depth.
     # Long runs should keep the rotation (lineage/replay bounding).
-    ranks = pagerank_int(edges, nodes, iters=5, checkpoint_every=5)
+    # n_nodes=n: the corpus count above already ran to build the edge
+    # synthesis; recounting inside pagerank_int was a whole extra job.
+    ranks = pagerank_int(edges, nodes, iters=5, checkpoint_every=5, n_nodes=n)
     return _retrack(ranks.orderBy("node_id"), ranks)
 
 

@@ -111,6 +111,23 @@ class TestQuantileNormalize:
         }
         assert got == {1: 0, 2: 1000000, 3: 0, 4: 1000000}
 
+    def test_null_group_is_a_normal_partition(self, spark):
+        """r9 (the md5_bucketed_rank lesson): the rank window treats a
+        NULL group as an ordinary partition; the rank join-back must be
+        null-safe or those rows silently vanish."""
+        df = _docs(
+            spark,
+            [(1, None, 1), (2, None, 2), (3, None, 3), (4, "a", 7)],
+            ["doc_id", "source", "score"],
+        )
+        got = {
+            r.doc_id: r.calib_ppm
+            for r in quantile_normalize_scores(
+                df, score_col="score"
+            ).collect()
+        }
+        assert got == {1: 0, 2: 500000, 3: 1000000, 4: 0}
+
 
 class TestSourceNgramNovelty:
     def test_exclusive_vs_shared(self, spark):
@@ -454,6 +471,29 @@ class TestTokenBudgetByGroup:
             token_budget_select_by_group(df, 3, score_col="score").count()
             == 2
         )
+
+    def test_null_group_gets_its_budget(self, spark):
+        """r9: a NULL group is a legitimate histogram stratum; the cutoff
+        join-back must be null-safe or its rows silently vanish."""
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            token_budget_select_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, None, 9, 5),
+                (2, None, 8, 5),  # NULL group: budget 7 → only doc 1
+                (3, "a", 9, 5),
+            ],
+            ["doc_id", "source", "score", "n_tokens"],
+        )
+        got = {
+            r.doc_id
+            for r in token_budget_select_by_group(
+                df, {None: 7, "a": 10}, score_col="score"
+            ).collect()
+        }
+        assert got == {1, 3}
 
 
 class TestGateAgreement:

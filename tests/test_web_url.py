@@ -84,3 +84,32 @@ def test_domain_cap_under_cap_passthrough_and_validation(spark):
     assert {r["domain"] for r in out} == {"alpha-one.com", "beta-two.net"}
     with pytest.raises(ValueError):
         domain_cap(df, "url", cap=0)
+
+
+def test_domain_cap_null_domain_rows_survive(spark):
+    """r9 (the md5_bucketed_rank lesson): a NULL url yields a NULL
+    registered domain — an ordinary group to groupBy and the rank window,
+    so the every-input-row contract must hold for it too (the name-list
+    join silently dropped those rows)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from dbt_gdpr_anonymizer_spark.operators.web import domain_cap
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("url", StringType(), True),
+        ]
+    )
+    rows = [(i, None) for i in range(5)] + [
+        (10, "https://a.alpha-one.com/a"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {r["doc_id"]: r for r in domain_cap(df, "url", cap=3).collect()}
+    assert len(out) == 6  # every input row gets a verdict
+    null_rows = [r for r in out.values() if r["domain"] is None]
+    assert len(null_rows) == 5
+    assert all(r["domain_total"] == 5 for r in null_rows)
+    # the NULL-domain group is over cap: smallest 3 ids kept
+    assert sorted(r["doc_id"] for r in null_rows if r["kept"]) == [0, 1, 2]
+    assert out[10]["kept"] and out[10]["domain"] == "alpha-one.com"
