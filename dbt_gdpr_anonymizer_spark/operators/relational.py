@@ -162,6 +162,7 @@ def snapshot_merge(
     strategy: str = "timestamp",
     check_cols: Sequence[str] | None = None,
     run_ts=None,
+    invalidate_hard_deletes: bool = False,
 ) -> DataFrame:
     """dbt snapshot merge, BOTH strategies — the last declared reference
     construct without a twin (the reference configures timestamp-strategy
@@ -189,15 +190,25 @@ def snapshot_merge(
     no-ops.
 
     Shared rules: keys absent from the source keep their current version
-    open (dbt does not invalidate hard deletes by default); keys absent
-    from the snapshot insert fresh. Source must carry at most one row per
+    open by default (dbt's default); with
+    ``invalidate_hard_deletes=True`` (dbt's snapshot config of the same
+    name) a current version whose key is ABSENT from the source is
+    CLOSED with ``valid_to = run_ts`` — dbt stamps the run wall clock
+    here for BOTH strategies, so this flag requires an explicit
+    ``run_ts`` even under the timestamp strategy (the repo's
+    no-current_timestamp determinism rule). A later reappearance of the
+    key inserts a fresh version (dbt's behavior). Re-running the same
+    source is still idempotent: the deleted key's version is already
+    closed, so the second pass sees nothing to close. Keys absent from
+    the snapshot insert fresh. Source must carry at most one row per
     key per run (the dbt uniqueness contract — duplicate-key behavior is
     undefined there too). Timestamp-strategy source rows with a NULL
-    ``updated_col`` are IGNORED (treated as absent — current version
-    stays open, new keys don't insert): an unordered change cannot be
-    versioned, and letting the NULL flow through the strict ``>`` would
-    silently DELETE the key's open version (three-valued logic fails all
-    three disjoint arms).
+    ``updated_col`` cannot be versioned: the current version stays open
+    and new keys don't insert — but the row still counts as PRESENT for
+    hard-delete purposes (an unstampable row is bad data, not a
+    deletion; letting the NULL flow through the strict ``>`` would
+    silently DELETE the key's open version — three-valued logic fails
+    all three disjoint arms).
 
     Plan: ONE full-outer hash join on ``key`` between the snapshot's
     current versions and the source, then three disjoint projections
@@ -223,14 +234,24 @@ def snapshot_merge(
         check_cols = list(check_cols if check_cols is not None else attr_cols)
     else:
         raise ValueError(f"snapshot_merge: unknown strategy {strategy!r}")
+    if invalidate_hard_deletes and run_ts is None:
+        raise ValueError(
+            "snapshot_merge: invalidate_hard_deletes requires an explicit "
+            "run_ts (dbt stamps the run wall clock on the closed version; "
+            "this engine requires the literal so snapshots stay "
+            "reproducible)"
+        )
+    # NULL-stamped rows are kept here as PRESENT (they matter to the
+    # hard-delete arm) but every version-opening/closing arm below
+    # requires a non-null _s_upd — see the docstring's NULL contract.
     src = source.select(
         F.col(key),
         stamp.alias("_s_upd"),
         *[F.col(a).alias(f"_s_{a}") for a in attr_cols],
         F.lit(1).alias("_s_here"),
-    ).filter(F.col("_s_upd").isNotNull())
+    )
     if snapshot is None:
-        return src.select(
+        return src.filter(F.col("_s_upd").isNotNull()).select(
             key,
             *[F.col(f"_s_{a}").alias(a) for a in attr_cols],
             F.col("_s_upd").alias("valid_from"),
@@ -245,7 +266,15 @@ def snapshot_merge(
     )
     j = cur.join(src, key, "full_outer")
     if strategy == "timestamp":
-        is_change = F.col("_s_upd") > F.col("valid_from")
+        # coalesce(…, false): a NULL _s_upd (present-but-unstampable
+        # source row) must read as NOT-changed, not as three-valued
+        # NULL — a NULL `changed` would fall through BOTH the changed
+        # filter and kept_cur's ~changed, silently deleting the open
+        # version (the same failure mode the NULL-stamp guard exists
+        # for).
+        is_change = F.coalesce(
+            F.col("_s_upd") > F.col("valid_from"), F.lit(False)
+        )
     else:  # check: any tracked column differs, null-safely
         is_change = ~F.struct(
             *[F.col(c) for c in check_cols]
@@ -261,11 +290,29 @@ def snapshot_merge(
         "valid_from",
         F.col("_s_upd").alias("valid_to"),
     )
+    # Hard-delete invalidation (dbt invalidate_hard_deletes): a current
+    # version whose key is absent from THIS run's source closes at
+    # run_ts. Disjoint from every other arm (_s_here is null here, not
+    # null everywhere else).
+    deleted = (
+        F.col("_c_here").isNotNull() & F.col("_s_here").isNull()
+        if invalidate_hard_deletes
+        else F.lit(False)
+    )
+    closed_deleted = j.filter(deleted).select(
+        key,
+        *attr_cols,
+        "valid_from",
+        F.lit(run_ts)
+        .cast(snap.schema["valid_from"].dataType)
+        .alias("valid_to"),
+    )
     kept_cur = j.filter(
-        F.col("_c_here").isNotNull() & ~changed
+        F.col("_c_here").isNotNull() & ~changed & ~deleted
     ).select(key, *attr_cols, "valid_from", "valid_to")
     opened = j.filter(
         F.col("_s_here").isNotNull()
+        & F.col("_s_upd").isNotNull()
         & (F.col("_c_here").isNull() | changed)
     ).select(
         key,
@@ -275,8 +322,11 @@ def snapshot_merge(
             "valid_to"
         ),
     )
-    return hist.unionByName(closed).unionByName(kept_cur).unionByName(
-        opened
+    return (
+        hist.unionByName(closed)
+        .unionByName(closed_deleted)
+        .unionByName(kept_cur)
+        .unionByName(opened)
     )
 
 

@@ -1613,6 +1613,10 @@ _CHECK_LAST = [
     # by a checked representative; the 8th holdover joins them so the
     # session_window_rollup promotion keeps the front at exactly 50):
     "token_length_histogram",  # text family (quality_deciles 2R)
+    # r9-LATE new query, parked per the no-new-slots rule (family-covered
+    # by scd2_snapshot_orders, driver-green r8; promotes in the r10
+    # window alongside the 8 holdovers):
+    "scd2_snapshot_hard_deletes",
     "orc_roundtrip_documents",  # format family (parquet everywhere)
     "winsorized_stats_events",  # stats family (exact_median r6)
     "source_freshness_report",  # runtime-cert family (observe promoted r7)
@@ -11537,6 +11541,107 @@ def scd2_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     snap1 = snapshot_merge(
         snap0, b2, key="k", updated_col="upd", attr_cols=["status"]
+    )
+    return snap1.select(
+        F.col("k").alias("o_orderkey"),
+        F.col("status").alias("o_orderstatus"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy("o_orderkey", "valid_from")
+
+
+@register(
+    "scd2_snapshot_hard_deletes",
+    """
+    with b1 as (
+      select o_orderkey as k, o_orderstatus as status,
+             o_orderdate as upd
+      from orders where o_orderdate < date '1996-01-01'
+    ),
+    nw as (
+      select o_orderkey as k, o_orderstatus as status,
+             o_orderdate as upd
+      from orders where o_orderdate >= date '1996-01-01'
+    ),
+    merged as (
+      -- updated keys: old version closes at the new stamp, new opens
+      select k, status, strftime(upd, '%Y-%m-%d') as valid_from,
+             strftime(upd + interval 30 day, '%Y-%m-%d') as valid_to
+      from b1 where k % 3 = 0 and k % 7 <> 0
+      union all
+      select k, 'U', strftime(upd + interval 30 day, '%Y-%m-%d'), null
+      from b1 where k % 3 = 0 and k % 7 <> 0
+      union all
+      -- hard-deleted keys (absent from the run-2 source): closed at the
+      -- run stamp
+      select k, status, strftime(upd, '%Y-%m-%d'), '1996-06-01'
+      from b1 where k % 7 = 0
+      union all
+      -- present-and-unchanged keys (equal stamp re-send): stay open
+      select k, status, strftime(upd, '%Y-%m-%d'), null
+      from b1 where k % 3 <> 0 and k % 7 <> 0
+      union all
+      -- run-2 new keys insert open
+      select k, status, strftime(upd, '%Y-%m-%d'), null from nw
+    )
+    select k as o_orderkey, status as o_orderstatus,
+           valid_from, valid_to, valid_to is null as is_current
+    from merged order by o_orderkey, valid_from
+    """,
+)
+def scd2_snapshot_hard_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD2 snapshot with dbt's ``invalidate_hard_deletes`` config (r9 —
+    the one dbt snapshot option scd2_snapshot_orders leaves off): run 1
+    snapshots pre-1996 orders; run 2's source DROPS every 7th key (the
+    hard delete — its open version must close at the explicit run stamp
+    1996-06-01), updates every 3rd surviving key ('U', +30 days),
+    re-sends the rest unchanged (equal-stamp no-op), and inserts the
+    post-1996 keys. The oracle enumerates the four disposition arms
+    relationally. Validity bounds release as yyyy-MM-dd strings; the
+    run stamp is an explicit literal per the repo's determinism rule
+    (dbt stamps the wall clock here, which is exactly what makes its
+    snapshots unreproducible)."""
+    import datetime
+
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        snapshot_merge,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("upd"),
+    )
+    split = F.lit("1996-01-01").cast("date")
+    b1 = o.filter(F.col("upd") < split)
+    k = F.col("k")
+    b2 = (
+        b1.filter(k % 7 != 0)
+        .select(
+            "k",
+            F.when(k % 3 == 0, F.lit("U")).otherwise(F.col("status")).alias(
+                "status"
+            ),
+            F.when(
+                k % 3 == 0, F.col("upd") + F.expr("INTERVAL 30 DAYS")
+            ).otherwise(F.col("upd")).alias("upd"),
+        )
+        .unionByName(o.filter(F.col("upd") >= split))
+    )
+    snap0 = snapshot_merge(
+        None, b1, key="k", updated_col="upd", attr_cols=["status"]
+    )
+    snap1 = snapshot_merge(
+        snap0,
+        b2,
+        key="k",
+        updated_col="upd",
+        attr_cols=["status"],
+        invalidate_hard_deletes=True,
+        run_ts=datetime.date(1996, 6, 1),
     )
     return snap1.select(
         F.col("k").alias("o_orderkey"),

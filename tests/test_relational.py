@@ -368,6 +368,121 @@ def test_snapshot_merge_ignores_null_updated_rows(spark):
     assert got == [(1, "a", ts("2024-01-01 00:00:00"), None)]
 
 
+class TestSnapshotMergeHardDeletes:
+    """dbt's invalidate_hard_deletes snapshot config: a current version
+    whose key is absent from the run's source closes at run_ts; a later
+    reappearance inserts a fresh version (r9)."""
+
+    def _merge(self, snap, src, run_ts=None, **kw):
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            snapshot_merge,
+        )
+
+        return snapshot_merge(
+            snap, src, key="k", updated_col="upd", attr_cols=["status"],
+            invalidate_hard_deletes=True, run_ts=run_ts, **kw,
+        )
+
+    def _rows(self, df):
+        return sorted(
+            (r.k, r.status, r.valid_from, r.valid_to)
+            for r in df.collect()
+        )
+
+    def test_delete_close_and_reappear(self, spark):
+        b1 = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01 00:00:00")),
+             (2, "b", ts("2024-01-02 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        snap0 = self._merge(None, b1, run_ts=ts("2024-01-05 00:00:00"))
+        # key 2 vanishes from the source -> closed at run_ts
+        b2 = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        t2 = ts("2024-02-01 00:00:00")
+        snap1 = self._merge(snap0, b2, run_ts=t2)
+        assert self._rows(snap1) == [
+            (1, "a", ts("2024-01-01 00:00:00"), None),
+            (2, "b", ts("2024-01-02 00:00:00"), t2),
+        ]
+        # idempotent: re-running the same source re-closes nothing
+        snap2 = self._merge(snap1, b2, run_ts=ts("2024-03-01 00:00:00"))
+        assert self._rows(snap2) == self._rows(snap1)
+        # reappearance inserts a fresh open version
+        b3 = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01 00:00:00")),
+             (2, "B2", ts("2024-03-02 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        snap3 = self._merge(snap2, b3, run_ts=ts("2024-04-01 00:00:00"))
+        assert self._rows(snap3) == [
+            (1, "a", ts("2024-01-01 00:00:00"), None),
+            (2, "B2", ts("2024-03-02 00:00:00"), None),
+            (2, "b", ts("2024-01-02 00:00:00"), t2),
+        ]
+
+    def test_null_stamped_row_is_present_not_deleted(self, spark):
+        """A NULL updated_col row cannot be versioned but still counts as
+        PRESENT: bad data must not read as a deletion."""
+        b1 = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        snap0 = self._merge(None, b1, run_ts=ts("2024-01-05 00:00:00"))
+        b2 = spark.createDataFrame(
+            [(1, "x", None)],
+            "k long, status string, upd timestamp",
+        )
+        snap1 = self._merge(snap0, b2, run_ts=ts("2024-02-01 00:00:00"))
+        assert self._rows(snap1) == [
+            (1, "a", ts("2024-01-01 00:00:00"), None),
+        ]
+
+    def test_requires_run_ts(self, spark):
+        import pytest
+
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            snapshot_merge,
+        )
+
+        src = spark.createDataFrame(
+            [(1, "a", ts("2024-01-01 00:00:00"))],
+            "k long, status string, upd timestamp",
+        )
+        with pytest.raises(ValueError, match="invalidate_hard_deletes"):
+            snapshot_merge(
+                None, src, key="k", updated_col="upd",
+                attr_cols=["status"], invalidate_hard_deletes=True,
+            )
+
+    def test_check_strategy_deletes_too(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            snapshot_merge,
+        )
+
+        def merge(snap, rows, run_ts):
+            src = spark.createDataFrame(rows, "k long, status string")
+            return snapshot_merge(
+                snap, src, key="k", attr_cols=["status"],
+                strategy="check", run_ts=run_ts,
+                invalidate_hard_deletes=True,
+            )
+
+        snap0 = merge(None, [(1, "a"), (2, "b")], ts("2024-01-01 00:00:00"))
+        t2 = ts("2024-02-01 00:00:00")
+        snap1 = merge(snap0, [(1, "a")], t2)
+        got = sorted(
+            (r.k, r.status, r.valid_from, r.valid_to)
+            for r in snap1.collect()
+        )
+        assert got == [
+            (1, "a", ts("2024-01-01 00:00:00"), None),
+            (2, "b", ts("2024-01-01 00:00:00"), t2),
+        ]
+
+
 def test_global_row_number_null_keys_match_window_semantics(spark):
     """NULL order keys: approxQuantile ignores them and every comparison
     against a split is NULL -> otherwise(0), so NULLs land in bucket 0
