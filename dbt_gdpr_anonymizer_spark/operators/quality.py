@@ -1109,3 +1109,93 @@ def gate_agreement(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("words_sum"),
     )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 10,
+    prior_mass: float = 100.0,
+    min_corpus_count: int = 5,
+) -> DataFrame:
+    """X163 per-group DISTINCTIVE vocabulary — Monroe/Colaresi/Quinn
+    "Fightin' Words" (2008) log-odds with an informed Dirichlet prior:
+    for each group (source/language/domain), which words are
+    over-represented relative to the REST of the corpus, z-scored so
+    rare-word noise doesn't dominate (the raw log-odds failure tf-idf
+    and PMI share). The dataset-card signal a curation team reads to
+    understand what a source actually contains before weighting it.
+
+    Per (group g, word w): delta = ln((y_gw + a_w) / (n_g + a0 - y_gw
+    - a_w)) - ln((y_rw + a_w) / (n_r + a0 - y_rw - a_w)) with variance
+    1/(y_gw + a_w) + 1/(y_rw + a_w) and z = delta / sqrt(variance),
+    where the prior a_w = a0 · y_w / n follows corpus frequency, y_rw /
+    n_r are rest-of-corpus counts, and words below ``min_corpus_count``
+    corpus occurrences are excluded before scoring.
+
+    Scale shape: one corpus tokenization explodes into map-side-combined
+    ``(group, word)`` counts; word totals and group totals are
+    vocab-bounded / group-bounded aggregates; the z arithmetic and the
+    ``row_number`` top-k window run over the vocab-bounded count table
+    PARTITIONED by group — corpus rows are touched exactly once.
+    Cross-engine determinism: counts are exact BIGINTs, every float step
+    is the same IEEE expression tree in both engines (the bm25/bigram-LM
+    ``ln`` precedent), ranks tie-break on the word, and the release is
+    floor(z·1e4) BIGINT.
+
+    Returns ``(group_col, word, y_gw BIGINT, rank BIGINT, z_e4 BIGINT)``
+    — the ``top_k`` most distinctive words per group.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col), F.explode(tx.words(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    gw = toks.groupBy(group_col, "w").agg(
+        F.count(F.lit(1)).alias("y_gw")
+    )
+    wt = gw.groupBy("w").agg(F.sum("y_gw").alias("y_w")).filter(
+        F.col("y_w") >= min_corpus_count
+    )
+    gt = gw.groupBy(group_col).agg(F.sum("y_gw").alias("n_g"))
+    tot = gt.agg(F.sum("n_g").alias("n"))
+    a0 = F.lit(float(prior_mass))
+    j = (
+        gw.join(wt, "w")
+        .join(F.broadcast(gt), group_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    y_gw = F.col("y_gw").cast("double")
+    y_w = F.col("y_w").cast("double")
+    n_g = F.col("n_g").cast("double")
+    n = F.col("n").cast("double")
+    a_w = a0 * y_w / n
+    y_rw = y_w - y_gw
+    n_r = n - n_g
+    delta = F.log(
+        (y_gw + a_w) / (n_g + a0 - y_gw - a_w)
+    ) - F.log((y_rw + a_w) / (n_r + a0 - y_rw - a_w))
+    var = F.lit(1.0) / (y_gw + a_w) + F.lit(1.0) / (y_rw + a_w)
+    z = delta / F.sqrt(var)
+    scored = j.select(
+        group_col,
+        "w",
+        F.col("y_gw").cast("bigint").alias("y_gw"),
+        z.alias("_z"),
+    )
+    rk = Window.partitionBy(group_col).orderBy(
+        F.desc("_z"), F.asc("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            group_col,
+            F.col("w").alias("word"),
+            "y_gw",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.floor(F.col("_z") * 10000).cast("bigint").alias("z_e4"),
+        )
+    )

@@ -28,7 +28,110 @@ __all__ = [
     "range_bucket_offsets",
     "global_row_number",
     "snapshot_merge",
+    "group_quantiles_exact",
 ]
+
+
+def group_quantiles_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: Sequence[tuple[int, int]],
+    *,
+    out_value: str = "q_value",
+) -> DataFrame:
+    """EXACT per-group discrete quantiles at corpus scale — without
+    Spark's ``percentile`` UDAF, which buffers every group member in
+    executor memory (fine for a demo, a 100 TB OOM for a hot group).
+
+    Contract (pinned, engine-portable): for each group g with n non-NULL
+    values and each quantile p = num/den, return the smallest value v
+    whose cumulative count reaches ``ceil(p·n)`` — the classic
+    inverse-ECDF discrete quantile. ``ps`` is a sequence of INTEGER
+    rationals ``(num, den)`` (e.g. ``[(1, 2), (95, 100)]``) so the
+    target rank ``ceil(num·n / den) = (num·n + den − 1) div den`` is
+    exact integer arithmetic in any engine — no float rank, no
+    interpolation, no engine-specific quantile definition to match.
+
+    Plan shape: ONE map-side-combined ``(group, value)`` count table —
+    bounded by distinct values per group (integer-unit money/score
+    domains are small by construction), never row count — then a
+    running sum over that bounded per-group histogram (window
+    PARTITIONED by group; the hot-group population never sorts, only
+    its distinct values do), a tiny cross join against the |ps|-row
+    quantile table, and a min-aggregate. NULL values are excluded from
+    n (SQL aggregate convention); NULL groups are ordinary groups.
+    Returns ``(group_col, p_num, p_den, q_value)`` — one row per group
+    per p; empty groups (all-NULL values) produce no rows.
+    """
+    if not ps:
+        raise ValueError("group_quantiles_exact: ps must be non-empty")
+    for num, den in ps:
+        if not (isinstance(num, int) and isinstance(den, int)):
+            raise ValueError(
+                "group_quantiles_exact: ps must be integer (num, den) "
+                f"rationals, got ({num!r}, {den!r})"
+            )
+        if den <= 0 or num < 0 or num > den:
+            raise ValueError(
+                f"group_quantiles_exact: p must satisfy 0 <= num/den <= 1 "
+                f"with den > 0, got ({num}, {den})"
+            )
+    cnt = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = cnt.select(
+        group_col,
+        value_col,
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wn).alias("_n"),
+    )
+    # The |ps|-row quantile table rides an exploded LITERAL array — a
+    # Generate, not a join: no BroadcastNestedLoopJoin appears in the
+    # plan for what is structurally a constant fan-out.
+    p_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(n)).cast("long").alias("p_num"),
+                F.lit(int(d)).cast("long").alias("p_den"),
+            )
+            for n, d in ps
+        ]
+    )
+    target = F.expr("(p_num * _n + p_den - 1) div p_den")
+    return (
+        run.select(
+            group_col,
+            value_col,
+            "_cum",
+            "_n",
+            F.explode(p_arr).alias("_p"),
+        )
+        .select(
+            group_col,
+            value_col,
+            "_cum",
+            "_n",
+            F.col("_p.p_num").alias("p_num"),
+            F.col("_p.p_den").alias("p_den"),
+        )
+        .groupBy(group_col, "p_num", "p_den")
+        .agg(
+            F.min(
+                F.when(F.col("_cum") >= target, F.col(value_col))
+            ).alias(out_value)
+        )
+    )
 
 
 def range_bucket_offsets(

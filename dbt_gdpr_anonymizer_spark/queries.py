@@ -1613,10 +1613,12 @@ _CHECK_LAST = [
     # by a checked representative; the 8th holdover joins them so the
     # session_window_rollup promotion keeps the front at exactly 50):
     "token_length_histogram",  # text family (quality_deciles 2R)
-    # r9-LATE new query, parked per the no-new-slots rule (family-covered
-    # by scd2_snapshot_orders, driver-green r8; promotes in the r10
-    # window alongside the 8 holdovers):
-    "scd2_snapshot_hard_deletes",
+    # r9-LATE new queries, parked per the no-new-slots rule (family
+    # coverage noted; they promote in the r10 window alongside the 8
+    # holdovers):
+    "scd2_snapshot_hard_deletes",  # scd2_snapshot_orders driver-green r8
+    "group_quantiles_events",  # stats family (event_value_percentiles 2R)
+    "distinctive_terms_documents",  # corpus-stats family (tfidf/bm25 green)
     "orc_roundtrip_documents",  # format family (parquet everywhere)
     "winsorized_stats_events",  # stats family (exact_median r6)
     "source_freshness_report",  # runtime-cert family (observe promoted r7)
@@ -11549,6 +11551,134 @@ def scd2_snapshot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     ).orderBy("o_orderkey", "valid_from")
+
+
+@register(
+    "group_quantiles_events",
+    """
+    with v as (
+      select event_type, cast(round(value * 100) as bigint) as vc
+      from events where value is not null
+    ),
+    cnt as (
+      select event_type, vc, count(*) as c from v group by 1, 2
+    ),
+    run as (
+      select event_type, vc,
+             sum(c) over (
+               partition by event_type order by vc
+               rows between unbounded preceding and current row
+             ) as cum,
+             sum(c) over (partition by event_type) as n
+      from cnt
+    ),
+    p as (
+      select * from (values (1, 4), (1, 2), (3, 4), (95, 100))
+        as t(p_num, p_den)
+    )
+    select event_type,
+           cast(p_num as bigint) as p_num,
+           cast(p_den as bigint) as p_den,
+           min(case when cum >= (p_num * n + p_den - 1) // p_den
+                    then vc end) as q_value
+    from run cross join p
+    group by 1, 2, 3
+    order by event_type, p_num, p_den
+    """,
+)
+def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group discrete quantiles at scale (r9,
+    relational.group_quantiles_exact): p25/p50/p75/p95 of integer-cent
+    event values per event_type — WITHOUT Spark's ``percentile`` UDAF,
+    which buffers every group member in executor memory (the
+    event_value_percentiles twin is exact but memory-bound on a hot
+    group; this plan's state is the bounded (group, distinct-value)
+    histogram). Quantiles are integer rationals and the target rank is
+    ``ceil(num·n/den)`` in pure integer arithmetic, so both engines
+    compute identical BIGINT ranks — no float rank, no interpolation,
+    no engine quantile-definition mismatch. The oracle replays the
+    inverse-ECDF contract relationally (count table → running sum →
+    min value reaching the rank)."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        group_quantiles_exact,
+    )
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    return group_quantiles_exact(
+        e, "event_type", "vc", [(1, 4), (1, 2), (3, 4), (95, 100)]
+    ).orderBy("event_type", "p_num", "p_den")
+
+
+@register(
+    "distinctive_terms_documents",
+    f"""
+    with toks as (
+      select lang, unnest({_WORDS_SQL}) as w from documents
+    ),
+    tk as (select lang, w from toks where w <> ''),
+    gw as (select lang, w, count(*) as y_gw from tk group by 1, 2),
+    wt as (select w, sum(y_gw) as y_w from gw group by 1
+           having sum(y_gw) >= 5),
+    gt as (select lang, sum(y_gw) as n_g from gw group by 1),
+    tot as (select sum(n_g) as n from gt),
+    j as (
+      select gw.lang, gw.w,
+             cast(gw.y_gw as double) as y_gw,
+             cast(wt.y_w as double) as y_w,
+             cast(gt.n_g as double) as n_g,
+             cast(tot.n as double) as n,
+             gw.y_gw as y_gw_i
+      from gw join wt using (w) join gt using (lang) cross join tot
+    ),
+    z as (
+      select lang, w, y_gw_i,
+        (ln((y_gw + 100.0 * y_w / n)
+            / (n_g + 100.0 - y_gw - 100.0 * y_w / n))
+         - ln(((y_w - y_gw) + 100.0 * y_w / n)
+            / ((n - n_g) + 100.0 - (y_w - y_gw) - 100.0 * y_w / n)))
+        / sqrt(1.0 / (y_gw + 100.0 * y_w / n)
+               + 1.0 / ((y_w - y_gw) + 100.0 * y_w / n)) as zv
+      from j
+    ),
+    r as (
+      select lang, w, y_gw_i, zv,
+             row_number() over (
+               partition by lang order by zv desc, w asc
+             ) as rank
+      from z
+    )
+    select lang, w as word, cast(y_gw_i as bigint) as y_gw,
+           cast(rank as bigint) as rank,
+           cast(floor(zv * 10000) as bigint) as z_e4
+    from r where rank <= 5
+    order by lang, rank
+    """,
+)
+def distinctive_terms_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X163 per-group distinctive vocabulary (operators/quality.
+    distinctive_terms — Monroe et al. 2008 'Fightin' Words' log-odds
+    with an informed Dirichlet prior, z-scored): the top-5 words each
+    LANGUAGE over-represents vs the rest of the corpus, the
+    dataset-card signal mixture planning reads before weighting a
+    source. Counts are exact BIGINTs; every float step is the same IEEE
+    expression tree in both engines (a_w = a0·y_w/n prior, the two-ln
+    delta, the 1/(y+a) variance, sqrt, division — the bm25/bigram-LM
+    libm precedent), ranks tie-break on the word, and the release is
+    floor(z·1e4) BIGINT. The oracle replays counts, prior, z, and the
+    rank window verbatim."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        distinctive_terms,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return distinctive_terms(
+        d, group_col="lang", top_k=5, prior_mass=100.0, min_corpus_count=5
+    ).orderBy("lang", "rank")
 
 
 @register(

@@ -76,6 +76,10 @@ BNLJ_ALLOWED = {
     #     construction: always exactly one row)
     "bigram_lm_perplexity_documents",
     "naive_bayes_lang_classifier",
+    #   distinctive_terms_documents — the 1-row corpus token total
+    #     broadcast cross-joined onto the vocab-bounded (group, word)
+    #     count table (same bounded 1-row-stats pattern as bigram/NB)
+    "distinctive_terms_documents",
     #   dsir_importance_weights_documents / dsir_gumbel_topk_documents —
     #     the 1-row target/pool token-totals frame broadcast cross-joined
     #     onto the bucket-bounded (<= n_buckets rows) model table

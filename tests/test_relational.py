@@ -539,6 +539,73 @@ def test_range_bucket_offsets_weighted_totals(spark):
     assert got == expect
 
 
+class TestGroupQuantilesExact:
+    def _ref(self, rows, ps):
+        import math
+
+        by_g: dict = {}
+        for g, v in rows:
+            if v is not None:
+                by_g.setdefault(g, []).append(v)
+        expect = {}
+        for g, vs in by_g.items():
+            vs.sort()
+            n = len(vs)
+            for num, den in ps:
+                t = max(math.ceil(num * n / den), 0)
+                # smallest value whose cumulative count reaches t
+                expect[(g, num, den)] = vs[max(t - 1, 0)]
+        return expect
+
+    def test_matches_reference_with_ties_nulls_and_null_group(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            group_quantiles_exact,
+        )
+
+        rows = (
+            [("a", v) for v in [5, 1, 3, 3, 3, 9, 7]]
+            + [("b", 2), ("b", None), ("b", 4)]
+            + [(None, 10), (None, 20), (None, 30)]
+            + [("empty", None)]
+        )
+        df = spark.createDataFrame(rows, "g string, v long")
+        ps = [(0, 1), (1, 4), (1, 2), (3, 4), (1, 1)]
+        got = {
+            (r["g"], r["p_num"], r["p_den"]): r["q_value"]
+            for r in group_quantiles_exact(df, "g", "v", ps).collect()
+        }
+        assert got == self._ref(rows, ps)  # 'empty' produces no rows
+
+    def test_rejects_bad_ps(self, spark):
+        import pytest
+
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            group_quantiles_exact,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "g string, v long")
+        with pytest.raises(ValueError, match="non-empty"):
+            group_quantiles_exact(df, "g", "v", [])
+        with pytest.raises(ValueError, match="rationals"):
+            group_quantiles_exact(df, "g", "v", [(0.5, 1)])
+        with pytest.raises(ValueError, match="0 <= num/den"):
+            group_quantiles_exact(df, "g", "v", [(3, 2)])
+
+    def test_plan_window_is_group_partitioned(self, spark):
+        from tests.conftest import unpartitioned_windows
+
+        from dbt_gdpr_anonymizer_spark.operators.relational import (
+            group_quantiles_exact,
+        )
+
+        df = spark.createDataFrame(
+            [("g", i % 7) for i in range(50)], "g string, v long"
+        )
+        assert unpartitioned_windows(
+            group_quantiles_exact(df, "g", "v", [(1, 2)])
+        ) == []
+
+
 def test_range_bucket_offsets_rejects_fractional_weights(spark):
     """r9 (ADVICE r8): the broadcast prefix sum is exact integer
     arithmetic (int(run)); a double weight_col would silently truncate

@@ -612,3 +612,49 @@ class TestByGroupNonNullableScore:
             ).collect()
         }
         assert got == {1, 2, 3}
+
+
+class TestDistinctiveTerms:
+    def test_planted_distinctive_word_ranks_first(self, spark):
+        """A word appearing ONLY in group 'a' (and often) must outrank
+        the shared background vocabulary for 'a'; exact y_gw counts and
+        the rank tie-break are pinned structurally (the z numerics are
+        pinned by the DuckDB oracle at sf0.001/0.01/0.1)."""
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            distinctive_terms,
+        )
+
+        shared = "alpha beta gamma delta epsilon"
+        rows = [(i, "a", f"{shared} zebra zebra zebra") for i in range(6)]
+        rows += [(100 + i, "b", shared) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = distinctive_terms(
+            df, group_col="lang", text_col="text", top_k=3,
+            min_corpus_count=5,
+        ).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["lang"], []).append(r)
+        a = sorted(by_g["a"], key=lambda r: r["rank"])
+        assert a[0]["word"] == "zebra" and a[0]["y_gw"] == 18
+        assert [r["rank"] for r in a] == [1, 2, 3]
+        # zebra is maximally ANTI-distinctive for b: absent from its top-k
+        assert all(r["word"] != "zebra" for r in by_g["b"])
+        # z released as floor-scaled BIGINT, ordered within each group
+        for g in by_g.values():
+            zs = [r["z_e4"] for r in sorted(g, key=lambda r: r["rank"])]
+            assert zs == sorted(zs, reverse=True)
+
+    def test_min_corpus_count_excludes_rare_words(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            distinctive_terms,
+        )
+
+        rows = [(1, "a", "common common common common common rare")]
+        rows += [(2, "b", "common common common common common")]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = distinctive_terms(
+            df, group_col="lang", text_col="text", top_k=5,
+            min_corpus_count=5,
+        ).collect()
+        assert all(r["word"] != "rare" for r in out)
