@@ -40,7 +40,7 @@ def group_quantiles_exact(
     *,
     out_value: str = "q_value",
 ) -> DataFrame:
-    """EXACT per-group discrete quantiles at corpus scale — without
+    """X162 EXACT per-group discrete quantiles at corpus scale — without
     Spark's ``percentile`` UDAF, which buffers every group member in
     executor memory (fine for a demo, a 100 TB OOM for a hot group).
 

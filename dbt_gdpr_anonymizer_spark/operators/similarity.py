@@ -37,6 +37,10 @@ __all__ = [
     "kmeans_fit",
     "kmeans_fit_model",
     "cell_assign_expr",
+    "pq_fit",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivf_pq_topk",
     "quantize_int8",
     "int8_covariance",
     "phrase_search",
@@ -376,6 +380,32 @@ def kmeans_fit(
     )
 
 
+def _lloyd_spherical_np(x, k: int, iters: int):
+    """Driver-side spherical Lloyd core shared by :func:`kmeans_fit_model`
+    and :func:`pq_fit`: seed = first k rows (caller pre-sorts by id),
+    nearest-by-cosine assignment with first-max (lowest cell id) ties,
+    normalized per-cell means, empty/zero-norm cells keep their previous
+    centroid. Returns the k×dim numpy centroid matrix."""
+    import numpy as np
+
+    xn = np.sqrt((x * x).sum(axis=1))
+    cents = x[:k].copy()
+    for _ in range(iters):
+        cn = np.sqrt((cents * cents).sum(axis=1))
+        cos = (x @ cents.T) / np.outer(xn, cn)
+        assign = np.argmax(cos, axis=1)  # first max = lowest cell id
+        new_cents = cents.copy()
+        for ci in range(len(cents)):
+            members = x[assign == ci]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = float(np.sqrt((m * m).sum()))
+                if norm > 0:
+                    new_cents[ci] = m / norm
+        cents = new_cents
+    return cents
+
+
 def kmeans_fit_model(
     vectors: DataFrame,
     k: int,
@@ -438,21 +468,7 @@ def kmeans_fit_model(
 
         rows.sort(key=lambda r: r[0])
         x = np.array([list(r[1]) for r in rows], dtype=np.float64)
-        xn = np.sqrt((x * x).sum(axis=1))
-        cents = x[:k].copy()
-        for _ in range(iters):
-            cn = np.sqrt((cents * cents).sum(axis=1))
-            cos = (x @ cents.T) / np.outer(xn, cn)
-            assign = np.argmax(cos, axis=1)  # first max = lowest cell id
-            new_cents = cents.copy()
-            for ci in range(len(cents)):
-                members = x[assign == ci]
-                if len(members):
-                    m = members.mean(axis=0)
-                    norm = float(np.sqrt((m * m).sum()))
-                    if norm > 0:
-                        new_cents[ci] = m / norm
-            cents = new_cents
+        cents = _lloyd_spherical_np(x, k, iters)
         if sampled is not None:
             sampled.unpersist()
         return [[float(v) for v in c] for c in cents]
@@ -519,6 +535,313 @@ def cell_assign_expr(v: Column, centroids: list[list[float]]) -> Column:
         F.greatest(
             F.array_position(scores, F.array_max(scores)).cast("int") - 1,
             F.lit(0),
+        )
+    )
+
+
+def pq_fit(
+    vectors: DataFrame,
+    *,
+    m: int,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_n: int | None = 100_000,
+    driver_fit_max: int = 200_000,
+) -> list[list[list[float]]]:
+    """X164 product-quantization codebook fit (Jégou et al. 2011): split
+    the ``dim``-dimensional space into ``m`` contiguous subspaces of
+    ``dim/m`` dims and fit an independent spherical k-means codebook per
+    subspace — the memory-scale path for billion-vector ANN (an encoded
+    vector is ``m`` small ints instead of ``dim`` floats; FAISS's
+    IVF+PQ pairs this with :func:`ivf_assign` cell routing).
+
+    The fit is model estimation over a bounded row set (``fit_sample_n``
+    caps it exactly like :func:`kmeans_fit`): ONE CollectLimit job pulls
+    the id-sorted sample, then the ``m`` subspace Lloyd runs execute
+    driver-side in numpy on slices of the same matrix — model state is
+    m×k×(dim/m), never data. Seeding/ties/empty-cell semantics are
+    :func:`kmeans_fit`'s exactly, per subspace. Returns the nested
+    Python model ``[subspace][centroid][component]`` for the literal-
+    expression consumers (:func:`pq_encode`, :func:`pq_adc_topk`).
+    """
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    d = dim // m
+    import numpy as np
+
+    sampled = None
+    if fit_sample_n is not None:
+        from dbt_gdpr_anonymizer_spark.sources.ingest import (
+            deterministic_sample,
+        )
+
+        sampled = deterministic_sample(vectors, fit_sample_n, id_col)
+        vectors = sampled
+    rows = (
+        vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .limit(driver_fit_max + 1)
+        .collect()
+    )
+    if len(rows) == 0:
+        raise ValueError("pq_fit: empty vector table")
+    if len(rows) > driver_fit_max:
+        raise ValueError(
+            "pq_fit: fit row set exceeds driver_fit_max "
+            f"({driver_fit_max}); pass fit_sample_n to bound the fit "
+            "(the model is estimation state — a bounded sample pins the "
+            "same codebooks)"
+        )
+    rows.sort(key=lambda r: r[0])
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if x.shape[1] != dim:
+        raise ValueError(
+            f"pq_fit: vectors have dim {x.shape[1]}, expected {dim}"
+        )
+    return [
+        [
+            [float(v) for v in c]
+            for c in _lloyd_spherical_np(
+                np.ascontiguousarray(x[:, j * d : (j + 1) * d]), k, iters
+            )
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    vectors: DataFrame,
+    models: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector against a :func:`pq_fit` model: one int code
+    per subspace, nearest-by-cosine with :func:`cell_assign_expr`'s
+    argmax/tie semantics. Pure map-side codegen projection over literal
+    codebooks — no join, no shuffle; the output row is the m-int code
+    that replaces the float vector downstream. Returns
+    ``(id_col, code_0 … code_{m-1})``."""
+    d = len(models[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    return vectors.select(
+        F.col(id_col),
+        *[
+            cell_assign_expr(F.slice(v, j * d + 1, d), models[j]).alias(
+                f"code_{j}"
+            )
+            for j in range(len(models))
+        ],
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    models: list[list[list[float]]],
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each corpus vector
+    is reduced to its ``m`` codebook codes and scored against a query by
+    ``Σ_j dot(q_j, codebook_j[code_j])`` — the query stays exact, the
+    corpus is quantized, which is how PQ retrieval actually runs (Jégou
+    et al. 2011 §4.2, inner-product/MIPS form).
+
+    Scale shape: encoding is a map-side literal projection
+    (:func:`pq_encode`); per (query × row) the score is ``m`` literal
+    table lookups (``element_at`` over the k precomputed
+    query-to-centroid dots) summed left-to-right — no float vector is
+    touched after encoding. ``queries`` must be small (broadcast; the
+    :func:`cosine_topk` contract) and the per-query rank window is
+    partitioned by query id. At billion-vector scale this composes with
+    :func:`ivf_assign` cell routing so only a few cells' codes are
+    scanned. Self-matches are excluded.
+
+    Cross-engine determinism: every query-to-centroid dot is the same
+    left-fold ``_dot`` both engines compute bit-identically; equal-coded
+    rows score EXACTLY equal and tie-break on ``id_col``. Returns
+    ``(query_id_col, rank BIGINT, id_col)`` — integer-only release (the
+    kmeans-oracle precedent: fitted-centroid floats may drift in the
+    last ulp across engines, argmax/rank decisions do not).
+    """
+    from pyspark.sql import Window
+
+    m = len(models)
+    codes = pq_encode(vectors, models, id_col=id_col, vec_col=vec_col)
+    qluts = _pq_query_luts(
+        queries, models, query_id_col=query_id_col, vec_col=vec_col
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_adc"), F.asc(id_col)
+    )
+    return (
+        qluts.crossJoin(codes)
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("_adc", _pq_adc_score(m))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("rank").cast("bigint").alias("rank"),
+            id_col,
+        )
+    )
+
+
+def _pq_query_luts(
+    queries: DataFrame,
+    models: list[list[list[float]]],
+    *,
+    query_id_col: str,
+    vec_col: str,
+    extra_cols: list[Column] | None = None,
+) -> DataFrame:
+    """Project the per-subspace ADC lookup tables ON THE QUERY SIDE
+    before any join: the m×k interpreted dot folds run once per QUERY
+    row, and the per-pair work after the join is m codegen ``element_at``
+    lookups + adds (folding the luts inline post-join would re-evaluate
+    every fold per query×row). ``_lut_j[c]`` = left-fold dot of the
+    query's j-th subvector with codebook j's centroid c."""
+    d = len(models[0][0])
+    q_v = F.col(vec_col).cast("array<double>")
+    return queries.select(
+        F.col(query_id_col),
+        *[
+            F.array(
+                *[
+                    _dot(
+                        F.slice(q_v, j * d + 1, d),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                    )
+                    for c in models[j]
+                ]
+            ).alias(f"_lut_{j}")
+            for j in range(len(models))
+        ],
+        *(extra_cols or []),
+    )
+
+
+def _pq_adc_score(m: int) -> Column:
+    """Left-to-right sum of the m ``element_at(_lut_j, code_j + 1)``
+    terms — the same fold order as DuckDB's left-assoc ``+`` chain."""
+    score = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_lut_{j}"), F.col(f"code_{j}") + 1)
+        score = term if score is None else score + term
+    return score
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    models: list[list[list[float]]],
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    coarse: list[list[float]] | None = None,
+) -> DataFrame:
+    """X165 IVFADC — the composition the billion-vector tier actually runs
+    (Jégou et al. 2011 §5; FAISS ``IndexIVFPQ``): a coarse quantizer
+    routes every vector to one of ``nlist`` cells, the vector is stored
+    only as its ``m`` PQ codes, and a query scans just its ``nprobe``
+    nearest cells, scoring candidates asymmetrically via the
+    :func:`pq_adc_topk` LUTs.
+
+    Scale shape: the ENTIRE corpus pass is ONE shuffle-free literal
+    projection — ``cell_assign_expr`` routing + :func:`pq_encode` codes
+    in the same select (at real scale: write once, partitioned by
+    ``cell``, reuse across query batches). The query side (small by the
+    :func:`cosine_topk` broadcast contract) computes its probe list and
+    ADC LUTs as literal expressions too, so the only join is the
+    broadcast probe↔cell equi-join that prunes the scan to
+    nprobe/nlist of the corpus; the rank window is per-query.
+
+    ``coarse`` is the nlist coarse-quantizer model (driver-local list,
+    e.g. :func:`kmeans_fit_model`); default seeding collects the first
+    ``nlist`` vectors by id (one CollectLimit job — deterministic, the
+    :func:`ivf_topk` seeding made model-state). Probe order is
+    (cos desc, cell asc), exactly :func:`ivf_topk`'s; code/tie semantics
+    are :func:`pq_adc_topk`'s. Returns (query_id_col, rank BIGINT,
+    id_col) — the same integer-only release."""
+    from pyspark.sql import Window
+
+    m = len(models)
+    if coarse is None:
+        rows = (
+            vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(id_col)
+            .limit(nlist)
+            .collect()
+        )
+        coarse = [[float(x) for x in r[1]] for r in rows]
+    v = F.col(vec_col).cast("array<double>")
+    d = len(models[0][0])
+    # One narrow projection: coarse cell + the m codes per corpus row.
+    corpus = vectors.select(
+        F.col(id_col),
+        cell_assign_expr(v, coarse).alias("cell"),
+        *[
+            cell_assign_expr(F.slice(v, j * d + 1, d), models[j]).alias(
+                f"code_{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    # Probe list as a literal expression: sort (−cos, cell_id) structs
+    # ascending (= cos desc, cell asc — negation is IEEE-exact) and keep
+    # the first nprobe cell ids.
+    q_v = F.col(vec_col).cast("array<double>")
+    probe_structs = F.array(
+        *[
+            F.struct(
+                (
+                    cosine_sim(q_v, F.array(*[F.lit(float(x)) for x in c]))
+                    * F.lit(-1.0)
+                ).alias("_nc"),
+                F.lit(ci).alias("_cid"),
+            )
+            for ci, c in enumerate(coarse)
+        ]
+    )
+    probes_arr = F.transform(
+        F.slice(F.sort_array(probe_structs), 1, nprobe), lambda s: s["_cid"]
+    )
+    qside = _pq_query_luts(
+        queries,
+        models,
+        query_id_col=query_id_col,
+        vec_col=vec_col,
+        extra_cols=[probes_arr.alias("_probes")],
+    )
+    probes = qside.select(
+        query_id_col,
+        *[f"_lut_{j}" for j in range(m)],
+        F.explode("_probes").alias("cell"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_adc"), F.asc(id_col)
+    )
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("_adc", _pq_adc_score(m))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("rank").cast("bigint").alias("rank"),
+            id_col,
         )
     )
 

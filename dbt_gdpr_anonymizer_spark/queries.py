@@ -1619,6 +1619,8 @@ _CHECK_LAST = [
     "scd2_snapshot_hard_deletes",  # scd2_snapshot_orders driver-green r8
     "group_quantiles_events",  # stats family (event_value_percentiles 2R)
     "distinctive_terms_documents",  # corpus-stats family (tfidf/bm25 green)
+    "pq_adc_topk_embeddings",  # ANN family (ann_ivf/lsh/kmeans green)
+    "ivf_pq_topk_embeddings",  # ANN family (composes the two above)
     "orc_roundtrip_documents",  # format family (parquet everywhere)
     "winsorized_stats_events",  # stats family (exact_median r6)
     "source_freshness_report",  # runtime-cert family (observe promoted r7)
@@ -11780,3 +11782,234 @@ def scd2_snapshot_hard_deletes(
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     ).orderBy("o_orderkey", "valid_from")
+
+
+def _pq_subspace_cte_sql(j: int, d: int, k: int, iters: int) -> str:
+    """Per-subspace Lloyd unroll for the PQ oracle: the same generated-SQL
+    replay as :func:`_kmeans_cte_sql` (seed = first k vectors by id,
+    (cos desc, centroid_id) tie order, elementwise means, L2 normalize,
+    empty/zero-norm cells keep the previous centroid) but over the
+    1-based-inclusive subvector slice ``vv[j*d+1 : (j+1)*d]`` and with
+    every CTE name prefixed ``s{j}_`` so the m independent codebook fits
+    coexist in one WITH chain. Ends at ``s{j}_af(vec_id, cell)`` — the
+    subspace's code per vector (pq_encode's output)."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    p = f"s{j}_"
+    avgs = ", ".join(f"avg(vv[{i + 1}])" for i in range(d))
+    parts = [
+        (
+            f"{p}v as (select vec_id, vv[{j * d + 1}:{(j + 1) * d}] as vv "
+            "from v)"
+        ),
+        (
+            f"{p}c0 as (select row_number() over (order by vec_id) - 1 as "
+            f"centroid_id, vv as cv from {p}v order by vec_id limit {k})"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        prev, cur = f"{p}c{i - 1}", f"{p}c{i}"
+        parts.append(
+            f"{p}a{i} as (select vec_id, vv, cell from ("
+            f"select v.vec_id, v.vv, c.centroid_id as cell, "
+            f"row_number() over (partition by v.vec_id order by "
+            f"{cos.format(a='v.vv', b='c.cv')} desc, c.centroid_id) as rn "
+            f"from {p}v v cross join {prev} c) where rn = 1)"
+        )
+        parts.append(
+            f"{p}m{i} as (select cell, [{avgs}] as mv from {p}a{i} "
+            "group by cell)"
+        )
+        parts.append(
+            f"{cur} as (select p.centroid_id, "
+            f"case when m.nrm is null or m.nrm = 0 then p.cv "
+            f"else list_transform(m.mv, x -> x / m.nrm) end as cv "
+            f"from {prev} p left join (select cell, mv, "
+            f"sqrt(list_dot_product(mv, mv)) as nrm from {p}m{i}) m "
+            f"on p.centroid_id = m.cell)"
+        )
+    parts.append(
+        f"{p}af as (select vec_id, cell from ("
+        f"select v.vec_id, c.centroid_id as cell, "
+        f"row_number() over (partition by v.vec_id order by "
+        f"{cos.format(a='v.vv', b='c.cv')} desc, c.centroid_id) as rn "
+        f"from {p}v v cross join {p}c{iters} c) where rn = 1)"
+    )
+    return ",\n".join(parts)
+
+
+def _pq_adc_oracle_sql(
+    m: int, dim: int, k: int, iters: int, nq: int, topk: int
+) -> str:
+    """Full PQ-ADC oracle: m independent subspace codebook fits
+    (:func:`_pq_subspace_cte_sql`), per-vector codes, then the asymmetric
+    top-k — each query's EXACT subvector dotted with the codebook row its
+    candidate's code selects, summed left-to-right across subspaces (the
+    same fold order pq_adc_topk's ``_lut_j`` element_at sum uses).
+    Integer-only (query_id, rank, vec_id) release per the kmeans-oracle
+    precedent: fitted floats may drift in the last ulp across engines,
+    the argmax/rank decisions they feed do not on this corpus."""
+    d = dim // m
+    subs = ",\n".join(_pq_subspace_cte_sql(j, d, k, iters) for j in range(m))
+    adc = " + ".join(
+        f"list_dot_product(q.qv[{j * d + 1}:{(j + 1) * d}], b{j}.cv)"
+        for j in range(m)
+    )
+    code_joins = "\n      ".join(
+        f"join s{j}_af on s{j}_af.vec_id = s0_af.vec_id"
+        for j in range(1, m)
+    )
+    book_joins = "\n      ".join(
+        f"join s{j}_c{iters} b{j} on b{j}.centroid_id = s{j}_af.cell"
+        for j in range(m)
+    )
+    return f"""
+    with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    {subs},
+    q as (select vec_id as query_id, vv as qv from v
+          where vec_id < {nq}),
+    scored as (
+      select q.query_id, s0_af.vec_id, {adc} as adc
+      from q cross join s0_af
+      {code_joins}
+      {book_joins}
+      where s0_af.vec_id <> q.query_id
+    ),
+    r as (select query_id, vec_id,
+                 row_number() over (partition by query_id
+                                    order by adc desc, vec_id) as rank
+          from scored)
+    select query_id, cast(rank as bigint) as rank, vec_id
+    from r where rank <= {topk}
+    order by query_id, rank
+    """
+
+
+@register("pq_adc_topk_embeddings", _pq_adc_oracle_sql(4, 64, 4, 2, 3, 5))
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (r9, operators/similarity.pq_fit /
+    pq_encode / pq_adc_topk — Jégou et al. 2011): the memory-scale path
+    for billion-vector retrieval, where each 64-float vector is reduced
+    to m=4 small codebook codes and queries score candidates
+    asymmetrically (exact query subvectors × codebook rows). The fit is
+    bounded driver-side model estimation (the kmeans_fit_model
+    precedent); encoding is a shuffle-free literal projection; the ADC
+    LUTs are projected on the broadcast query side so per-pair work is
+    m codegen lookups. fit_sample_n=None because the oracle replays the
+    full-corpus fit (m unrolled per-subspace Lloyd chains). Integer-only
+    (query_id, rank, vec_id) release."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    models = pq_fit(
+        emb, m=4, dim=64, k=4, iters=2, fit_sample_n=None
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(emb, queries, models, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _ivf_pq_oracle_sql(
+    nlist: int,
+    nprobe: int,
+    m: int,
+    dim: int,
+    k: int,
+    iters: int,
+    nq: int,
+    topk: int,
+) -> str:
+    """IVFADC oracle: coarse routing (first-nlist-by-id seeding, the
+    ann_ivf_topk replay, with POSITIONAL cell ids because
+    cell_assign_expr releases array positions) + the m subspace codebook
+    chains (:func:`_pq_subspace_cte_sql`) + the ADC tail restricted to
+    each query's nprobe nearest coarse cells. Same integer-only
+    (query_id, rank, vec_id) release as the PQ oracle."""
+    d = dim // m
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    subs = ",\n".join(_pq_subspace_cte_sql(j, d, k, iters) for j in range(m))
+    adc = " + ".join(
+        f"list_dot_product(qp.qv[{j * d + 1}:{(j + 1) * d}], b{j}.cv)"
+        for j in range(m)
+    )
+    code_joins = "\n      ".join(
+        f"join s{j}_af on s{j}_af.vec_id = a.vec_id" for j in range(m)
+    )
+    book_joins = "\n      ".join(
+        f"join s{j}_c{iters} b{j} on b{j}.centroid_id = s{j}_af.cell"
+        for j in range(m)
+    )
+    return f"""
+    with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    cents as (select row_number() over (order by vec_id) - 1 as centroid_id,
+                     vv as cv
+              from v order by vec_id limit {nlist}),
+    asg as (select vec_id, cell from (
+      select v.vec_id, c.centroid_id as cell,
+             row_number() over (partition by v.vec_id order by
+               {cos.format(a='v.vv', b='c.cv')} desc, c.centroid_id) as rn
+      from v cross join cents c) where rn = 1),
+    {subs},
+    q as (select vec_id as query_id, vv as qv from v
+          where vec_id < {nq}),
+    qp as (select query_id, qv, cell from (
+      select q.query_id, q.qv, c.centroid_id as cell,
+             row_number() over (partition by q.query_id order by
+               {cos.format(a='q.qv', b='c.cv')} desc, c.centroid_id) as rn
+      from q cross join cents c) where rn <= {nprobe}),
+    scored as (
+      select qp.query_id, a.vec_id, {adc} as adc
+      from qp
+      join asg a using (cell)
+      {code_joins}
+      {book_joins}
+      where a.vec_id <> qp.query_id
+    ),
+    r as (select query_id, vec_id,
+                 row_number() over (partition by query_id
+                                    order by adc desc, vec_id) as rank
+          from scored)
+    select query_id, cast(rank as bigint) as rank, vec_id
+    from r where rank <= {topk}
+    order by query_id, rank
+    """
+
+
+@register(
+    "ivf_pq_topk_embeddings", _ivf_pq_oracle_sql(16, 4, 4, 64, 4, 2, 3, 5)
+)
+def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC retrieval (r9, operators/similarity.ivf_pq_topk — Jégou et
+    al. 2011 §5, FAISS IndexIVFPQ): coarse routing to 16 cells, 4-probe
+    query scan, asymmetric LUT scoring over m=4 PQ codes. The corpus
+    pass is ONE shuffle-free literal projection (cell + codes); the only
+    join is the broadcast probe↔cell equi-join pruning the scan to
+    nprobe/nlist of the corpus — the composition the VERDICT's ANN row
+    promises at billion-vector scale, now a checked query. The oracle
+    replays coarse routing (positional cell ids), the four subspace
+    Lloyd chains, and the probe-restricted ADC tail. fit_sample_n=None
+    because the oracle refits over the full corpus."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    models = pq_fit(emb, m=4, dim=64, k=4, iters=2, fit_sample_n=None)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        emb, queries, models, k=5, nlist=16, nprobe=4
+    ).orderBy("query_id", "rank")

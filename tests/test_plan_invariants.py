@@ -90,6 +90,12 @@ BNLJ_ALLOWED = {
     #     small by construction; an LSH candidate tier would lose recall
     #     exactly where misses are the failure mode)
     "semantic_decontaminate_embeddings",
+    #   pq_adc_topk_embeddings — the brute-force ADC tier: the broadcast
+    #     side is the query-LUT table (query-set scale, the
+    #     ann_cosine_topk contract); the cell-routed composition that
+    #     replaces it at scale is ivf_pq_topk_embeddings, whose probe
+    #     join is a broadcast HASH join and is NOT allowlisted here
+    "pq_adc_topk_embeddings",
 }
 
 

@@ -182,3 +182,236 @@ class TestCentroidDriftInt8:
         df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
         got = {r.label: r.drift_num for r in centroid_drift_int8(df).collect()}
         assert got[1] == 0 and got[2] == 510
+
+
+class TestProductQuantization:
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_fit_matches_per_subspace_kmeans(self, spark):
+        """pq_fit == kmeans_fit_model run independently on each
+        contiguous subvector slice (same seeding/tie/update semantics)."""
+        from pyspark.sql import functions as F
+
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            kmeans_fit_model,
+            pq_fit,
+        )
+
+        rows = [
+            (i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)])
+            for i in range(30)
+        ]
+        df = self._vecs(spark, rows)
+        got = pq_fit(df, m=2, dim=8, k=3, iters=2, fit_sample_n=None)
+        for j in range(2):
+            sub = df.select(
+                "vec_id",
+                F.slice("embedding", j * 4 + 1, 4).alias("embedding"),
+            )
+            ref = kmeans_fit_model(sub, 3, iters=2, fit_sample_n=None)
+            assert got[j] == ref, f"subspace {j}"
+
+    def test_fit_validations(self, spark):
+        import pytest
+
+        from dbt_gdpr_anonymizer_spark.operators.similarity import pq_fit
+
+        df = self._vecs(spark, [(1, [1.0, 2.0, 3.0, 4.0])])
+        with pytest.raises(ValueError, match="divisible"):
+            pq_fit(df, m=3, dim=4, k=1, fit_sample_n=None)
+        with pytest.raises(ValueError, match="driver_fit_max"):
+            pq_fit(
+                df, m=2, dim=4, k=1, fit_sample_n=None, driver_fit_max=0
+            )
+        with pytest.raises(ValueError, match="empty"):
+            pq_fit(df.limit(0), m=2, dim=4, k=1, fit_sample_n=None)
+
+    def test_adc_topk_matches_bruteforce_reference(self, spark):
+        """ADC ranks == python brute force over the same codes/codebooks
+        (dot-fold order mirrored), self excluded, ties by id."""
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_encode,
+            pq_fit,
+        )
+
+        rows = [
+            (i, [float(((i + 1) * (d + 2) * 13) % 17 - 8) for d in range(8)])
+            for i in range(25)
+        ]
+        df = self._vecs(spark, rows)
+        models = pq_fit(df, m=2, dim=8, k=4, iters=2, fit_sample_n=None)
+        queries = df.filter("vec_id < 3").select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        got = {}
+        for r in pq_adc_topk(df, queries, models, k=4).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"])
+            )
+        codes = {
+            r["vec_id"]: (r["code_0"], r["code_1"])
+            for r in pq_encode(df, models).collect()
+        }
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        vec = dict(rows)
+        for qid in (0, 1, 2):
+            q = vec[qid]
+            scored = []
+            for vid, v in rows:
+                if vid == qid:
+                    continue
+                c0, c1 = codes[vid]
+                s = dot(q[0:4], models[0][c0]) + dot(q[4:8], models[1][c1])
+                scored.append((-s, vid))
+            scored.sort()
+            expect = [(rk + 1, vid) for rk, (_, vid) in enumerate(scored[:4])]
+            assert sorted(got[qid]) == expect, qid
+
+    def test_encode_is_narrow_no_shuffle(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            pq_encode,
+            pq_fit,
+        )
+
+        rows = [(i, [float(i % 5), 1.0, 2.0, float(i % 3)]) for i in range(20)]
+        df = self._vecs(spark, rows)
+        models = pq_fit(df, m=2, dim=4, k=2, iters=1, fit_sample_n=None)
+        plan = (
+            pq_encode(df, models)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan  # pure map-side projection
+
+
+class TestIvfPq:
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def _rows(self, n=40, dim=8):
+        return [
+            (i, [float(((i + 3) * (d + 5) * 7) % 19 - 9) for d in range(dim)])
+            for i in range(n)
+        ]
+
+    def test_full_probe_matches_pq_adc_topk(self, spark):
+        """With nprobe == nlist every cell is probed, so IVFADC must
+        return exactly the unrouted pq_adc_topk ranking."""
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            ivf_pq_topk,
+            pq_adc_topk,
+            pq_fit,
+        )
+
+        df = self._vecs(spark, self._rows())
+        models = pq_fit(df, m=2, dim=8, k=3, iters=2, fit_sample_n=None)
+        queries = df.filter("vec_id < 3").select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        got = sorted(
+            map(
+                tuple,
+                ivf_pq_topk(
+                    df, queries, models, k=4, nlist=4, nprobe=4
+                ).collect(),
+            )
+        )
+        ref = sorted(
+            map(tuple, pq_adc_topk(df, queries, models, k=4).collect())
+        )
+        assert got == ref
+
+    def test_probe_routing_matches_python_reference(self, spark):
+        """nprobe < nlist: candidates restricted to the query's nprobe
+        nearest coarse cells (cos desc, cell asc), ADC ranks within."""
+        import math
+
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            ivf_pq_topk,
+            pq_encode,
+            pq_fit,
+        )
+
+        rows = self._rows()
+        df = self._vecs(spark, rows)
+        models = pq_fit(df, m=2, dim=8, k=3, iters=2, fit_sample_n=None)
+        coarse = [list(v) for _, v in rows[:4]]  # default first-4 seeding
+        queries = df.filter("vec_id < 2").select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        got = {}
+        for r in ivf_pq_topk(
+            df, queries, models, k=3, nlist=4, nprobe=2
+        ).collect():
+            got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+        codes = {
+            r["vec_id"]: (r["code_0"], r["code_1"])
+            for r in pq_encode(df, models).collect()
+        }
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def cos(a, b):
+            return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+        def cell(v):
+            scores = [cos(v, c) for c in coarse]
+            return scores.index(max(scores))
+
+        vec = dict(rows)
+        assign = {vid: cell(v) for vid, v in rows}
+        for qid in (0, 1):
+            q = vec[qid]
+            order = sorted(range(4), key=lambda ci: (-cos(q, coarse[ci]), ci))
+            probed = set(order[:2])
+            scored = []
+            for vid, v in rows:
+                if vid == qid or assign[vid] not in probed:
+                    continue
+                c0, c1 = codes[vid]
+                s = dot(q[0:4], models[0][c0]) + dot(q[4:8], models[1][c1])
+                scored.append((-s, vid))
+            scored.sort()
+            expect = [(rk + 1, vid) for rk, (_, vid) in enumerate(scored[:3])]
+            assert sorted(got[qid]) == expect, qid
+
+    def test_corpus_side_is_single_narrow_projection(self, spark):
+        """The corpus pass (cell routing + m codes) must plan with no
+        Exchange and no join on the corpus side — the only Exchange in
+        the full plan is the rank window's per-query shuffle plus the
+        broadcast of the probe table."""
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            ivf_pq_topk,
+            pq_fit,
+        )
+
+        df = self._vecs(spark, self._rows())
+        models = pq_fit(df, m=2, dim=8, k=3, iters=1, fit_sample_n=None)
+        queries = df.filter("vec_id < 2").select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        plan = (
+            ivf_pq_topk(df, queries, models, k=3, nlist=4, nprobe=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
