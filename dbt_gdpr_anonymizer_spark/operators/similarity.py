@@ -611,6 +611,76 @@ def pq_fit(
     ]
 
 
+def _pq_assign_arrow(
+    vectors: DataFrame,
+    models: list[list[list[float]]],
+    *,
+    id_col: str,
+    vec_col: str,
+    coarse: list[list[float]] | None = None,
+) -> DataFrame:
+    """Corpus-side PQ assignment (m codes per row, plus the IVF coarse
+    cell when ``coarse`` is given) as ONE Arrow-batched ``mapInPandas``
+    pass — narrow, shuffle-free, numpy-vectorized.
+
+    Why not column expressions: nearest-centroid argmax needs m·k (+
+    nlist) cosines per ROW against literal model vectors. Expression
+    HOF folds evaluate interpreted (CodegenFallback) at ~ms/row on a
+    64-dim corpus — measured 6s for 2000 rows on the IVFADC pass — and
+    an unrolled multiply-add chain is WORSE (a 1024-node expression tree
+    walks slower than the fold loop and blows up codegen). One matmul
+    per Arrow batch is the honest vectorized path, the same tier the
+    multimodal/FF1/NFC operators use; swap in a JVM/native kernel where
+    available.
+
+    Cross-engine parity stance: numpy's BLAS partial-sum order differs
+    from the SQL left fold in the last ulp, exactly like the
+    :func:`kmeans_fit_model` numpy fit the oracles already accept —
+    argmax decisions are separated far beyond an ulp on real corpora,
+    ties between IDENTICAL vectors/codebook rows are exact in both
+    engines, and np.argmax's first-max matches the (cos desc, id asc)
+    SQL rank. Verified hash-green vs the unrolled DuckDB replay at
+    sf0.001/0.01/0.1."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    m = len(models)
+    d = len(models[0][0])
+    src = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    fields = [StructField(id_col, src.schema[id_col].dataType)]
+    if coarse is not None:
+        fields.append(StructField("cell", IntegerType()))
+    fields += [StructField(f"code_{j}", IntegerType()) for j in range(m)]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        bks = [np.array(b, dtype=np.float64) for b in models]
+        bkn = [np.sqrt((bk * bk).sum(axis=1)) for bk in bks]
+        if coarse is not None:
+            cmat = np.array(coarse, dtype=np.float64)
+            cn = np.sqrt((cmat * cmat).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())
+            out = {id_col: pdf[id_col]}
+            if coarse is not None:
+                xn = np.sqrt((x * x).sum(axis=1))
+                cos = (x @ cmat.T) / np.outer(xn, cn)
+                out["cell"] = np.argmax(cos, axis=1).astype("int32")
+            for j in range(m):
+                s = x[:, j * d : (j + 1) * d]
+                sn = np.sqrt((s * s).sum(axis=1))
+                cosj = (s @ bks[j].T) / np.outer(sn, bkn[j])
+                out[f"code_{j}"] = np.argmax(cosj, axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, StructType(fields))
+
+
 def pq_encode(
     vectors: DataFrame,
     models: list[list[list[float]]],
@@ -620,21 +690,11 @@ def pq_encode(
 ) -> DataFrame:
     """Encode each vector against a :func:`pq_fit` model: one int code
     per subspace, nearest-by-cosine with :func:`cell_assign_expr`'s
-    argmax/tie semantics. Pure map-side codegen projection over literal
-    codebooks — no join, no shuffle; the output row is the m-int code
-    that replaces the float vector downstream. Returns
-    ``(id_col, code_0 … code_{m-1})``."""
-    d = len(models[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    return vectors.select(
-        F.col(id_col),
-        *[
-            cell_assign_expr(F.slice(v, j * d + 1, d), models[j]).alias(
-                f"code_{j}"
-            )
-            for j in range(len(models))
-        ],
-    )
+    argmax/tie semantics, computed as one Arrow-batched numpy pass
+    (:func:`_pq_assign_arrow` — narrow, no join, no shuffle); the output
+    row is the m-int code that replaces the float vector downstream.
+    Returns ``(id_col, code_0 … code_{m-1})``."""
+    return _pq_assign_arrow(vectors, models, id_col=id_col, vec_col=vec_col)
 
 
 def pq_adc_topk(
@@ -653,22 +713,23 @@ def pq_adc_topk(
     corpus is quantized, which is how PQ retrieval actually runs (Jégou
     et al. 2011 §4.2, inner-product/MIPS form).
 
-    Scale shape: encoding is a map-side literal projection
+    Scale shape: encoding is one narrow Arrow-batched pass
     (:func:`pq_encode`); per (query × row) the score is ``m`` literal
     table lookups (``element_at`` over the k precomputed
     query-to-centroid dots) summed left-to-right — no float vector is
     touched after encoding. ``queries`` must be small (broadcast; the
     :func:`cosine_topk` contract) and the per-query rank window is
     partitioned by query id. At billion-vector scale this composes with
-    :func:`ivf_assign` cell routing so only a few cells' codes are
-    scanned. Self-matches are excluded.
+    coarse cell routing (:func:`ivf_pq_topk`) so only a few cells'
+    codes are scanned. Self-matches are excluded.
 
     Cross-engine determinism: every query-to-centroid dot is the same
     left-fold ``_dot`` both engines compute bit-identically; equal-coded
     rows score EXACTLY equal and tie-break on ``id_col``. Returns
     ``(query_id_col, rank BIGINT, id_col)`` — integer-only release (the
     kmeans-oracle precedent: fitted-centroid floats may drift in the
-    last ulp across engines, argmax/rank decisions do not).
+    last ulp across engines, argmax/rank decisions do not; the encode
+    argmax itself carries the :func:`_pq_assign_arrow` numpy stance).
     """
     from pyspark.sql import Window
 
@@ -758,10 +819,11 @@ def ivf_pq_topk(
     nearest cells, scoring candidates asymmetrically via the
     :func:`pq_adc_topk` LUTs.
 
-    Scale shape: the ENTIRE corpus pass is ONE shuffle-free literal
-    projection — ``cell_assign_expr`` routing + :func:`pq_encode` codes
-    in the same select (at real scale: write once, partitioned by
-    ``cell``, reuse across query batches). The query side (small by the
+    Scale shape: the ENTIRE corpus pass is ONE shuffle-free narrow
+    Arrow-batched pass — coarse routing + the :func:`pq_encode` codes
+    from the same matmuls (:func:`_pq_assign_arrow`; at real scale:
+    write once, partitioned by ``cell``, reuse across query batches).
+    The query side (small by the
     :func:`cosine_topk` broadcast contract) computes its probe list and
     ADC LUTs as literal expressions too, so the only join is the
     broadcast probe↔cell equi-join that prunes the scan to
@@ -785,18 +847,10 @@ def ivf_pq_topk(
             .collect()
         )
         coarse = [[float(x) for x in r[1]] for r in rows]
-    v = F.col(vec_col).cast("array<double>")
-    d = len(models[0][0])
-    # One narrow projection: coarse cell + the m codes per corpus row.
-    corpus = vectors.select(
-        F.col(id_col),
-        cell_assign_expr(v, coarse).alias("cell"),
-        *[
-            cell_assign_expr(F.slice(v, j * d + 1, d), models[j]).alias(
-                f"code_{j}"
-            )
-            for j in range(m)
-        ],
+    # One narrow corpus pass: coarse cell + the m codes per row
+    # (Arrow-batched numpy — see _pq_assign_arrow for why not exprs).
+    corpus = _pq_assign_arrow(
+        vectors, models, id_col=id_col, vec_col=vec_col, coarse=coarse
     )
     # Probe list as a literal expression: sort (−cos, cell_id) structs
     # ascending (= cos desc, cell asc — negation is IEEE-exact) and keep
