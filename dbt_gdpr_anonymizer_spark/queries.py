@@ -1621,6 +1621,7 @@ _CHECK_LAST = [
     "distinctive_terms_documents",  # corpus-stats family (tfidf/bm25 green)
     "pq_adc_topk_embeddings",  # ANN family (ann_ivf/lsh/kmeans green)
     "ivf_pq_topk_embeddings",  # ANN family (composes the two above)
+    "pq_recall_report",  # metrology twin of ann_recall_report (r7 green)
     "orc_roundtrip_documents",  # format family (parquet everywhere)
     "winsorized_stats_events",  # stats family (exact_median r6)
     "source_freshness_report",  # runtime-cert family (observe promoted r7)
@@ -12013,3 +12014,110 @@ def ivf_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, queries, models, k=5, nlist=16, nprobe=4
     ).orderBy("query_id", "rank")
+
+
+@register("pq_recall_report")  # oracle composed just below (r9)
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall metrology for the QUANTIZED retrieval tiers — the
+    operational dial for m/k codebook sizing the way ann_recall_report
+    dials bits/probes: per query, how much of the exact cosine top-5 the
+    PQ-ADC ranking and the IVFADC composition each recover (ADC recall
+    loss = quantization distortion; IVFADC additionally pays cell-miss).
+    One distributed plan computes baseline + both tiers + the
+    intersection counts. The oracle is assembled from the two PQ
+    queries' own registered SQL plus the proven exact-cosine CTE, so
+    the tiers can never drift from their checked definitions silently;
+    releases are BIGINT hits + integral-division ppm recalls."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    models = pq_fit(emb, m=4, dim=64, k=4, iters=2, fit_sample_n=None)
+    exact = cosine_topk(emb, queries_df, k=5).select("query_id", "vec_id")
+    adc = pq_adc_topk(emb, queries_df, models, k=5).select(
+        "query_id", "vec_id", F.lit(1).alias("_p")
+    )
+    ivfpq = ivf_pq_topk(
+        emb, queries_df, models, k=5, nlist=16, nprobe=4
+    ).select("query_id", "vec_id", F.lit(1).alias("_i"))
+    j = (
+        exact.join(adc, ["query_id", "vec_id"], "left")
+        .join(ivfpq, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_exact"),
+            F.sum(F.coalesce("_p", F.lit(0))).cast("long").alias("adc_hits"),
+            F.sum(F.coalesce("_i", F.lit(0))).cast("long").alias(
+                "ivfpq_hits"
+            ),
+        )
+    )
+    return j.select(
+        "query_id",
+        "k_exact",
+        "adc_hits",
+        "ivfpq_hits",
+        F.expr("cast(1000000 * adc_hits div k_exact as bigint)").alias(
+            "adc_recall_ppm"
+        ),
+        F.expr("cast(1000000 * ivfpq_hits div k_exact as bigint)").alias(
+            "ivfpq_recall_ppm"
+        ),
+    ).orderBy("query_id")
+
+
+# pq_recall_report oracle: assembled from the two PQ queries' registered
+# SQL (so parameter/semantics drift is impossible) + the proven
+# exact-cosine CTE restricted to the PQ query set (vec_id < 3).
+ORACLE["pq_recall_report"] = f"""
+    with exact as (
+      select query_id, vec_id from (
+        with q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+                   from embeddings where vec_id < 3),
+        v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+        scored as (
+          select query_id, vec_id,
+                 list_dot_product(qv, vv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(vv, vv))) as c
+          from q join v on vec_id != query_id
+        ),
+        r as (select query_id, vec_id,
+                     row_number() over (partition by query_id
+                                        order by c desc, vec_id) as rn
+              from scored)
+        select query_id, vec_id from r where rn <= 5
+      )
+    ),
+    adc as (
+      select query_id, vec_id, 1 as _p
+      from ({ORACLE["pq_adc_topk_embeddings"]})
+    ),
+    ivfpq as (
+      select query_id, vec_id, 1 as _i
+      from ({ORACLE["ivf_pq_topk_embeddings"]})
+    ),
+    j as (
+      select e.query_id,
+             cast(count(*) as bigint) as k_exact,
+             cast(sum(coalesce(a._p, 0)) as bigint) as adc_hits,
+             cast(sum(coalesce(i._i, 0)) as bigint) as ivfpq_hits
+      from exact e
+      left join adc a on e.query_id = a.query_id and e.vec_id = a.vec_id
+      left join ivfpq i on e.query_id = i.query_id and e.vec_id = i.vec_id
+      group by e.query_id
+    )
+    select query_id, k_exact, adc_hits, ivfpq_hits,
+           cast((1000000 * adc_hits) // k_exact as bigint)
+             as adc_recall_ppm,
+           cast((1000000 * ivfpq_hits) // k_exact as bigint)
+             as ivfpq_recall_ppm
+    from j order by query_id
+"""

@@ -90,6 +90,9 @@ BNLJ_ALLOWED = {
     #     small by construction; an LSH candidate tier would lose recall
     #     exactly where misses are the failure mode)
     "semantic_decontaminate_embeddings",
+    #   pq_recall_report — composes the exact cosine_topk baseline (the
+    #     ann_recall_report precedent: query-set-bounded broadcast side)
+    "pq_recall_report",
     #   pq_adc_topk_embeddings — the brute-force ADC tier: the broadcast
     #     side is the query-LUT table (query-set scale, the
     #     ann_cosine_topk contract); the cell-routed composition that
