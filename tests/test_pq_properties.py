@@ -1,0 +1,99 @@
+"""Property tests for the product-quantization tier: the fixed-seed units
+in test_similarity.py pin one corpus shape; these pin the CONTRACTS over
+arbitrary integer-grid vectors —
+
+* pq_fit ≡ kmeans_fit_model run independently per contiguous subspace
+  slice (same seeding / tie / empty-cell semantics), and
+* pq_adc_topk ≡ the brute-force python ADC ranking over pq_encode's own
+  codes (dot-fold order mirrored, self excluded, ties by id) — so the
+  Arrow numpy encode and the LUT join can never drift from the spec.
+
+Vectors are small-integer grids: argmax/rank decisions are then exact in
+every engine, so the properties test SEMANTICS, not float luck. Example
+counts are small because every example runs real Spark jobs (the
+test_masking_properties precedent)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+# id -> 8-dim integer vector; ≥6 rows so k=3 codebooks always seed.
+_vec_rows = st.dictionaries(
+    st.integers(min_value=0, max_value=30),
+    st.lists(
+        st.integers(min_value=-4, max_value=4), min_size=8, max_size=8
+    ).filter(lambda v: any(x != 0 for x in v)),
+    min_size=6,
+    max_size=14,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows.items()],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@given(_vec_rows)
+@settings(max_examples=6, deadline=None)
+def test_pq_fit_is_per_subspace_kmeans(spark, rows):
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        kmeans_fit_model,
+        pq_fit,
+    )
+
+    df = _df(spark, rows)
+    got = pq_fit(df, m=2, dim=8, k=3, iters=2, fit_sample_n=None)
+    for j in range(2):
+        sub = df.select(
+            "vec_id", F.slice("embedding", j * 4 + 1, 4).alias("embedding")
+        )
+        assert got[j] == kmeans_fit_model(
+            sub, 3, iters=2, fit_sample_n=None
+        ), f"subspace {j}"
+
+
+@given(_vec_rows, st.integers(min_value=1, max_value=5))
+@settings(max_examples=6, deadline=None)
+def test_pq_adc_topk_matches_bruteforce(spark, rows, k):
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    df = _df(spark, rows)
+    models = pq_fit(df, m=2, dim=8, k=3, iters=1, fit_sample_n=None)
+    qids = sorted(rows)[:2]
+    queries = df.filter(df.vec_id.isin(qids)).select(
+        df.vec_id.alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in pq_adc_topk(df, queries, models, k=k).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    codes = {
+        r["vec_id"]: (r["code_0"], r["code_1"])
+        for r in pq_encode(df, models).collect()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    for qid in qids:
+        q = [float(x) for x in rows[qid]]
+        scored = []
+        for vid, v in rows.items():
+            if vid == qid:
+                continue
+            c0, c1 = codes[vid]
+            s = dot(q[0:4], models[0][c0]) + dot(q[4:8], models[1][c1])
+            scored.append((-s, vid))
+        scored.sort()
+        expect = [(rk + 1, vid) for rk, (_, vid) in enumerate(scored[:k])]
+        assert sorted(got.get(qid, [])) == expect, qid
