@@ -38,6 +38,7 @@ __all__ = [
     "kmeans_fit_model",
     "cell_assign_expr",
     "pq_fit",
+    "pq_assign",
     "pq_encode",
     "pq_adc_topk",
     "ivf_pq_topk",
@@ -611,7 +612,7 @@ def pq_fit(
     ]
 
 
-def _pq_assign_arrow(
+def pq_assign(
     vectors: DataFrame,
     models: list[list[list[float]]],
     *,
@@ -691,10 +692,10 @@ def pq_encode(
     """Encode each vector against a :func:`pq_fit` model: one int code
     per subspace, nearest-by-cosine with :func:`cell_assign_expr`'s
     argmax/tie semantics, computed as one Arrow-batched numpy pass
-    (:func:`_pq_assign_arrow` — narrow, no join, no shuffle); the output
+    (:func:`pq_assign` — narrow, no join, no shuffle); the output
     row is the m-int code that replaces the float vector downstream.
     Returns ``(id_col, code_0 … code_{m-1})``."""
-    return _pq_assign_arrow(vectors, models, id_col=id_col, vec_col=vec_col)
+    return pq_assign(vectors, models, id_col=id_col, vec_col=vec_col)
 
 
 def pq_adc_topk(
@@ -706,6 +707,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: each corpus vector
     is reduced to its ``m`` codebook codes and scored against a query by
@@ -729,12 +731,18 @@ def pq_adc_topk(
     ``(query_id_col, rank BIGINT, id_col)`` — integer-only release (the
     kmeans-oracle precedent: fitted-centroid floats may drift in the
     last ulp across engines, argmax/rank decisions do not; the encode
-    argmax itself carries the :func:`_pq_assign_arrow` numpy stance).
+    argmax itself carries the :func:`pq_assign` numpy stance).
+
+    Pass ``codes`` (a ``(id_col, code_0…)`` frame from :func:`pq_encode`
+    / :func:`pq_assign`, typically persisted) to reuse one corpus encode
+    across several retrieval passes — the recall report shares one
+    assign between this and :func:`ivf_pq_topk`.
     """
     from pyspark.sql import Window
 
     m = len(models)
-    codes = pq_encode(vectors, models, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_encode(vectors, models, id_col=id_col, vec_col=vec_col)
     qluts = _pq_query_luts(
         queries, models, query_id_col=query_id_col, vec_col=vec_col
     )
@@ -811,6 +819,7 @@ def ivf_pq_topk(
     nlist: int = 16,
     nprobe: int = 4,
     coarse: list[list[float]] | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """X165 IVFADC — the composition the billion-vector tier actually runs
     (Jégou et al. 2011 §5; FAISS ``IndexIVFPQ``): a coarse quantizer
@@ -821,7 +830,7 @@ def ivf_pq_topk(
 
     Scale shape: the ENTIRE corpus pass is ONE shuffle-free narrow
     Arrow-batched pass — coarse routing + the :func:`pq_encode` codes
-    from the same matmuls (:func:`_pq_assign_arrow`; at real scale:
+    from the same matmuls (:func:`pq_assign`; at real scale:
     write once, partitioned by ``cell``, reuse across query batches).
     The query side (small by the
     :func:`cosine_topk` broadcast contract) computes its probe list and
@@ -835,10 +844,21 @@ def ivf_pq_topk(
     :func:`ivf_topk` seeding made model-state). Probe order is
     (cos desc, cell asc), exactly :func:`ivf_topk`'s; code/tie semantics
     are :func:`pq_adc_topk`'s. Returns (query_id_col, rank BIGINT,
-    id_col) — the same integer-only release."""
+    id_col) — the same integer-only release.
+
+    Pass ``corpus`` (a ``(id_col, cell, code_0…)`` frame from
+    :func:`pq_assign` with the SAME coarse model, typically persisted or
+    read back from a cell-partitioned layout) to reuse one corpus assign
+    across query batches; ``coarse`` is then required (it still drives
+    probe selection)."""
     from pyspark.sql import Window
 
     m = len(models)
+    if corpus is not None and coarse is None:
+        raise ValueError(
+            "ivf_pq_topk: a precomputed corpus frame requires the coarse "
+            "model that produced it (probe selection needs the centroids)"
+        )
     if coarse is None:
         rows = (
             vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
@@ -847,11 +867,12 @@ def ivf_pq_topk(
             .collect()
         )
         coarse = [[float(x) for x in r[1]] for r in rows]
-    # One narrow corpus pass: coarse cell + the m codes per row
-    # (Arrow-batched numpy — see _pq_assign_arrow for why not exprs).
-    corpus = _pq_assign_arrow(
-        vectors, models, id_col=id_col, vec_col=vec_col, coarse=coarse
-    )
+    if corpus is None:
+        # One narrow corpus pass: coarse cell + the m codes per row
+        # (Arrow-batched numpy — see pq_assign for why not exprs).
+        corpus = pq_assign(
+            vectors, models, id_col=id_col, vec_col=vec_col, coarse=coarse
+        )
     # Probe list as a literal expression: sort (−cos, cell_id) structs
     # ascending (= cos desc, cell asc — negation is IEEE-exact) and keep
     # the first nprobe cell ids.

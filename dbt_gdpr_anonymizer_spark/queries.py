@@ -12024,14 +12024,19 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ-ADC ranking and the IVFADC composition each recover (ADC recall
     loss = quantization distortion; IVFADC additionally pays cell-miss).
     One distributed plan computes baseline + both tiers + the
-    intersection counts. The oracle is assembled from the two PQ
-    queries' own registered SQL plus the proven exact-cosine CTE, so
-    the tiers can never drift from their checked definitions silently;
-    releases are BIGINT hits + integral-division ppm recalls."""
+    intersection counts; the two quantized tiers SHARE one persisted
+    pq_assign corpus frame (cell + codes from the same matmuls) instead
+    of each re-encoding, tracked for release on the final plan. The
+    oracle is assembled from the two PQ queries' own registered SQL plus
+    the proven exact-cosine CTE, so the tiers can never drift from their
+    checked definitions silently; releases are BIGINT hits +
+    integral-division ppm recalls."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
     from dbt_gdpr_anonymizer_spark.operators.similarity import (
         cosine_topk,
         ivf_pq_topk,
         pq_adc_topk,
+        pq_assign,
         pq_fit,
     )
 
@@ -12040,12 +12045,29 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     models = pq_fit(emb, m=4, dim=64, k=4, iters=2, fit_sample_n=None)
+    seeds = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>"))
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    )
+    coarse = [[float(x) for x in r[1]] for r in seeds]
+    corpus = pq_assign(
+        emb, models, id_col="vec_id", vec_col="embedding", coarse=coarse
+    ).persist()
     exact = cosine_topk(emb, queries_df, k=5).select("query_id", "vec_id")
-    adc = pq_adc_topk(emb, queries_df, models, k=5).select(
+    adc = pq_adc_topk(emb, queries_df, models, k=5, codes=corpus).select(
         "query_id", "vec_id", F.lit(1).alias("_p")
     )
     ivfpq = ivf_pq_topk(
-        emb, queries_df, models, k=5, nlist=16, nprobe=4
+        emb,
+        queries_df,
+        models,
+        k=5,
+        nlist=16,
+        nprobe=4,
+        coarse=coarse,
+        corpus=corpus,
     ).select("query_id", "vec_id", F.lit(1).alias("_i"))
     j = (
         exact.join(adc, ["query_id", "vec_id"], "left")
@@ -12059,7 +12081,7 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return j.select(
+    out = j.select(
         "query_id",
         "k_exact",
         "adc_hits",
@@ -12071,6 +12093,9 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ivfpq_recall_ppm"
         ),
     ).orderBy("query_id")
+    # Track on the FINAL plan: attributes don't survive the select/orderBy
+    # transforms above, so tracking the intermediate would silently leak.
+    return track_caches(out, corpus)
 
 
 # pq_recall_report oracle: assembled from the two PQ queries' registered
