@@ -161,15 +161,24 @@ def lsh_topk(
     query_id_col: str = "query_id",
     dim: int = 64,
     bits: int = 8,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's hyperplane
     bucket, then exact cosine rerank within candidates.
 
     The bucket equi-join replaces the brute-force cross product — at scale,
     repartition ``vectors`` by bucket once and reuse across query batches.
-    Recall < 1.0 by design; raise ``bits`` resolution or add multi-probe for
+    Recall < 1.0 by design; raise ``bits`` resolution or ``probes`` for
     tighter recall. Output shape matches ``cosine_topk``.
-    """
+
+    ``probes`` > 0 enables query-directed multi-probe (Lv et al. 2007,
+    single-bit perturbations): each query ALSO searches the ``probes``
+    buckets obtained by flipping its least-confident hyperplane bits —
+    smallest |dot| margin first, power-of-two tiebreak, computed on the
+    (small) query side only. Corpus buckets are disjoint, so probe hits
+    need no dedup; cost is (probes+1)× bucket scans per query, still an
+    equi-join, never a cross product. ``probes=0`` is bit-for-bit the
+    original single-bucket search."""
     from pyspark.sql import Window as W
 
     v = vectors.select(
@@ -182,6 +191,31 @@ def lsh_topk(
         F.col(vec_col).cast("array<double>").alias("_q"),
         hyperplane_bucket(F.col(vec_col), dim, bits).alias("_bucket"),
     )
+    if probes:
+        margins = F.array(
+            *[
+                F.struct(
+                    F.abs(
+                        _dot(
+                            F.col("_q"),
+                            F.array(
+                                *[F.lit(x) for x in _hyperplane(dim, j)]
+                            ),
+                        )
+                    ).alias("_m"),
+                    F.lit(2**j).cast("bigint").alias("_p"),
+                )
+                for j in range(bits)
+            ]
+        )
+        flips = F.transform(
+            F.slice(F.sort_array(margins), 1, min(probes, bits)),
+            lambda s: F.col("_bucket").bitwiseXOR(s["_p"]),
+        )
+        q = q.withColumn(
+            "_bucket",
+            F.explode(F.concat(F.array(F.col("_bucket")), flips)),
+        )
     scored = (
         v.join(F.broadcast(q), "_bucket")
         .filter(F.col(id_col) != F.col(query_id_col))

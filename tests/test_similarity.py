@@ -415,3 +415,140 @@ class TestIvfPq:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+class TestLshMultiProbe:
+    def _corpus(self, spark):
+        import hashlib
+
+        # 30 deterministic pseudo-random 8-dim vectors.
+        rows = [
+            (
+                i,
+                [
+                    float(
+                        hashlib.md5(f"{i}:{d}".encode()).digest()[0] - 128
+                    )
+                    for d in range(8)
+                ],
+            )
+            for i in range(30)
+        ]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_probes_zero_is_original_search(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.similarity import lsh_topk
+
+        _, df = self._corpus(spark)
+        q = df.filter("vec_id < 4").select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        a = sorted(
+            map(tuple, lsh_topk(df, q, k=3, dim=8, bits=4).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                lsh_topk(df, q, k=3, dim=8, bits=4, probes=0).collect(),
+            )
+        )
+        assert a == b
+
+    def test_probed_candidates_match_python_reference(self, spark):
+        """probes=p searches the home bucket plus the p least-|margin|
+        single-bit flips; candidate set per query must equal the python
+        replay of buckets/margins/flips, and results stay top-k-by-cosine
+        within that candidate set."""
+        import math
+
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            _hyperplane,
+            lsh_topk,
+        )
+
+        rows, df = self._corpus(spark)
+        bits, dim, p = 4, 8, 2
+        planes = [_hyperplane(dim, j) for j in range(bits)]
+
+        def dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        def bucket(v):
+            return sum(
+                (1 << j) for j in range(bits) if dot(v, planes[j]) > 0
+            )
+
+        vec = dict(rows)
+        buckets = {i: bucket(v) for i, v in rows}
+        got = {}
+        for r in lsh_topk(
+            df,
+            df.filter("vec_id < 4").select(
+                df.vec_id.alias("query_id"), "embedding"
+            ),
+            k=30,
+            dim=dim,
+            bits=bits,
+            probes=p,
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for qid in range(4):
+            qv = vec[qid]
+            margs = sorted(
+                (abs(dot(qv, planes[j])), 1 << j) for j in range(bits)
+            )
+            probe_buckets = {buckets[qid]} | {
+                buckets[qid] ^ pw for _, pw in margs[:p]
+            }
+            expect = {
+                i
+                for i, _ in rows
+                if i != qid and buckets[i] in probe_buckets
+            }
+            assert got.get(qid, set()) == expect, qid
+
+        def cos(a, b):
+            return dot(a, b) / (
+                math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+            )
+
+        # top-k within candidates: k=1 returns the max-cosine candidate
+        one = {
+            r["query_id"]: r["vec_id"]
+            for r in lsh_topk(
+                df,
+                df.filter("vec_id < 4").select(
+                    df.vec_id.alias("query_id"), "embedding"
+                ),
+                k=1,
+                dim=dim,
+                bits=bits,
+                probes=p,
+            ).collect()
+        }
+        for qid in range(4):
+            cands = got.get(qid, set())
+            if not cands:
+                assert qid not in one
+                continue
+            best = min((-cos(vec[qid], vec[i]), i) for i in cands)[1]
+            assert one[qid] == best, qid
+
+    def test_multiprobe_recall_monotone(self, spark):
+        """More probes can only widen the candidate set."""
+        from dbt_gdpr_anonymizer_spark.operators.similarity import lsh_topk
+
+        _, df = self._corpus(spark)
+        q = df.filter("vec_id < 4").select(
+            df.vec_id.alias("query_id"), "embedding"
+        )
+        sizes = []
+        for p in (0, 1, 3):
+            out = lsh_topk(df, q, k=30, dim=8, bits=4, probes=p).collect()
+            sizes.append(len(out))
+        assert sizes[0] <= sizes[1] <= sizes[2]
