@@ -552,3 +552,76 @@ class TestLshMultiProbe:
             out = lsh_topk(df, q, k=30, dim=8, bits=4, probes=p).collect()
             sizes.append(len(out))
         assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+class TestPqAssignLayout:
+    def test_cell_partitioned_write_prunes_on_read(self, spark, tmp_path):
+        """The docstring's scale contract — encode once, write
+        partitioned by cell, probe reads touch only probed cells — must
+        actually partition-prune: the read plan carries a cell
+        PartitionFilter and returns exactly that cell's rows."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            pq_assign,
+            pq_fit,
+        )
+
+        rows = [
+            (i, [float(((i + 2) * (d + 3) * 11) % 13 - 6) for d in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        models = pq_fit(df, m=2, dim=8, k=3, iters=1, fit_sample_n=None)
+        coarse = [list(v) for _, v in rows[:4]]
+        corpus = pq_assign(df, models, id_col="vec_id",
+                           vec_col="embedding", coarse=coarse)
+        by_cell = {}
+        for r in corpus.collect():
+            by_cell.setdefault(r["cell"], set()).add(r["vec_id"])
+        target = max(by_cell, key=lambda c: len(by_cell[c]))
+        path = str(tmp_path / "pq_cells")
+        corpus.write.partitionBy("cell").parquet(path)
+        rd = spark.read.parquet(path).filter(F.col("cell") == target)
+        plan = rd._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+        assert {r["vec_id"] for r in rd.collect()} == by_cell[target]
+
+    def test_ivf_pq_composes_with_kmeans_coarse(self, spark):
+        """The documented refined-quantizer composition: coarse from
+        kmeans_fit_model routes cells; results stay top-k within the
+        probed candidate set (sanity: right shape, ranks 1..k, no
+        self-matches)."""
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            ivf_pq_topk,
+            kmeans_fit_model,
+            pq_fit,
+        )
+
+        rows = [
+            (i, [float(((i + 5) * (d + 1) * 17) % 23 - 11) for d in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        models = pq_fit(df, m=2, dim=8, k=3, iters=1, fit_sample_n=None)
+        coarse = kmeans_fit_model(df, 4, iters=2, fit_sample_n=None)
+        out = ivf_pq_topk(
+            df,
+            df.filter("vec_id < 3").select(
+                df.vec_id.alias("query_id"), "embedding"
+            ),
+            models,
+            k=3,
+            nlist=4,
+            nprobe=2,
+            coarse=coarse,
+        ).collect()
+        assert out, "refined-coarse composition returned nothing"
+        for r in out:
+            assert 1 <= r["rank"] <= 3 and r["vec_id"] != r["query_id"]
