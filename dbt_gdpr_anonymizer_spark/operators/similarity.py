@@ -46,6 +46,7 @@ __all__ = [
     "int8_covariance",
     "phrase_search",
     "hard_negatives",
+    "hashing_embed",
 ]
 
 
@@ -1396,4 +1397,74 @@ def centroid_drift_int8(
             .alias("drift_num")
         )
         .select(group_col, "n_a", "n_b", "drift_num")
+    )
+
+
+def hashing_embed(
+    docs: DataFrame,
+    dim: int = 64,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "hembed",
+) -> DataFrame:
+    """X166 hashing-trick text vectorizer (Weinberger et al. 2009): every
+    document becomes a ``dim``-dimensional dense vector with NO
+    vocabulary, NO fitted model, and NO driver state — token ``w`` adds
+    ``sign(w)`` to component ``bucket(w)``, both derived from
+    ``md5(salt ‖ ':' ‖ w)`` (bucket = first 5 hex nibbles mod dim, the
+    established cross-engine idiom; sign = parity of nibble 6). This is
+    the text→embedding glue that lets the WHOLE embedding tier (cosine /
+    LSH / IVF / PQ / IVFADC / SemDeDup) run on raw text corpora without
+    an external model.
+
+    Scale shape: explode → two keyed hash aggregates ((doc, bucket) then
+    doc) — map-side combinable, no window, no join; the densify step is
+    one per-doc transform over the dim-length index range. Weights are
+    INTEGER-exact (a sum of ±1s) released as ``array<double>`` for the
+    cosine consumers; zero-token documents embed as the zero vector.
+    Returns ``(id_col, embedding, n_tokens BIGINT)``."""
+    from dbt_gdpr_anonymizer_spark.functions.text import words
+
+    key = F.concat(F.lit(f"{salt}:"), F.col("_w"))
+    h = F.md5(key)
+    bucket = (
+        F.conv(F.substring(h, 1, 5), 16, 10).cast("bigint") % dim
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 6, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    toks = (
+        docs.select(F.col(id_col), F.explode(words(text_col)).alias("_w"))
+        .filter(F.col("_w") != "")
+        .select(id_col, bucket.alias("_b"), sign.alias("_s"))
+    )
+    dw = toks.groupBy(id_col, "_b").agg(
+        F.sum("_s").cast("long").alias("_wt"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    sparse = dw.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_wt")))
+        ).alias("_m"),
+        F.sum("_n").cast("long").alias("n_tokens"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    return (
+        docs.select(id_col)
+        .join(sparse, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                dense,
+                F.array(*[F.lit(0.0) for _ in range(dim)]),
+            ).alias("embedding"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        )
     )

@@ -1622,6 +1622,7 @@ _CHECK_LAST = [
     "pq_adc_topk_embeddings",  # ANN family (ann_ivf/lsh/kmeans green)
     "ivf_pq_topk_embeddings",  # ANN family (composes the two above)
     "pq_recall_report",  # metrology twin of ann_recall_report (r7 green)
+    "hashed_embedding_bucket_totals",  # text-vectorizer glue (ANN family)
     "orc_roundtrip_documents",  # format family (parquet everywhere)
     "winsorized_stats_events",  # stats family (exact_median r6)
     "source_freshness_report",  # runtime-cert family (observe promoted r7)
@@ -12146,3 +12147,90 @@ ORACLE["pq_recall_report"] = f"""
              as ivfpq_recall_ppm
     from j order by query_id
 """
+
+
+def _hembed_oracle_sql(dim: int) -> str:
+    """Full-value oracle for the hashing-trick embedding: replays token
+    normalization (_WORDS_SQL), the md5-nibble bucket (the _hbucket_sql
+    idiom, salted key) and sign-parity nibble, the per-(doc, bucket)
+    integer weights, and the dense grid (every doc × every bucket,
+    absent weights = 0 — zero-token docs included), then rolls up per
+    bucket. Integer-exact end to end."""
+    key = "('hembed:' || w)"
+    bucket_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({key}), {i}, 1))"
+        f" - 1)::BIGINT * {16 ** (5 - i)}"
+        for i in range(1, 6)
+    )
+    sign_nibble = (
+        f"(strpos('0123456789abcdef', substring(md5({key}), 6, 1)) - 1)"
+    )
+    return f"""
+    with toks as (
+      select doc_id, unnest({_WORDS_SQL}) as w from documents
+    ),
+    t as (select doc_id, w from toks where w is not null and w != ''),
+    hb as (
+      select doc_id,
+             (({bucket_terms}) % {dim})::INT as bucket,
+             case when {sign_nibble} % 2 = 0 then 1 else -1 end as sign
+      from t
+    ),
+    dw as (
+      select doc_id, bucket, sum(sign)::BIGINT as weight
+      from hb group by 1, 2
+    ),
+    grid as (
+      select d.doc_id, b.bucket
+      from (select doc_id from documents) d
+      cross join (select unnest(range(0, {dim}))::INT as bucket) b
+    ),
+    dense as (
+      select g.doc_id, g.bucket, coalesce(dw.weight, 0) as weight
+      from grid g left join dw
+        on g.doc_id = dw.doc_id and g.bucket = dw.bucket
+    )
+    select cast(bucket as bigint) as bucket,
+           cast(sum(weight) as bigint) as total_weight,
+           cast(sum(case when weight != 0 then 1 else 0 end) as bigint)
+             as docs_nonzero
+    from dense group by bucket order by bucket
+    """
+
+
+@register("hashed_embedding_bucket_totals", _hembed_oracle_sql(64))
+def hashed_embedding_bucket_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X166 hashing-trick vectorizer over `documents`
+    (operators/similarity.hashing_embed — Weinberger et al. 2009): the
+    text→dense-embedding glue that runs the whole ANN/PQ tier on raw
+    text with no model. The release rolls the FULL dense embedding
+    table up per component — Σ weights and non-zero doc counts for
+    every one of the 64 buckets — so the check covers tokenization,
+    the salted md5 bucket/sign derivation, per-doc integer weights,
+    AND the densify step (zero-token docs contribute explicit zero
+    vectors), all in exact integers. The Spark plan is two keyed hash
+    aggregates + a posexplode rollup; the oracle replays the grid
+    relationally."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        hashing_embed,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = hashing_embed(d, dim=64)
+    return (
+        emb.select(
+            F.posexplode("embedding").alias("bucket", "weight")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("weight").cast("bigint").alias("total_weight"),
+            F.sum(
+                F.when(F.col("weight") != 0, 1).otherwise(0)
+            ).cast("bigint").alias("docs_nonzero"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"),
+                "total_weight", "docs_nonzero")
+        .orderBy("bucket")
+    )

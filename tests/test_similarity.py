@@ -625,3 +625,99 @@ class TestPqAssignLayout:
         assert out, "refined-coarse composition returned nothing"
         for r in out:
             assert 1 <= r["rank"] <= 3 and r["vec_id"] != r["query_id"]
+
+
+class TestHashingEmbed:
+    def _docs(self, spark):
+        rows = [
+            (1, "the quick brown fox"),
+            (2, "THE QUICK!! brown--fox"),  # normalizes to the same tokens
+            (3, "hash the hash the hash"),
+            (4, ""),  # zero-token doc -> zero vector
+            (5, None),  # NULL text -> zero vector
+        ]
+        return rows, spark.createDataFrame(
+            rows, "doc_id long, text string"
+        )
+
+    @staticmethod
+    def _ref(text, dim, salt="hembed"):
+        import hashlib
+        import re
+
+        vec = [0] * dim
+        n = 0
+        norm = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+        for w in norm.split():
+            if not w:
+                continue
+            h = hashlib.md5(f"{salt}:{w}".encode()).hexdigest()
+            b = int(h[:5], 16) % dim
+            s = 1 if int(h[5], 16) % 2 == 0 else -1
+            vec[b] += s
+            n += 1
+        return [float(x) for x in vec], n
+
+    def test_matches_python_reference(self, spark):
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            hashing_embed,
+        )
+
+        rows, df = self._docs(spark)
+        got = {
+            r["doc_id"]: (list(r["embedding"]), r["n_tokens"])
+            for r in hashing_embed(df, dim=16).collect()
+        }
+        assert set(got) == {1, 2, 3, 4, 5}
+        for doc_id, text in rows:
+            assert got[doc_id] == self._ref(text, 16), doc_id
+        # identical token streams embed identically
+        assert got[1] == got[2]
+        # zero-token docs are the zero vector, not missing rows
+        assert got[4] == ([0.0] * 16, 0) and got[5] == ([0.0] * 16, 0)
+
+    def test_feeds_the_embedding_tier(self, spark):
+        """The glue contract: hashing_embed output drives the ANN/PQ
+        tier directly (text -> dense vector -> retrieval)."""
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            cosine_topk,
+            hashing_embed,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (i, f"alpha beta gamma doc{i % 3} " * (i % 4 + 1))
+                for i in range(12)
+            ],
+            "doc_id long, text string",
+        )
+        emb = hashing_embed(docs, dim=16).filter("n_tokens > 0")
+        q = emb.filter("doc_id < 2").select(
+            emb.doc_id.alias("query_id"), "embedding"
+        )
+        out = cosine_topk(
+            emb, q, k=3, id_col="doc_id", vec_col="embedding"
+        ).collect()
+        assert len(out) == 6  # 2 queries x top-3
+        # doc 0 and docs 3,6,9 share the exact token multiset ratio ->
+        # cosine 1.0 neighbors rank first
+        top = [r["doc_id"] for r in out if r["query_id"] == 0][:1]
+        assert top and top[0] in (3, 6, 9)
+
+    def test_plan_is_aggregate_only(self, spark):
+        """Two keyed hash aggregates + the id join-back: no window, no
+        cartesian anywhere in the embed plan."""
+        from dbt_gdpr_anonymizer_spark.operators.similarity import (
+            hashing_embed,
+        )
+
+        _, df = self._docs(spark)
+        plan = (
+            hashing_embed(df, dim=16)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
