@@ -118,14 +118,24 @@ def test_pagerank_releases_all_caches(spark):
     nodes = spark.createDataFrame(
         [(i,) for i in (1, 2, 3, 4)], "node_id long"
     )
-    jsc = spark.sparkContext._jsc.sc()
+    def persistent_ids():
+        # Set-based, not size-based: Spark's ContextCleaner evicts
+        # GC'd blocks from EARLIER tests asynchronously, so a size
+        # equality races (the registry can shrink between baseline and
+        # assert). The leak contract is "no NEW id remains" — unpersist
+        # removes ids from the registry synchronously, so this is exact.
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
     for iters, ck in ((2, 4), (5, 2)):
-        baseline = jsc.getPersistentRDDs().size()
+        baseline = persistent_ids()
         out = pagerank_int(
             edges, nodes, iters=iters, checkpoint_every=ck
         )
         out.collect()
         release_caches(out)
-        assert jsc.getPersistentRDDs().size() == baseline, (
-            f"leaked caches with iters={iters}, checkpoint_every={ck}"
+        leaked = persistent_ids() - baseline
+        assert not leaked, (
+            f"leaked cache ids {leaked} with iters={iters}, "
+            f"checkpoint_every={ck}"
         )
