@@ -97,3 +97,54 @@ def test_pq_adc_topk_matches_bruteforce(spark, rows, k):
         scored.sort()
         expect = [(rk + 1, vid) for rk, (_, vid) in enumerate(scored[:k])]
         assert sorted(got.get(qid, [])) == expect, qid
+
+
+# Arbitrary unicode-ish text including the normalizer's edge classes
+# (punctuation runs, digits, case, whitespace, empty/None).
+_texts = st.dictionaries(
+    st.integers(min_value=0, max_value=20),
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet="abzAB019 .,!-é中",
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_texts, st.sampled_from([4, 16]))
+@settings(max_examples=6, deadline=None)
+def test_hashing_embed_matches_reference(spark, rows, dim):
+    """hashing_embed ≡ the python replay of normalize→tokenize→salted
+    md5 bucket/sign→integer weights→densify, over arbitrary text
+    including NULLs, empties, unicode, and punctuation runs."""
+    import hashlib
+    import re
+
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        hashing_embed,
+    )
+
+    df = spark.createDataFrame(
+        list(rows.items()), "doc_id long, text string"
+    )
+
+    def ref(text):
+        vec, n = [0] * dim, 0
+        norm = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+        for w in norm.split():
+            h = hashlib.md5(f"hembed:{w}".encode()).hexdigest()
+            vec[int(h[:5], 16) % dim] += 1 if int(h[5], 16) % 2 == 0 else -1
+            n += 1
+        return [float(x) for x in vec], n
+
+    got = {
+        r["doc_id"]: (list(r["embedding"]), r["n_tokens"])
+        for r in hashing_embed(df, dim=dim).collect()
+    }
+    assert set(got) == set(rows)
+    for i, text in rows.items():
+        assert got[i] == ref(text), (i, text)
