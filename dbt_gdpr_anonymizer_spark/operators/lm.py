@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions.text import words
 
-__all__ = ["bigram_array", "bigram_lm_scores"]
+__all__ = ["bigram_array", "bigram_lm_scores", "trigram_array", "trigram_lm_scores"]
 
 
 def bigram_array(ws: Column) -> Column:
@@ -113,6 +113,130 @@ def bigram_lm_scores(
             id_col,
             F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
                 "n_bigrams"
+            ),
+            "xent",
+        )
+    )
+    return track_caches(out, toks, events)
+
+
+def trigram_array(ws: Column) -> Column:
+    """Adjacent-triple strings ``"w1 w2 w3"`` of a token array (no
+    explode; nested zip_with, the :func:`bigram_array` idiom)."""
+    n = F.size(ws)
+    tails = F.zip_with(
+        F.slice(ws, 2, n - 2),
+        F.slice(ws, 3, n - 2),
+        lambda b, c: F.concat(b, F.lit(" "), c),
+    )
+    return F.when(
+        n >= 3,
+        F.zip_with(
+            F.slice(ws, 1, n - 2),
+            tails,
+            lambda a, bc: F.concat(a, F.lit(" "), bc),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lambdas: tuple[float, float, float] = (0.6, 0.3, 0.1),
+) -> DataFrame:
+    """X167 interpolated trigram LM (Jelinek–Mercer smoothing — the
+    actual shape of the CCNet/KenLM quality filter, one order up from
+    :func:`bigram_lm_scores`): every document scores mean
+    ``-ln P(w3 | w1 w2)`` under
+
+        P = λ3·(c123+1)/(c12+V) + λ2·(c23+1)/(c2+V) + λ1·(c3+1)/(T+V)
+
+    with fixed deterministic λs and Laplace inside each order (so every
+    order is well-defined on its own), c12/c23 the corpus bigram counts,
+    c2/c3 unigram counts, T total tokens, V vocabulary size.
+
+    Scale shape: the :func:`bigram_lm_scores` design one order up — ONE
+    persisted (id, tokens) frame feeds trigram events, bigram counts,
+    and unigram counts (all map-side-combined keyed aggregates); ALL
+    interpolation arithmetic folds onto the trigram-vocabulary-bounded
+    MODEL table (four vocab-keyed joins + a 1-row broadcast — one ``ln``
+    per DISTINCT trigram, never per corpus event), leaving a single
+    events-sized equi-join on the trigram key. Self-scoring keeps every
+    event in-vocabulary. Returns ``(id_col, n_trigrams BIGINT, xent
+    DOUBLE)``; xent is NULL below 3 tokens."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
+    l3, l2, l1 = (float(x) for x in lambdas)
+    toks = docs.select(F.col(id_col), words(text_col).alias("ws")).persist()
+    events = toks.select(
+        id_col, F.explode(trigram_array(F.col("ws"))).alias("tg")
+    ).persist()
+    tri = events.groupBy("tg").agg(F.count(F.lit(1)).alias("c123"))
+    bg = (
+        toks.select(F.explode(bigram_array(F.col("ws"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    stats = F.broadcast(
+        uni.agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum("cw").alias("t"),
+        )
+    )
+    parts = F.split(F.col("tg"), " ")
+    v, t = F.col("v"), F.col("t")
+    p = (
+        F.lit(l3)
+        * ((F.col("c123") + F.lit(1.0)) / (F.col("c12") + v))
+        + F.lit(l2) * ((F.col("c23") + F.lit(1.0)) / (F.col("c2") + v))
+        + F.lit(l1) * ((F.col("c3") + F.lit(1.0)) / (t + v))
+    )
+    model = (
+        tri.select(
+            "tg",
+            "c123",
+            F.concat(
+                parts.getItem(0), F.lit(" "), parts.getItem(1)
+            ).alias("_ctx2"),
+            F.concat(
+                parts.getItem(1), F.lit(" "), parts.getItem(2)
+            ).alias("_w23"),
+            parts.getItem(1).alias("_w2"),
+            parts.getItem(2).alias("_w3"),
+        )
+        .join(bg.select(F.col("bg").alias("_ctx2"),
+                        F.col("cbg").alias("c12")), "_ctx2")
+        .join(bg.select(F.col("bg").alias("_w23"),
+                        F.col("cbg").alias("c23")), "_w23")
+        .join(uni.select(F.col("w").alias("_w2"),
+                         F.col("cw").alias("c2")), "_w2")
+        .join(uni.select(F.col("w").alias("_w3"),
+                         F.col("cw").alias("c3")), "_w3")
+        .crossJoin(stats)
+        .select("tg", (-F.log(p)).alias("_nll"))
+    )
+    scored = (
+        events.join(model, "tg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (F.sum("_nll") / F.count(F.lit(1))).alias("xent"),
+        )
+    )
+    out = (
+        toks.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias(
+                "n_trigrams"
             ),
             "xent",
         )

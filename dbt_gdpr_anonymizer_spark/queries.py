@@ -1623,6 +1623,7 @@ _CHECK_LAST = [
     "ivf_pq_topk_embeddings",  # ANN family (composes the two above)
     "pq_recall_report",  # metrology twin of ann_recall_report (r7 green)
     "hashed_embedding_bucket_totals",  # text-vectorizer glue (ANN family)
+    "trigram_lm_interpolated_documents",  # LM family (bigram_lm r8 green)
     "orc_roundtrip_documents",  # format family (parquet everywhere)
     "winsorized_stats_events",  # stats family (exact_median r6)
     "source_freshness_report",  # runtime-cert family (observe promoted r7)
@@ -12233,4 +12234,80 @@ def hashed_embedding_bucket_totals(
         .select(F.col("bucket").cast("bigint").alias("bucket"),
                 "total_weight", "docs_nonzero")
         .orderBy("bucket")
+    )
+
+
+@register(
+    "trigram_lm_interpolated_documents",
+    f"""
+    with ws as (select doc_id, {_WORDS_SQL} as ws from documents),
+    ev as (
+      select doc_id,
+             unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) as tg
+      from ws
+    ),
+    bgc as (
+      select bg, count(*) as cbg from (
+        select unnest(list_transform(range(1, len(ws)),
+                      i -> ws[i] || ' ' || ws[i+1])) as bg from ws
+      ) group by bg
+    ),
+    u as (select w, count(*) as cw
+          from (select unnest(ws) as w from ws) where w <> '' group by w),
+    st as (select count(*) as v, sum(cw) as t from u),
+    m as (select tg, count(*) as c123 from ev group by tg),
+    md as (
+      select m.tg,
+             -ln(
+               0.6 * ((m.c123 + 1.0) / (cx.cbg + st.v))
+               + 0.3 * ((b23.cbg + 1.0) / (u2.cw + st.v))
+               + 0.1 * ((u3.cw + 1.0) / (st.t + st.v))
+             ) as nll
+      from m
+      join bgc cx
+        on string_split(m.tg, ' ')[1] || ' ' || string_split(m.tg, ' ')[2]
+           = cx.bg
+      join bgc b23
+        on string_split(m.tg, ' ')[2] || ' ' || string_split(m.tg, ' ')[3]
+           = b23.bg
+      join u u2 on string_split(m.tg, ' ')[2] = u2.w
+      join u u3 on string_split(m.tg, ' ')[3] = u3.w
+      cross join st
+    ),
+    s as (select e.doc_id, count(*) as n, sum(md.nll) as nats
+          from ev e join md using (tg) group by e.doc_id)
+    select d.doc_id,
+           cast(coalesce(s.n, 0) as bigint) as n_trigrams,
+           cast(floor(s.nats / s.n * 10000) as bigint) as xent_e4
+    from documents d left join s using (doc_id)
+    order by doc_id
+    """,
+)
+def trigram_lm_interpolated_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X167 interpolated trigram LM quality signal (operators/lm.
+    trigram_lm_scores — Jelinek–Mercer mixture over Laplace-smoothed
+    trigram/bigram/unigram orders, the bigram flagship one order up and
+    the actual shape of the CCNet/KenLM filter): every document scores
+    mean -ln P(w3 | w1 w2) with fixed (0.6, 0.3, 0.1) weights. ALL
+    interpolation arithmetic folds onto the trigram-vocabulary-bounded
+    model table (four vocab-keyed joins + the 1-row (V, T) broadcast),
+    leaving one events-sized equi-join — one ln per DISTINCT trigram,
+    never per corpus event. Released as xent_e4 = floor(nats·1e4)
+    BIGINT (ln-only IEEE, the bigram precedent); documents with <3
+    tokens release (0, NULL). The oracle replays all three count
+    tables, the mixture, and the joins in SQL."""
+    from dbt_gdpr_anonymizer_spark.operators.lm import trigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = trigram_lm_scores(d, text_col="text", id_col="doc_id")
+    return _retrack(
+        out.select(
+            "doc_id",
+            "n_trigrams",
+            F.floor(F.col("xent") * 10000).cast("bigint").alias("xent_e4"),
+        ).orderBy("doc_id"),
+        out,
     )

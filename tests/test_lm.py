@@ -71,3 +71,86 @@ def test_plan_has_no_python_and_releases_cache(spark):
     assert getattr(out, "cached_deps", None), "events frame must be tracked"
     release_caches(out)
     assert not getattr(out, "cached_deps")
+
+
+def test_trigram_array(spark):
+    from dbt_gdpr_anonymizer_spark.operators.lm import trigram_array
+
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z", "w"]), (2, ["a", "b"]), (3, [])],
+        "id long, ws array<string>",
+    )
+    got = {
+        r.id: list(r.tg)
+        for r in df.select(
+            "id", trigram_array(F.col("ws")).alias("tg")
+        ).collect()
+    }
+    assert got == {1: ["x y z", "y z w"], 2: [], 3: []}
+
+
+def test_trigram_scores_match_python_reference(spark):
+    """Interpolated trigram xent == the python replay of the count
+    tables and the lambda-weighted Laplace mixture, with short-document
+    semantics (n<3 -> (0, NULL))."""
+    from dbt_gdpr_anonymizer_spark.operators.lm import trigram_lm_scores
+
+    rows = [
+        (1, "a b a b c"),
+        (2, "a b c"),
+        (3, "b a b"),
+        (4, "a b"),  # 2 tokens -> no trigram
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = trigram_lm_scores(df)
+    got = {r.doc_id: (r.n_trigrams, r.xent) for r in out.collect()}
+    release_caches(out)
+
+    toks = {i: (t or "").split() for i, t in rows}
+    uni: dict = {}
+    bg: dict = {}
+    tri: dict = {}
+    for ws in toks.values():
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for j in range(len(ws) - 1):
+            k = f"{ws[j]} {ws[j + 1]}"
+            bg[k] = bg.get(k, 0) + 1
+        for j in range(len(ws) - 2):
+            k = f"{ws[j]} {ws[j + 1]} {ws[j + 2]}"
+            tri[k] = tri.get(k, 0) + 1
+    v, t = len(uni), sum(uni.values())
+
+    def nll(w1, w2, w3):
+        p = (
+            0.6 * (tri[f"{w1} {w2} {w3}"] + 1.0) / (bg[f"{w1} {w2}"] + v)
+            + 0.3 * (bg[f"{w2} {w3}"] + 1.0) / (uni[w2] + v)
+            + 0.1 * (uni[w3] + 1.0) / (t + v)
+        )
+        return -math.log(p)
+
+    for i, ws in toks.items():
+        n = max(0, len(ws) - 2)
+        assert got[i][0] == n, i
+        if n == 0:
+            assert got[i][1] is None, i
+        else:
+            ref = sum(
+                nll(ws[j], ws[j + 1], ws[j + 2]) for j in range(n)
+            ) / n
+            assert abs(got[i][1] - ref) < 1e-12, i
+
+
+def test_trigram_releases_caches(spark):
+    from dbt_gdpr_anonymizer_spark.operators.lm import trigram_lm_scores
+
+    def ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = ids()
+    out = trigram_lm_scores(_corpus(spark))
+    out.collect()
+    release_caches(out)
+    assert not (ids() - before)

@@ -76,6 +76,10 @@ BNLJ_ALLOWED = {
     #     construction: always exactly one row)
     "bigram_lm_perplexity_documents",
     "naive_bayes_lang_classifier",
+    #   trigram_lm_interpolated_documents — the same 1-row (V, T) stats
+    #     frame broadcast cross-joined onto the trigram-vocab-bounded
+    #     model table (the bigram/NB bounded 1-row-stats pattern)
+    "trigram_lm_interpolated_documents",
     #   distinctive_terms_documents — the 1-row corpus token total
     #     broadcast cross-joined onto the vocab-bounded (group, word)
     #     count table (same bounded 1-row-stats pattern as bigram/NB)
