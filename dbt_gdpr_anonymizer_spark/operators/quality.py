@@ -1162,9 +1162,19 @@ def distinctive_terms(
     gt = gw.groupBy(group_col).agg(F.sum("y_gw").alias("n_g"))
     tot = gt.agg(F.sum("n_g").alias("n"))
     a0 = F.lit(float(prior_mass))
+    # The `w` join key is NULL-free by construction (explode of non-empty
+    # tokens), but group_col may carry a NULL stratum — join it null-safely
+    # so NULL-group rows score like any other group (the r9 eqNullSafe
+    # campaign: quantile_normalize / token_budget_by_group / domain_cap /
+    # md5_bucketed_rank all had this latent drop).
+    gt_r = gt.withColumnRenamed(group_col, "__dt_g")
     j = (
         gw.join(wt, "w")
-        .join(F.broadcast(gt), group_col)
+        .join(
+            F.broadcast(gt_r),
+            F.col(group_col).eqNullSafe(F.col("__dt_g")),
+        )
+        .drop("__dt_g")
         .crossJoin(F.broadcast(tot))
     )
     y_gw = F.col("y_gw").cast("double")

@@ -92,15 +92,21 @@ def chat_stats(
     because the bound aliases are non-cheap and multiply referenced, so
     the parse runs exactly once per row.
     """
+    # Project ONLY (id_col, parse) into the bound frame: the output needs
+    # nothing else, the narrow projection prunes the scan, and a caller
+    # frame that already carries a column named like an internal alias
+    # can no longer collide (r9 ADVICE; the names are prefixed anyway).
     bound = convs.select(
-        "*",
-        _parsed(json_col).alias("_p"),
+        F.col(id_col),
+        _parsed(json_col).alias("__chat_stats_p"),
     ).select(
         "*",
-        F.transform(F.col("_p"), lambda m: m["role"]).alias("_roles"),
+        F.transform(
+            F.col("__chat_stats_p"), lambda m: m["role"]
+        ).alias("__chat_stats_roles"),
     )
-    p = F.col("_p")
-    roles = F.col("_roles")
+    p = F.col("__chat_stats_p")
+    roles = F.col("__chat_stats_roles")
     # Offset 1 if the transcript opens with a system message; expected
     # role at message i is then user/assistant by (i - off) parity.
     off = F.when(

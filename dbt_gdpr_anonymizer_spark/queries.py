@@ -1343,21 +1343,18 @@ _CHECK_LAST = [
     # rotating them back pulls interval_join, skew_safe_distinct_users,
     # event_value_percentiles, and the four X45-X48 flagships — families
     # with no driver row yet — inside the driver's ~50-entry window.
-    "mask_email_hash",
-    "mask_phone_partial",
-    "mask_coordinates_round",
-    "geohash",
-    "phone_functions",
-    "email_functions",
-    "surrogate_key",
     # session_window_rollup: PROMOTED r9 (VERDICT r8 item 2 — parked since
     # r3 with no rotation slot; longest-parked row in the registry)
-    "suppress_column",  # mask family (mask_email/phone/coords checked)
-    "haversine",  # geo family (geohash, valid_coordinates' twin checked)
-    "valid_coordinates",
-    "like_filter",  # filter family (staging_flags, case_categorization)
-    "distinct_limit_sample",  # sample family (stratified, ingest_sample)
-    "deterministic_sample",  # twin of ingest_sample_deterministic
+    # r10 re-promotions (the 13 freed slots): the r2-green scalar-masking
+    # twins and their geo/filter/sample neighbours hold the OLDEST external
+    # artifacts in the registry (CORRECTNESS_r02); per the end-of-r9 plan
+    # the free slots go to the longest-idle demoted rows, oldest artifact
+    # first — mask_email_hash, mask_phone_partial, mask_coordinates_round,
+    # geohash, phone_functions, email_functions, surrogate_key,
+    # suppress_column, haversine, valid_coordinates, like_filter,
+    # distinct_limit_sample, deterministic_sample (all removed from this
+    # list; outputs unchanged since r2, so their old green rows remain
+    # valid and r10 simply refreshes the evidence).
     "lang_id_accuracy",  # text family (text_quality_profile)
     "simhash_fingerprint",  # twin of simhash_neardup
     "rolling_fingerprint_documents",  # fingerprint family (winnowing)
@@ -1609,28 +1606,57 @@ _CHECK_LAST = [
     "salted_join_revenue_by_segment",
     "set_ops_customers",
     "subject_access_extract",
-    # still parked (r10 window — local + pandas-mode green, family-covered
-    # by a checked representative; the 8th holdover joins them so the
-    # session_window_rollup promotion keeps the front at exactly 50):
-    "token_length_histogram",  # text family (quality_deciles 2R)
-    # r9-LATE new queries, parked per the no-new-slots rule (family
-    # coverage noted; they promote in the r10 window alongside the 8
-    # holdovers):
-    "scd2_snapshot_hard_deletes",  # scd2_snapshot_orders driver-green r8
-    "group_quantiles_events",  # stats family (event_value_percentiles 2R)
-    "distinctive_terms_documents",  # corpus-stats family (tfidf/bm25 green)
-    "pq_adc_topk_embeddings",  # ANN family (ann_ivf/lsh/kmeans green)
-    "ivf_pq_topk_embeddings",  # ANN family (composes the two above)
-    "pq_recall_report",  # metrology twin of ann_recall_report (r7 green)
-    "hashed_embedding_bucket_totals",  # text-vectorizer glue (ANN family)
-    "trigram_lm_interpolated_documents",  # LM family (bigram_lm r8 green)
-    "orc_roundtrip_documents",  # format family (parquet everywhere)
-    "winsorized_stats_events",  # stats family (exact_median r6)
-    "source_freshness_report",  # runtime-cert family (observe promoted r7)
-    "schema_test_report",  # validation family (quality_metrics 2R)
-    "corrupt_record_quarantine",  # ingest family (jsonl_flatten 2R)
-    "grouping_sets_revenue",  # grouping-sets family (cube/rollup 2R)
-    "embedding_dim_stats",  # embedding family (ann_* r6 green)
+    # ------------------------------------------------------------------
+    # r10 rotation (executing the plan at SURVEY §7 end-of-r9): the 16
+    # debt rows PROMOTED (removed from this list) — the 8 deferred
+    # holdovers (token_length_histogram, orc_roundtrip_documents,
+    # winsorized_stats_events, source_freshness_report,
+    # schema_test_report, corrupt_record_quarantine,
+    # grouping_sets_revenue, embedding_dim_stats) and the 8 r9-late new
+    # queries (scd2_snapshot_hard_deletes, group_quantiles_events,
+    # distinctive_terms_documents, pq_adc_topk_embeddings,
+    # ivf_pq_topk_embeddings, pq_recall_report,
+    # hashed_embedding_bucket_totals, trigram_lm_interpolated_documents)
+    # that entered by construction. After this round's driver run EVERY
+    # registry query holds at least one external driver row — the
+    # verification debt clears. The 29 rows demoted below are the
+    # r8-entered cohort (27 r8 promotions + the 2 new-by-construction
+    # r8 queries); CORRECTNESS_r09 is 50/50 green, so each holds TWO
+    # rounds of driver green (r8+r9) on byte-unchanged compared outputs.
+    # 13 freed slots went to the oldest-artifact re-promotions noted at
+    # the top of this list. Front total: exactly 50 (the 21 r9-promoted
+    # rows stay for their second round).
+    # ------------------------------------------------------------------
+    # demoted r10 with 2 rounds of green (r8+r9), unchanged outputs:
+    "semantic_dedup_embeddings",
+    "remove_duplicate_spans_documents",
+    "multimodal_mp4_features",
+    "multimodal_gif_features",
+    "multimodal_jpeg_features",
+    "dp_median_acctbal_by_segment",
+    "bpe_learn_documents",
+    "bpe_tokenize_documents",
+    "html_text_extract_documents",
+    "bigram_lm_perplexity_documents",
+    "pagerank_documents",
+    "domain_cap_documents",
+    "sft_chat_stats_documents",
+    "unicode_nfc_profile_documents",
+    "char_entropy_documents",
+    "stream_quota_documents",
+    "token_budget_select_documents",
+    "token_budget_by_source_documents",
+    "quantile_normalize_scores_documents",
+    "source_ngram_novelty_documents",
+    "source_dup_report_documents",
+    "training_shard_plan_documents",
+    "dsir_importance_weights_documents",
+    "dsir_gumbel_topk_documents",
+    "semantic_decontaminate_embeddings",
+    "robots_gate_documents",
+    "dp_budget_ledger_events",
+    "mart_pipeline_services",
+    "scd2_snapshot_orders",
 ]
 
 

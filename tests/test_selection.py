@@ -658,3 +658,30 @@ class TestDistinctiveTerms:
             min_corpus_count=5,
         ).collect()
         assert all(r["word"] != "rare" for r in out)
+
+    def test_null_group_is_first_class(self, spark):
+        """r9 ADVICE: the group-total join-back must be null-safe — a
+        NULL group is a real stratum (unlabelled source), not a row to
+        silently drop. Its distinctive word must come back scored and
+        ranked under group NULL, and the labelled groups' counts must be
+        unaffected by its presence."""
+        from dbt_gdpr_anonymizer_spark.operators.quality import (
+            distinctive_terms,
+        )
+
+        shared = "alpha beta gamma delta epsilon"
+        rows = [(i, "a", f"{shared} zebra zebra zebra") for i in range(6)]
+        rows += [(100 + i, None, f"{shared} quux quux quux") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = distinctive_terms(
+            df, group_col="lang", text_col="text", top_k=2,
+            min_corpus_count=5,
+        ).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["lang"], []).append(r)
+        assert None in by_g, "NULL group silently dropped by the join-back"
+        null_top = min(by_g[None], key=lambda r: r["rank"])
+        assert null_top["word"] == "quux" and null_top["y_gw"] == 18
+        a_top = min(by_g["a"], key=lambda r: r["rank"])
+        assert a_top["word"] == "zebra" and a_top["y_gw"] == 18

@@ -21,6 +21,21 @@ def convs(spark):
     return spark.createDataFrame(ROWS, ["conv_id", "transcript"])
 
 
+def test_chat_stats_survives_caller_column_collisions(spark):
+    """r9 ADVICE: the bound intermediate projection used select("*") with
+    internal aliases _p/_roles — a caller frame already carrying those
+    names raised an ambiguous-column AnalysisException. The bound frame
+    now projects only (id_col, parse) under collision-resistant names."""
+    from dbt_gdpr_anonymizer_spark.operators.sft import chat_stats
+
+    df = spark.createDataFrame(
+        [(1, '[{"role":"user","content":"hi"}]', "x", "y")],
+        ["conv_id", "transcript", "_p", "_roles"],
+    )
+    row = chat_stats(df).collect()[0]
+    assert row["parse_ok"] and row["n_turns"] == 1
+
+
 def test_chat_stats_contract(convs):
     from dbt_gdpr_anonymizer_spark.operators.sft import chat_stats
 
