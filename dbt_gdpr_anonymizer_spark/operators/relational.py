@@ -353,6 +353,16 @@ def snapshot_merge(
         *[F.col(a).alias(f"_s_{a}") for a in attr_cols],
         F.lit(1).alias("_s_here"),
     )
+    if not invalidate_hard_deletes:
+        # Without the hard-delete arm, a NULL-stamped row is
+        # indistinguishable from an absent key (every arm below either
+        # requires a non-null _s_upd or treats the row as kept-current,
+        # which is also what key-absence yields), so pre-filtering is a
+        # semantic no-op — and it restores the IsNotNull pushdown to the
+        # source scan that the r9 hard-delete change removed (the scd2
+        # bench regression suspect). Under the check strategy the stamp
+        # is a literal and the filter folds away.
+        src = src.filter(F.col("_s_upd").isNotNull())
     if snapshot is None:
         return src.filter(F.col("_s_upd").isNotNull()).select(
             key,

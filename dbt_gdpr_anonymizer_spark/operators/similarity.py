@@ -442,6 +442,41 @@ def _lloyd_spherical_np(x, k: int, iters: int):
     return cents
 
 
+def _lloyd_l2_np(x, k: int, iters: int):
+    """Driver-side EUCLIDEAN Lloyd core for residual PQ codebooks
+    (:func:`pq_fit` with ``coarse``): residual vectors are displacement
+    deltas around the coarse centroid, so direction-only (spherical)
+    clustering throws away their magnitude — the component that encodes
+    how FAR a vector sits from its cell center — and a zero residual
+    (vector exactly at the centroid) has no direction at all. Seed =
+    k evenly-spaced rows (stride n/k over the caller's id-sorted
+    sample — NOT the first k: the first corpus rows are typically the
+    coarse-quantizer seeds themselves, whose residuals are all ≈0, so
+    first-k seeding collapses every centroid onto the origin and the
+    fit degenerates to a handful of effective codes; even spacing is
+    equally deterministic and draws from k different cells' residuals).
+    Assignment = L2 argmin with first-min (lowest code id) ties,
+    centroid = plain member mean (NOT normalized), empty cells keep
+    their previous centroid. Returns the k×dim numpy centroid matrix."""
+    import numpy as np
+
+    idx = (np.arange(k, dtype=np.int64) * len(x)) // k
+    cents = x[idx].copy()
+    for _ in range(iters):
+        # ||r - c||^2 = r·r - 2 r·c + c·c ; r·r is constant per row so
+        # argmin over (c·c - 2 r·c) suffices — one matmul per iteration.
+        cn2 = (cents * cents).sum(axis=1)
+        d2 = cn2[None, :] - 2.0 * (x @ cents.T)
+        assign = np.argmin(d2, axis=1)  # first min = lowest code id
+        new_cents = cents.copy()
+        for ci in range(len(cents)):
+            members = x[assign == ci]
+            if len(members):
+                new_cents[ci] = members.mean(axis=0)
+        cents = new_cents
+    return cents
+
+
 def kmeans_fit_model(
     vectors: DataFrame,
     k: int,
@@ -586,6 +621,7 @@ def pq_fit(
     vec_col: str = "embedding",
     fit_sample_n: int | None = 100_000,
     driver_fit_max: int = 200_000,
+    coarse: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """X164 product-quantization codebook fit (Jégou et al. 2011): split
     the ``dim``-dimensional space into ``m`` contiguous subspaces of
@@ -602,6 +638,18 @@ def pq_fit(
     :func:`kmeans_fit`'s exactly, per subspace. Returns the nested
     Python model ``[subspace][centroid][component]`` for the literal-
     expression consumers (:func:`pq_encode`, :func:`pq_adc_topk`).
+
+    ``coarse`` switches the fit to RESIDUAL codebooks (Jégou et al. 2011
+    §5.1, the FAISS ``IndexIVFPQ`` default): each sample vector is first
+    routed to its coarse cell (cosine argmax, :func:`pq_assign`'s
+    semantics), the codebooks are then fit on ``x − c_cell`` — the
+    displacement the coarse quantizer leaves unexplained, which is far
+    more compressible than the raw vector at the same code budget.
+    Residual Lloyd runs EUCLIDEAN (:func:`_lloyd_l2_np`): residuals are
+    deltas whose magnitude matters and whose direction is undefined at
+    zero. Consume with ``pq_assign(..., coarse=..., residual=True)`` and
+    ``ivf_pq_topk(..., residual=True)`` — the codes are meaningless
+    without the coarse model that produced the residuals.
     """
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
@@ -636,10 +684,19 @@ def pq_fit(
         raise ValueError(
             f"pq_fit: vectors have dim {x.shape[1]}, expected {dim}"
         )
+    if coarse is not None:
+        cmat = np.array(coarse, dtype=np.float64)
+        xn = np.sqrt((x * x).sum(axis=1))
+        cn = np.sqrt((cmat * cmat).sum(axis=1))
+        cell = np.argmax((x @ cmat.T) / np.outer(xn, cn), axis=1)
+        x = x - cmat[cell]
+        lloyd = _lloyd_l2_np
+    else:
+        lloyd = _lloyd_spherical_np
     return [
         [
             [float(v) for v in c]
-            for c in _lloyd_spherical_np(
+            for c in lloyd(
                 np.ascontiguousarray(x[:, j * d : (j + 1) * d]), k, iters
             )
         ]
@@ -654,10 +711,20 @@ def pq_assign(
     id_col: str,
     vec_col: str,
     coarse: list[list[float]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Corpus-side PQ assignment (m codes per row, plus the IVF coarse
     cell when ``coarse`` is given) as ONE Arrow-batched ``mapInPandas``
     pass — narrow, shuffle-free, numpy-vectorized.
+
+    ``residual=True`` (requires ``coarse`` and residual-fit ``models``,
+    :func:`pq_fit` with the SAME coarse model): each row encodes
+    ``x − c_cell`` instead of ``x``, by L2 argmin per subspace (the
+    reconstruction criterion — residual codebooks are Euclidean; ties
+    break to the lowest code id, np.argmin's first-min, same stance as
+    the cosine argmax below). Consumed by
+    ``ivf_pq_topk(..., residual=True)``, whose ADC score adds the
+    ``dot(q, c_cell)`` term back.
 
     Why not column expressions: nearest-centroid argmax needs m·k (+
     nlist) cosines per ROW against literal model vectors. Expression
@@ -679,6 +746,11 @@ def pq_assign(
     sf0.001/0.01/0.1."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if residual and coarse is None:
+        raise ValueError(
+            "pq_assign: residual=True requires the coarse model the "
+            "residual codebooks were fit against"
+        )
     m = len(models)
     d = len(models[0][0])
     src = vectors.select(
@@ -706,12 +778,30 @@ def pq_assign(
             if coarse is not None:
                 xn = np.sqrt((x * x).sum(axis=1))
                 cos = (x @ cmat.T) / np.outer(xn, cn)
-                out["cell"] = np.argmax(cos, axis=1).astype("int32")
+                cell = np.argmax(cos, axis=1)
+                out["cell"] = cell.astype("int32")
+                if residual:
+                    x = x - cmat[cell]
             for j in range(m):
                 s = x[:, j * d : (j + 1) * d]
-                sn = np.sqrt((s * s).sum(axis=1))
-                cosj = (s @ bks[j].T) / np.outer(sn, bkn[j])
-                out[f"code_{j}"] = np.argmax(cosj, axis=1).astype("int32")
+                if residual:
+                    # L2 argmin: ||s-c||^2 = s·s - 2 s·c + c·c; s·s is
+                    # constant per row, so argmin(c·c - 2 s·c) suffices.
+                    # c·c computed DIRECTLY (not bkn²: squaring the
+                    # sqrt'd norm rounds — sqrt(5)² ≠ 5 — and flips
+                    # mathematically exact ties between equal-distance
+                    # codewords).
+                    bn2 = (bks[j] * bks[j]).sum(axis=1)
+                    d2 = bn2[None, :] - 2.0 * (s @ bks[j].T)
+                    out[f"code_{j}"] = np.argmin(d2, axis=1).astype(
+                        "int32"
+                    )
+                else:
+                    sn = np.sqrt((s * s).sum(axis=1))
+                    cosj = (s @ bks[j].T) / np.outer(sn, bkn[j])
+                    out[f"code_{j}"] = np.argmax(cosj, axis=1).astype(
+                        "int32"
+                    )
             yield pd.DataFrame(out)
 
     return src.mapInPandas(fn, StructType(fields))
@@ -855,6 +945,7 @@ def ivf_pq_topk(
     nprobe: int = 4,
     coarse: list[list[float]] | None = None,
     corpus: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """X165 IVFADC — the composition the billion-vector tier actually runs
     (Jégou et al. 2011 §5; FAISS ``IndexIVFPQ``): a coarse quantizer
@@ -885,7 +976,19 @@ def ivf_pq_topk(
     :func:`pq_assign` with the SAME coarse model, typically persisted or
     read back from a cell-partitioned layout) to reuse one corpus assign
     across query batches; ``coarse`` is then required (it still drives
-    probe selection)."""
+    probe selection).
+
+    ``residual=True`` (the classic Jégou §5.1 / FAISS ``IndexIVFPQ``
+    form): ``models`` must be residual codebooks (:func:`pq_fit` with
+    the SAME ``coarse``), the corpus encode quantizes ``x − c_cell``
+    (L2 argmin — :func:`pq_assign` ``residual=True``), and the ADC
+    score adds the coarse term back:
+    ``dot(q, c_cell) + Σ_j dot(q_j, cb_j[code_j]) ≈ dot(q, x)``. The
+    per-cell coarse dots are one more query-side literal array indexed
+    by the probed cell — per-pair work stays m+1 codegen lookups. A
+    caller-supplied ``corpus`` must have been assigned with the same
+    ``residual`` flag (codes from the other encoding are silently
+    wrong — there is no way to tell them apart from the frame)."""
     from pyspark.sql import Window
 
     m = len(models)
@@ -906,7 +1009,12 @@ def ivf_pq_topk(
         # One narrow corpus pass: coarse cell + the m codes per row
         # (Arrow-batched numpy — see pq_assign for why not exprs).
         corpus = pq_assign(
-            vectors, models, id_col=id_col, vec_col=vec_col, coarse=coarse
+            vectors,
+            models,
+            id_col=id_col,
+            vec_col=vec_col,
+            coarse=coarse,
+            residual=residual,
         )
     # Probe list as a literal expression: sort (−cos, cell_id) structs
     # ascending (= cos desc, cell asc — negation is IEEE-exact) and keep
@@ -927,25 +1035,44 @@ def ivf_pq_topk(
     probes_arr = F.transform(
         F.slice(F.sort_array(probe_structs), 1, nprobe), lambda s: s["_cid"]
     )
+    extra = [probes_arr.alias("_probes")]
+    if residual:
+        # Per-cell coarse dots as one more query-side literal array:
+        # after the probe explode, the score's coarse term is a single
+        # codegen element_at — same tier as the m code lookups.
+        extra.append(
+            F.array(
+                *[
+                    _dot(q_v, F.array(*[F.lit(float(x)) for x in c]))
+                    for c in coarse
+                ]
+            ).alias("_cdots")
+        )
     qside = _pq_query_luts(
         queries,
         models,
         query_id_col=query_id_col,
         vec_col=vec_col,
-        extra_cols=[probes_arr.alias("_probes")],
+        extra_cols=extra,
     )
     probes = qside.select(
         query_id_col,
         *[f"_lut_{j}" for j in range(m)],
+        *(["_cdots"] if residual else []),
         F.explode("_probes").alias("cell"),
     )
+    score = _pq_adc_score(m)
+    if residual:
+        score = (
+            F.element_at(F.col("_cdots"), F.col("cell") + 1) + score
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("_adc"), F.asc(id_col)
     )
     return (
         corpus.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("_adc", _pq_adc_score(m))
+        .withColumn("_adc", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -148,3 +148,177 @@ def test_hashing_embed_matches_reference(spark, rows, dim):
     assert set(got) == set(rows)
     for i, text in rows.items():
         assert got[i] == ref(text), (i, text)
+
+
+# ---------------------------------------------------------------------------
+# Residual tier (r10, Jégou §5.1 / FAISS IndexIVFPQ): coarse model as an
+# explicit 2-cell integer literal so cell routing, residual subtraction,
+# and the L2 argmin are all replayable in pure python over the same grid.
+# iters=0 keeps codebooks AT their (integer-valued residual) seeds, so
+# every dot/distance below is exact in doubles and ties are semantic,
+# not float luck.
+_COARSE2 = [
+    [2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 2.0],
+]
+
+
+def _py_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_cell(v, coarse):
+    import math
+
+    vn = math.sqrt(_py_dot(v, v))
+    best, best_c = None, None
+    for ci, c in enumerate(coarse):
+        cn = math.sqrt(_py_dot(c, c))
+        cos = _py_dot(v, c) / (vn * cn)
+        if best is None or cos > best:
+            best, best_c = cos, ci  # strict >: first max = lowest id
+    return best_c
+
+
+def _py_residual_codes(rows, models, coarse):
+    codes = {}
+    for vid, v in rows.items():
+        cell = _py_cell(v, coarse)
+        r = [x - c for x, c in zip(v, coarse[cell])]
+        per = []
+        for j, cb in enumerate(models):
+            d = len(cb[0])
+            s = r[j * d : (j + 1) * d]
+            best, best_c = None, None
+            for ci, c in enumerate(cb):
+                # mirror pq_assign's expansion: c·c − 2 s·c (s·s constant)
+                d2 = _py_dot(c, c) - 2.0 * _py_dot(s, c)
+                if best is None or d2 < best:
+                    best, best_c = d2, ci  # strict <: first min
+            per.append(best_c)
+        codes[vid] = (cell, tuple(per))
+    return codes
+
+
+@given(_vec_rows)
+@settings(max_examples=6, deadline=None)
+def test_pq_assign_residual_matches_reference(spark, rows):
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        pq_assign,
+        pq_fit,
+    )
+
+    df = _df(spark, rows)
+    models = pq_fit(
+        df, m=2, dim=8, k=3, iters=0, fit_sample_n=None, coarse=_COARSE2
+    )
+    got = {
+        r["vec_id"]: (r["cell"], (r["code_0"], r["code_1"]))
+        for r in pq_assign(
+            df,
+            models,
+            id_col="vec_id",
+            vec_col="embedding",
+            coarse=_COARSE2,
+            residual=True,
+        ).collect()
+    }
+    expect = {
+        vid: (cell, per)
+        for vid, (cell, per) in _py_residual_codes(
+            {i: [float(x) for x in v] for i, v in rows.items()},
+            models,
+            _COARSE2,
+        ).items()
+    }
+    assert got == expect
+
+
+@given(_vec_rows, st.integers(min_value=1, max_value=5))
+@settings(max_examples=6, deadline=None)
+def test_ivf_pq_residual_matches_bruteforce(spark, rows, k):
+    """nprobe = nlist (no cell pruning) residual IVFADC vs the pure-python
+    replay: score = dot(q, c_cell) + Σ_j dot(q_j, cb_j[code_j]), desc,
+    ties by id — the coarse term MUST be in the score (it ranks across
+    cells) and the codes must be the residual ones."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_fit,
+    )
+
+    df = _df(spark, rows)
+    models = pq_fit(
+        df, m=2, dim=8, k=3, iters=0, fit_sample_n=None, coarse=_COARSE2
+    )
+    pyrows = {i: [float(x) for x in v] for i, v in rows.items()}
+    codes = _py_residual_codes(pyrows, models, _COARSE2)
+    qids = sorted(rows)[:2]
+    queries = df.filter(df.vec_id.isin(qids)).select(
+        df.vec_id.alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in ivf_pq_topk(
+        df,
+        queries,
+        models,
+        k=k,
+        nlist=2,
+        nprobe=2,
+        coarse=_COARSE2,
+        residual=True,
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid in qids:
+        q = pyrows[qid]
+        scored = []
+        for vid, v in pyrows.items():
+            if vid == qid:
+                continue
+            cell, (c0, c1) = codes[vid]
+            s = (
+                _py_dot(q, _COARSE2[cell])
+                + _py_dot(q[0:4], models[0][c0])
+                + _py_dot(q[4:8], models[1][c1])
+            )
+            scored.append((-s, vid))
+        scored.sort()
+        expect = [(rk + 1, vid) for rk, (_, vid) in enumerate(scored[:k])]
+        assert sorted(got.get(qid, [])) == expect, qid
+
+
+def test_pq_assign_residual_requires_coarse(spark):
+    import pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.similarity import pq_assign
+
+    df = _df(spark, {0: [1] * 8, 1: [2] * 8})
+    with pytest.raises(ValueError, match="residual=True requires"):
+        pq_assign(
+            df, [[[1.0] * 4] * 3] * 2, id_col="vec_id",
+            vec_col="embedding", residual=True,
+        )
+
+
+def test_residual_lloyd_seeding_does_not_collapse():
+    """Regression for the r10 seeding pathology: the first corpus rows ARE
+    the coarse seeds, so their residuals are ~0 — first-k seeding put
+    every centroid at the origin and the fit collapsed to one effective
+    code. Evenly-spaced seeding must yield k distinct centroids on data
+    with k distinct residual clusters."""
+    import numpy as np
+
+    from dbt_gdpr_anonymizer_spark.operators.similarity import _lloyd_l2_np
+
+    # first 2 rows are zero residuals (the coarse-seed rows), the rest
+    # split into two tight clusters
+    x = np.array(
+        [[0.0, 0.0], [0.0, 0.0]]
+        + [[5.0 + 0.1 * i, 0.0] for i in range(5)]
+        + [[0.0, -5.0 - 0.1 * i] for i in range(5)],
+    )
+    cents = _lloyd_l2_np(x, 3, 3)
+    uniq = {tuple(np.round(c, 6)) for c in cents}
+    assert len(uniq) == 3, cents
