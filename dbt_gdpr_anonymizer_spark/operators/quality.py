@@ -608,8 +608,17 @@ def char_entropy_profile(
     # Spark's split on '' leaves no trailing empty element, but guard
     # anyway: drop empties so both engines see the same multiset.
     chars = F.filter(chars, lambda c: c != "")
-    ex = docs.select(F.col(id_col), F.explode(chars).alias("_ch"))
-    per = (
+    # explode_OUTER keeps empty/NULL-text docs as one (_ch = NULL) row,
+    # so every doc flows through the aggregation itself — the previous
+    # plan re-scanned `documents` for the id side of a left join just
+    # to resurrect those docs (one extra scan + one extra join per
+    # query). collect_list skips the NULL-guarded struct, so an empty
+    # doc lands as _cc = [] and every release column degrades exactly
+    # as it did for the NULL-from-missing-join row (n 0, distinct 0,
+    # max NULL, simpson 0, entropy NULL) — hash-identical, plan two
+    # scans lighter.
+    ex = docs.select(F.col(id_col), F.explode_outer(chars).alias("_ch"))
+    joined = (
         ex.groupBy(id_col, "_ch")
         .agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(id_col)
@@ -617,14 +626,18 @@ def char_entropy_profile(
             # struct sorts by its first field: binary char order, the
             # same order array_sort(array_distinct(chars)) produced
             F.sort_array(
-                F.collect_list(F.struct(F.col("_ch"), F.col("_c")))
+                F.collect_list(
+                    F.when(
+                        F.col("_ch").isNotNull(),
+                        F.struct(F.col("_ch"), F.col("_c")),
+                    )
+                )
             ).alias("_cc"),
         )
     )
     n = F.aggregate(
         "_cc", F.lit(0).cast("bigint"), lambda acc, s: acc + s["_c"]
     )
-    joined = docs.select(F.col(id_col)).join(per, id_col, "left")
     nd = F.col("_n").cast("double")
     entropy = -F.aggregate(
         "_cc",

@@ -397,12 +397,6 @@ def snapshot_merge(
         & F.col("_s_here").isNotNull()
         & is_change
     )
-    closed = j.filter(changed).select(
-        key,
-        *attr_cols,
-        "valid_from",
-        F.col("_s_upd").alias("valid_to"),
-    )
     # Hard-delete invalidation (dbt invalidate_hard_deletes): a current
     # version whose key is absent from THIS run's source closes at
     # run_ts. Disjoint from every other arm (_s_here is null here, not
@@ -412,35 +406,55 @@ def snapshot_merge(
         if invalidate_hard_deletes
         else F.lit(False)
     )
-    closed_deleted = j.filter(deleted).select(
-        key,
-        *attr_cols,
-        "valid_from",
-        F.lit(run_ts)
-        .cast(snap.schema["valid_from"].dataType)
-        .alias("valid_to"),
-    )
-    kept_cur = j.filter(
-        F.col("_c_here").isNotNull() & ~changed & ~deleted
-    ).select(key, *attr_cols, "valid_from", "valid_to")
-    opened = j.filter(
-        F.col("_s_here").isNotNull()
-        & F.col("_s_upd").isNotNull()
-        & (F.col("_c_here").isNull() | changed)
-    ).select(
-        key,
-        *[F.col(f"_s_{a}").alias(a) for a in attr_cols],
-        F.col("_s_upd").alias("valid_from"),
-        F.lit(None).cast(snap.schema["valid_from"].dataType).alias(
-            "valid_to"
+    # The four disposition arms are emitted from ONE evaluation of the
+    # join — a guarded struct per arm, explode(filter(...)) dropping the
+    # arms a row doesn't take (a changed row takes TWO: it closes the
+    # old version and opens the new one). The previous shape filtered
+    # the join once per arm and unioned: ReuseExchange dedupes the
+    # shuffle writes but each arm still re-reads and re-joins, so a
+    # chained multi-run merge (scd2_snapshot_orders: two runs) paid the
+    # join 3-4× per run. Semantics and output are byte-identical.
+    ts_t = snap.schema["valid_from"].dataType
+
+    def _arm(cond, attrs, vfrom, vto):
+        return F.when(
+            cond,
+            F.struct(
+                F.col(key).alias(key),
+                *[a.alias(n) for n, a in zip(attr_cols, attrs)],
+                vfrom.alias("valid_from"),
+                vto.alias("valid_to"),
+            ),
+        )
+    cur_attrs = [F.col(a) for a in attr_cols]
+    src_attrs = [F.col(f"_s_{a}") for a in attr_cols]
+    arms = [
+        # closed: the changed key's old version, valid_to = new stamp
+        _arm(changed, cur_attrs, F.col("valid_from"),
+             F.col("_s_upd").cast(ts_t)),
+        # kept: current version unchanged (and not hard-deleted)
+        _arm(F.col("_c_here").isNotNull() & ~changed & ~deleted,
+             cur_attrs, F.col("valid_from"), F.col("valid_to")),
+        # opened: new key or changed key's fresh version
+        _arm(
+            F.col("_s_here").isNotNull()
+            & F.col("_s_upd").isNotNull()
+            & (F.col("_c_here").isNull() | changed),
+            src_attrs, F.col("_s_upd"), F.lit(None).cast(ts_t),
         ),
+    ]
+    if invalidate_hard_deletes:
+        arms.insert(1, _arm(deleted, cur_attrs, F.col("valid_from"),
+                            F.lit(run_ts).cast(ts_t)))
+    merged = (
+        j.select(
+            F.explode(
+                F.filter(F.array(*arms), lambda s: s.isNotNull())
+            ).alias("_r")
+        )
+        .select("_r.*")
     )
-    return (
-        hist.unionByName(closed)
-        .unionByName(closed_deleted)
-        .unionByName(kept_cur)
-        .unionByName(opened)
-    )
+    return hist.unionByName(merged)
 
 
 def asof_join(

@@ -11389,72 +11389,56 @@ def mart_pipeline_services(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    k = F.col("c_custkey")
-    types = F.array(
-        *[
-            F.lit(x)
-            for x in [
-                "ministere",
-                "etablissement-public",
-                "service-deconcentre",
-                "autorite-administrative-independante",
-                "institution",
-                "conseil-comite-commission-organisme-consultatif",
-            ]
-        ]
+    # The raw synthesis is ONE selectExpr: ~16 masked/derived columns as
+    # chained F.* calls cost ~0.4 s of py4j round trips per query BUILD
+    # (profiled — the wall here is scale-invariant driver chatter, not
+    # execution); a single parsed projection is one round trip and an
+    # identical analyzed plan. Expressions are the exact SQL forms of
+    # the previous Column chain (same %, casts, element_at 1-indexing).
+    types_sql = (
+        "array('ministere','etablissement-public','service-deconcentre',"
+        "'autorite-administrative-independante','institution',"
+        "'conseil-comite-commission-organisme-consultatif')"
     )
-    depts = F.array(
-        *[F.lit(x) for x in ["75", "59", "69", "13", "33", "31", "98"]]
-    )
+    depts_sql = "array('75','59','69','13','33','31','98')"
     raw = c.join(
         F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
-    ).select(
-        k.cast("string").alias("service_id"),
-        F.when(k % 17 == 0, F.lit(None).cast("string"))
-        .otherwise(F.col("c_name"))
-        .alias("service_name"),
-        F.concat(F.lit("Org "), (k % 7).cast("string")).alias(
-            "parent_organization"
-        ),
-        F.when(k % 23 == 0, F.lit(None).cast("string"))
-        .otherwise(F.element_at(types, (k % 6 + 1).cast("int")))
-        .alias("organization_type"),
-        F.when((k % 25 == 0) | (k % 10 == 0), F.lit(None).cast("string"))
-        .otherwise(
-            F.concat(
-                F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
-                F.lit("@service.gouv.fr"),
-            )
-        )
-        .alias("contact_email"),
-        F.when((k % 25 == 0) | (k % 7 == 0), F.lit(None).cast("string"))
-        .otherwise(
-            F.concat(
-                F.lit("+33 "),
-                F.lpad((k % 1000000000).cast("string"), 9, "5"),
-            )
-        )
-        .alias("contact_phone"),
-        F.lit("https://annuaire.gouv.fr").alias("website"),
-        F.when((k % 25 == 0) | (k % 4 == 0), F.lit(None).cast("string"))
-        .otherwise(F.concat(k.cast("string"), F.lit(" rue de la Paix")))
-        .alias("street_address"),
-        F.concat(
-            F.element_at(depts, (k % 7 + 1).cast("int")),
-            F.lpad((k % 1000).cast("string"), 3, "0"),
-        ).alias("postal_code"),
-        F.col("n_name").alias("city"),
-        F.col("n_name").alias("commune"),
-        F.when((k % 25 == 0) | (k % 13 == 0), F.lit(None).cast("double"))
-        .otherwise((F.col("c_acctbal") % 90).cast("double"))
-        .alias("latitude"),
-        F.when((k % 25 == 0) | (k % 13 == 0), F.lit(None).cast("double"))
-        .otherwise(((F.col("c_acctbal") * 2) % 180).cast("double"))
-        .alias("longitude"),
-        F.lpad((k % 100000).cast("string"), 5, "0").alias("insee_code"),
-        F.date_add(
-            F.lit("2024-01-01").cast("date"), (k % 365).cast("int")
-        ).alias("last_updated"),
+    ).selectExpr(
+        "cast(c_custkey as string) as service_id",
+        "case when c_custkey % 17 = 0 then cast(null as string)"
+        " else c_name end as service_name",
+        "concat('Org ', cast(c_custkey % 7 as string))"
+        " as parent_organization",
+        "case when c_custkey % 23 = 0 then cast(null as string)"
+        f" else element_at({types_sql}, cast(c_custkey % 6 + 1 as int))"
+        " end as organization_type",
+        "case when c_custkey % 25 = 0 or c_custkey % 10 = 0"
+        " then cast(null as string)"
+        " else concat(lower(replace(c_name, ' ', '.')),"
+        " '@service.gouv.fr') end as contact_email",
+        "case when c_custkey % 25 = 0 or c_custkey % 7 = 0"
+        " then cast(null as string)"
+        " else concat('+33 ', lpad(cast(c_custkey % 1000000000 as"
+        " string), 9, '5')) end as contact_phone",
+        "'https://annuaire.gouv.fr' as website",
+        "case when c_custkey % 25 = 0 or c_custkey % 4 = 0"
+        " then cast(null as string)"
+        " else concat(cast(c_custkey as string), ' rue de la Paix')"
+        " end as street_address",
+        f"concat(element_at({depts_sql}, cast(c_custkey % 7 + 1 as"
+        " int)), lpad(cast(c_custkey % 1000 as string), 3, '0'))"
+        " as postal_code",
+        "n_name as city",
+        "n_name as commune",
+        "case when c_custkey % 25 = 0 or c_custkey % 13 = 0"
+        " then cast(null as double)"
+        " else cast(c_acctbal % 90 as double) end as latitude",
+        "case when c_custkey % 25 = 0 or c_custkey % 13 = 0"
+        " then cast(null as double)"
+        " else cast((c_acctbal * 2) % 180 as double) end as longitude",
+        "lpad(cast(c_custkey % 100000 as string), 5, '0') as insee_code",
+        "date_add(cast('2024-01-01' as date), cast(c_custkey % 365 as"
+        " int)) as last_updated",
     )
     conf = EngineSettings(salt_key=SALT)
     m = mart(enrich(anonymize(staging(raw), conf=conf), conf), conf)
