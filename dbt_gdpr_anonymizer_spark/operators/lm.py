@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions.text import words
 
-__all__ = ["bigram_array", "bigram_lm_scores", "trigram_array", "trigram_lm_scores"]
+__all__ = [
+    "bigram_array",
+    "bigram_lm_scores",
+    "kn_bigram_lm_scores",
+    "trigram_array",
+    "trigram_lm_scores",
+]
 
 
 def bigram_array(ws: Column) -> Column:
@@ -237,6 +243,97 @@ def trigram_lm_scores(
             id_col,
             F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias(
                 "n_trigrams"
+            ),
+            "xent",
+        )
+    )
+    return track_caches(out, toks, events)
+
+
+def kn_bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999 — the smoothing that actually wins LM evaluations, and
+    the member of the family this tier lacked next to Laplace
+    (:func:`bigram_lm_scores`) and Jelinek–Mercer
+    (:func:`trigram_lm_scores`)): per document, mean
+    ``-ln P_KN(w2 | w1)`` with absolute discount ``D`` and the
+    CONTINUATION unigram backoff::
+
+        P_KN(w2|w1) = max(c(w1 w2) - D, 0) / c(w1·)
+                      + (D · N1+(w1 ·) / c(w1·)) · (N1+(· w2) / N1+(· ·))
+
+    where ``c(w1·)`` is the bigram-prefix total, ``N1+(w1 ·)`` the
+    distinct continuations of w1, ``N1+(· w2)`` the distinct contexts
+    preceding w2, and ``N1+(· ·)`` the distinct bigram types. The
+    continuation distribution — "how many contexts does this word
+    complete" rather than "how often does it occur" — is the KN insight
+    (the 'San Francisco' effect: frequent-but-one-context words stop
+    leaking probability mass).
+
+    Scale shape: EVERY model statistic derives from the vocabulary-
+    bounded bigram count table alone — prefix totals / continuation
+    counts / the 1-row type total are three aggregates over that SMALL
+    frame, no second corpus pass; the whole mixture (one ``ln`` per
+    DISTINCT bigram) folds onto it, leaving the single events-sized
+    equi-join of the established LM plan. Self-scoring keeps every
+    event in-vocabulary, so ``c(w1 w2) >= 1`` and both mixture arms are
+    strictly positive — no zero-probability guard needed.
+
+    Returns ``(id_col, n_bigrams BIGINT, xent DOUBLE)`` with xent NULL
+    for docs with fewer than two tokens. Float determinism: the mixture
+    is a fixed left-to-right IEEE chain over exact integer counts, one
+    evaluation per distinct bigram (the trigram-LM stance); release
+    through ``floor(xent·1e4)`` downstream.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
+    toks = docs.select(F.col(id_col), words(text_col).alias("ws")).persist()
+    events = toks.select(
+        id_col, F.explode(bigram_array(F.col("ws"))).alias("bg")
+    ).persist()
+    parts = (
+        events.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+    )
+    pref = parts.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = parts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p"))
+    types = parts.agg(F.count(F.lit(1)).alias("nt"))
+    d_lit = F.lit(float(discount))
+    p = (
+        F.greatest(F.col("c12") - d_lit, F.lit(0.0)) / F.col("c1")
+        + d_lit * F.col("n1f") / F.col("c1")
+        * (F.col("n1p") / F.col("nt"))
+    )
+    model = (
+        parts.join(pref, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select("bg", (-F.log(p)).alias("_nll"))
+    )
+    scored = (
+        events.join(model, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("_nll") / F.count(F.lit(1))).alias("xent"),
+        )
+    )
+    out = (
+        toks.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
             ),
             "xent",
         )

@@ -1657,6 +1657,11 @@ _CHECK_LAST = [
     "dp_budget_ledger_events",
     "mart_pipeline_services",
     "scd2_snapshot_orders",
+    # ------------------------------------------------------------------
+    # r10-late new queries: implemented + unit-tested this round, parked
+    # outside the checked front per the no-new-slots rule; they enter by
+    # construction in the r11 window.
+    "kn_bigram_lm_documents",
 ]
 
 
@@ -12317,6 +12322,69 @@ def trigram_lm_interpolated_documents(
         out.select(
             "doc_id",
             "n_trigrams",
+            F.floor(F.col("xent") * 10000).cast("bigint").alias("xent_e4"),
+        ).orderBy("doc_id"),
+        out,
+    )
+
+
+@register(
+    "kn_bigram_lm_documents",
+    f"""
+    with ws as (select doc_id, {_WORDS_SQL} as ws from documents),
+    ev as (
+      select doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) as bg
+      from ws
+    ),
+    m as (select bg, count(*) as c12 from ev group by bg),
+    p as (select bg, string_split(bg, ' ')[1] as w1,
+                 string_split(bg, ' ')[2] as w2, c12 from m),
+    pre as (select w1, sum(c12) as c1, count(*) as n1f from p group by w1),
+    con as (select w2, count(*) as n1p from p group by w2),
+    tt as (select count(*) as nt from p),
+    md as (
+      select p.bg,
+             -ln(
+               greatest(p.c12 - 0.75, 0.0) / pre.c1
+               + 0.75 * pre.n1f / pre.c1 * (con.n1p / tt.nt)
+             ) as nll
+      from p join pre using (w1) join con using (w2) cross join tt
+    ),
+    s as (select e.doc_id, count(*) as n, sum(md.nll) as nats
+          from ev e join md using (bg) group by e.doc_id)
+    select d.doc_id,
+           cast(coalesce(s.n, 0) as bigint) as n_bigrams,
+           cast(floor(s.nats / s.n * 10000) as bigint) as xent_e4
+    from documents d left join s using (doc_id)
+    order by doc_id
+    """,
+)
+def kn_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168 interpolated Kneser-Ney bigram LM quality signal
+    (operators/lm.kn_bigram_lm_scores — Kneser & Ney 1995 / Chen &
+    Goodman 1999 absolute discounting with the continuation-count
+    backoff, the LM-smoothing family member between the Laplace bigram
+    flagship and the JM trigram): every document scores mean
+    -ln P_KN(w2|w1) with D = 0.75. EVERY model statistic (prefix
+    totals, distinct-continuation counts, the 1-row bigram-type total)
+    derives from the vocabulary-bounded bigram count table alone — no
+    second corpus pass — and the whole mixture folds onto it (one ln
+    per DISTINCT bigram), leaving the single events-sized equi-join of
+    the established LM plan. The oracle replays the count table, all
+    three KN statistics, and the exact left-to-right IEEE mixture
+    chain; released as xent_e4 = floor(nats*1e4) BIGINT (the trigram
+    precedent); documents with <2 tokens release (0, NULL). Parked for
+    the r11 window per the no-new-slots rotation rule."""
+    from dbt_gdpr_anonymizer_spark.operators.lm import kn_bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = kn_bigram_lm_scores(d, text_col="text", id_col="doc_id")
+    return _retrack(
+        out.select(
+            "doc_id",
+            "n_bigrams",
             F.floor(F.col("xent") * 10000).cast("bigint").alias("xent_e4"),
         ).orderBy("doc_id"),
         out,

@@ -80,6 +80,10 @@ BNLJ_ALLOWED = {
     #     frame broadcast cross-joined onto the trigram-vocab-bounded
     #     model table (the bigram/NB bounded 1-row-stats pattern)
     "trigram_lm_interpolated_documents",
+    #   kn_bigram_lm_documents — the 1-row bigram-type total broadcast
+    #     cross-joined onto the bigram-vocab-bounded model table (same
+    #     bounded 1-row-stats pattern as the other LM queries)
+    "kn_bigram_lm_documents",
     #   distinctive_terms_documents — the 1-row corpus token total
     #     broadcast cross-joined onto the vocab-bounded (group, word)
     #     count table (same bounded 1-row-stats pattern as bigram/NB)
