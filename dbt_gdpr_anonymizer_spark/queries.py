@@ -1662,6 +1662,8 @@ _CHECK_LAST = [
     # outside the checked front per the no-new-slots rule; they enter by
     # construction in the r11 window.
     "kn_bigram_lm_documents",
+    "countmin_topk_documents",
+    "hll_distinct_users_events",
 ]
 
 
@@ -12393,3 +12395,160 @@ def kn_bigram_lm_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("doc_id"),
         out,
     )
+
+
+def _cm_oracle_sql(depth: int, width: int, k: int) -> str:
+    """Replay of operators/sketch.countmin_heavy_hitters: tokenization
+    (_WORDS_SQL), the salted per-row md5 bucket (_hbucket_sql idiom with
+    the row index in the key), grid build from the vocab-bounded count
+    table, and the min-over-rows point estimate. Integer-exact."""
+    key = "('cm' || cast(i as varchar) || ':' || w)"
+    bucket_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({key}), {n}, 1))"
+        f" - 1)::BIGINT * {16 ** (5 - n)}"
+        for n in range(1, 6)
+    )
+    return f"""
+    with toks as (
+      select unnest({_WORDS_SQL}) as w from documents
+    ),
+    t as (select w from toks where w is not null and w != ''),
+    wc as (select w, count(*) as c from t group by w),
+    keyed as (
+      select w, c, rows.i,
+             (({bucket_terms}) % {width})::INT as b
+      from wc cross join (select unnest(range(0, {depth}))::INT as i) rows
+    ),
+    grid as (select i, b, sum(c) as cnt from keyed group by i, b),
+    est as (
+      select w, max(c) as exact_count, min(cnt) as cm_estimate
+      from keyed join grid using (i, b)
+      group by w
+    )
+    select w as token,
+           cast(exact_count as bigint) as exact_count,
+           cast(cm_estimate as bigint) as cm_estimate
+    from est
+    order by cm_estimate desc, token
+    limit {k}
+    """
+
+
+@register("countmin_topk_documents", _cm_oracle_sql(4, 256, 20))
+def countmin_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169 count-min sketch heavy hitters over `documents`
+    (operators/sketch.countmin_heavy_hitters — Cormode & Muthukrishnan
+    2005): top-20 tokens by the 4×256 grid's min-over-rows point
+    estimate, released next to the exact count so the sketch's
+    one-sided overestimate is visible per row. ONE corpus explode pass;
+    the grid builds from the vocab-bounded count table (associative —
+    bit-identical to streaming the corpus through the sketch) and
+    broadcasts into the estimate lookup as a hash equi-join; the top-k
+    is TakeOrdered, no window. Integer-exact end to end; the oracle
+    replays tokenization, the salted md5 buckets, the grid, and the
+    min. Parked for the r11 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        countmin_heavy_hitters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = countmin_heavy_hitters(d, depth=4, width=256, k=20)
+    return _retrack(out, out)
+
+
+def _hll_oracle_sql(b: int = 8, salt: str = "hll") -> str:
+    """Replay of operators/sketch.hll_distinct over events/user_id: the
+    md5 register index (first b/4 nibbles), the 52-bit window's
+    leading-zero rho (lpad(bin(...), 52) + strpos), per-(group, register)
+    max, the j-ascending sequential float fold of 2^(-M_j) (list_reduce
+    over list_prepend 0.0 — the char-entropy fold-order idiom), and the
+    driver-embedded alpha*m^2 literal shared with the Spark side. The
+    register join is null-safe (IS NOT DISTINCT FROM) so a NULL group
+    cannot silently lose its registers (the r9 eqNullSafe discipline)."""
+    m = 1 << b
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    nib = b // 4
+    key = f"('{salt}:' || cast(user_id as varchar))"
+    j_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({key}), {n}, 1))"
+        f" - 1)::BIGINT * {16 ** (nib - n)}"
+        for n in range(1, nib + 1)
+    )
+    w52_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({key}), {nib + n}, 1))"
+        f" - 1)::BIGINT * {16 ** (13 - n)}"
+        for n in range(1, 14)
+    )
+    return f"""
+    with r as (
+      select event_type,
+             ({j_terms})::INT as j,
+             (case when strpos(lpad(bin({w52_terms}), 52, '0'), '1') = 0
+                   then 53
+                   else strpos(lpad(bin({w52_terms}), 52, '0'), '1')
+              end)::INT as rho
+      from events where user_id is not null
+    ),
+    regs as (
+      select event_type, j, max(rho) as mr from r group by event_type, j
+    ),
+    grid as (
+      select g.event_type, t.j
+      from (select distinct event_type from events
+            where user_id is not null) g
+      cross join (select unnest(range(0, {m}))::INT as j) t
+    ),
+    filled as (
+      select grid.event_type, grid.j, coalesce(regs.mr, 0) as mr
+      from grid left join regs
+        on grid.event_type is not distinct from regs.event_type
+       and grid.j = regs.j
+    ),
+    agg as (
+      select event_type,
+             list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(list(mr order by j),
+                                x -> pow(0.5, x))),
+               (a, b) -> a + b) as s,
+             sum(case when mr = 0 then 1 else 0 end) as v,
+             sum(mr) as rsum,
+             max(mr) as rmax
+      from filled group by event_type
+    )
+    select event_type,
+           cast(floor(case when {alpha_m2!r} / s <= {2.5 * m!r} and v > 0
+                           then {float(m)!r} * ln({float(m)!r} / v)
+                           else {alpha_m2!r} / s end) as bigint)
+             as hll_distinct,
+           cast(v as bigint) as n_zero_registers,
+           cast(rsum as bigint) as register_sum,
+           cast(rmax as bigint) as register_max
+    from agg order by event_type
+    """
+
+
+@register("hll_distinct_users_events", _hll_oracle_sql())
+def hll_distinct_users_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X170 deterministic HyperLogLog distinct users per event type
+    (operators/sketch.hll_distinct — Flajolet et al. 2007): 256
+    md5-derived registers merged by max (NO distinct shuffle — the
+    whole pass is one map-side-combined (group, register) aggregate;
+    registers from different shards merge by max, which the
+    engine-private builtin sketch cannot offer), with the standard
+    linear-counting small-range correction. The released columns carry
+    the integer register witnesses (sum/max/zero-count) that pin the
+    full register state exactly, plus the floored estimate whose
+    2^(-M_j) fold runs in pinned j-ascending IEEE order in both
+    engines. The exact distinct twin is already checked by
+    approx_distinct_sketch/distinct_counts; this query checks the
+    SKETCH itself bit-for-bit. Parked for the r11 window per the
+    no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import hll_distinct
+
+    e = _events(spark, sf_dir)
+    return hll_distinct(
+        e.select("event_type", "user_id"), ["event_type"], "user_id"
+    ).orderBy("event_type")
