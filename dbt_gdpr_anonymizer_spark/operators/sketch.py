@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from dbt_gdpr_anonymizer_spark.functions.text import words
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
-__all__ = ["countmin_heavy_hitters", "hll_distinct"]
+__all__ = [
+    "bloom_contamination_gate",
+    "countmin_heavy_hitters",
+    "hll_distinct",
+]
 
 
 def _nibble_bucket(h: Column, n_buckets: int) -> Column:
@@ -215,3 +219,120 @@ def hll_distinct(
             "register_max",
         )
     )
+
+
+def bloom_contamination_gate(
+    docs: DataFrame,
+    benchmark_ids: DataFrame,
+    *,
+    m_bits: int = 65536,
+    k: int = 3,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "bloom",
+) -> DataFrame:
+    """X171 Bloom-filter test-set decontamination gate (Bloom 1970) —
+    the CONSTANT-memory twin of dedup.benchmark_contamination: the
+    benchmark's word n-grams set ``k`` md5-derived bits each in an
+    ``m_bits`` filter, and a corpus gram is flagged iff ALL ``k`` of
+    its bits are set. The exact tier broadcasts the full benchmark
+    gram STRINGS (state grows with the eval corpus); this gate's state
+    is AT MOST ``m_bits`` bit positions (a few KB) no matter how many
+    eval suites feed it — the shape that still broadcasts when the
+    held-out set is itself huge. Bloom's guarantee is one-sided:
+    every true match is flagged (no false negatives — the property a
+    decontamination gate must have), false positives only inflate the
+    flag count, and the release carries the exact-match count per doc
+    so the FP overshoot is *visible* row by row.
+
+    Bit positions are ``md5(salt‖i‖':'‖gram)`` first-5-nibble parses
+    mod ``m_bits`` (i = 0…k−1, the count-min key idiom; m_bits must
+    be a power of two ≤ 2^20 so the 20-bit parse reduces uniformly).
+    Plan shape: benchmark grams → DISTINCT bit positions (bounded by
+    m_bits, broadcast); corpus grams explode to k ``(gram, i, pos)``
+    probes → broadcast hash equi-join on pos → a gram is flagged when
+    all k probes land (``count == k``). No window, no corpus-side
+    shuffle of gram strings, integer-exact end to end.
+
+    Returns ``(id_col, n_grams BIGINT, n_bloom_flagged BIGINT,
+    n_exact_matches BIGINT)`` for every non-benchmark document with at
+    least one flagged gram (the benchmark_contamination release
+    contract), where ``n_bloom_flagged ≥ n_exact_matches`` always.
+    """
+    if m_bits & (m_bits - 1) or m_bits > (1 << 20):
+        raise ValueError("m_bits must be a power of two <= 2^20")
+    from dbt_gdpr_anonymizer_spark.functions import text as tx
+
+    ws = tx.words(text_col)
+    toks = docs.select(F.col(id_col), ws.alias("_ws"))
+    nw = F.size("_ws")
+    grams = F.array_distinct(
+        F.when(
+            nw >= n,
+            F.transform(
+                F.sequence(F.lit(1), nw - (n - 1)),
+                lambda i: F.array_join(F.slice("_ws", i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join("_ws", " ")))
+    )
+    bench = benchmark_ids.select(F.col(id_col))
+    bench_grams = (
+        toks.join(F.broadcast(bench), id_col)
+        .select(F.explode(grams).alias("_gram"))
+        .distinct()
+        .persist()
+    )
+    pos = _nibble_bucket(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col("_i").cast("string"),
+                F.lit(":"),
+                F.col("_gram"),
+            )
+        ),
+        m_bits,
+    )
+    probe_rows = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i")
+    bits = (
+        bench_grams.select("_gram", probe_rows)
+        .select(pos.alias("_pos"))
+        .distinct()
+    )
+    corpus_grams = (
+        toks.join(F.broadcast(bench), id_col, "left_anti")
+        .select(id_col, F.explode(grams).alias("_gram"))
+        .persist()
+    )
+    flagged = (
+        corpus_grams.select(id_col, "_gram", probe_rows)
+        .select(id_col, "_gram", pos.alias("_pos"))
+        .join(F.broadcast(bits), "_pos")
+        .groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_flagged"))
+    )
+    exact = (
+        corpus_grams.join(F.broadcast(bench_grams), "_gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_matches"))
+    )
+    totals = corpus_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    out = (
+        flagged.join(totals, id_col)
+        .join(exact, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            "n_bloom_flagged",
+            F.coalesce("n_exact_matches", F.lit(0))
+            .cast("long")
+            .alias("n_exact_matches"),
+        )
+    )
+    return track_caches(out, bench_grams, corpus_grams)

@@ -1664,6 +1664,7 @@ _CHECK_LAST = [
     "kn_bigram_lm_documents",
     "countmin_topk_documents",
     "hll_distinct_users_events",
+    "bloom_decontaminate_documents",
 ]
 
 
@@ -12552,3 +12553,93 @@ def hll_distinct_users_events(
     return hll_distinct(
         e.select("event_type", "user_id"), ["event_type"], "user_id"
     ).orderBy("event_type")
+
+
+def _bloom_oracle_sql(m_bits: int, k: int) -> str:
+    """Replay of operators/sketch.bloom_contamination_gate over the
+    decontaminate_documents fixture (same deterministic 20-doc benchmark
+    split, same distinct word-5-grams): salted per-probe md5 bit
+    positions, the distinct bit set, the all-k probe (count == k per
+    gram), and the exact-match twin column. Integer-exact."""
+    key = "('bloom' || cast(i as varchar) || ':' || gram)"
+    pos_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({key}), {n}, 1))"
+        f" - 1)::BIGINT * {16 ** (5 - n)}"
+        for n in range(1, 6)
+    )
+    return f"""
+    with w as (select doc_id, {_WORDS_G_SQL} as ws from documents),
+    g as (select doc_id,
+                 case when len(ws) >= 5 then list_distinct(list_transform(
+                        range(1, len(ws) - 3),
+                        i -> array_to_string(ws[i:i + 4], ' ')))
+                      else [array_to_string(ws, ' ')] end as gs
+          from w),
+    bench as (select doc_id from documents
+              order by md5(cast(doc_id as varchar)), doc_id limit 20),
+    bg as (select distinct unnest(gs) as gram from g
+           where doc_id in (select doc_id from bench)),
+    bits as (
+      select distinct (({pos_terms}) % {m_bits})::INT as pos
+      from bg cross join (select unnest(range(0, {k}))::INT as i) t
+    ),
+    cg as (select doc_id, unnest(gs) as gram from g
+           where doc_id not in (select doc_id from bench)),
+    probes as (
+      select doc_id, gram, i, (({pos_terms}) % {m_bits})::INT as pos
+      from cg cross join (select unnest(range(0, {k}))::INT as i) t
+    ),
+    fl as (
+      select doc_id, gram
+      from probes join bits using (pos)
+      group by doc_id, gram
+      having count(*) = {k}
+    ),
+    flagged as (
+      select doc_id, count(*) as n_bloom_flagged from fl group by doc_id
+    ),
+    totals as (select doc_id, count(*) as n_grams from cg group by doc_id),
+    exact as (select cg.doc_id, count(*) as n_exact
+              from cg join bg on cg.gram = bg.gram group by cg.doc_id)
+    select f.doc_id,
+           cast(t.n_grams as bigint) as n_grams,
+           cast(f.n_bloom_flagged as bigint) as n_bloom_flagged,
+           cast(coalesce(e.n_exact, 0) as bigint) as n_exact_matches
+    from flagged f
+    join totals t using (doc_id)
+    left join exact e using (doc_id)
+    order by doc_id
+    """
+
+
+@register("bloom_decontaminate_documents", _bloom_oracle_sql(65536, 3))
+def bloom_decontaminate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X171 Bloom-filter test-set decontamination gate
+    (operators/sketch.bloom_contamination_gate — Bloom 1970): the
+    CONSTANT-memory twin of decontaminate_documents over the SAME
+    deterministic 20-doc benchmark split and word-5-grams. The
+    benchmark's grams set 3 md5-derived bits each in a 65 536-bit
+    filter (at most m_bits positions broadcast — a few KB no matter
+    how many eval suites feed the gate, vs the exact tier's unbounded
+    gram-string broadcast); a corpus gram is flagged iff all 3 bits are
+    set — no false negatives by construction, and the released
+    exact-match count makes any false-positive overshoot visible per
+    row (n_bloom_flagged >= n_exact_matches always, unit-pinned).
+    Integer-exact end to end; the oracle replays grams, the salted bit
+    positions, the bit set, the all-k probe, and the exact twin.
+    Parked for the r11 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        bloom_contamination_gate,
+    )
+    from dbt_gdpr_anonymizer_spark.sources.ingest import (
+        deterministic_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = deterministic_sample(d, 20, "doc_id").select("doc_id")
+    out = bloom_contamination_gate(
+        d, bench, m_bits=65536, k=3, n=5
+    )
+    return _retrack(out.orderBy("doc_id"), out)

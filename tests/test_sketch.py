@@ -157,3 +157,119 @@ def test_hll_rejects_bad_b(spark):
         hll_distinct(df, ["grp"], "uid", b=6)
     with pytest.raises(ValueError):
         hll_distinct(df, ["grp"], "uid", b=4)
+
+
+def _bloom_replay(doc_grams, bench_ids, m_bits, k, salt="bloom"):
+    """Pure-python replay: bit set from benchmark grams, all-k probe."""
+    def positions(g):
+        return [
+            int(hashlib.md5(f"{salt}{i}:{g}".encode()).hexdigest()[:5], 16)
+            % m_bits
+            for i in range(k)
+        ]
+
+    bench_grams = {
+        g for d, gs in doc_grams.items() if d in bench_ids for g in gs
+    }
+    bits = {p for g in bench_grams for p in positions(g)}
+    out = {}
+    for d, gs in doc_grams.items():
+        if d in bench_ids:
+            continue
+        flagged = sum(
+            1 for g in gs if all(p in bits for p in positions(g))
+        )
+        exact = sum(1 for g in gs if g in bench_grams)
+        if flagged:
+            out[d] = (len(gs), flagged, exact)
+    return out
+
+
+def test_bloom_gate_matches_python_replay(spark):
+    """Tiny filter (m_bits=128) forces false positives; the replay must
+    agree exactly and n_bloom_flagged >= n_exact_matches everywhere."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        bloom_contamination_gate,
+    )
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a sleeping cat"),
+        (3, "completely unrelated text about spark clusters"),
+        (4, "another benchmark sentence held out for evals"),
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench = spark.createDataFrame([(1,), (4,)], ["doc_id"])
+    out = bloom_contamination_gate(df, bench, m_bits=128, k=2, n=3)
+    rows = {
+        r.doc_id: (r.n_grams, r.n_bloom_flagged, r.n_exact_matches)
+        for r in out.collect()
+    }
+    release_caches(out)
+
+    # python gram derivation mirrors the operator: distinct word
+    # 3-grams, whole text when shorter
+    def grams(t, n=3):
+        ws = t.split()
+        if len(ws) >= n:
+            seen, gs = set(), []
+            for i in range(len(ws) - n + 1):
+                g = " ".join(ws[i : i + n])
+                if g not in seen:
+                    seen.add(g)
+                    gs.append(g)
+            return gs
+        return [" ".join(ws)]
+
+    doc_grams = {d: grams(t) for d, t in docs}
+    want = _bloom_replay(doc_grams, {1, 4}, m_bits=128, k=2)
+    assert rows == want
+    for ngrams, flagged, exact in rows.values():
+        assert flagged >= exact  # one-sided: no false negatives
+
+
+def test_bloom_gate_no_false_negatives_property(spark):
+    """Every doc the exact tier flags must be flagged by the gate with
+    n_bloom_flagged >= its exact count — on a larger corpus and a
+    realistic filter size."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        bloom_contamination_gate,
+    )
+    from dbt_gdpr_anonymizer_spark.operators.dedup import (
+        benchmark_contamination,
+    )
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    docs = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(6)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench = spark.createDataFrame([(0,), (7,)], ["doc_id"])
+    out = bloom_contamination_gate(df, bench, m_bits=65536, k=3, n=5)
+    got = {r.doc_id: r for r in out.collect()}
+    release_caches(out)
+    exact_out = benchmark_contamination(df, bench, n=5)
+    exact = {r.doc_id: r.n_shared_grams for r in exact_out.collect()}
+    for d, cnt in exact.items():
+        assert d in got, d
+        assert got[d].n_bloom_flagged >= cnt
+        assert got[d].n_exact_matches == cnt
+
+
+def test_bloom_gate_rejects_bad_m(spark):
+    import pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        bloom_contamination_gate,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError):
+        bloom_contamination_gate(df, bench, m_bits=1000)
+    with pytest.raises(ValueError):
+        bloom_contamination_gate(df, bench, m_bits=1 << 21)
