@@ -35,6 +35,8 @@ __all__ = [
     "bloom_contamination_gate",
     "countmin_heavy_hitters",
     "hll_distinct",
+    "hll_estimate_from_registers",
+    "hll_register_table",
 ]
 
 
@@ -161,11 +163,35 @@ def hll_distinct(
     n_zero_registers BIGINT, register_sum BIGINT, register_max
     BIGINT)``.
     """
+    regs = hll_register_table(
+        df, group_cols, value_col, b=b, salt=salt
+    )
+    return hll_estimate_from_registers(regs, group_cols, b=b)
+
+
+def hll_register_table(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    b: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """The HLL register state of :func:`hll_distinct`, exposed as a
+    frame: ``(group_cols…, _j INT, _m INT)`` with one row per non-empty
+    register. This IS the sketch's mergeable state — register tables
+    from different shards, days, or engines merge by
+    ``groupBy(group, _j).max(_m)`` — and the aggregation is a SINGLE
+    streaming-compatible ``max``: put an event-time window in
+    ``group_cols`` (plus a watermark on the source) and this exact
+    expression runs under Structured Streaming append mode, sinking
+    registers continuously; :func:`hll_estimate_from_registers` folds
+    the sunk state into estimates at read time (a second chained
+    aggregation is not streamable, and the fold belongs at the reader
+    anyway — the state stays mergeable until someone asks for the
+    number)."""
     if b % 4 != 0 or (1 << b) < 128:
         raise ValueError("b must be a multiple of 4 with 2^b >= 128")
-    m = 1 << b
-    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
-
     df = df.filter(F.col(value_col).isNotNull())
     h = F.md5(
         F.concat(F.lit(f"{salt}:"), F.col(value_col).cast("string"))
@@ -176,13 +202,29 @@ def hll_distinct(
     )
     pos = F.instr(bits, "1")
     rho = F.when(pos == 0, F.lit(53)).otherwise(pos)
-
-    regs = (
+    return (
         df.select(*group_cols, j.alias("_j"), rho.alias("_r"))
         .groupBy(*group_cols, "_j")
         .agg(F.max("_r").alias("_m"))
     )
-    per_group = regs.groupBy(*group_cols).agg(
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], *, b: int = 8
+) -> DataFrame:
+    """Fold a register table (``group_cols…, _j, _m`` — the
+    :func:`hll_register_table` shape, possibly the union of several
+    merged shards) into the released estimate columns of
+    :func:`hll_distinct`. Registers dedupe by max first, so feeding an
+    UNMERGED union of shard tables is safe."""
+    if b % 4 != 0 or (1 << b) < 128:
+        raise ValueError("b must be a multiple of 4 with 2^b >= 128")
+    m = 1 << b
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    merged = regs.groupBy(*group_cols, "_j").agg(
+        F.max("_m").alias("_m")
+    )
+    per_group = merged.groupBy(*group_cols).agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("_j"), F.col("_m")))
         ).alias("_regs"),

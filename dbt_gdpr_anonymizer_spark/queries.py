@@ -1665,6 +1665,7 @@ _CHECK_LAST = [
     "countmin_topk_documents",
     "hll_distinct_users_events",
     "bloom_decontaminate_documents",
+    "hll_daily_users_events",
 ]
 
 
@@ -12457,7 +12458,11 @@ def countmin_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _retrack(out, out)
 
 
-def _hll_oracle_sql(b: int = 8, salt: str = "hll") -> str:
+def _hll_oracle_sql(
+    b: int = 8,
+    salt: str = "hll",
+    groups: list[tuple[str, str]] = (("event_type", "event_type"),),
+) -> str:
     """Replay of operators/sketch.hll_distinct over events/user_id: the
     md5 register index (first b/4 nibbles), the 52-bit window's
     leading-zero rho (lpad(bin(...), 52) + strpos), per-(group, register)
@@ -12465,7 +12470,8 @@ def _hll_oracle_sql(b: int = 8, salt: str = "hll") -> str:
     over list_prepend 0.0 — the char-entropy fold-order idiom), and the
     driver-embedded alpha*m^2 literal shared with the Spark side. The
     register join is null-safe (IS NOT DISTINCT FROM) so a NULL group
-    cannot silently lose its registers (the r9 eqNullSafe discipline)."""
+    cannot silently lose its registers (the r9 eqNullSafe discipline).
+    ``groups`` is a list of (source expression, alias) group columns."""
     m = 1 << b
     alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
     nib = b // 4
@@ -12480,9 +12486,17 @@ def _hll_oracle_sql(b: int = 8, salt: str = "hll") -> str:
         f" - 1)::BIGINT * {16 ** (13 - n)}"
         for n in range(1, 14)
     )
+    g_src = ", ".join(f"{expr} as {alias}" for expr, alias in groups)
+    g_cols = ", ".join(alias for _, alias in groups)
+    g_grid = ", ".join(f"g.{alias}" for _, alias in groups)
+    g_join = " and ".join(
+        f"grid.{alias} is not distinct from regs.{alias}"
+        for _, alias in groups
+    )
+    g_fill = ", ".join(f"grid.{alias}" for _, alias in groups)
     return f"""
     with r as (
-      select event_type,
+      select {g_src},
              ({j_terms})::INT as j,
              (case when strpos(lpad(bin({w52_terms}), 52, '0'), '1') = 0
                    then 53
@@ -12491,22 +12505,22 @@ def _hll_oracle_sql(b: int = 8, salt: str = "hll") -> str:
       from events where user_id is not null
     ),
     regs as (
-      select event_type, j, max(rho) as mr from r group by event_type, j
+      select {g_cols}, j, max(rho) as mr from r group by {g_cols}, j
     ),
     grid as (
-      select g.event_type, t.j
-      from (select distinct event_type from events
+      select {g_grid}, t.j
+      from (select distinct {g_src} from events
             where user_id is not null) g
       cross join (select unnest(range(0, {m}))::INT as j) t
     ),
     filled as (
-      select grid.event_type, grid.j, coalesce(regs.mr, 0) as mr
+      select {g_fill}, grid.j, coalesce(regs.mr, 0) as mr
       from grid left join regs
-        on grid.event_type is not distinct from regs.event_type
+        on {g_join}
        and grid.j = regs.j
     ),
     agg as (
-      select event_type,
+      select {g_cols},
              list_reduce(
                list_prepend(cast(0.0 as double),
                  list_transform(list(mr order by j),
@@ -12515,9 +12529,9 @@ def _hll_oracle_sql(b: int = 8, salt: str = "hll") -> str:
              sum(case when mr = 0 then 1 else 0 end) as v,
              sum(mr) as rsum,
              max(mr) as rmax
-      from filled group by event_type
+      from filled group by {g_cols}
     )
-    select event_type,
+    select {g_cols},
            cast(floor(case when {alpha_m2!r} / s <= {2.5 * m!r} and v > 0
                            then {float(m)!r} * ln({float(m)!r} / v)
                            else {alpha_m2!r} / s end) as bigint)
@@ -12525,7 +12539,7 @@ def _hll_oracle_sql(b: int = 8, salt: str = "hll") -> str:
            cast(v as bigint) as n_zero_registers,
            cast(rsum as bigint) as register_sum,
            cast(rmax as bigint) as register_max
-    from agg order by event_type
+    from agg order by {g_cols}
     """
 
 
@@ -12553,6 +12567,53 @@ def hll_distinct_users_events(
     return hll_distinct(
         e.select("event_type", "user_id"), ["event_type"], "user_id"
     ).orderBy("event_type")
+
+
+@register(
+    "hll_daily_users_events",
+    _hll_oracle_sql(
+        groups=[
+            # explicit timestamp cast: DuckDB's date_trunc('day')
+            # returns DATE while Spark returns TIMESTAMP — identical
+            # instants, different collect-mode stringification
+            ("cast(date_trunc('day', ts::timestamp) as timestamp)", "day"),
+            ("event_type", "event_type"),
+        ]
+    ),
+)
+def hll_daily_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170b windowed deterministic HLL: distinct users per (day,
+    event_type) through the two-stage split
+    (operators/sketch.hll_register_table → hll_estimate_from_registers)
+    — the stage boundary that makes the sketch STREAMING-native: the
+    register build is a single max aggregation, which is exactly what
+    Structured Streaming append mode supports (put window(ts) in the
+    group and sink registers continuously; the end-to-end stream drive
+    is unit-pinned in tests/test_sketch.py), and the estimate fold runs
+    at read time over the sunk state, which stays mergeable by max
+    until then. This batch query exercises the identical two-stage code
+    path per day bucket; the estimate pass re-merges registers first,
+    so feeding an unmerged union of shard sinks is safe by
+    construction. Parked for the r11 window per the no-new-slots
+    rule."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_register_table,
+    )
+
+    e = _events(spark, sf_dir)
+    regs = hll_register_table(
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+            "user_id",
+        ),
+        ["day", "event_type"],
+        "user_id",
+    )
+    return hll_estimate_from_registers(
+        regs, ["day", "event_type"]
+    ).orderBy("day", "event_type")
 
 
 def _bloom_oracle_sql(m_bits: int, k: int) -> str:

@@ -273,3 +273,78 @@ def test_bloom_gate_rejects_bad_m(spark):
         bloom_contamination_gate(df, bench, m_bits=1000)
     with pytest.raises(ValueError):
         bloom_contamination_gate(df, bench, m_bits=1 << 21)
+
+
+def test_hll_register_table_streams(spark, tmp_path):
+    """The register build is a SINGLE streaming-compatible max
+    aggregation: drive it end-to-end under Structured Streaming
+    (file source → windowed registers with a watermark → availableNow
+    sink), fold the sunk registers at read time, and the estimates must
+    equal the batch operator on the same data."""
+    import os
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_register_table,
+    )
+
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = [
+        (base + timedelta(hours=(i * 7) % 48), f"user-{i % 37}")
+        for i in range(300)
+    ]
+    # a trailing late-day event pushes the watermark past both days so
+    # every window closes and appends before availableNow drains
+    rows.append((base + timedelta(days=30), "flush"))
+    src = tmp_path / "src"
+    df = spark.createDataFrame(rows, "ts timestamp, uid string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, uid string")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    # group by the FULL window struct — extracting .start would strip
+    # the event-time marker and break append-mode eligibility
+    regs = hll_register_table(
+        stream.select(F.window("ts", "1 day").alias("day_w"), "uid"),
+        ["day_w"],
+        "uid",
+    )
+    out_dir = tmp_path / "sink"
+    q = (
+        regs.writeStream.format("parquet")
+        .option("path", f"{out_dir}/out")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    sunk = spark.read.parquet(f"{out_dir}/out").select(
+        F.col("day_w.start").alias("day"), "_j", "_m"
+    )
+    got = {
+        (r.day, r.hll_distinct, r.n_zero_registers, r.register_sum)
+        for r in hll_estimate_from_registers(sunk, ["day"]).collect()
+    }
+
+    batch = hll_distinct(
+        df.select(F.date_trunc("day", "ts").alias("day"), "uid"),
+        ["day"],
+        "uid",
+    )
+    want = {
+        (r.day, r.hll_distinct, r.n_zero_registers, r.register_sum)
+        for r in batch.collect()
+        # the flush day never closes (nothing after it) — drop it from
+        # the batch expectation too
+        if r.day != base + timedelta(days=30)
+    }
+    assert got == want and len(got) >= 2
