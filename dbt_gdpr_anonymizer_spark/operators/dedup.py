@@ -27,6 +27,7 @@ from dbt_gdpr_anonymizer_spark.functions import text as tx
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
 __all__ = [
+    "containment_pairs",
     "exact_dedup",
     "lsh_candidate_pairs",
     "neardup_pairs",
@@ -1210,3 +1211,95 @@ def neardup_against_index(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
     )
     return track_caches(out, bt)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """X172 EXACT directed n-gram CONTAINMENT near-dup pairs:
+    ``containment(A→B) = |sh_A ∩ sh_B| / |sh_A| ≥ t`` with ``A ≠ B`` —
+    the ASYMMETRIC signal Jaccard structurally misses: a short document
+    quoted wholesale inside a much longer one has tiny Jaccard (the
+    union is dominated by B) but containment ≈ 1. Exactly the
+    quote/snippet/subset-duplication case a pretraining dedup pass
+    wants flagged separately from symmetric near-dups.
+
+    Same AllPairs/SSJoin prefix-filter machinery as
+    :func:`ngram_jaccard_pairs`, adapted to the asymmetric overlap
+    bound: ``|A∩B| ≥ α = ⌈t·|A|⌉`` depends on A alone, so only the
+    CONTAINED side is prefix-indexed (first ``|A| − α + 1`` grams in
+    the shared df-ascending order) while the container side posts its
+    FULL gram set — the Chaudhuri et al. prefix lemma then guarantees
+    every qualifying directed pair shares a (prefix_A, full_B) gram.
+    No length filter applies (B may be arbitrarily larger — that is
+    the point). The df-ascending prefix order keeps boilerplate grams
+    out of prefixes, collapsing the Σ prefix_df·df join; the
+    ``max_doc_freq`` valve drops hot grams from the PREFIX index only
+    (recall-trading, verification stays exact), default None = exact.
+
+    Verification is integer-exact: ``containment_ppm =
+    (1e6 · |A∩B|) div |A|``, compared against ``t`` quantized to ppm —
+    no float anywhere. Returns ``(id_a, id_b, containment_ppm)``,
+    directed (both directions of a mutual pair release).
+    """
+    sets_ = _shingle_sets(df, text_col, id_col, shingle_n)
+    sized = sets_.select(
+        F.col(id_col), F.col("sh"), F.size("sh").alias("_n")
+    ).persist()
+    posts = sized.select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
+    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    t_ppm = int(round(threshold * 1_000_000))
+    # α = ⌈t·n⌉ in pure integers: (t_ppm·n + 1e6 − 1) div 1e6
+    alpha = F.expr(f"cast(({t_ppm} * _n + 999999) div 1000000 as int)")
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    pref_src = dfreq if max_doc_freq is None else dfreq.filter(
+        F.col("_df") <= max_doc_freq
+    )
+    prefix = (
+        sized.select(
+            F.col(id_col), F.col("_n"), F.explode("sh").alias("shingle")
+        )
+        .join(pref_src, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= F.col("_n") - alpha + 1)
+        .select(F.col(id_col).alias("_ida"), "shingle")
+    )
+    cands = (
+        prefix.join(
+            posts.select(F.col(id_col).alias("_idb"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    a_sets = sized.select(
+        F.col(id_col).alias("_ida"),
+        F.col("sh").alias("_sha"),
+        F.col("_n").alias("_na"),
+    )
+    b_sets = sized.select(
+        F.col(id_col).alias("_idb"), F.col("sh").alias("_shb")
+    )
+    out = (
+        cands.join(a_sets, "_ida")
+        .join(b_sets, "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            F.expr(
+                "cast(1000000 * cast(size(array_intersect(_sha, _shb))"
+                " as bigint) div _na as bigint)"
+            ).alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= t_ppm)
+    )
+    return track_caches(out, sized)

@@ -1666,6 +1666,7 @@ _CHECK_LAST = [
     "hll_distinct_users_events",
     "bloom_decontaminate_documents",
     "hll_daily_users_events",
+    "ngram_containment_neardup",
 ]
 
 
@@ -12704,3 +12705,44 @@ def bloom_decontaminate_documents(
         d, bench, m_bits=65536, k=3, n=5
     )
     return _retrack(out.orderBy("doc_id"), out)
+
+
+@register(
+    "ngram_containment_neardup",
+    f"""
+    with w as (select doc_id, {_WORDS_SQL} as ws from documents),
+    s as (select doc_id, {_SHINGLES_SQL} as sh from w),
+    p as (
+      select a.doc_id as id_a, b.doc_id as id_b,
+             1000000 * len(list_intersect(a.sh, b.sh)) // len(a.sh)
+               as containment_ppm
+      from s a join s b on a.doc_id != b.doc_id
+    )
+    select id_a, id_b, cast(containment_ppm as bigint) as containment_ppm
+    from p where containment_ppm >= 900000
+    order by id_a, id_b
+    """,
+)
+def ngram_containment_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X172 EXACT directed n-gram containment near-dup pairs
+    (operators/dedup.containment_pairs): |sh_A ∩ sh_B| / |sh_A| >= 0.9
+    with A != B — the ASYMMETRIC subset-duplication signal Jaccard
+    structurally misses (a short doc quoted wholesale inside a long one
+    has tiny Jaccard but containment ~1; the quote/snippet case a
+    pretraining dedup pass flags separately). Prefix-filtered inverted
+    index per the SSJoin lemma adapted to the asymmetric bound: only
+    the contained side is prefix-indexed, the container side posts its
+    full gram set, no length filter (B may be arbitrarily larger).
+    Integer-exact ppm verification; full recall at the threshold
+    (losslessness unit-pinned against the all-pairs replay); the
+    DuckDB oracle is the same brute-force all-pairs class as the other
+    near-dup oracles (capped at bench scale). Parked for the r11
+    window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import containment_pairs
+
+    out = containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9
+    )
+    return _retrack(out.orderBy("id_a", "id_b"), out)
