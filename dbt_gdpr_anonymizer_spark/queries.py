@@ -1667,6 +1667,7 @@ _CHECK_LAST = [
     "bloom_decontaminate_documents",
     "hll_daily_users_events",
     "ngram_containment_neardup",
+    "mojibake_profile_documents",
 ]
 
 
@@ -12746,3 +12747,54 @@ def ngram_containment_neardup(
         _t(spark, sf_dir, "documents"), threshold=0.9
     )
     return _retrack(out.orderBy("id_a", "id_b"), out)
+
+
+@register(
+    "mojibake_profile_documents",
+    r"""
+    with c as (
+      select doc_id,
+             coalesce(text, '') as t
+      from documents
+    ),
+    k as (
+      select doc_id,
+             cast(length(t) as bigint) as n_chars,
+             cast(len(regexp_extract_all(t,
+               '\x{00C3}[\x{0080}-\x{00BF}]')) as bigint) as n_utf8_latin1,
+             cast(len(regexp_extract_all(t,
+               '\x{00E2}\x{20AC}')) as bigint) as n_smart_quote_seq,
+             cast(len(regexp_extract_all(t,
+               '\x{00C2}[\x{00A0}-\x{00BF}]')) as bigint) as n_nbsp_seq,
+             cast(len(regexp_extract_all(t,
+               '\x{FFFD}')) as bigint) as n_replacement
+      from c
+    )
+    select doc_id, n_chars, n_utf8_latin1, n_smart_quote_seq,
+           n_nbsp_seq, n_replacement,
+           cast(case when n_chars > 0
+                then 1000000 * (n_utf8_latin1 + n_smart_quote_seq
+                                + n_nbsp_seq + n_replacement) // n_chars
+                else 0 end as bigint) as mojibake_ppm
+    from k order by doc_id
+    """,
+)
+def mojibake_profile_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X173 encoding-artifact (mojibake) detector over `documents`
+    (operators/unicode_norm.mojibake_profile): pure-codegen regexp
+    counts of the UTF-8-read-as-Latin-1/cp1252 double-encoding scars
+    (the C3-lead class, the E2-80 smart-quote digraph, the C2-lead
+    NBSP class) and U+FFFD decoder failures, released with the
+    integer-exact per-doc density ppm a corpus-quality gate thresholds
+    on. Each engine spells the same character classes in its own regex
+    dialect (Java \\uXXXX / RE2 \\x{XXXX}) — the established
+    cross-engine-idiom stance; non-overlapping leftmost counting in
+    both. Parked for the r11 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.unicode_norm import (
+        mojibake_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mojibake_profile(d).orderBy("doc_id")
