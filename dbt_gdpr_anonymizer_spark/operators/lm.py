@@ -35,6 +35,7 @@ __all__ = [
     "bigram_array",
     "bigram_lm_scores",
     "kn_bigram_lm_scores",
+    "pmi_collocations",
     "trigram_array",
     "trigram_lm_scores",
 ]
@@ -339,3 +340,70 @@ def kn_bigram_lm_scores(
         )
     )
     return track_caches(out, toks, events)
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """X174 PMI collocation extraction (Church & Hanks 1990): the top
+    ``k`` adjacent word pairs by pointwise mutual information
+    ``ln( (c12/T) / ((c1/T)·(c2/T)) ) = ln(c12·T / (c1·c2))`` — the
+    classic distributional signal for multi-word expressions ("new
+    york", "machine learning") that tokenizer-vocabulary builders and
+    phrase-mining passes rank by. ``min_count`` drops unstable
+    low-frequency pairs (the standard Church-Hanks hygiene; PMI of a
+    hapax pair is pure noise).
+
+    Scale shape: ONE corpus pass (the bigram explode feeding a
+    map-side-combined count table — the X128 plan); unigram totals
+    derive from the SAME bigram table (c1 = Σ over continuations of
+    the left word + the per-doc last tokens… avoided entirely: unigram
+    counts here are counted over the same bigram positions, i.e.
+    ``c1(w) = Σ_v c(w v)`` and ``c2(w) = Σ_v c(v w)`` — left- and
+    right-position marginals of the pair table, the standard
+    collocation formulation; T = Σ c12). Everything after the one
+    explode is vocab-bounded; the release is TakeOrdered (no window).
+    One ``ln`` per surviving DISTINCT pair; released as
+    ``floor(pmi·1e4)`` BIGINT (the LM precedent) ordered
+    ``(pmi_e4 DESC, pair)``.
+
+    Returns ``(pair STRING, n_pair BIGINT, pmi_e4 BIGINT)``.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
+    toks = docs.select(F.col(id_col), words(text_col).alias("ws"))
+    pairs = (
+        toks.select(F.explode(bigram_array(F.col("ws"))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .withColumn("w2", F.split("bg", " ").getItem(1))
+        .persist()
+    )
+    left = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = pairs.agg(F.sum("c12").alias("t"))
+    pmi = F.log(
+        F.col("c12").cast("double")
+        * F.col("t").cast("double")
+        / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    )
+    out = (
+        pairs.filter(F.col("c12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("bg").alias("pair"),
+            F.col("c12").cast("long").alias("n_pair"),
+            F.floor(pmi * 10000).cast("bigint").alias("pmi_e4"),
+        )
+        .orderBy(F.desc("pmi_e4"), "pair")
+        .limit(k)
+    )
+    return track_caches(out, pairs)

@@ -1668,6 +1668,7 @@ _CHECK_LAST = [
     "hll_daily_users_events",
     "ngram_containment_neardup",
     "mojibake_profile_documents",
+    "pmi_collocations_documents",
 ]
 
 
@@ -12798,3 +12799,50 @@ def mojibake_profile_documents(
 
     d = _t(spark, sf_dir, "documents")
     return mojibake_profile(d).orderBy("doc_id")
+
+
+@register(
+    "pmi_collocations_documents",
+    f"""
+    with ws as (select doc_id, {_WORDS_SQL} as ws from documents),
+    ev as (
+      select unnest(list_transform(range(1, len(ws)),
+                    i -> ws[i] || ' ' || ws[i+1])) as bg
+      from ws
+    ),
+    m as (select bg, count(*) as c12 from ev group by bg),
+    p as (select bg, string_split(bg, ' ')[1] as w1,
+                 string_split(bg, ' ')[2] as w2, c12 from m),
+    l as (select w1, sum(c12) as c1 from p group by w1),
+    r as (select w2, sum(c12) as c2 from p group by w2),
+    tt as (select sum(c12) as t from p)
+    select p.bg as pair,
+           cast(p.c12 as bigint) as n_pair,
+           cast(floor(ln(p.c12::double * tt.t::double
+                         / (l.c1::double * r.c2::double)) * 10000)
+                as bigint) as pmi_e4
+    from p join l using (w1) join r using (w2) cross join tt
+    where p.c12 >= 5
+    order by pmi_e4 desc, pair
+    limit 50
+    """,
+)
+def pmi_collocations_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X174 PMI collocation extraction over `documents`
+    (operators/lm.pmi_collocations — Church & Hanks 1990): top-50
+    adjacent word pairs by ln(c12·T / (c1·c2)) with the standard
+    min-count 5 hygiene, where c1/c2 are the left/right positional
+    marginals of the SAME vocab-bounded pair table (one corpus explode
+    total, everything downstream vocab-bounded, TakeOrdered release —
+    no window). The phrase-mining signal a tokenizer-vocabulary or MWE
+    pass ranks by. floor(pmi·1e4) BIGINT release, (pmi_e4 desc, pair)
+    tie order; the oracle replays counts, marginals, the single-ln
+    form, and the cut. Parked for the r11 window per the no-new-slots
+    rule."""
+    from dbt_gdpr_anonymizer_spark.operators.lm import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    out = pmi_collocations(d, min_count=5, k=50)
+    return _retrack(out, out)

@@ -261,3 +261,57 @@ def test_kn_matches_python_reference(spark):
         want = sum(-m.log(p_kn(a, b)) for a, b in ev) / len(ev)
         assert rows[i][0] == len(ev)
         assert abs(rows[i][1] - want) < 1e-9, i
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    """Exact equality against an independent python replay: pair counts,
+    positional marginals, the ln mixture, floor release, tie order."""
+    import math as m
+    from collections import Counter
+
+    from dbt_gdpr_anonymizer_spark.operators.lm import pmi_collocations
+
+    docs = [
+        (1, "new york city new york state"),
+        (2, "new york new jersey"),
+        (3, "machine learning and machine learning"),
+        (4, "york machine"),
+        (5, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=2, k=100)
+    rows = [(r.pair, r.n_pair, r.pmi_e4) for r in out.collect()]
+    release_caches(out)
+
+    c12 = Counter()
+    for _, t in docs:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    c2 = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        c2[b] += c
+    t_tot = sum(c12.values())
+    want = []
+    for (a, b), c in c12.items():
+        if c < 2:
+            continue
+        pmi = m.log(c * t_tot / (c1[a] * c2[b]))
+        want.append((f"{a} {b}", c, m.floor(pmi * 10000)))
+    want.sort(key=lambda r: (-r[2], r[0]))
+    assert rows == want
+    assert any(p == "new york" for p, _, _ in rows)
+
+
+def test_pmi_min_count_filters(spark):
+    from dbt_gdpr_anonymizer_spark.operators.lm import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c d")], "doc_id long, text string"
+    )
+    out = pmi_collocations(df, min_count=2, k=10)
+    rows = out.collect()
+    release_caches(out)
+    assert [r.pair for r in rows] == ["a b"]  # only pair with count >= 2

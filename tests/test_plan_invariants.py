@@ -84,6 +84,10 @@ BNLJ_ALLOWED = {
     #     cross-joined onto the bigram-vocab-bounded model table (same
     #     bounded 1-row-stats pattern as the other LM queries)
     "kn_bigram_lm_documents",
+    #   pmi_collocations_documents — the 1-row corpus pair total
+    #     broadcast cross-joined onto the vocab-bounded min-count-cut
+    #     pair table (same bounded 1-row-stats pattern)
+    "pmi_collocations_documents",
     #   distinctive_terms_documents — the 1-row corpus token total
     #     broadcast cross-joined onto the vocab-bounded (group, word)
     #     count table (same bounded 1-row-stats pattern as bigram/NB)
