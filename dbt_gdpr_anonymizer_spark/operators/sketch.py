@@ -33,6 +33,7 @@ from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
 __all__ = [
     "bloom_contamination_gate",
+    "cm_grid_table",
     "countmin_heavy_hitters",
     "hll_distinct",
     "hll_estimate_from_registers",
@@ -117,6 +118,49 @@ def countmin_heavy_hitters(
         .limit(k)
     )
     return track_caches(out, wc)
+
+
+def cm_grid_table(
+    df: DataFrame,
+    group_cols: list[str],
+    token_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """X169b — the count-min GRID as a frame, built by streaming rows
+    through the sketch: every input row (one token occurrence) fans out
+    to ``depth`` probes and the grid cell counts them. One SINGLE
+    count aggregation — exactly what Structured Streaming append mode
+    supports (put an event-time window in ``group_cols`` plus a
+    watermark; the end-to-end stream drive is unit-pinned) — and the
+    emitted ``(group…, _i, _b, _cnt)`` rows ARE the mergeable state:
+    grids from different shards, windows, or engines merge by
+    ``groupBy(group, _i, _b).sum(_cnt)``. By associativity this equals
+    :func:`countmin_heavy_hitters`'s batch grid (which folds the
+    vocab-bounded count table instead — cheaper when the corpus is at
+    rest); the equality is unit-pinned. Only non-empty cells emit.
+
+    Same salted md5 bucket derivation as the batch operator, so the
+    two tiers' grids are interchangeable state.
+    """
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("_i").cast("string"),
+            F.lit(":"),
+            F.col(token_col),
+        )
+    )
+    probes = df.select(
+        *group_cols,
+        F.col(token_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("_i"),
+    ).select(*group_cols, "_i", _nibble_bucket(h, width).alias("_b"))
+    return probes.groupBy(*group_cols, "_i", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
 
 
 def hll_distinct(

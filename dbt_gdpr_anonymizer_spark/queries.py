@@ -1669,6 +1669,7 @@ _CHECK_LAST = [
     "ngram_containment_neardup",
     "mojibake_profile_documents",
     "pmi_collocations_documents",
+    "cm_grid_daily_events",
 ]
 
 
@@ -12846,3 +12847,61 @@ def pmi_collocations_documents(
     d = _t(spark, sf_dir, "documents")
     out = pmi_collocations(d, min_count=5, k=50)
     return _retrack(out, out)
+
+
+def _cm_grid_oracle_sql(depth: int, width: int) -> str:
+    """Replay of operators/sketch.cm_grid_table over daily event_type
+    occurrences: per-row probe fan-out, the salted md5 bucket, and the
+    per-(day, row, bucket) counts — the mergeable grid state itself."""
+    key = "('cm' || cast(i as varchar) || ':' || event_type)"
+    bucket_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({key}), {n}, 1))"
+        f" - 1)::BIGINT * {16 ** (5 - n)}"
+        for n in range(1, 6)
+    )
+    return f"""
+    with probes as (
+      select cast(date_trunc('day', ts::timestamp) as timestamp) as day,
+             (({bucket_terms}) % {width})::INT as b,
+             i
+      from events
+      cross join (select unnest(range(0, {depth}))::INT as i) t
+    )
+    select day, cast(i as int) as row_idx, b as bucket,
+           cast(count(*) as bigint) as cnt
+    from probes
+    group by day, i, b
+    order by day, row_idx, bucket
+    """
+
+
+@register("cm_grid_daily_events", _cm_grid_oracle_sql(2, 16))
+def cm_grid_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169b streamed count-min grid state per day
+    (operators/sketch.cm_grid_table): every event row fans out to
+    depth=2 probes whose salted md5 buckets count into a 2×16 grid per
+    day bucket — ONE count aggregation, the streaming-native form of
+    the X169 sketch (the end-to-end stream drive with watermarked
+    windows is unit-pinned in tests/test_sketch.py; equality with the
+    batch count-table-folded grid is pinned by associativity). The
+    release IS the mergeable state: grids from shards/windows/engines
+    merge by sum. Integer-exact. Parked for the r11 window per the
+    no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import cm_grid_table
+
+    e = _events(spark, sf_dir)
+    grid = cm_grid_table(
+        e.select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        ),
+        ["day"],
+        "event_type",
+        depth=2,
+        width=16,
+    )
+    return grid.select(
+        "day",
+        F.col("_i").cast("int").alias("row_idx"),
+        F.col("_b").alias("bucket"),
+        F.col("_cnt").alias("cnt"),
+    ).orderBy("day", "row_idx", "bucket")

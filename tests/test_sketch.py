@@ -348,3 +348,108 @@ def test_hll_register_table_streams(spark, tmp_path):
         if r.day != base + timedelta(days=30)
     }
     assert got == want and len(got) >= 2
+
+
+def test_cm_grid_table_equals_batch_grid(spark):
+    """The streamed-rows grid must equal the batch operator's
+    count-table-folded grid by associativity — pinned exactly."""
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.functions.text import words
+    from dbt_gdpr_anonymizer_spark.operators.sketch import cm_grid_table
+
+    texts = [
+        "apple banana apple cherry",
+        "banana apple date egg fig",
+        "apple grape banana cherry cherry",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    toks = df.select(F.explode(words("text")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    grid = {
+        (r._i, r._b): r._cnt
+        for r in cm_grid_table(toks, [], "w", depth=3, width=4).collect()
+    }
+    # replay: batch grid from exact counts
+    import hashlib
+    from collections import Counter
+
+    counts = Counter(w for t in texts for w in t.split())
+    want: dict = {}
+    for w, c in counts.items():
+        for i in range(3):
+            b = int(
+                hashlib.md5(f"cm{i}:{w}".encode()).hexdigest()[:5], 16
+            ) % 4
+            want[(i, b)] = want.get((i, b), 0) + c
+    assert grid == want
+
+
+def test_cm_grid_table_streams(spark, tmp_path):
+    """End-to-end under Structured Streaming: file source → watermarked
+    daily-window grid → availableNow parquet sink; the merged sunk grid
+    must equal the batch grid on the same data."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.sketch import cm_grid_table
+
+    base = datetime.fromisoformat("2024-01-01 00:00:00")
+    rows = [
+        (base + timedelta(hours=(i * 5) % 40), f"tok{i % 9}")
+        for i in range(200)
+    ]
+    rows.append((base + timedelta(days=30), "flush"))
+    src = tmp_path / "src"
+    df = spark.createDataFrame(rows, "ts timestamp, w string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, w string")
+        .parquet(str(src))
+        .withWatermark("ts", "1 hour")
+    )
+    grid = cm_grid_table(
+        stream.select(F.window("ts", "1 day").alias("day_w"), "w"),
+        ["day_w"],
+        "w",
+        depth=2,
+        width=16,
+    )
+    out_dir = tmp_path / "sink"
+    q = (
+        grid.writeStream.format("parquet")
+        .option("path", f"{out_dir}/out")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    sunk = (
+        spark.read.parquet(f"{out_dir}/out")
+        .select(F.col("day_w.start").alias("day"), "_i", "_b", "_cnt")
+        .groupBy("day", "_i", "_b")
+        .agg(F.sum("_cnt").cast("long").alias("_cnt"))  # merge-by-sum
+    )
+    got = {(r.day, r._i, r._b): r._cnt for r in sunk.collect()}
+
+    batch = cm_grid_table(
+        df.select(F.date_trunc("day", "ts").alias("day"), "w"),
+        ["day"],
+        "w",
+        depth=2,
+        width=16,
+    )
+    flush_day = base + timedelta(days=30)
+    want = {
+        (r.day, r._i, r._b): r._cnt
+        for r in batch.collect()
+        if r.day != flush_day  # its window never closes in-stream
+    }
+    assert got == want and len(got) >= 4
