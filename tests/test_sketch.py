@@ -453,3 +453,45 @@ def test_cm_grid_table_streams(spark, tmp_path):
         if r.day != flush_day  # its window never closes in-stream
     }
     assert got == want and len(got) >= 4
+
+
+def test_sketch_plan_shapes(spark):
+    """Scale-contract pins: the CM estimate lookup and the bloom bit
+    probe are broadcast HASH equi-joins (never sort-merge or nested
+    loop), and the HLL register build plans a partial (map-side)
+    aggregation before its single exchange."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        bloom_contamination_gate,
+        countmin_heavy_hitters,
+        hll_register_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} filler words here") for i in range(20)],
+        ["doc_id", "text"],
+    )
+
+    cm = countmin_heavy_hitters(df, depth=2, width=64, k=5)
+    plan = cm._jdf.queryExecution().executedPlan().toString()
+    release_caches(cm)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # top-k is TakeOrdered, not a global window
+    assert "TakeOrderedAndProject" in plan and "Window" not in plan
+
+    bench = spark.createDataFrame([(0,), (1,)], ["doc_id"])
+    bg = bloom_contamination_gate(df, bench, m_bits=1024, k=2, n=3)
+    plan = bg._jdf.queryExecution().executedPlan().toString()
+    release_caches(bg)
+    # the bit-set probe and the bench joins broadcast; the final per-doc
+    # assembly joins (flagged × totals × exact, corpus-sized both sides)
+    # are legitimately sort-merge at scale and NOT asserted against
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    regs = hll_register_table(df.select("doc_id", "text"), ["doc_id"], "text")
+    plan = regs._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") == 1  # one keyed shuffle, nothing else
