@@ -315,3 +315,60 @@ def test_pmi_min_count_filters(spark):
     rows = out.collect()
     release_caches(out)
     assert [r.pair for r in rows] == ["a b"]  # only pair with count >= 2
+
+
+def test_kn_property_vs_python_replay(spark):
+    """Hypothesis: KN scores on arbitrary corpora equal the replay."""
+    import math as m
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dbt_gdpr_anonymizer_spark.operators.lm import kn_bigram_lm_scores
+
+    token = st.sampled_from("abcde")
+    doc = st.lists(token, min_size=0, max_size=8).map(" ".join)
+
+    @given(corpus=st.lists(doc, min_size=1, max_size=6))
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(corpus):
+        df = spark.createDataFrame(
+            list(enumerate(corpus)), "doc_id long, text string"
+        )
+        out = kn_bigram_lm_scores(df)
+        rows = {r.doc_id: (r.n_bigrams, r.xent) for r in out.collect()}
+        release_caches(out)
+
+        toks = {i: t.split() for i, t in enumerate(corpus)}
+        c12 = Counter()
+        for ws in toks.values():
+            for a, b in zip(ws, ws[1:]):
+                c12[(a, b)] += 1
+        D = 0.75
+        c1, n1f, n1p = Counter(), Counter(), Counter()
+        for (a, b), c in c12.items():
+            c1[a] += c
+            n1f[a] += 1
+            n1p[b] += 1
+        nt = len(c12)
+
+        def p_kn(a, b):
+            return max(c12[(a, b)] - D, 0.0) / c1[a] + D * n1f[a] / c1[
+                a
+            ] * (n1p[b] / nt)
+
+        for i, ws in toks.items():
+            ev = list(zip(ws, ws[1:]))
+            if not ev:
+                assert rows[i] == (0, None), i
+                continue
+            want = sum(-m.log(p_kn(a, b)) for a, b in ev) / len(ev)
+            assert rows[i][0] == len(ev)
+            assert abs(rows[i][1] - want) < 1e-9, i
+
+    run()

@@ -119,3 +119,60 @@ def test_mojibake_cross_engine_positive_cases(spark):
     }
     assert got == want
     assert got[1][0] == 1 and got[5][0] == 3  # positives really fire
+
+
+def test_mojibake_property_vs_python_re(spark):
+    """Hypothesis: arbitrary text over an alphabet that includes the
+    signature characters must match a python `re` replay of the same
+    classes exactly (counts and the integer ppm)."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from dbt_gdpr_anonymizer_spark.operators.unicode_norm import (
+        mojibake_profile,
+    )
+
+    alphabet = "ab \u00c3\u00c2\u00e2\u20ac\u0080\u00a0\ufffd\u00bf\u00a9e"
+    pats = [
+        re.compile("\u00c3[\u0080-\u00bf]"),
+        re.compile("\u00e2\u20ac"),
+        re.compile("\u00c2[\u00a0-\u00bf]"),
+        re.compile("\ufffd"),
+    ]
+
+    @given(
+        texts=st.lists(
+            st.text(alphabet=alphabet, max_size=30), min_size=1, max_size=8
+        )
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (
+                r.n_chars,
+                r.n_utf8_latin1,
+                r.n_smart_quote_seq,
+                r.n_nbsp_seq,
+                r.n_replacement,
+                r.mojibake_ppm,
+            )
+            for r in mojibake_profile(df).collect()
+        }
+        want = {}
+        for i, t in enumerate(texts):
+            cs = [len(p.findall(t)) for p in pats]
+            n = len(t)
+            ppm = 1_000_000 * sum(cs) // n if n else 0
+            want[i] = (n, *cs, ppm)
+        assert got == want
+
+    run()

@@ -171,3 +171,31 @@ def test_bloom_gate_property(spark, corpus, n_bench, m_bits, k):
         if flagged:
             want[d] = (len(gs), flagged, exact)
     assert got == want
+
+
+def test_hll_shard_merge_equals_whole(spark):
+    """The 100 TB merge contract: estimating over the UNION of two
+    shards' register tables equals estimating the whole frame — and the
+    fold re-merges, so the unmerged union is safe."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_register_table,
+    )
+
+    rows = [("g", f"u{i % 700}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    whole = {
+        tuple(r)
+        for r in hll_distinct(df, ["grp"], "uid").collect()
+    }
+    half1 = df.filter("uid like 'u1%'")
+    half2 = df.filter("uid not like 'u1%'")
+    union = hll_register_table(half1, ["grp"], "uid").unionByName(
+        hll_register_table(half2, ["grp"], "uid")
+    )
+    merged = {
+        tuple(r)
+        for r in hll_estimate_from_registers(union, ["grp"]).collect()
+    }
+    assert merged == whole
