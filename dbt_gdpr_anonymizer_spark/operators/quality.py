@@ -1216,3 +1216,55 @@ def distinctive_terms(
             F.floor(F.col("_z") * 10000).cast("bigint").alias("z_e4"),
         )
     )
+
+
+def readability_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X175 Flesch-Kincaid readability grade — the classic
+    textbook-quality curation signal (readability-band filtering in
+    curated-corpus work), computed in PURE CODEGEN with a fully
+    cross-engine-replayable syllable proxy:
+
+    * ``n_words`` — whitespace token count.
+    * ``n_sentences`` — runs of sentence punctuation ``[.!?]+``,
+      minimum 1 for non-empty text (a fragment is one sentence).
+    * ``n_syllables`` — vowel-group count over the lowercased text
+      (``[aeiouy]+`` runs, the standard one-pass approximation) plus
+      one per vowel-less alphabetic word (``rhythm``-class tokens
+      still carry a syllable); digit tokens contribute zero — a
+      deterministic contract both engines replay identically.
+
+    ``fk_grade_e2 = floor(100 · (0.39·W/S + 11.8·Syl/W − 15.59))``
+    (Kincaid et al. 1975), NULL for wordless text; the float chain is
+    one fixed-shape expression evaluated identically by both engines
+    over exact integer counts.
+
+    Returns ``(id_col, n_words, n_sentences, n_syllables BIGINT,
+    fk_grade_e2 BIGINT)``.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(t)
+    w = tx.token_count_ws(t).cast("bigint")
+    s_raw = F.regexp_count(t, F.lit("[.!?]+")).cast("bigint")
+    s = F.when(w > 0, F.greatest(s_raw, F.lit(1))).otherwise(F.lit(0))
+    vgroups = F.regexp_count(low, F.lit("[aeiouy]+")).cast("bigint")
+    # vowel-less purely-consonant words still carry one syllable
+    novowel = F.regexp_count(
+        low, F.lit(r"\b[b-df-hj-np-tv-xz]+\b")
+    ).cast("bigint")
+    syl = vgroups + novowel
+    grade = (
+        F.lit(0.39) * (w.cast("double") / s.cast("double"))
+        + F.lit(11.8) * (syl.cast("double") / w.cast("double"))
+        - F.lit(15.59)
+    )
+    return docs.select(
+        F.col(id_col),
+        w.alias("n_words"),
+        s.cast("bigint").alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.when(w > 0, F.floor(grade * 100))
+        .cast("bigint")
+        .alias("fk_grade_e2"),
+    )

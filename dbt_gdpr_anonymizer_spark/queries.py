@@ -1670,6 +1670,7 @@ _CHECK_LAST = [
     "mojibake_profile_documents",
     "pmi_collocations_documents",
     "cm_grid_daily_events",
+    "readability_documents",
 ]
 
 
@@ -12905,3 +12906,55 @@ def cm_grid_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_b").alias("bucket"),
         F.col("_cnt").alias("cnt"),
     ).orderBy("day", "row_idx", "bucket")
+
+
+@register(
+    "readability_documents",
+    r"""
+    with c as (
+      select doc_id, coalesce(text, '') as t from documents
+    ),
+    k as (
+      select doc_id,
+             cast(case when trim(t) = '' then 0
+                  else len(string_split_regex(trim(t), '\s+')) end
+               as bigint) as w,
+             cast(len(regexp_extract_all(t, '[.!?]+')) as bigint) as s_raw,
+             cast(len(regexp_extract_all(lower(t), '[aeiouy]+'))
+               as bigint) as vg,
+             cast(len(regexp_extract_all(lower(t),
+                  '\b[b-df-hj-np-tv-xz]+\b')) as bigint) as nv
+      from c
+    ),
+    n as (
+      select doc_id, w,
+             case when w > 0 then greatest(s_raw, 1) else 0 end as s,
+             vg + nv as syl
+      from k
+    )
+    select doc_id,
+           w as n_words,
+           cast(s as bigint) as n_sentences,
+           syl as n_syllables,
+           (case when w > 0 then
+              cast(floor((0.39 * (w::double / s::double)
+                          + 11.8 * (syl::double / w::double)
+                          - 15.59) * 100) as bigint) end) as fk_grade_e2
+    from n order by doc_id
+    """,
+)
+def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 Flesch-Kincaid readability grade over `documents`
+    (operators/quality.readability_profile — Kincaid et al. 1975): the
+    textbook-quality curation signal in pure codegen, with a fully
+    cross-engine-replayable syllable proxy (vowel-group runs + one per
+    vowel-less alphabetic word; digit tokens contribute zero by
+    documented contract). The float chain is one fixed-shape
+    expression over exact integer counts, released floor(grade*100)
+    BIGINT. Parked for the r11 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        readability_profile,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return readability_profile(d).orderBy("doc_id")

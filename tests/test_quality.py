@@ -40,3 +40,49 @@ def test_char_entropy_code_points(spark):
     p1, p2 = 1 / 3, 2 / 3
     want = -((p1 * math.log(p1)) + (p2 * math.log(p2)))
     assert r.entropy_e4 == math.floor(want * 10000)
+
+
+def test_readability_profile(spark):
+    """X175 Flesch-Kincaid: hand-checked counts + a python replay of the
+    exact float chain."""
+    import math
+
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        readability_profile,
+    )
+
+    docs = [
+        (1, "The cat sat."),
+        (2, "rhythm tv"),
+        (3, "Hello world! How are you? Fine."),
+        (4, "42 cats"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r.doc_id: r for r in readability_profile(df).collect()}
+
+    def fk(w, s, syl):
+        return math.floor((0.39 * (w / s) + 11.8 * (syl / w) - 15.59) * 100)
+
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (3, 1, 3)
+    assert r1.fk_grade_e2 == fk(3, 1, 3)
+
+    r2 = rows[2]  # rhythm: y vowel-group; tv: vowel-less word -> 1 each
+    assert (r2.n_words, r2.n_sentences, r2.n_syllables) == (2, 1, 2)
+    assert r2.fk_grade_e2 == fk(2, 1, 2)
+
+    r3 = rows[3]
+    assert r3.n_sentences == 3
+    assert r3.n_words == 6
+    # hello(e,o) world(o) how(o) are(a,e->"are" = a,e: 'a','e' two groups)
+    # you(ou one group) fine(i,e two groups)
+    assert r3.n_syllables == 9
+    assert r3.fk_grade_e2 == fk(6, 3, 9)
+
+    r4 = rows[4]  # "42" contributes zero syllables by contract
+    assert (r4.n_words, r4.n_syllables) == (2, 1)
+
+    assert tuple(rows[5])[1:] == (0, 0, 0, None)
+    assert tuple(rows[6])[1:] == (0, 0, 0, None)
