@@ -1231,9 +1231,16 @@ def readability_profile(
       minimum 1 for non-empty text (a fragment is one sentence).
     * ``n_syllables`` — vowel-group count over the lowercased text
       (``[aeiouy]+`` runs, the standard one-pass approximation) plus
-      one per vowel-less alphabetic word (``rhythm``-class tokens
-      still carry a syllable); digit tokens contribute zero — a
-      deterministic contract both engines replay identically.
+      one per vowel-less consonant run (``rhythm``/``tv``-class
+      tokens still carry a syllable); digit tokens contribute zero.
+      The consonant-run count operates on an ASCII-normalized copy
+      (``[^a-z0-9] → ' '``) so the ``\\b`` word boundary means the
+      same thing in BOTH engines — Java's ``\\b`` is Unicode-aware
+      while RE2's is ASCII-only, and on raw text they disagree the
+      moment a non-ASCII letter abuts a consonant run (``crêpe``:
+      Java sees ``cr`` as word-interior, RE2 sees a boundary at the
+      ``ê``). Normalizing first makes the contract deterministic and
+      identical across engines, pinned by a non-ASCII unit.
 
     ``fk_grade_e2 = floor(100 · (0.39·W/S + 11.8·Syl/W − 15.59))``
     (Kincaid et al. 1975), NULL for wordless text; the float chain is
@@ -1249,9 +1256,11 @@ def readability_profile(
     s_raw = F.regexp_count(t, F.lit("[.!?]+")).cast("bigint")
     s = F.when(w > 0, F.greatest(s_raw, F.lit(1))).otherwise(F.lit(0))
     vgroups = F.regexp_count(low, F.lit("[aeiouy]+")).cast("bigint")
-    # vowel-less purely-consonant words still carry one syllable
+    # vowel-less consonant runs still carry one syllable; count on the
+    # ASCII-normalized copy so \b is engine-independent (see docstring)
+    ascii_low = F.regexp_replace(low, "[^a-z0-9]", " ")
     novowel = F.regexp_count(
-        low, F.lit(r"\b[b-df-hj-np-tv-xz]+\b")
+        ascii_low, F.lit(r"\b[b-df-hj-np-tv-xz]+\b")
     ).cast("bigint")
     syl = vgroups + novowel
     grade = (

@@ -997,6 +997,15 @@ def ivf_pq_topk(
             "ivf_pq_topk: a precomputed corpus frame requires the coarse "
             "model that produced it (probe selection needs the centroids)"
         )
+    if residual and coarse is None:
+        # mirror pq_assign's guard: residual codebooks were fit against
+        # a SPECIFIC coarse model — auto-seeding a fresh one here would
+        # encode residuals vs the wrong centroids and rank garbage with
+        # no error surfaced
+        raise ValueError(
+            "ivf_pq_topk: residual=True requires the coarse model the "
+            "residual codebooks were fit against"
+        )
     if coarse is None:
         rows = (
             vectors.select(F.col(id_col), F.col(vec_col).cast("array<double>"))

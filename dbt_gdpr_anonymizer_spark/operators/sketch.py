@@ -348,10 +348,7 @@ def bloom_contamination_gate(
     """
     if m_bits & (m_bits - 1) or m_bits > (1 << 20):
         raise ValueError("m_bits must be a power of two <= 2^20")
-    from dbt_gdpr_anonymizer_spark.functions import text as tx
-
-    ws = tx.words(text_col)
-    toks = docs.select(F.col(id_col), ws.alias("_ws"))
+    ws = words(text_col)
     nw = F.size("_ws")
     grams = F.array_distinct(
         F.when(
@@ -363,8 +360,12 @@ def bloom_contamination_gate(
         ).otherwise(F.array(F.array_join("_ws", " ")))
     )
     bench = benchmark_ids.select(F.col(id_col))
+    # join bench ids BEFORE tokenizing: the bench branch then tokenizes
+    # only the benchmark docs instead of re-running the words() chain
+    # over the whole corpus a second time
     bench_grams = (
-        toks.join(F.broadcast(bench), id_col)
+        docs.join(F.broadcast(bench), id_col)
+        .select(F.col(id_col), ws.alias("_ws"))
         .select(F.explode(grams).alias("_gram"))
         .distinct()
         .persist()
@@ -387,7 +388,8 @@ def bloom_contamination_gate(
         .distinct()
     )
     corpus_grams = (
-        toks.join(F.broadcast(bench), id_col, "left_anti")
+        docs.join(F.broadcast(bench), id_col, "left_anti")
+        .select(F.col(id_col), ws.alias("_ws"))
         .select(id_col, F.explode(grams).alias("_gram"))
         .persist()
     )

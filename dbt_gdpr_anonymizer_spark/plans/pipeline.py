@@ -95,14 +95,20 @@ def _mapping_expr(col, mapping: dict[str, str], default: str):
     ``when`` is a py4j round trip, and the three pipeline maps total ~50
     entries — ~0.2 s of socket chatter per query build, measured. The
     parsed CASE is semantically identical (NULL input falls to ELSE in
-    both forms). ``col`` is a plain column name string."""
+    both forms). ``col`` is a plain column name string.
+
+    Escaping: Spark SQL string literals process BACKSLASH escapes by
+    default (``'C:\\temp'`` parses as ``C:<TAB>emp``), so backslashes
+    double before quotes do; backticks in the column name double too —
+    otherwise a key/value/name containing either silently changes
+    meaning vs the old ``F.lit`` chain, which compared raw bytes."""
     if not mapping:
         return F.lit(default)
 
     def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-    col_sql = f"`{col}`"
+    col_sql = "`" + col.replace("`", "``") + "`"
     arms = " ".join(
         f"WHEN {col_sql} = {q(k)} THEN {q(v)}" for k, v in mapping.items()
     )

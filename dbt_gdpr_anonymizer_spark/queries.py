@@ -12922,7 +12922,8 @@ def cm_grid_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(len(regexp_extract_all(t, '[.!?]+')) as bigint) as s_raw,
              cast(len(regexp_extract_all(lower(t), '[aeiouy]+'))
                as bigint) as vg,
-             cast(len(regexp_extract_all(lower(t),
+             cast(len(regexp_extract_all(
+                  regexp_replace(lower(t), '[^a-z0-9]', ' ', 'g'),
                   '\b[b-df-hj-np-tv-xz]+\b')) as bigint) as nv
       from c
     ),

@@ -204,3 +204,30 @@ def test_generic_schema_tests_vocabulary(spark):
         ("child", "v", "not_null"): 0,
         ("parent", "pk", "unique"): 0,
     }
+
+
+def test_mapping_expr_escaping(spark):
+    """Mapping keys/values with backslashes and quotes, and column
+    names with backticks, must route exactly (the parsed-SQL rewrite
+    must match the old F.lit chain's raw-byte comparison)."""
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.plans.pipeline import _mapping_expr
+
+    df = spark.createDataFrame(
+        [("C:\\temp",), ("don't",), ("plain",), (None,)], ["od`d"]
+    )
+    m = {"C:\\temp": "bs\\v", "don't": "quo'te", "plain": "ok"}
+    got = {
+        r[0]: r.v
+        for r in df.select(
+            F.expr("`od``d`").alias("k"),
+            _mapping_expr("od`d", m, "MISS").alias("v"),
+        ).collect()
+    }
+    assert got == {
+        "C:\\temp": "bs\\v",
+        "don't": "quo'te",
+        "plain": "ok",
+        None: "MISS",
+    }

@@ -322,3 +322,23 @@ def test_residual_lloyd_seeding_does_not_collapse():
     cents = _lloyd_l2_np(x, 3, 3)
     uniq = {tuple(np.round(c, 6)) for c in cents}
     assert len(uniq) == 3, cents
+
+
+def test_ivf_pq_residual_requires_coarse(spark):
+    """residual=True without the fitted coarse model must raise (the
+    pq_assign guard, mirrored): silently auto-seeding a DIFFERENT
+    coarse model would rank garbage with no error."""
+    import pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.similarity import ivf_pq_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(8)],
+        ["vec_id", "embedding"],
+    )
+    q = df.filter("vec_id < 2").select(
+        df.vec_id.alias("query_id"), "embedding"
+    )
+    models = [[[1.0], [2.0]], [[1.0], [2.0]]]
+    with pytest.raises(ValueError, match="residual=True requires"):
+        ivf_pq_topk(df, q, models, k=2, nlist=2, nprobe=1, residual=True)

@@ -86,3 +86,48 @@ def test_readability_profile(spark):
 
     assert tuple(rows[5])[1:] == (0, 0, 0, None)
     assert tuple(rows[6])[1:] == (0, 0, 0, None)
+
+
+def test_readability_non_ascii_boundary_parity(spark):
+    """The reason for the ASCII normalization: Java's \\b is
+    Unicode-aware, RE2's is ASCII-only — on raw text they disagree at
+    non-ASCII letters. With the normalized copy both engines must count
+    the same consonant runs; pin Spark against the DuckDB oracle regex
+    on a non-ASCII fixture."""
+    import duckdb
+
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        readability_profile,
+    )
+
+    docs = [(1, "crêpe du chef"), (2, "São tv")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_words, r.n_syllables) for r in
+        readability_profile(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create table t as select * from (values (1, ?), (2, ?))"
+        " v(doc_id, s)",
+        [docs[0][1], docs[1][1]],
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            r"""
+            select doc_id,
+              case when trim(s) = '' then 0
+                   else len(string_split_regex(trim(s), '\s+')) end,
+              len(regexp_extract_all(lower(s), '[aeiouy]+'))
+              + len(regexp_extract_all(
+                    regexp_replace(lower(s), '[^a-z0-9]', ' ', 'g'),
+                    '\b[b-df-hj-np-tv-xz]+\b'))
+            from t
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # crêpe -> 'cr pe': 'cr' is a vowel-less run (+1), 'pe' has 'e';
+    # 'du' and 'chef' one group each -> 4 total for doc 1
+    assert got[1] == (3, 4)
