@@ -5974,7 +5974,8 @@ _TEST_NIRS = [
     ),
     cands as (
       select doc_id,
-             unnest(regexp_extract_all(t, '\\b[12][0-9]{{14}}\\b')) as cand
+             unnest(regexp_extract_all(regexp_replace(t, '[^0-9]', ' ', 'g'),
+                                       '\\b[12][0-9]{{14}}\\b')) as cand
       from injected
     )
     select doc_id, cand as candidate,
@@ -6020,7 +6021,14 @@ def nir_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.regexp_extract_all(
-                F.col("t"), F.lit(r"\b[12][0-9]{14}\b"), F.lit(0)
+                # digit-normalize before the \b extraction: Java's \b is
+                # Unicode-aware and RE2's is ASCII-only, so on raw text a
+                # non-ASCII letter abutting a digit run makes the engines
+                # disagree (the readability_profile finding); on a
+                # digits-and-spaces copy \b is engine-independent
+                F.regexp_replace(F.col("t"), "[^0-9]", " "),
+                F.lit(r"\b[12][0-9]{14}\b"),
+                F.lit(0),
             )
         ).alias("candidate"),
     )
@@ -8167,7 +8175,8 @@ _TEST_SIRETS = [
     ),
     cands as (
       select doc_id,
-             unnest(regexp_extract_all(t, '\\b[0-9]{{14}}\\b')) as cand
+             unnest(regexp_extract_all(regexp_replace(t, '[^0-9]', ' ', 'g'),
+                                       '\\b[0-9]{{14}}\\b')) as cand
       from injected
     )
     select doc_id, cand as candidate, {_LUHN_SQL} as siret_valid
@@ -8209,7 +8218,11 @@ def siret_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.regexp_extract_all(
-                F.col("t"), F.lit(r"\b[0-9]{14}\b"), F.lit(0)
+                # digit-normalize before the \b extraction (the nir_pii
+                # engine-boundary stance — see that query)
+                F.regexp_replace(F.col("t"), "[^0-9]", " "),
+                F.lit(r"\b[0-9]{14}\b"),
+                F.lit(0),
             )
         ).alias("candidate"),
     )
