@@ -32,7 +32,9 @@ from dbt_gdpr_anonymizer_spark.functions.text import words
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
 __all__ = [
+    "bloom_bitmask",
     "bloom_contamination_gate",
+    "bloom_flag_grams",
     "cm_grid_table",
     "countmin_heavy_hitters",
     "hll_distinct",
@@ -424,3 +426,122 @@ def bloom_contamination_gate(
         )
     )
     return track_caches(out, bench_grams, corpus_grams)
+
+
+def bloom_bitmask(
+    benchmark_docs: DataFrame,
+    *,
+    m_bits: int = 65536,
+    k: int = 3,
+    n: int = 5,
+    text_col: str = "text",
+    salt: str = "bloom",
+) -> str:
+    """Collect the Bloom filter of ``benchmark_docs``'s word n-grams as
+    a ``m_bits``-character '0'/'1' mask string — the DRIVER-LOCAL model
+    state of :func:`bloom_contamination_gate`'s bit set (bounded by
+    m_bits — 64 KB at the default — the kmeans_fit_model stance). The
+    mask is the sketch's portable form: OR-merge masks from different
+    eval suites character-wise, ship them to any engine, embed them as
+    one literal."""
+    if m_bits & (m_bits - 1) or m_bits > (1 << 20):
+        raise ValueError("m_bits must be a power of two <= 2^20")
+    ws = words(text_col)
+    nw = F.size("_ws")
+    grams = F.array_distinct(
+        F.when(
+            nw >= n,
+            F.transform(
+                F.sequence(F.lit(1), nw - (n - 1)),
+                lambda i: F.array_join(F.slice("_ws", i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join("_ws", " ")))
+    )
+    pos = _nibble_bucket(
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col("_i").cast("string"),
+                F.lit(":"),
+                F.col("_gram"),
+            )
+        ),
+        m_bits,
+    )
+    rows = (
+        benchmark_docs.select(ws.alias("_ws"))
+        .select(F.explode(grams).alias("_gram"))
+        .select(
+            "_gram",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+        )
+        .select(pos.alias("_pos"))
+        .distinct()
+        .collect()
+    )
+    mask = ["0"] * m_bits
+    for r in rows:
+        mask[r._pos] = "1"
+    return "".join(mask)
+
+
+def bloom_flag_grams(
+    docs: DataFrame,
+    bitmask: str,
+    *,
+    k: int = 3,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "bloom",
+) -> DataFrame:
+    """The STREAMING-native form of the Bloom gate: a STATELESS
+    row-level probe — explode grams, derive the k salted positions, and
+    flag a gram iff every indexed character of the ``bitmask`` literal
+    is '1' (one O(1) ``substring`` per probe; no join, no aggregation,
+    no state) — so it runs unchanged under Structured Streaming append
+    mode (end-to-end stream drive unit-pinned; equality with the
+    batch gate's per-gram flags pinned too). Per-doc rollups belong to
+    the reader, exactly like the HLL/CM register/grid sinks.
+
+    Returns ``(id_col, gram, flagged BOOLEAN)`` — one row per distinct
+    gram occurrence per document.
+    """
+    m_bits = len(bitmask)
+    if m_bits & (m_bits - 1) or m_bits > (1 << 20):
+        raise ValueError("bitmask length must be a power of two <= 2^20")
+    ws = words(text_col)
+    nw = F.size("_ws")
+    grams = F.array_distinct(
+        F.when(
+            nw >= n,
+            F.transform(
+                F.sequence(F.lit(1), nw - (n - 1)),
+                lambda i: F.array_join(F.slice("_ws", i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join("_ws", " ")))
+    )
+    mask = F.lit(bitmask)
+
+    def hit(i: int):
+        pos = _nibble_bucket(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.lit(str(i)),
+                    F.lit(":"),
+                    F.col("gram"),
+                )
+            ),
+            m_bits,
+        )
+        return F.substring(mask, pos + 1, 1) == "1"
+
+    flag = hit(0)
+    for i in range(1, k):
+        flag = flag & hit(i)
+    return (
+        docs.select(F.col(id_col), ws.alias("_ws"))
+        .select(id_col, F.explode(grams).alias("gram"))
+        .select(id_col, "gram", flag.alias("flagged"))
+    )

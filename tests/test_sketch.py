@@ -495,3 +495,99 @@ def test_sketch_plan_shapes(spark):
     plan = regs._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan  # map-side combine before the shuffle
     assert plan.count("Exchange") == 1  # one keyed shuffle, nothing else
+
+
+def test_bloom_bitmask_and_flag_grams_match_gate(spark):
+    """The stateless bitmask probe must agree with the batch gate: per
+    non-bench doc, the count of flagged grams equals n_bloom_flagged."""
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        bloom_bitmask,
+        bloom_contamination_gate,
+        bloom_flag_grams,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a sleeping cat"),
+        (3, "completely unrelated text about spark clusters"),
+        (4, "another benchmark sentence held out for evals"),
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench_ids = {1, 4}
+    bench = spark.createDataFrame([(i,) for i in bench_ids], ["doc_id"])
+
+    mask = bloom_bitmask(
+        df.join(F.broadcast(bench), "doc_id"), m_bits=1024, k=2, n=3
+    )
+    assert len(mask) == 1024 and set(mask) <= {"0", "1"}
+
+    flags = bloom_flag_grams(
+        df.join(F.broadcast(bench), "doc_id", "left_anti"),
+        mask,
+        k=2,
+        n=3,
+    )
+    got = {
+        r.doc_id: r.nf
+        for r in flags.filter("flagged")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .collect()
+    }
+    gate = bloom_contamination_gate(df, bench, m_bits=1024, k=2, n=3)
+    want = {r.doc_id: r.n_bloom_flagged for r in gate.collect()}
+    release_caches(gate)
+    assert got == want
+
+
+def test_bloom_flag_grams_streams(spark, tmp_path):
+    """The probe is stateless, so it must run unchanged under
+    Structured Streaming append mode — no watermark, no state store."""
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        bloom_bitmask,
+        bloom_flag_grams,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    mask = bloom_bitmask(bench, m_bits=512, k=2, n=3)
+
+    corpus = [
+        (1, "alpha beta gamma something else entirely"),
+        (2, "no overlap whatsoever in this document"),
+    ]
+    src = tmp_path / "src"
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    out_dir = tmp_path / "sink"
+    q = (
+        bloom_flag_grams(stream, mask, k=2, n=3)
+        .writeStream.format("parquet")
+        .option("path", f"{out_dir}/out")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    sunk = spark.read.parquet(f"{out_dir}/out")
+    got = {
+        (r.doc_id, r.gram): r.flagged for r in sunk.collect()
+    }
+    batch = {
+        (r.doc_id, r.gram): r.flagged
+        for r in bloom_flag_grams(df, mask, k=2, n=3).collect()
+    }
+    assert got == batch
+    assert got[(1, "alpha beta gamma")] is True
+    assert not any(f for (d, _), f in got.items() if d == 2)
