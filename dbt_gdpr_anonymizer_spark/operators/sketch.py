@@ -36,10 +36,12 @@ __all__ = [
     "bloom_contamination_gate",
     "bloom_flag_grams",
     "cm_grid_table",
+    "cm_join_size_estimate",
     "countmin_heavy_hitters",
     "hll_distinct",
     "hll_estimate_from_registers",
     "hll_register_table",
+    "hll_set_overlap",
 ]
 
 
@@ -544,4 +546,138 @@ def bloom_flag_grams(
         docs.select(F.col(id_col), ws.alias("_ws"))
         .select(id_col, F.explode(grams).alias("gram"))
         .select(id_col, "gram", flag.alias("flagged"))
+    )
+
+
+def hll_set_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    b: int = 8,
+    salt: str = "hll",
+) -> DataFrame:
+    """X176 HLL set-algebra overlap: for every unordered pair of
+    groups, the estimated distinct-value cardinalities of each side,
+    their UNION (the max-merge of the two register tables — the HLL
+    merge identity: registers of A∪B are exactly max(M_A, M_B)), and
+    the inclusion-exclusion INTERSECTION estimate ``|A| + |B| − |A∪B|``
+    — the "audience overlap" question (shared users across event
+    types, shared vocabulary across sources) answered WITHOUT any
+    pairwise distinct-shuffle: one register build over the corpus,
+    then all pair arithmetic happens on the m-bounded register tables.
+    The intersection estimate is signed — inclusion-exclusion over
+    three ±1σ estimates can dip below zero for near-disjoint sets;
+    releasing the raw signed value keeps the estimator honest (clamp
+    at the consumer if needed).
+
+    Scale shape: ONE map-side-combined (group, register) max aggregate
+    (no distinct shuffle, the :func:`hll_distinct` pass); the group
+    domain is collected driver-side (bounded — the kmeans model-state
+    stance) to build the pair list as a LITERAL frame, so the pair
+    fan-out is two broadcast equi-joins onto the register table —
+    deliberately NOT a non-equi self-join (which would plan a nested
+    loop). Estimates reuse :func:`hll_estimate_from_registers`
+    verbatim: the union sketch is just the concatenation of both
+    sides' registers tagged with the pair key, re-merged by the fold's
+    own max.
+
+    Returns ``(group_a, group_b, hll_a BIGINT, hll_b BIGINT,
+    hll_union BIGINT, hll_intersection BIGINT)`` with
+    ``group_a < group_b``; NULL groups are excluded (a NULL group is
+    not a set name).
+    """
+    regs = hll_register_table(
+        df.filter(F.col(group_col).isNotNull()),
+        [group_col],
+        value_col,
+        b=b,
+        salt=salt,
+    ).persist()
+    groups = sorted(
+        r[0] for r in regs.select(group_col).distinct().collect()
+    )
+    pairs = [(a, c) for i, a in enumerate(groups) for c in groups[i + 1 :]]
+    if not pairs:
+        spark = df.sparkSession
+        empty = spark.createDataFrame(
+            [],
+            f"group_a string, group_b string, hll_a bigint, "
+            f"hll_b bigint, hll_union bigint, hll_intersection bigint",
+        )
+        return track_caches(empty, regs)
+    spark = df.sparkSession
+    pair_df = spark.createDataFrame(pairs, ["group_a", "group_b"])
+
+    per_group = hll_estimate_from_registers(regs, [group_col], b=b).select(
+        F.col(group_col).alias("_g"),
+        F.col("hll_distinct").alias("_e"),
+    )
+    # union sketch per pair: both sides' registers tagged (a, b); the
+    # estimate fold re-merges by max, which IS the HLL union
+    tag_a = F.broadcast(pair_df).join(
+        regs, F.col("group_a") == F.col(group_col)
+    ).select("group_a", "group_b", "_j", "_m")
+    tag_b = F.broadcast(pair_df).join(
+        regs, F.col("group_b") == F.col(group_col)
+    ).select("group_a", "group_b", "_j", "_m")
+    union_est = hll_estimate_from_registers(
+        tag_a.unionByName(tag_b), ["group_a", "group_b"], b=b
+    ).select("group_a", "group_b", F.col("hll_distinct").alias("hll_union"))
+    out = (
+        union_est.join(
+            per_group.select(
+                F.col("_g").alias("group_a"), F.col("_e").alias("hll_a")
+            ),
+            "group_a",
+        )
+        .join(
+            per_group.select(
+                F.col("_g").alias("group_b"), F.col("_e").alias("hll_b")
+            ),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "hll_a",
+            "hll_b",
+            "hll_union",
+            (F.col("hll_a") + F.col("hll_b") - F.col("hll_union"))
+            .cast("bigint")
+            .alias("hll_intersection"),
+        )
+    )
+    return track_caches(out, regs)
+
+
+def cm_join_size_estimate(
+    grid_a: DataFrame, grid_b: DataFrame, *, depth: int = 4
+) -> DataFrame:
+    """X177 sketch-based join-size estimation (the count-min /
+    AGMS inner-product estimator, Alon-Gibbons-Matias-Szegedy 1999;
+    Cormode & Muthukrishnan 2005 §4.2): given the CM grids of two
+    relations' join keys (:func:`cm_grid_table`, same depth/width/salt
+    on both sides), ``|A ⋈ B| = Σ_key cntA(key)·cntB(key)`` is
+    estimated by ``min_i Σ_b gridA[i][b]·gridB[i][b]`` — an UPPER
+    bound (collisions only add non-negative cross terms, the same
+    one-sided guarantee as CM point queries), with expected
+    overestimate ≤ F1(A)·F1(B)/width per row, tightening as width
+    grows. This is the join-cardinality question a 100 TB planner
+    wants answered BEFORE executing the join: two constant-size grids
+    (mergeable by + across shards) replace touching either relation.
+
+    Plan: one hash equi-join of two depth×width-bounded frames,
+    map-side-combined per-row sums, a depth-row min — integer-exact
+    end to end. Returns one row ``(cm_join_estimate BIGINT)``.
+    """
+    prod = grid_a.alias("a").join(
+        grid_b.alias("b"), ["_i", "_b"]
+    ).select(
+        F.col("_i"),
+        (F.col("a._cnt") * F.col("b._cnt")).cast("long").alias("_p"),
+    )
+    per_row = prod.groupBy("_i").agg(F.sum("_p").alias("_ip"))
+    return per_row.agg(
+        F.min("_ip").cast("long").alias("cm_join_estimate")
     )

@@ -1671,6 +1671,8 @@ _CHECK_LAST = [
     "pmi_collocations_documents",
     "cm_grid_daily_events",
     "readability_documents",
+    "hll_overlap_event_types",
+    "cm_join_size_orders_lineitem",
 ]
 
 
@@ -12972,3 +12974,202 @@ def readability_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return readability_profile(d).orderBy("doc_id")
+
+
+def _hll_overlap_oracle_sql(b: int = 8, salt: str = "hll") -> str:
+    """Replay of operators/sketch.hll_set_overlap over events/user_id:
+    the register derivation (the _hll_oracle_sql idiom), per-group
+    estimates, UNION registers per unordered pair (max-merge — the HLL
+    merge identity), and the signed inclusion-exclusion intersection.
+    The fold/correction/alpha machinery is shared character-for-
+    character with the hll_distinct oracle via the same literals."""
+    m = 1 << b
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    nib = b // 4
+    key = f"('{salt}:' || cast(user_id as varchar))"
+    j_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({key}), {n}, 1))"
+        f" - 1)::BIGINT * {16 ** (nib - n)}"
+        for n in range(1, nib + 1)
+    )
+    w52_terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({key}), {nib + n}, 1))"
+        f" - 1)::BIGINT * {16 ** (13 - n)}"
+        for n in range(1, 14)
+    )
+    def est(s_name: str, v_name: str) -> str:
+        return (
+            f"cast(floor(case when {alpha_m2!r} / {s_name} <= {2.5 * m!r}"
+            f" and {v_name} > 0"
+            f" then {float(m)!r} * ln({float(m)!r} / {v_name})"
+            f" else {alpha_m2!r} / {s_name} end) as bigint)"
+        )
+
+    fold = """
+             list_reduce(
+               list_prepend(cast(0.0 as double),
+                 list_transform(list(mr order by j),
+                                x -> pow(0.5, x))),
+               (a, b) -> a + b)"""
+    return f"""
+    with r as (
+      select event_type,
+             ({j_terms})::INT as j,
+             (case when strpos(lpad(bin({w52_terms}), 52, '0'), '1') = 0
+                   then 53
+                   else strpos(lpad(bin({w52_terms}), 52, '0'), '1')
+              end)::INT as rho
+      from events where user_id is not null and event_type is not null
+    ),
+    regs as (
+      select event_type, j, max(rho) as mr from r group by event_type, j
+    ),
+    gs as (select distinct event_type from regs),
+    fullj as (select unnest(range(0, {m}))::INT as j),
+    g_filled as (
+      select gs.event_type, fullj.j, coalesce(regs.mr, 0) as mr
+      from gs cross join fullj
+      left join regs
+        on gs.event_type = regs.event_type and fullj.j = regs.j
+    ),
+    g_est as (
+      select event_type,
+             {est('es_s', 'es_v')}
+               as e
+      from (
+        select event_type, {fold} as es_s,
+               sum(case when mr = 0 then 1 else 0 end) as es_v
+        from g_filled group by event_type
+      )
+    ),
+    pairs as (
+      select a.event_type as group_a, b.event_type as group_b
+      from gs a join gs b on a.event_type < b.event_type
+    ),
+    u_regs as (
+      select p.group_a, p.group_b, fullj.j,
+             greatest(coalesce(ra.mr, 0), coalesce(rb.mr, 0)) as mr
+      from pairs p cross join fullj
+      left join regs ra
+        on ra.event_type = p.group_a and ra.j = fullj.j
+      left join regs rb
+        on rb.event_type = p.group_b and rb.j = fullj.j
+    ),
+    u_est as (
+      select group_a, group_b,
+             {est('us_s', 'us_v')}
+               as hll_union
+      from (
+        select group_a, group_b, {fold} as us_s,
+               sum(case when mr = 0 then 1 else 0 end) as us_v
+        from u_regs group by group_a, group_b
+      )
+    )
+    select u.group_a, u.group_b,
+           ea.e as hll_a, eb.e as hll_b, u.hll_union,
+           cast(ea.e + eb.e - u.hll_union as bigint) as hll_intersection
+    from u_est u
+    join g_est ea on ea.event_type = u.group_a
+    join g_est eb on eb.event_type = u.group_b
+    order by u.group_a, u.group_b
+    """
+
+
+@register("hll_overlap_event_types", _hll_overlap_oracle_sql())
+def hll_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 HLL set-algebra overlap (operators/sketch.hll_set_overlap):
+    for every unordered pair of event types, the estimated distinct-user
+    cardinalities of each side, the UNION via the HLL merge identity
+    (registers of A∪B = max(M_A, M_B)), and the signed
+    inclusion-exclusion intersection — the audience-overlap question
+    answered with ONE register pass and NO pairwise distinct shuffle
+    (the pair fan-out is two broadcast equi-joins against a
+    driver-built literal pair list — the bounded group domain is model
+    state, the kmeans stance; deliberately not a non-equi self-join,
+    which would plan a nested loop). The oracle replays registers,
+    per-group folds, pair max-merges, and the identical alpha/correction
+    literals. Parked for the r11 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import hll_set_overlap
+
+    e = _events(spark, sf_dir)
+    out = hll_set_overlap(
+        e.select("event_type", "user_id"), "event_type", "user_id"
+    )
+    return _retrack(out.orderBy("group_a", "group_b"), out)
+
+
+def _cm_join_oracle_sql(depth: int, width: int) -> str:
+    """Replay of operators/sketch.cm_join_size_estimate over the
+    orders↔lineitem orderkey join: both sides' grids (the
+    _cm_grid_oracle_sql idiom), the per-row inner products, the min,
+    and the exact join count alongside."""
+
+    def grid(table: str, key: str) -> str:
+        k = f"('cm' || cast(i as varchar) || ':' || cast({key} as varchar))"
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substring(md5({k}), {n}, 1))"
+            f" - 1)::BIGINT * {16 ** (5 - n)}"
+            for n in range(1, 6)
+        )
+        return f"""
+      select i, (({terms}) % {width})::INT as b, count(*) as cnt
+      from {table}
+      cross join (select unnest(range(0, {depth}))::INT as i) t
+      group by 1, 2"""
+    return f"""
+    with ga as ({grid('orders', 'o_orderkey')}),
+    gb as ({grid('lineitem', 'l_orderkey')}),
+    prods as (
+      select ga.i, sum(ga.cnt * gb.cnt) as ip
+      from ga join gb on ga.i = gb.i and ga.b = gb.b
+      group by ga.i
+    ),
+    est as (select min(ip) as cm_join_estimate from prods),
+    ex as (
+      select count(*) as exact_join_rows
+      from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+    )
+    select cast(est.cm_join_estimate as bigint) as cm_join_estimate,
+           cast(ex.exact_join_rows as bigint) as exact_join_rows
+    from est cross join ex
+    """
+
+
+@register("cm_join_size_orders_lineitem", _cm_join_oracle_sql(4, 4096))
+def cm_join_size_orders_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X177 sketch-based join-size estimation
+    (operators/sketch.cm_join_size_estimate — the count-min/AGMS inner
+    product): |orders ⋈ lineitem| estimated from two 4×4096 key grids
+    as min over rows of Σ_bucket cntA·cntB — an UPPER bound (collision
+    cross terms are non-negative), released next to the exact join
+    count so the overestimate is visible (the CM release stance). The
+    join-cardinality question a 100 TB planner answers from two
+    constant-size mergeable grids WITHOUT touching either relation;
+    the 1-row est×exact cross join is the bounded-1-row-stats pattern.
+    Integer-exact end to end. Parked for the r11 window per the
+    no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        cm_grid_table,
+        cm_join_size_estimate,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("key")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("key")
+    )
+    ga = cm_grid_table(o, [], "key", depth=4, width=4096)
+    gb = cm_grid_table(li, [], "key", depth=4, width=4096)
+    est = cm_join_size_estimate(ga, gb, depth=4)
+    exact = (
+        _t(spark, sf_dir, "orders")
+        .join(
+            _t(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_rows"))
+    )
+    return est.crossJoin(F.broadcast(exact))

@@ -88,6 +88,10 @@ BNLJ_ALLOWED = {
     #     broadcast cross-joined onto the vocab-bounded min-count-cut
     #     pair table (same bounded 1-row-stats pattern)
     "pmi_collocations_documents",
+    #   cm_join_size_orders_lineitem — the 1-row sketch estimate
+    #     broadcast cross-joined with the 1-row exact join count (two
+    #     1-row frames; the bounded 1-row-stats pattern)
+    "cm_join_size_orders_lineitem",
     #   distinctive_terms_documents — the 1-row corpus token total
     #     broadcast cross-joined onto the vocab-bounded (group, word)
     #     count table (same bounded 1-row-stats pattern as bigram/NB)

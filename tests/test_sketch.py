@@ -591,3 +591,137 @@ def test_bloom_flag_grams_streams(spark, tmp_path):
     assert got == batch
     assert got[(1, "alpha beta gamma")] is True
     assert not any(f for (d, _), f in got.items() if d == 2)
+
+
+def test_hll_set_overlap_matches_replay(spark):
+    """Pair estimates must equal a python replay built from the same
+    register derivation: per-group, union (register max), and the
+    signed inclusion-exclusion intersection."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.sketch import hll_set_overlap
+
+    rows = (
+        [("x", f"u{i}") for i in range(300)]
+        + [("y", f"u{i}") for i in range(150, 450)]  # overlaps x on 150
+        + [("z", f"w{i}") for i in range(40)]  # disjoint
+        + [(None, "ghost")]  # NULL group excluded
+    )
+    df = spark.createDataFrame(rows, "grp string, uid string")
+    out = hll_set_overlap(df, "grp", "uid")
+    got = {
+        (r.group_a, r.group_b): (
+            r.hll_a,
+            r.hll_b,
+            r.hll_union,
+            r.hll_intersection,
+        )
+        for r in out.collect()
+    }
+    release_caches(out)
+
+    m = 256
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+
+    def regs_of(values):
+        regs = {}
+        for v in values:
+            h = hashlib.md5(f"hll:{v}".encode()).hexdigest()
+            j = int(h[:2], 16)
+            bits = bin(int(h[2:15], 16))[2:].zfill(52)
+            p = bits.find("1")
+            rho = 53 if p < 0 else p + 1
+            regs[j] = max(regs.get(j, 0), rho)
+        return regs
+
+    def est(regs):
+        s = 0.0
+        for jj in range(m):
+            s = s + 0.5 ** regs.get(jj, 0)
+        v0 = m - len(regs)
+        e = alpha_m2 / s
+        if e <= 2.5 * m and v0 > 0:
+            e = m * math.log(m / v0)
+        return math.floor(e)
+
+    sets = {
+        "x": {f"u{i}" for i in range(300)},
+        "y": {f"u{i}" for i in range(150, 450)},
+        "z": {f"w{i}" for i in range(40)},
+    }
+    names = sorted(sets)
+    want = {}
+    for i, a in enumerate(names):
+        for c in names[i + 1 :]:
+            ra, rc = regs_of(sets[a]), regs_of(sets[c])
+            ru = {
+                j: max(ra.get(j, 0), rc.get(j, 0))
+                for j in set(ra) | set(rc)
+            }
+            ea, ec, eu = est(ra), est(rc), est(ru)
+            want[(a, c)] = (ea, ec, eu, ea + ec - eu)
+    assert got == want
+    # sanity: overlapping pair shows meaningful intersection,
+    # disjoint pair shows ~0 (possibly negative — signed by design)
+    assert got[("x", "y")][3] > 80
+    assert abs(got[("x", "z")][3]) < 40
+
+
+def test_hll_set_overlap_single_group_empty(spark):
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.sketch import hll_set_overlap
+
+    df = spark.createDataFrame(
+        [("only", f"u{i}") for i in range(5)], "grp string, uid string"
+    )
+    out = hll_set_overlap(df, "grp", "uid")
+    rows = out.collect()
+    release_caches(out)
+    assert rows == []
+
+
+def test_cm_join_size_estimate_bounds_and_replay(spark):
+    """The estimate must equal the python replay and upper-bound the
+    exact join size; at generous width with few keys it is exact."""
+    from pyspark.sql import functions as F
+
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        cm_grid_table,
+        cm_join_size_estimate,
+    )
+
+    a = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(50)], ["key"]
+    )
+    b = spark.createDataFrame(
+        [(f"k{i % 11}",) for i in range(80)], ["key"]
+    )
+    exact = a.join(b, "key").count()
+
+    for width in (4, 1024):
+        ga = cm_grid_table(a, [], "key", depth=3, width=width)
+        gb = cm_grid_table(b, [], "key", depth=3, width=width)
+        (r,) = cm_join_size_estimate(ga, gb, depth=3).collect()
+        # python replay
+        from collections import Counter
+
+        ca = Counter(f"k{i % 7}" for i in range(50))
+        cb = Counter(f"k{i % 11}" for i in range(80))
+        grids_a = [Counter() for _ in range(3)]
+        grids_b = [Counter() for _ in range(3)]
+        for c, grids in ((ca, grids_a), (cb, grids_b)):
+            for k_, n_ in c.items():
+                for i in range(3):
+                    h = hashlib.md5(f"cm{i}:{k_}".encode()).hexdigest()
+                    grids[i][int(h[:5], 16) % width] += n_
+        want = min(
+            sum(
+                grids_a[i][bkt] * grids_b[i][bkt]
+                for bkt in grids_a[i]
+            )
+            for i in range(3)
+        )
+        assert r.cm_join_estimate == want
+        assert r.cm_join_estimate >= exact  # one-sided
+        if width == 1024:
+            # 7+11 keys over 1024 buckets: no collisions -> exact
+            assert r.cm_join_estimate == exact
