@@ -669,7 +669,12 @@ def cm_join_size_estimate(
 
     Plan: one hash equi-join of two depth×width-bounded frames,
     map-side-combined per-row sums, a depth-row min — integer-exact
-    end to end. Returns one row ``(cm_join_estimate BIGINT)``.
+    end to end. A sketch row with NO shared bucket has inner product 0
+    and must WIN the min (the estimate is then exactly 0) — the equi
+    join drops such rows, so the final agg treats fewer-than-``depth``
+    surviving rows as a zero row (hypothesis-caught: disjoint key sets
+    previously returned NULL / an overestimate over surviving rows
+    only). Returns one row ``(cm_join_estimate BIGINT)``.
     """
     prod = grid_a.alias("a").join(
         grid_b.alias("b"), ["_i", "_b"]
@@ -679,5 +684,10 @@ def cm_join_size_estimate(
     )
     per_row = prod.groupBy("_i").agg(F.sum("_p").alias("_ip"))
     return per_row.agg(
-        F.min("_ip").cast("long").alias("cm_join_estimate")
+        F.min("_ip").alias("_m"), F.count(F.lit(1)).alias("_c")
+    ).select(
+        F.when(F.col("_c") < depth, F.lit(0))
+        .otherwise(F.col("_m"))
+        .cast("long")
+        .alias("cm_join_estimate")
     )

@@ -13124,7 +13124,14 @@ def _cm_join_oracle_sql(depth: int, width: int) -> str:
       from ga join gb on ga.i = gb.i and ga.b = gb.b
       group by ga.i
     ),
-    est as (select min(ip) as cm_join_estimate from prods),
+    est as (
+      -- a sketch row with no shared bucket has inner product 0 and
+      -- wins the min; the join drops it, so < depth surviving rows
+      -- means the estimate is exactly 0 (mirrors the operator)
+      select case when count(*) < {depth} then 0 else min(ip) end
+               as cm_join_estimate
+      from prods
+    ),
     ex as (
       select count(*) as exact_join_rows
       from orders o join lineitem l on o.o_orderkey = l.l_orderkey

@@ -199,3 +199,112 @@ def test_hll_shard_merge_equals_whole(spark):
         for r in hll_estimate_from_registers(union, ["grp"]).collect()
     }
     assert merged == whole
+
+
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["p", "q", "r"]), st.integers(0, 120)),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(**_SETTINGS)
+def test_hll_overlap_property(spark, data):
+    """Arbitrary (group, value) rows: every pair's four released values
+    must equal the register-level python replay."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.sketch import hll_set_overlap
+
+    df = spark.createDataFrame(
+        [(g, f"v{v}") for g, v in data], "grp string, uid string"
+    )
+    out = hll_set_overlap(df, "grp", "uid")
+    got = {
+        (r.group_a, r.group_b): (
+            r.hll_a,
+            r.hll_b,
+            r.hll_union,
+            r.hll_intersection,
+        )
+        for r in out.collect()
+    }
+    release_caches(out)
+
+    m = 256
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    sets: dict = {}
+    for g, v in data:
+        sets.setdefault(g, set()).add(f"v{v}")
+
+    def regs_of(values):
+        regs: dict = {}
+        for v in values:
+            h = hashlib.md5(f"hll:{v}".encode()).hexdigest()
+            j = int(h[:2], 16)
+            bits = bin(int(h[2:15], 16))[2:].zfill(52)
+            p = bits.find("1")
+            regs[j] = max(regs.get(j, 0), 53 if p < 0 else p + 1)
+        return regs
+
+    def est(regs):
+        s = 0.0
+        for jj in range(m):
+            s = s + 0.5 ** regs.get(jj, 0)
+        v0 = m - len(regs)
+        e = alpha_m2 / s
+        if e <= 2.5 * m and v0 > 0:
+            e = m * math.log(m / v0)
+        return math.floor(e)
+
+    names = sorted(sets)
+    want = {}
+    for i, a in enumerate(names):
+        for c in names[i + 1 :]:
+            ra, rc = regs_of(sets[a]), regs_of(sets[c])
+            ru = {
+                j: max(ra.get(j, 0), rc.get(j, 0))
+                for j in set(ra) | set(rc)
+            }
+            ea, ec, eu = est(ra), est(rc), est(ru)
+            want[(a, c)] = (ea, ec, eu, ea + ec - eu)
+    assert got == want
+
+
+@given(
+    keys_a=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    keys_b=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    width=st.sampled_from([4, 64, 4096]),
+    depth=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_cm_join_size_property(spark, keys_a, keys_b, width, depth):
+    """Arbitrary key multisets: the estimate equals the replay and
+    upper-bounds the exact join size at every width/depth."""
+    from dbt_gdpr_anonymizer_spark.operators.sketch import (
+        cm_grid_table,
+        cm_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(f"k{k}",) for k in keys_a], ["key"])
+    b = spark.createDataFrame([(f"k{k}",) for k in keys_b], ["key"])
+    ga = cm_grid_table(a, [], "key", depth=depth, width=width)
+    gb = cm_grid_table(b, [], "key", depth=depth, width=width)
+    (r,) = cm_join_size_estimate(ga, gb, depth=depth).collect()
+
+    ca, cb = Counter(f"k{k}" for k in keys_a), Counter(
+        f"k{k}" for k in keys_b
+    )
+    exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    grids_a = [Counter() for _ in range(depth)]
+    grids_b = [Counter() for _ in range(depth)]
+    for c, grids in ((ca, grids_a), (cb, grids_b)):
+        for k_, n_ in c.items():
+            for i in range(depth):
+                h = hashlib.md5(f"cm{i}:{k_}".encode()).hexdigest()
+                grids[i][int(h[:5], 16) % width] += n_
+    want = min(
+        sum(grids_a[i][bkt] * grids_b[i][bkt] for bkt in grids_a[i])
+        for i in range(depth)
+    )
+    assert r.cm_join_estimate == want
+    assert r.cm_join_estimate >= exact
