@@ -1673,6 +1673,11 @@ _CHECK_LAST = [
     "readability_documents",
     "hll_overlap_event_types",
     "cm_join_size_orders_lineitem",
+    # ------------------------------------------------------------------
+    # r10 extended-session additions: parked for the r12 window (the
+    # r11 promote/refill lists are pinned in SURVEY and stay byte-
+    # stable; see the r10 extended-session note there).
+    "zorder_layout_orders",
 ]
 
 
@@ -13180,3 +13185,83 @@ def cm_join_size_orders_lineitem(
         .agg(F.count(F.lit(1)).cast("long").alias("exact_join_rows"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+def _zorder_oracle_sql(bits: int = 16, n_buckets: int = 64) -> str:
+    """Replay of operators/layout.zorder_layout_stats over orders
+    (dims: o_custkey, epoch-day of o_orderdate): the 1-row min/max
+    stats, integer quantization to [0, 2^bits), the Morton bit
+    interleave (generated shift/mask terms — identical bit layout in
+    both engines), the fixed key-space bucket split, and the
+    per-bucket footer stats. Integer-exact end to end."""
+    n = 2
+    top = (1 << bits) - 1
+    span = (1 << (bits * n)) // n_buckets
+
+    def quant(c: str) -> str:
+        return (
+            f"case when mx_{c} = mn_{c} then 0 "
+            f"else ({c} - mn_{c}) * {top} // (mx_{c} - mn_{c}) end"
+        )
+
+    interleave = " | ".join(
+        f"(((q{j} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j in range(n)
+    )
+    return f"""
+    with src as (
+      select o_custkey as ck,
+             date_diff('day', DATE '1970-01-01',
+                       o_orderdate::date)::BIGINT as oday
+      from orders
+    ),
+    s as (select min(ck) as mn_ck, max(ck) as mx_ck,
+                 min(oday) as mn_oday, max(oday) as mx_oday
+          from src),
+    q as (select ck, oday,
+                 {quant('ck')} as q0,
+                 {quant('oday')} as q1
+          from src cross join s),
+    z as (select ck, oday, ({interleave}) as zkey from q)
+    select (zkey // {span})::INTEGER as zbucket,
+           cast(count(*) as bigint) as n_rows,
+           cast(min(ck) as bigint) as ck_min,
+           cast(max(ck) as bigint) as ck_max,
+           cast(min(oday) as bigint) as oday_min,
+           cast(max(oday) as bigint) as oday_max
+    from z
+    group by zbucket
+    order by zbucket
+    """
+
+
+@register("zorder_layout_orders", _zorder_oracle_sql(16, 64))
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178 Z-order layout statistics over orders
+    (operators/layout.zorder_layout_stats — Morton 1966; the Delta
+    ``OPTIMIZE ZORDER`` / Iceberg Z-curve layout primitive): quantize
+    (o_custkey, epoch-day of o_orderdate) to 16 bits each against
+    their global min/max, interleave into one 32-bit Morton key, slice
+    the key space into 64 fixed buckets, and release each bucket's row
+    count + per-dimension min/max — exactly the file-footer statistics
+    a 100 TB reader prunes on, narrow in BOTH dimensions at once
+    (which a plain sort cannot do; unit-pinned on a grid corpus). The
+    key is pure per-row integer codegen; the only join is the 1-row
+    stats broadcast (bounded-1-row-stats pattern); one map-side-
+    combined groupBy releases the 64-row report. Parked for the r12
+    window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.layout import (
+        zorder_layout_stats,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("oday"),
+    )
+    return zorder_layout_stats(o, ["ck", "oday"], bits=16, n_buckets=64)

@@ -115,6 +115,10 @@ BNLJ_ALLOWED = {
     #     replaces it at scale is ivf_pq_topk_embeddings, whose probe
     #     join is a broadcast HASH join and is NOT allowlisted here
     "pq_adc_topk_embeddings",
+    #   zorder_layout_orders — the 1-row min/max stats frame broadcast
+    #     cross-joined into the per-row key computation (the bounded
+    #     1-row-stats pattern)
+    "zorder_layout_orders",
 }
 
 
