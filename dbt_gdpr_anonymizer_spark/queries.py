@@ -1678,6 +1678,7 @@ _CHECK_LAST = [
     # r11 promote/refill lists are pinned in SURVEY and stay byte-
     # stable; see the r10 extended-session note there).
     "zorder_layout_orders",
+    "assoc_rules_brand_pairs",
 ]
 
 
@@ -13265,3 +13266,73 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("oday"),
     )
     return zorder_layout_stats(o, ["ck", "oday"], bits=16, n_buckets=64)
+
+
+def _assoc_oracle_sql(min_support: int) -> str:
+    """Replay of operators/basket.association_rules over order→brand
+    baskets: the distinct incidence, the item/basket totals, the
+    Apriori-pruned pair self-join, and the integral ppm/e6 divisions.
+    Integer-exact end to end."""
+    return f"""
+    with items as (
+      select distinct l.l_orderkey as bk, p.p_brand as it
+      from lineitem l join part p on l.l_partkey = p.p_partkey
+    ),
+    n as (select count(distinct bk) as nb from items),
+    c1 as (select it, count(*) as c1 from items group by it),
+    f1 as (select it, c1 from c1 where c1 >= {min_support}),
+    pr as (select i.bk, i.it from items i join f1 using (it)),
+    p2 as (
+      select a.it as ia, b.it as ib, count(*) as c12
+      from pr a join pr b on a.bk = b.bk and a.it < b.it
+      group by 1, 2
+      having count(*) >= {min_support}
+    ),
+    sized as (
+      select p2.ia, p2.ib, p2.c12, ca.c1 as cca, cb.c1 as ccb
+      from p2
+      join f1 ca on p2.ia = ca.it
+      join f1 cb on p2.ib = cb.it
+    ),
+    rules as (
+      select ia as antecedent, ib as consequent, c12,
+             cca as cante, ccb as ccons from sized
+      union all
+      select ib, ia, c12, ccb, cca from sized
+    )
+    select antecedent, consequent,
+           cast(c12 as bigint) as pair_support,
+           cast((1000000 * c12) // nb as bigint) as support_ppm,
+           cast((1000000 * c12) // cante as bigint) as conf_ppm,
+           cast((1000000 * c12 * nb) // (cante * ccons) as bigint)
+             as lift_e6
+    from rules cross join n
+    order by pair_support desc, antecedent, consequent
+    """
+
+
+@register("assoc_rules_brand_pairs", _assoc_oracle_sql(5))
+def assoc_rules_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179 Apriori-pruned association rules over order→brand baskets
+    (operators/basket.association_rules — Agrawal & Srikant 1994):
+    each order's distinct part brands form a basket; every frequent
+    brand pair (support ≥ 5) releases both directed rules with exact
+    pair support plus integral support_ppm / conf_ppm / lift_e6
+    rationals. Scale shape: ONE distinct shuffle for the incidence,
+    item counts map-side combined and item-domain-bounded, the pair
+    self-join co-located on the basket key with Apriori-bounded
+    fan-out, the 1-row basket-total broadcast cross-joined in (the
+    bounded 1-row-stats pattern). No window, no float. The oracle
+    replays incidence, totals, prune, pair join, and the integral
+    divisions. Parked for the r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.basket import (
+        association_rules,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("brand")
+    )
+    out = association_rules(baskets, "bk", "brand", min_support=5)
+    return _retrack(out, out)

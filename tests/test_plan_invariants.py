@@ -119,6 +119,10 @@ BNLJ_ALLOWED = {
     #     cross-joined into the per-row key computation (the bounded
     #     1-row-stats pattern)
     "zorder_layout_orders",
+    #   assoc_rules_brand_pairs — the 1-row basket-total frame broadcast
+    #     cross-joined onto the brand-domain-bounded rules table (the
+    #     bounded 1-row-stats pattern)
+    "assoc_rules_brand_pairs",
 }
 
 
