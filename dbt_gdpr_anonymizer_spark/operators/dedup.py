@@ -27,6 +27,7 @@ from dbt_gdpr_anonymizer_spark.functions import text as tx
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
 __all__ = [
+    "bbit_minhash_pairs",
     "containment_pairs",
     "exact_dedup",
     "lsh_candidate_pairs",
@@ -1303,3 +1304,155 @@ def containment_pairs(
         .filter(F.col("containment_ppm") >= t_ppm)
     )
     return track_caches(out, sized)
+
+
+def bbit_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    b_bits: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """X180 b-bit minwise hashing (Li & König, CACM 2011): store only
+    the lowest ``b`` bits of each min-hash and estimate Jaccard from
+    the b-bit collision rate. At 100 TB this is the signature the
+    index actually PERSISTS: 16 hashes × 4 bits = 8 bytes per doc vs
+    the 256-byte full-width signature — a 32× state shrink for the
+    near-dup index, at a quantifiable variance cost the released
+    estimate-vs-exact columns make visible per pair.
+
+    Estimator: a non-matching pair's b-bit values still collide with
+    probability C = 2^-b, so E[matches/n] = J + (1-J)·C and the
+    unbiased inverse is Ĵ = (2^b·matches - n) / (n·(2^b - 1)) — an
+    INTEGER rational here (released as ``(1e6·max(2^b·m - n, 0)) div
+    (n·(2^b-1))``, clamped at zero before the division so truncation
+    is floor in both engines). No float anywhere in the estimate.
+
+    Everything is the engine-portable md5 idiom (the
+    ``minhash_band_table`` stance): min-hash = lexicographic min of
+    ``md5(i‖':'‖shingle)``, the b-bit digest = the LAST ``b/4`` hex
+    nibbles of each (the low bits of the 128-bit value), candidate
+    generation = md5 band buckets over the full-width hashes. ONE
+    explode pass builds the signature table (map-side-combined mins);
+    it is persisted and feeds banding plus both pair sides; exact
+    Jaccard verifies only candidate pairs.
+
+    Returns ``(id_a, id_b, bbit_matches, bbit_est_ppm, jaccard_ppm)``
+    for verified pairs with exact Jaccard ≥ ``threshold``.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    if b_bits % 4 or not 4 <= b_bits <= 32:
+        raise ValueError("b_bits must be a multiple of 4 in [4, 32]")
+    r = num_hashes // bands
+    nib = b_bits // 4
+    sets_ = _shingle_sets(df, text_col, id_col, shingle_n).persist()
+    exploded = sets_.select(
+        F.col(id_col), F.explode_outer("sh").alias("_s")
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_s")))).alias(
+                f"_h{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    # One persisted per-doc frame carries the compressed signature (the
+    # low b bits of each hash, concatenated — literally the
+    # num_hashes·b-bit state a scaled index stores), the full-width
+    # hashes (banding only), and the shingle set (verification only):
+    # banding plus BOTH pair sides read this single frame, so the pair
+    # assembly is two joins, not four.
+    sig = (
+        mins.join(sets_, id_col)
+        .select(
+            F.col(id_col),
+            F.concat(
+                *[
+                    F.substring(f"_h{i}", 33 - nib, nib)
+                    for i in range(num_hashes)
+                ]
+            ).alias("_bb"),
+            "sh",
+            *[F.col(f"_h{i}") for i in range(num_hashes)],
+        )
+        .persist()
+    )
+    bucket_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"_h{b * r + j}") for j in range(r)]
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*bucket_structs)).alias("_s")
+    ).select(id_col, "_s.band", "_s.bucket")
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias(f"{id_col}_a"),
+            F.col(f"b.{id_col}").alias(f"{id_col}_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col(id_col).alias(f"{id_col}_a"),
+        F.col("_bb").alias("_bba"),
+        F.col("sh").alias("_sha"),
+    )
+    sb = sig.select(
+        F.col(id_col).alias(f"{id_col}_b"),
+        F.col("_bb").alias("_bbb"),
+        F.col("sh").alias("_shb"),
+    )
+    matches = sum(
+        F.when(
+            F.substring("_bba", i * nib + 1, nib)
+            == F.substring("_bbb", i * nib + 1, nib),
+            1,
+        ).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("long")
+    jac = F.size(F.array_intersect("_sha", "_shb")).cast(
+        "double"
+    ) / F.size(F.array_union("_sha", "_shb")).cast("double")
+    two_b = 1 << b_bits
+    out = (
+        cands.join(sa, f"{id_col}_a")
+        .join(sb, f"{id_col}_b")
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            matches.alias("bbit_matches"),
+            jac.alias("_j"),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select(
+            f"{id_col}_a",
+            f"{id_col}_b",
+            "bbit_matches",
+            F.expr(
+                f"(1000000 * greatest({two_b} * bbit_matches"
+                f" - {num_hashes}, 0))"
+                f" div ({num_hashes} * {two_b - 1})"
+            )
+            .cast("long")
+            .alias("bbit_est_ppm"),
+            F.floor(F.col("_j") * 1000000)
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return track_caches(out, sets_, sig)

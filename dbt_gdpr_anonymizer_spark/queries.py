@@ -1679,6 +1679,7 @@ _CHECK_LAST = [
     # stable; see the r10 extended-session note there).
     "zorder_layout_orders",
     "assoc_rules_brand_pairs",
+    "bbit_minhash_neardup",
 ]
 
 
@@ -13335,4 +13336,78 @@ def assoc_rules_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("brand")
     )
     out = association_rules(baskets, "bk", "brand", min_support=5)
+    return _retrack(out, out)
+
+
+def _bbit_oracle_sql(num_hashes: int = 16, b_bits: int = 4) -> str:
+    """Replay of operators/dedup.bbit_minhash_pairs: all-pairs exact
+    Jaccard (the capped brute-force oracle class — the LSH candidate
+    tier is what scales, the oracle verifies semantics), the md5
+    min-hash signature, the b-bit nibble-suffix digest, the per-pair
+    match count, and the clamped integral estimator."""
+    nib = b_bits // 4
+    two_b = 1 << b_bits
+    mins = ", ".join(
+        f"min(md5('{i}:' || s)) as h{i}" for i in range(num_hashes)
+    )
+    bbexpr = " || ".join(
+        f"substring(h{i}, {33 - nib}, {nib})" for i in range(num_hashes)
+    )
+    match_terms = " + ".join(
+        f"(case when substring(sa.bb, {i * nib + 1}, {nib})"
+        f" = substring(sb.bb, {i * nib + 1}, {nib})"
+        " then 1 else 0 end)"
+        for i in range(num_hashes)
+    )
+    return f"""
+    with w0 as (select doc_id, {_WORDS_SQL} as ws from documents),
+    shs as (select doc_id, {_SHINGLES_SQL} as sh from w0),
+    ex as (select doc_id, unnest(sh) as s from shs),
+    mins as (select doc_id, {mins} from ex group by doc_id),
+    sig as (select doc_id, ({bbexpr}) as bb from mins),
+    p as (
+      select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+             len(list_intersect(a.sh, b.sh))::double
+               / len(list_distinct(list_concat(a.sh, b.sh)))::double as j
+      from shs a join shs b on a.doc_id < b.doc_id
+    ),
+    v as (select * from p where j >= 0.7),
+    m as (
+      select v.doc_id_a, v.doc_id_b, v.j, ({match_terms}) as m
+      from v
+      join sig sa on v.doc_id_a = sa.doc_id
+      join sig sb on v.doc_id_b = sb.doc_id
+    )
+    select doc_id_a, doc_id_b,
+           cast(m as bigint) as bbit_matches,
+           cast((1000000 * greatest({two_b} * m - {num_hashes}, 0))
+                // ({num_hashes} * {two_b - 1}) as bigint)
+             as bbit_est_ppm,
+           cast(floor(j * 1000000) as bigint) as jaccard_ppm
+    from m
+    """
+
+
+@register("bbit_minhash_neardup", _bbit_oracle_sql(16, 4))
+def bbit_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180 b-bit minwise hashing near-dup estimates
+    (operators/dedup.bbit_minhash_pairs — Li & König, CACM 2011): the
+    near-dup index's PERSISTED state shrunk 32× (16 md5 min-hashes ×
+    4 bits = 8 bytes/doc), with Jaccard re-estimated from the b-bit
+    collision count via the clamped integer rational
+    ``(1e6·max(2^b·m − n, 0)) div (n·(2^b − 1))`` and released NEXT TO
+    the exact Jaccard so the compression's variance is visible per
+    pair. Scale shape: one explode pass builds the signature
+    (map-side-combined mins), md5 band buckets generate candidates
+    (equi-join, no all-pairs), verification touches candidates only.
+    The oracle is the all-pairs brute-force replay (capped class at
+    sf0.1) of signature, digest, matches, estimator, and exact J.
+    Parked for the r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.dedup import (
+        bbit_minhash_pairs,
+    )
+
+    out = bbit_minhash_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.7
+    )
     return _retrack(out, out)
