@@ -1680,6 +1680,7 @@ _CHECK_LAST = [
     "zorder_layout_orders",
     "assoc_rules_brand_pairs",
     "bbit_minhash_neardup",
+    "spatial_radius_pairs_customers",
 ]
 
 
@@ -13411,3 +13412,88 @@ def bbit_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), threshold=0.7
     )
     return _retrack(out, out)
+
+
+def _spatial_oracle_sql(radius_km: float = 2.0) -> str:
+    """Replay of operators/spatial.radius_pairs over the customer
+    coordinates: the 1-row max|lat| stats, the data-derived longitude
+    cell width, the equirectangular grid snap, the 3x3 probe fan-out,
+    the (gi, gj) equi-join, and the exact haversine verify. The cell-
+    width literals are the operator's own driver-side doubles embedded
+    via repr (the shared-literal stance), so the grid is bit-identical
+    in both engines."""
+    cd_lat = radius_km / 111.19
+    lon_num = radius_km * 1.5708
+    hav = (
+        "6371*2*asin(sqrt(pow(sin(radians(b_lat-a_lat)/2),2) + "
+        "cos(radians(a_lat))*cos(radians(b_lat))*"
+        "pow(sin(radians(b_lon-a_lon)/2),2)))"
+    )
+    return f"""
+    with pts as (
+      select c_custkey as pid, {_LAT_SQL} as lat, {_LON_SQL} as lon
+      from customer
+    ),
+    s as (select max(abs(lat)) as maxabslat from pts),
+    cells as (
+      select pid, lat, lon,
+             cast(floor((lat + 90.0) / {cd_lat!r}) as bigint) as gi,
+             cast(floor((lon + 180.0) /
+               ({lon_num!r} / (111.19 * cos(radians(maxabslat)))))
+               as bigint) as gj
+      from pts cross join s
+      where lat is not null and lon is not null
+    ),
+    probe as (
+      select pid as a_id, lat as a_lat, lon as a_lon,
+             gi + dx.d as pi, gj + dy.d as pj
+      from cells,
+           (values (-1), (0), (1)) dx(d),
+           (values (-1), (0), (1)) dy(d)
+    ),
+    cand as (
+      select a_id, a_lat, a_lon,
+             b.pid as b_id, b.lat as b_lat, b.lon as b_lon
+      from probe
+      join cells b on probe.pi = b.gi and probe.pj = b.gj
+                   and probe.a_id < b.pid
+    ),
+    verified as (
+      select a_id, b_id, {hav} as dkm from cand
+    )
+    select a_id, b_id,
+           cast(floor(dkm * 1000000) as bigint) as dist_mm
+    from verified
+    where dkm <= {radius_km!r}
+    order by a_id, b_id
+    """
+
+
+@register("spatial_radius_pairs_customers", _spatial_oracle_sql(2.0))
+def spatial_radius_pairs_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X181 grid-blocked spatial radius join
+    (operators/spatial.radius_pairs): every unordered customer pair
+    within 2 great-circle km — the proximity re-identification risk
+    behind the reference's coordinate masking
+    (macros/mask_coordinates.sql:34-157), answered WITHOUT the
+    cartesian product. Cells are sized from the corpus max |lat| (one
+    1-row stats broadcast — the bounded 1-row-stats pattern) so any
+    qualifying pair lands in adjacent cells BY CONSTRUCTION; one side
+    probes its 3x3 neighborhood (constant literal fan-out, not a
+    join), candidates come from a hash equi-join on (gi, gj), and the
+    exact haversine verifies — full recall unit-pinned against the
+    all-pairs replay incl. cell-boundary and polar-degenerate cases
+    (tests/test_spatial.py). The oracle replays the blocking itself;
+    at sf0.1 it runs ~1s vs the 22s all-pairs brute force. Release is
+    floor(km*1e6) integer millimetres (the haversine precedent).
+    Parked for the r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.spatial import radius_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    return radius_pairs(c, "pid", "lat", "lon", radius_km=2.0)

@@ -123,6 +123,11 @@ BNLJ_ALLOWED = {
     #     cross-joined onto the brand-domain-bounded rules table (the
     #     bounded 1-row-stats pattern)
     "assoc_rules_brand_pairs",
+    #   spatial_radius_pairs_customers — the 1-row max|lat| stats frame
+    #     broadcast cross-joined into the per-row grid-cell computation
+    #     (the bounded 1-row-stats pattern); the pair join itself is a
+    #     hash equi-join on (gi, gj) and is NOT allowlisted
+    "spatial_radius_pairs_customers",
 }
 
 

@@ -1,0 +1,123 @@
+"""Grid-blocked spatial radius join (operators/spatial.py).
+
+The load-bearing property is RECALL: the blocked join must return
+exactly the pair set the all-pairs brute force returns, for any
+configuration away from the documented antimeridian edge — including
+points straddling cell boundaries and high-latitude points where the
+longitude cell degenerates toward a full band.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.spatial import (
+    grid_cells,
+    radius_pairs,
+)
+
+
+def _hav_km(lat1, lon1, lat2, lon2):
+    r1, o1, r2, o2 = map(math.radians, (lat1, lon1, lat2, lon2))
+    return (
+        6371.0
+        * 2.0
+        * math.asin(
+            math.sqrt(
+                math.sin((r2 - r1) / 2) ** 2
+                + math.cos(r1) * math.cos(r2) * math.sin((o2 - o1) / 2) ** 2
+            )
+        )
+    )
+
+
+def _brute_pairs(pts, radius):
+    out = set()
+    for i, (ida, la, lo) in enumerate(pts):
+        for idb, lb, lob in pts[i + 1 :]:
+            if _hav_km(la, lo, lb, lob) <= radius:
+                a, b = sorted((ida, idb))
+                out.add((a, b))
+    return out
+
+
+def _run(spark, pts, radius):
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+    got = radius_pairs(df, "id", "lat", "lon", radius_km=radius)
+    return {(r.a_id, r.b_id) for r in got.collect()}
+
+
+def test_recall_matches_brute_force_mid_latitudes(spark):
+    # a jittered cluster grid around 48N — deterministic, no RNG
+    pts = [
+        (i, 48.0 + (i * 7 % 13) * 0.004, 2.0 + (i * 11 % 17) * 0.006)
+        for i in range(40)
+    ]
+    assert _run(spark, pts, 1.0) == _brute_pairs(pts, 1.0)
+
+
+def test_recall_across_cell_boundaries(spark):
+    # pairs deliberately straddling lat/lon cell edges: with
+    # radius 1 km, cell_lat_deg ~ 0.008993 — place points just either
+    # side of multiples of it
+    cd = 1.0 / 111.19
+    pts = [
+        (1, cd * 3 - 1e-6, 0.0),  # just under a lat boundary
+        (2, cd * 3 + 1e-6, 0.0),  # just over it
+        (3, cd * 3 + 1e-6, 0.009),  # over a lon boundary too
+        (4, -cd * 2 - 1e-6, -0.009),
+        (5, -cd * 2 + 1e-6, 0.0),
+    ]
+    assert _run(spark, pts, 1.0) == _brute_pairs(pts, 1.0)
+
+
+def test_recall_at_high_latitude_degenerate_lon_cells(spark):
+    # at 86N the lon cell width blows up; blocking degrades toward a
+    # latitude band but recall must hold
+    pts = [
+        (1, 86.0, 10.0),
+        (2, 86.0, 10.05),  # ~3.9 km away along the parallel
+        (3, 86.0, 11.0),  # far
+        (4, 86.02, 10.0),  # ~2.2 km north
+        (5, 85.0, 10.0),  # far
+    ]
+    assert _run(spark, pts, 5.0) == _brute_pairs(pts, 5.0)
+
+
+def test_exactly_one_candidate_per_pair_no_dedup_needed(spark):
+    # a's 9-cell probe overlaps b's single home cell at most once, so
+    # the raw pair stream has no duplicates even before the verify
+    pts = [(i, 10.0 + i * 0.001, 20.0 + i * 0.001) for i in range(12)]
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+    got = radius_pairs(df, "id", "lat", "lon", radius_km=2.0).collect()
+    keys = [(r.a_id, r.b_id) for r in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_null_coordinates_dropped(spark):
+    pts = [(1, 0.0, 0.0), (2, 0.001, 0.001), (3, None, 0.0), (4, 0.0, None)]
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+    got = radius_pairs(df, "id", "lat", "lon", radius_km=5.0)
+    assert {(r.a_id, r.b_id) for r in got.collect()} == {(1, 2)}
+
+
+def test_dist_mm_release_is_floor_of_km_e6(spark):
+    pts = [(1, 48.8566, 2.3522), (2, 48.8600, 2.3600)]
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+    row = radius_pairs(df, "id", "lat", "lon", radius_km=5.0).collect()[0]
+    want = math.floor(_hav_km(48.8566, 2.3522, 48.8600, 2.3600) * 1e6)
+    assert row.dist_mm == pytest.approx(want, abs=1)
+
+
+def test_grid_cells_shape_and_stats_join_is_one_row(spark):
+    pts = [(i, float(i % 50), float(i % 80)) for i in range(20)]
+    df = spark.createDataFrame(pts, "id int, lat double, lon double")
+    cells = grid_cells(df, "lat", "lon", radius_km=2.0)
+    assert {"gi", "gj", "_cd_lon"} <= set(cells.columns)
+    rows = cells.collect()
+    assert len(rows) == 20
+    # one shared lon width for the whole frame (1-row stats broadcast)
+    assert len({r._cd_lon for r in rows}) == 1
