@@ -1,0 +1,203 @@
+"""Numeric-distribution profiling: Benford conformity and Gini
+concentration.
+
+Two audit-grade signals over money-like columns, both released as
+integer-exact counts plus fixed-shape float statistics (the engine-
+stable floor(x·1e6) convention):
+
+* **Benford's law** (Newcomb 1881; Benford 1938; Nigrini's forensic-
+  accounting usage): naturally-occurring multi-scale amounts have
+  leading-digit frequencies P(d) = log10(1 + 1/d); fabricated or
+  constrained data deviates. The classic data-quality / fraud screen
+  for a pipeline ingesting financial columns at scale.
+* **Gini coefficient** over per-row amounts within a group — the
+  concentration / inequality measure behind "is this source dominated
+  by a few heavy rows", computed EXACTLY from the (group, value)
+  count histogram, never by sorting the corpus.
+
+Scale shapes: Benford is ONE map-side-combined groupBy (9 conditional
+sums per group — the digit comes from the integer part's decimal
+string, no float log10 whose rounding could misclassify exact powers
+of ten); Gini is the group_quantiles_exact histogram pattern
+(operators/relational.py:35): collapse to (group, value) counts, one
+window over the SMALL histogram partitioned by group, one final
+groupBy. Rank sums aggregate in decimal(38,0) so corpus-scale totals
+cannot overflow int64.
+
+No reference counterpart: tabodino/dbt-gdpr-anonymizer's quality gate
+checks nulls and regex PII (``generate_pii_report.sql:20-176``);
+distribution-level conformity screens extend that surface.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["benford_profile", "gini_concentration"]
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+# expected Benford proportions, driver-side doubles embedded as the
+# SAME literals in the DuckDB oracle (the shared-literal stance)
+BENFORD_P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Leading-digit profile of ``abs(value)``'s integer part per group.
+
+    Rows with NULL value or ``abs(value) < 1`` are excluded (they have
+    no integer leading digit — documented contract; money columns at
+    audit granularity are ≥ 1). The digit is the first character of
+    the BIGINT's decimal rendering — string-exact in both engines, no
+    ``log10`` float boundary at exact powers of ten.
+
+    Returns one row per group:
+    ``(group, n_total, d1..d9, chi2_e6, mad_ppm)`` where
+    ``chi2 = Σ_d (n_d − n·p_d)² / (n·p_d)`` and
+    ``mad = Σ_d |n_d/n − p_d| / 9`` (Nigrini's mean absolute
+    deviation), both folded in pinned digit order 1..9 and released as
+    ``floor(x · 1e6)`` BIGINT. One map-side-combined groupBy; the
+    fold runs over the group's own 9 counts, so the whole statistic is
+    per-row codegen after the single shuffle."""
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) >= 1)
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.substring(
+            F.floor(F.abs(F.col(value_col))).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("_d"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_total")] + [
+        F.sum(F.when(F.col("_d") == d, 1).otherwise(0))
+        .cast("long")
+        .alias(f"d{d}")
+        for d in range(1, 10)
+    ]
+    counts = base.groupBy("grp").agg(*aggs)
+    t = F.col("n_total").cast("double")
+    chi_terms = [
+        (F.col(f"d{d}").cast("double") - t * F.lit(BENFORD_P[d]))
+        * (F.col(f"d{d}").cast("double") - t * F.lit(BENFORD_P[d]))
+        / (t * F.lit(BENFORD_P[d]))
+        for d in range(1, 10)
+    ]
+    mad_terms = [
+        F.abs(F.col(f"d{d}").cast("double") / t - F.lit(BENFORD_P[d]))
+        for d in range(1, 10)
+    ]
+    chi2 = reduce(lambda a, b: a + b, chi_terms)
+    mad = reduce(lambda a, b: a + b, mad_terms) / F.lit(9.0)
+    return counts.select(
+        F.col("grp"),
+        "n_total",
+        *[f"d{d}" for d in range(1, 10)],
+        F.floor(chi2 * 1000000).cast("bigint").alias("chi2_e6"),
+        F.floor(mad * 1000000).cast("bigint").alias("mad_ppm"),
+    ).orderBy("grp")
+
+
+def gini_concentration(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Exact Gini coefficient of the non-negative BIGINT ``value_col``
+    within each group, from the (group, value) count histogram.
+
+    With group values sorted ascending and 1-based ranks, ``G =
+    (2·Σ_i i·x_i − (n+1)·Σx) / (n·Σx)``. Ties collapse into the
+    histogram: a value ``v`` with count ``c`` and ``f`` strictly-
+    smaller rows has rank sum ``c·f + c·(c+1)/2``, so its DOUBLED
+    contribution is ``v·c·(2f + c + 1)`` — kept doubled to stay in
+    pure integer arithmetic (no /2), no corpus sort, no per-row
+    window. The only window runs over the (group, value) HISTOGRAM
+    partitioned by group (the group_quantiles_exact scale stance);
+    rank sums accumulate in decimal(38,0) so corpus-scale totals
+    cannot overflow int64. The final ratio ``(2T − (n+1)S) / (n·S)``
+    is evaluated in doubles from those exact integers (identical
+    int→double casts in both engines) and released as ``gini_e6 =
+    floor(G · 1e6)`` BIGINT next to the exact ``n`` and ``sum_value``
+    witnesses.
+
+    ``value_col`` must already be an integral type — the operator
+    never casts a float itself because double→bigint casts ROUND in
+    DuckDB but TRUNCATE in Spark (callers floor() explicitly, the
+    zorder_key fail-fast precedent). Values must be non-negative
+    (Gini is undefined below zero; the money columns this runs on are
+    non-negative by construction). NULL values are excluded; groups
+    with ``sum = 0`` release NULL gini (0/0 guarded)."""
+    t = dict(df.dtypes).get(value_col)
+    if t not in _INTEGRAL:
+        raise TypeError(
+            f"gini_concentration: column {value_col!r} has type {t}; "
+            "floor() to an integral type first (double->bigint casts "
+            "round in DuckDB but truncate in Spark)"
+        )
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn(
+        "f", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+    )
+    dec = "decimal(38,0)"
+    two_t = (
+        F.col("v").cast(dec)
+        * F.col("c").cast(dec)
+        * (
+            F.lit(2).cast(dec) * F.col("f").cast(dec)
+            + F.col("c").cast(dec)
+            + F.lit(1).cast(dec)
+        )
+    )
+    out = (
+        ranked.groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("v").cast(dec) * F.col("c").cast(dec))
+            .cast(dec)
+            .alias("_s"),
+            F.sum(two_t).cast(dec).alias("_t2"),
+        )
+        .select(
+            "grp",
+            "n",
+            F.col("_s").cast("long").alias("sum_value"),
+            F.when(
+                F.col("_s") > 0,
+                F.floor(
+                    (
+                        (
+                            F.col("_t2").cast("double")
+                            - (F.col("n").cast("double") + F.lit(1.0))
+                            * F.col("_s").cast("double")
+                        )
+                        / (
+                            F.col("n").cast("double")
+                            * F.col("_s").cast("double")
+                        )
+                    )
+                    * 1000000
+                ).cast("bigint"),
+            ).alias("gini_e6"),
+        )
+        .orderBy("grp")
+    )
+    return out

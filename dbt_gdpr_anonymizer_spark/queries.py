@@ -1681,6 +1681,8 @@ _CHECK_LAST = [
     "assoc_rules_brand_pairs",
     "bbit_minhash_neardup",
     "spatial_radius_pairs_customers",
+    "benford_profile_orders",
+    "gini_spend_by_priority",
 ]
 
 
@@ -13497,3 +13499,140 @@ def spatial_radius_pairs_customers(
         _lon_col().alias("lon"),
     )
     return radius_pairs(c, "pid", "lat", "lon", radius_km=2.0)
+
+
+def _benford_oracle_sql() -> str:
+    """Replay of operators/profile.benford_profile over orders: the
+    string-exact leading digit of the integer part (no float log10 —
+    exact powers of ten classify correctly), the 9 conditional sums,
+    and the chi-square / MAD folds in pinned digit order 1..9 with the
+    operator's own driver-side Benford proportions embedded via repr
+    (the shared-literal stance)."""
+    from dbt_gdpr_anonymizer_spark.operators.profile import BENFORD_P
+
+    dsums = ", ".join(
+        f"cast(sum(case when d = {k} then 1 else 0 end) as bigint) as d{k}"
+        for k in range(1, 10)
+    )
+    chi = " + ".join(
+        f"(cast(d{k} as double) - cast(n_total as double) * {BENFORD_P[k]!r})"
+        f" * (cast(d{k} as double) - cast(n_total as double) * {BENFORD_P[k]!r})"
+        f" / (cast(n_total as double) * {BENFORD_P[k]!r})"
+        for k in range(1, 10)
+    )
+    mad = " + ".join(
+        f"abs(cast(d{k} as double) / cast(n_total as double)"
+        f" - {BENFORD_P[k]!r})"
+        for k in range(1, 10)
+    )
+    return f"""
+    with base as (
+      select o_orderpriority as grp,
+             cast(substring(cast(cast(floor(abs(o_totalprice)) as bigint)
+                  as varchar), 1, 1) as int) as d
+      from orders
+      where o_totalprice is not null and abs(o_totalprice) >= 1
+    ),
+    c as (
+      select grp, cast(count(*) as bigint) as n_total, {dsums}
+      from base group by grp
+    )
+    select grp, n_total,
+           d1, d2, d3, d4, d5, d6, d7, d8, d9,
+           cast(floor(({chi}) * 1000000) as bigint) as chi2_e6,
+           cast(floor(({mad}) / 9.0 * 1000000) as bigint) as mad_ppm
+    from c
+    order by grp
+    """
+
+
+@register("benford_profile_orders", _benford_oracle_sql())
+def benford_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X182 Benford's-law conformity profile
+    (operators/profile.benford_profile — Newcomb 1881 / Benford 1938 /
+    Nigrini's forensic screen): leading-digit counts of o_totalprice
+    per order priority, with the chi-square and MAD conformity
+    statistics against log10(1 + 1/d) released as floor(x*1e6) BIGINT.
+    The digit comes from the integer part's decimal STRING (engine-
+    identical; a float log10 would misclassify exact powers of ten —
+    unit-pinned), the folds run in pinned digit order 1..9, and the
+    expected proportions are ONE set of driver-side literals shared
+    with the oracle. Scale shape: one map-side-combined groupBy (9
+    conditional sums), then per-row codegen — no second pass, no
+    window, no join. Parked for the r12 window per the no-new-slots
+    rule."""
+    from dbt_gdpr_anonymizer_spark.operators.profile import benford_profile
+
+    return benford_profile(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority"
+    )
+
+
+def _gini_oracle_sql() -> str:
+    """Replay of operators/profile.gini_concentration over orders: the
+    (group, value) count histogram, the strictly-smaller running count
+    over it, the doubled integer rank-sum 2T = sum(v*c*(2f + c + 1))
+    in HUGEINT (the operator aggregates in decimal(38,0) — same exact
+    integers), and the final double-precision ratio."""
+    return """
+    with hist as (
+      select o_orderpriority as grp,
+             cast(floor(o_totalprice) as bigint) as v,
+             cast(count(*) as bigint) as c
+      from orders
+      where o_totalprice is not null
+      group by 1, 2
+    ),
+    r as (
+      select grp, v, c,
+             cast(coalesce(sum(c) over (partition by grp order by v
+                  rows between unbounded preceding and 1 preceding), 0)
+                  as bigint) as f
+      from hist
+    ),
+    a as (
+      select grp, cast(sum(c) as bigint) as n,
+             sum(cast(v as hugeint) * cast(c as hugeint)) as s,
+             sum(cast(v as hugeint) * cast(c as hugeint)
+                 * (2 * cast(f as hugeint) + cast(c as hugeint) + 1)) as t2
+      from r group by grp
+    )
+    select grp, n, cast(s as bigint) as sum_value,
+           case when s > 0 then
+             cast(floor((cast(t2 as double)
+                         - (cast(n as double) + 1.0) * cast(s as double))
+                  / (cast(n as double) * cast(s as double))
+                  * 1000000) as bigint)
+           end as gini_e6
+    from a
+    order by grp
+    """
+
+
+@register("gini_spend_by_priority", _gini_oracle_sql())
+def gini_spend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X183 exact Gini concentration
+    (operators/profile.gini_concentration): inequality of whole-unit
+    order values within each priority — the "is this stratum dominated
+    by a few heavy rows" signal a mixture/selection pass weighs,
+    computed EXACTLY from the (group, value) count histogram: ties
+    collapse map-side, the only window runs over the SMALL histogram
+    partitioned by group (the group_quantiles_exact stance — never a
+    corpus sort), and rank sums accumulate in decimal(38,0) so
+    corpus-scale totals cannot overflow int64 (the oracle's HUGEINT
+    twin). Doubled rank-sum form v*c*(2f+c+1) keeps the integer path
+    division-free; the final ratio is one fixed-shape double
+    expression released as floor(G*1e6) next to exact n / sum_value
+    witnesses. Input is floor()ed EXPLICITLY (double->bigint casts
+    round in DuckDB but truncate in Spark — the operator fail-fasts on
+    float input). Parked for the r12 window per the no-new-slots
+    rule."""
+    from dbt_gdpr_anonymizer_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("spend"),
+    )
+    return gini_concentration(o, "spend", "prio")

@@ -1,0 +1,150 @@
+"""Numeric-distribution profiling (operators/profile.py): Benford
+leading-digit conformity and exact histogram-based Gini."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbt_gdpr_anonymizer_spark.operators.profile import (
+    BENFORD_P,
+    benford_profile,
+    gini_concentration,
+)
+
+
+# ---------------------------------------------------------------- Benford
+
+
+def _py_benford(values):
+    counts = {d: 0 for d in range(1, 10)}
+    for v in values:
+        if v is None or abs(v) < 1:
+            continue
+        counts[int(str(int(math.floor(abs(v))))[0])] += 1
+    n = sum(counts.values())
+    chi2 = sum(
+        (counts[d] - n * BENFORD_P[d]) ** 2 / (n * BENFORD_P[d])
+        for d in range(1, 10)
+    )
+    mad = sum(
+        abs(counts[d] / n - BENFORD_P[d]) for d in range(1, 10)
+    ) / 9.0
+    return counts, n, chi2, mad
+
+
+def test_benford_counts_and_stats_match_python_replay(spark):
+    vals = [
+        float(v)
+        for v in (1, 12, 19, 2, 25, 311, 47, 55, 6, 78, 92, 104, 1150, 13)
+    ]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp_in string, val double"
+    )
+    row = benford_profile(df, "val", "grp_in").collect()[0]
+    counts, n, chi2, mad = _py_benford(vals)
+    assert row.n_total == n
+    for d in range(1, 10):
+        assert row[f"d{d}"] == counts[d], d
+    assert row.chi2_e6 == math.floor(chi2 * 1e6)
+    assert row.mad_ppm == math.floor(mad * 1e6)
+
+
+def test_benford_excludes_nulls_and_sub_one_values(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", 0.5), ("g", -0.2), ("g", 7.0), ("g", -31.0)],
+        "grp_in string, val double",
+    )
+    row = benford_profile(df, "val", "grp_in").collect()[0]
+    assert row.n_total == 2
+    assert row.d7 == 1 and row.d3 == 1  # abs() taken before the digit
+
+
+def test_benford_exact_powers_of_ten_classify_as_one(spark):
+    # the reason the digit comes from the decimal STRING: float log10
+    # of 1000 can land at 2.9999999999999996 and misclassify
+    df = spark.createDataFrame(
+        [("g", 10.0), ("g", 100.0), ("g", 1000.0), ("g", 1e15)],
+        "grp_in string, val double",
+    )
+    row = benford_profile(df, "val", "grp_in").collect()[0]
+    assert row.d1 == 4
+
+
+def test_benford_groups_are_independent(spark):
+    df = spark.createDataFrame(
+        [("a", 11.0), ("a", 22.0), ("b", 95.0)],
+        "grp_in string, val double",
+    )
+    got = {r.grp: r for r in benford_profile(df, "val", "grp_in").collect()}
+    assert got["a"].n_total == 2 and got["a"].d1 == 1 and got["a"].d2 == 1
+    assert got["b"].n_total == 1 and got["b"].d9 == 1
+
+
+# ------------------------------------------------------------------- Gini
+
+
+def _py_gini(values):
+    xs = sorted(values)
+    n = len(xs)
+    s = sum(xs)
+    if s == 0:
+        return None
+    t = sum((i + 1) * x for i, x in enumerate(xs))
+    return (2 * t - (n + 1) * s) / (n * s)
+
+
+def _run_gini(spark, groups):
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp_in string, val bigint")
+    return {
+        r.grp: r for r in gini_concentration(df, "val", "grp_in").collect()
+    }
+
+
+def test_gini_all_equal_is_zero(spark):
+    got = _run_gini(spark, {"g": [5, 5, 5, 5]})["g"]
+    assert got.gini_e6 == 0
+    assert got.n == 4 and got.sum_value == 20
+
+
+def test_gini_single_holder_is_n_minus_1_over_n(spark):
+    got = _run_gini(spark, {"g": [0, 0, 0, 100]})["g"]
+    assert got.gini_e6 == math.floor((3 / 4) * 1e6)
+
+
+def test_gini_matches_python_replay_with_ties(spark):
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 97, 0, 0, 2]
+    got = _run_gini(spark, {"g": vals})["g"]
+    want = _py_gini(vals)
+    assert got.gini_e6 == math.floor(want * 1e6)
+    assert got.n == len(vals) and got.sum_value == sum(vals)
+
+
+def test_gini_zero_sum_group_releases_null(spark):
+    got = _run_gini(spark, {"g": [0, 0, 0]})["g"]
+    assert got.gini_e6 is None
+    assert got.n == 3
+
+
+def test_gini_nulls_excluded(spark):
+    df = spark.createDataFrame(
+        [("g", 1), ("g", None), ("g", 3)], "grp_in string, val bigint"
+    )
+    got = gini_concentration(df, "val", "grp_in").collect()[0]
+    assert got.n == 2 and got.sum_value == 4
+
+
+def test_gini_rejects_float_input(spark):
+    df = spark.createDataFrame([("g", 1.5)], "grp_in string, val double")
+    with pytest.raises(TypeError, match="integral"):
+        gini_concentration(df, "val", "grp_in")
+
+
+def test_gini_groups_are_independent(spark):
+    groups = {"a": [1, 1, 1], "b": [0, 0, 50, 50]}
+    got = _run_gini(spark, groups)
+    for g, vals in groups.items():
+        assert got[g].gini_e6 == math.floor(_py_gini(vals) * 1e6), g
