@@ -30,7 +30,13 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions import text as tx
 
-__all__ = ["bpe_learn", "bpe_token_counts", "BPE_SEP", "BPE_END"]
+__all__ = [
+    "bpe_learn",
+    "bpe_token_counts",
+    "vocab_growth",
+    "BPE_SEP",
+    "BPE_END",
+]
 
 # Word state frames every symbol as  OPEN·sym·CLOSE  ("\x1fsym\x1e") with
 # two control chars the normalized [a-z0-9] alphabet can never contain. A
@@ -203,3 +209,83 @@ def bpe_token_counts(
             ),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve (Heaps 1978; Herdan 1960):
+    cumulative distinct-token count vs cumulative token count at
+    ``n_buckets`` checkpoints along the ``id_col`` document order — the
+    sublinearity check (V ~ K·nᵝ, β ≈ 0.4-0.6 for natural language)
+    that screens a source for boilerplate (β → 0: the same vocabulary
+    repeating) or synthetic noise (β → 1: every token new).
+
+    Never materializes per-checkpoint distinct counts: each token's
+    FIRST document (one vocab-bounded min-aggregate over the explode
+    pass) attributes it to exactly one document, so a checkpoint's
+    vocabulary is the running sum of per-bucket new-token counts.
+    Document positions come from relational.global_row_number (the
+    range-bucketed exact scheme — no single-partition window); the
+    bucket index is pure integer arithmetic against the 1-row doc
+    count (broadcast cross join — the bounded 1-row-stats pattern);
+    the only cumulative window runs over the ≤ ``n_buckets``-row
+    bucket frame. Everything released is an exact BIGINT count.
+
+    Returns ``(bucket, docs_cum, tokens_cum, vocab_cum)`` ordered by
+    bucket (empty buckets — possible when docs < n_buckets — are
+    absent; cumulative values at present buckets are unaffected).
+    """
+    from pyspark.sql import Window
+
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        global_row_number,
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("_vid"), tx.words(F.col(text_col)).alias("_ws")
+    )
+    first = (
+        base.select("_vid", F.explode("_ws").alias("_w"))
+        .groupBy("_w")
+        .agg(F.min("_vid").alias("_vid"))
+    )
+    newv = first.groupBy("_vid").agg(
+        F.count(F.lit(1)).cast("long").alias("_nv")
+    )
+    sized = base.select(
+        "_vid", F.size("_ws").cast("long").alias("_nt")
+    )
+    pos = global_row_number(sized, "_vid", out_col="_rn")
+    total = sized.agg(F.count(F.lit(1)).cast("long").alias("_ndocs"))
+    bucketed = (
+        pos.crossJoin(F.broadcast(total))
+        .join(newv, "_vid", "left")
+        .select(
+            F.expr(f"((_rn - 1) * {n_buckets}) div _ndocs + 1")
+            .cast("int")
+            .alias("bucket"),
+            "_nt",
+            F.coalesce("_nv", F.lit(0)).cast("long").alias("_nv"),
+        )
+    )
+    g = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_docs"),
+        F.sum("_nt").cast("long").alias("_toks"),
+        F.sum("_nv").cast("long").alias("_newv"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = g.select(
+        "bucket",
+        F.sum("_docs").over(w).cast("long").alias("docs_cum"),
+        F.sum("_toks").over(w).cast("long").alias("tokens_cum"),
+        F.sum("_newv").over(w).cast("long").alias("vocab_cum"),
+    ).orderBy("bucket")
+    return track_caches(out, *getattr(pos, "cached_deps", ()))

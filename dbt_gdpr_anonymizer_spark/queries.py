@@ -1683,6 +1683,7 @@ _CHECK_LAST = [
     "spatial_radius_pairs_customers",
     "benford_profile_orders",
     "gini_spend_by_priority",
+    "vocab_growth_documents",
 ]
 
 
@@ -13636,3 +13637,73 @@ def gini_spend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice")).cast("bigint").alias("spend"),
     )
     return gini_concentration(o, "spend", "prio")
+
+
+def _vocab_growth_oracle_sql(n_buckets: int = 16) -> str:
+    """Replay of operators/vocab.vocab_growth: token first-document
+    attribution (one min-aggregate over the explode), exact document
+    positions (row_number over the unique doc_id order — the oracle
+    can afford the global window; the operator uses the range-bucketed
+    exact twin), integer bucket assignment against the 1-row doc
+    count, and the cumulative fold over the bucket frame. Integer-
+    exact end to end."""
+    return f"""
+    with d as (select doc_id, {_WORDS_G_SQL} as ws from documents),
+    tok as (select doc_id, unnest(ws) as w from d),
+    first as (select w, min(doc_id) as fdoc from tok group by w),
+    newv as (
+      select fdoc as doc_id, cast(count(*) as bigint) as nv
+      from first group by fdoc
+    ),
+    sized as (select doc_id, cast(len(ws) as bigint) as nt from d),
+    pos as (
+      select doc_id, nt, row_number() over (order by doc_id) as rn
+      from sized
+    ),
+    tot as (select cast(count(*) as bigint) as ndocs from sized),
+    b as (
+      select cast(((rn - 1) * {n_buckets}) // ndocs + 1 as int) as bucket,
+             nt, coalesce(nv, 0) as nv
+      from pos cross join tot
+      left join newv using (doc_id)
+    ),
+    g as (
+      select bucket, cast(count(*) as bigint) as docs,
+             cast(sum(nt) as bigint) as toks,
+             cast(sum(nv) as bigint) as newvv
+      from b group by bucket
+    )
+    select bucket,
+           cast(sum(docs) over w as bigint) as docs_cum,
+           cast(sum(toks) over w as bigint) as tokens_cum,
+           cast(sum(newvv) over w as bigint) as vocab_cum
+    from g
+    window w as (order by bucket
+                 rows between unbounded preceding and current row)
+    order by bucket
+    """
+
+
+@register("vocab_growth_documents", _vocab_growth_oracle_sql(16))
+def vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184 Heaps'-law vocabulary growth curve
+    (operators/vocab.vocab_growth — Heaps 1978 / Herdan 1960):
+    cumulative distinct-token vs cumulative token counts at 16
+    checkpoints along the doc_id order — the sublinearity screen
+    (V ~ K*n^beta) that flags boilerplate-dominated (beta -> 0) or
+    synthetic-noise (beta -> 1) sources before they enter a training
+    mix. Scale shape: per-checkpoint distinct counts are NEVER
+    materialized — each token's FIRST document (one vocab-bounded
+    min-aggregate) attributes it to exactly one document, positions
+    come from relational.global_row_number (range-bucketed exact, no
+    single-partition corpus window), the bucket index is integer
+    arithmetic against the 1-row doc-count broadcast (bounded
+    1-row-stats pattern), and the only cumulative window runs over the
+    16-row bucket frame. All-BIGINT release. Parked for the r12
+    window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.vocab import vocab_growth
+
+    out = vocab_growth(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=16
+    )
+    return _retrack(out, out)

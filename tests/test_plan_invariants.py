@@ -128,6 +128,10 @@ BNLJ_ALLOWED = {
     #     (the bounded 1-row-stats pattern); the pair join itself is a
     #     hash equi-join on (gi, gj) and is NOT allowlisted
     "spatial_radius_pairs_customers",
+    #   vocab_growth_documents — the 1-row doc-count frame broadcast
+    #     cross-joined into the integer bucket assignment (the bounded
+    #     1-row-stats pattern)
+    "vocab_growth_documents",
 }
 
 
@@ -144,6 +148,9 @@ WINDOW_GLOBAL_ALLOWED = {
     "word_frequency_zipf",
     "temperature_resample_documents",
     "token_budget_select_documents",
+    #   vocab_growth_documents — the cumulative fold runs over the
+    #     n_buckets-row (16) bucket frame, never the corpus
+    "vocab_growth_documents",
 }
 
 
