@@ -1684,6 +1684,7 @@ _CHECK_LAST = [
     "benford_profile_orders",
     "gini_spend_by_priority",
     "vocab_growth_documents",
+    "rfm_segments_customers",
 ]
 
 
@@ -13707,3 +13708,111 @@ def vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", n_buckets=16
     )
     return _retrack(out, out)
+
+
+def _rfm_oracle_sql() -> str:
+    """Replay of operators/segment.rfm_segments over orders: the
+    per-customer metric frame (last date / count / whole-unit spend),
+    recency against the 1-row corpus max date, the long (metric,
+    value) stack, the exact inverse-ECDF quintile boundaries
+    (ceil(k*n/5) = (k*n + 4) // 5 integer rank — the
+    group_quantiles_exact contract), the 12-boundary pivot, the CASE
+    score chain, and the segment-grid rollup. Integer-exact end to
+    end."""
+    bcols = ", ".join(
+        f"min(case when metric = '{met}' and p = {k} then qv end)"
+        f" as {met}q{k}"
+        for met in ("r", "f", "m")
+        for k in (1, 2, 3, 4)
+    )
+
+    def score(val: str, met: str) -> str:
+        whens = " ".join(
+            f"when {val} <= {met}q{k} then {k}" for k in (1, 2, 3, 4)
+        )
+        return f"cast(case {whens} else 5 end as int)"
+
+    return f"""
+    with m as (
+      select o_custkey as cust,
+             max(o_orderdate) as last_d,
+             cast(count(*) as bigint) as f_cnt,
+             cast(sum(cast(floor(o_totalprice) as bigint)) as bigint)
+               as m_units
+      from orders
+      group by o_custkey
+    ),
+    g as (select max(last_d) as gmax from m),
+    mm as (
+      select cust,
+             cast(date_diff('day', cast(last_d as date), cast(gmax as date))
+                  as bigint) as r_days,
+             f_cnt, m_units
+      from m cross join g
+    ),
+    stacked as (
+      select 'r' as metric, r_days as v from mm
+      union all select 'f', f_cnt from mm
+      union all select 'm', m_units from mm
+    ),
+    hist as (
+      select metric, v, cast(count(*) as bigint) as c
+      from stacked group by metric, v
+    ),
+    run as (
+      select metric, v,
+             sum(c) over (partition by metric order by v
+                          rows between unbounded preceding and current row)
+               as cum,
+             sum(c) over (partition by metric) as n
+      from hist
+    ),
+    q as (
+      select metric, p.p as p,
+             min(case when cum >= (p.p * n + 4) // 5 then v end) as qv
+      from run cross join (values (1), (2), (3), (4)) p(p)
+      group by metric, p.p
+    ),
+    b as (select {bcols} from q),
+    scored as (
+      select m_units,
+             {score('r_days', 'r')} as r_score,
+             {score('f_cnt', 'f')} as f_score,
+             {score('m_units', 'm')} as m_score
+      from mm cross join b
+    )
+    select r_score, f_score, m_score,
+           cast(count(*) as bigint) as n_customers,
+           cast(sum(m_units) as bigint) as sum_monetary
+    from scored
+    group by r_score, f_score, m_score
+    order by r_score, f_score, m_score
+    """
+
+
+@register("rfm_segments_customers", _rfm_oracle_sql())
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185 RFM quintile segmentation
+    (operators/segment.rfm_segments — Hughes 1994): the classic
+    recency / frequency / monetary customer grid over orders, with
+    every released row an AGGREGATE over a (r, f, m) cell (the
+    k-anonymity-style generalization the reference's anonymized marts
+    exist to enable). Scale shape: one map-side-combined groupBy
+    builds the per-customer metrics; recency pivots on the 1-row
+    corpus-max-date broadcast (bounded 1-row-stats pattern — no
+    wall-clock); quintile boundaries are exact inverse-ECDF integer
+    ranks from group_quantiles_exact over the long metric stack (one
+    bounded histogram per metric — never a percentile UDAF buffering a
+    hot group); the 12 boundaries collapse to ONE broadcast row and
+    scoring is a pure-codegen CASE chain. Spend is floor()ed
+    EXPLICITLY per order before the integer sum (order-free,
+    engine-exact — the gini precedent). Parked for the r12 window per
+    the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.segment import rfm_segments
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("amt"),
+    )
+    return rfm_segments(o, "o_custkey", "o_orderdate", "amt")

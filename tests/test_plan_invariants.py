@@ -132,6 +132,10 @@ BNLJ_ALLOWED = {
     #     cross-joined into the integer bucket assignment (the bounded
     #     1-row-stats pattern)
     "vocab_growth_documents",
+    #   rfm_segments_customers — two 1-row broadcasts (corpus max date;
+    #     the 12-boundary pivot row) cross-joined into per-row codegen
+    #     (the bounded 1-row-stats pattern)
+    "rfm_segments_customers",
 }
 
 
