@@ -47,6 +47,7 @@ __all__ = [
     "phrase_search",
     "hard_negatives",
     "hashing_embed",
+    "jl_project_int8",
 ]
 
 
@@ -1604,3 +1605,95 @@ def hashing_embed(
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         )
     )
+
+
+def _jl_sign_matrix(dim: int, out_dim: int, salt: str):
+    """Deterministic ±1 Rademacher matrix from md5 parity — entry (i, j)
+    is +1 iff the first hex nibble of ``md5(f"{salt}:{i}:{j}")`` is
+    even (the hashing_embed sign idiom). Pure function of (dim,
+    out_dim, salt): every executor regenerates the identical matrix —
+    NO broadcast, no driver state, and the DuckDB oracle replays the
+    same strings relationally."""
+    import numpy as np
+
+    m = np.empty((dim, out_dim), dtype=np.int64)
+    for i in range(dim):
+        for j in range(out_dim):
+            nib = int(
+                hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[0], 16
+            )
+            m[i, j] = 1 if nib % 2 == 0 else -1
+    return m
+
+
+def jl_project_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    out_dim: int = 16,
+    salt: str = "jl",
+) -> DataFrame:
+    """X186 Johnson–Lindenstrauss random projection over the int8 tier
+    (Johnson & Lindenstrauss 1984; Achlioptas 2003's database-friendly
+    ±1 projections): compress ``dim``-dimensional vectors to
+    ``out_dim`` components as ``p_j = Σ_i s_ij · q_i`` with a
+    Rademacher sign matrix — the distance-preserving dimensionality
+    cut that front-ends an ANN/clustering tier when even PQ codes are
+    too wide, at 4·out_dim bytes/vector.
+
+    Scale-first composition: vectors are int8-quantized FIRST
+    (:func:`quantize_int8` — exact, engine-pinned), so the projection
+    is INTEGER arithmetic: order-free, overflow-safe (|p| ≤ 128·dim),
+    and bit-identical between the numpy matmul here and the oracle's
+    relational ``SUM(x·sign)``. The corpus pass is ONE Arrow-batched
+    ``mapInPandas`` (the PQ-assign precedent: a measured ~100×
+    over interpreted HOF folds); the sign matrix is regenerated
+    per-executor from md5 (model-scale, dim × out_dim — never
+    broadcast, never collected). Returns the LONG form
+    ``(id_col, j, p)`` — one row per vector per output component.
+    """
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q = quantize_int8(df, vec_col, id_col).select(id_col, "q_vec")
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("j", IntegerType()),
+            StructField("p", LongType()),
+        ]
+    )
+    cache: dict[int, object] = {}
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arr = np.array([np.asarray(v) for v in pdf["q_vec"]], dtype=np.int64)
+            dim = arr.shape[1]
+            s = cache.get(dim)
+            if s is None:
+                s = cache[dim] = _jl_sign_matrix(dim, out_dim, salt)
+            proj = arr @ s  # exact int64 matmul
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), out_dim
+                    ),
+                    "j": np.tile(
+                        np.arange(out_dim, dtype=np.int32), n
+                    ),
+                    "p": proj.reshape(-1),
+                }
+            )
+
+    return q.mapInPandas(gen, schema)

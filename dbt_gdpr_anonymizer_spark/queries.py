@@ -1685,6 +1685,7 @@ _CHECK_LAST = [
     "gini_spend_by_priority",
     "vocab_growth_documents",
     "rfm_segments_customers",
+    "jl_projection_embeddings",
 ]
 
 
@@ -13816,3 +13817,72 @@ def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice")).cast("bigint").alias("amt"),
     )
     return rfm_segments(o, "o_custkey", "o_orderdate", "amt")
+
+
+def _jl_oracle_sql(out_dim: int = 16, salt: str = "jl") -> str:
+    """Replay of operators/similarity.jl_project_int8: the int8
+    quantization (the embedding_int8_quantize oracle's exact affine
+    map), the positional unnest, the md5-parity Rademacher sign for
+    every (i, j) cell, and the integer SUM(x*sign) — order-free, so
+    the numpy matmul on the Spark side is bit-identical by
+    construction."""
+    sign = (
+        f"case when (strpos('0123456789abcdef', substring("
+        f"md5('{salt}:' || cast(e.i - 1 as varchar) || ':' ||"
+        f" cast(t.j as varchar)), 1, 1)) - 1) % 2 = 0"
+        " then 1 else -1 end"
+    )
+    return f"""
+    with m as (
+      select vec_id, embedding,
+             cast(list_aggregate(embedding, 'min') as double) as v_min,
+             cast(list_aggregate(embedding, 'max') as double) as v_max
+      from embeddings
+    ),
+    q as (
+      select vec_id,
+             case when v_max > v_min then
+               list_transform(embedding,
+                 x -> cast(floor((cast(x as double) - v_min) * 255.0
+                                 / (v_max - v_min)) - 128 as bigint))
+             else list_transform(embedding, x -> cast(0 as bigint))
+             end as qv
+      from m
+    ),
+    e as (
+      select vec_id, generate_subscripts(qv, 1) as i, unnest(qv) as x
+      from q
+    )
+    select e.vec_id, cast(t.j as int) as j,
+           cast(sum(e.x * ({sign})) as bigint) as p
+    from e cross join range(0, {out_dim}) t(j)
+    group by e.vec_id, t.j
+    order by vec_id, j
+    """
+
+
+@register("jl_projection_embeddings", _jl_oracle_sql(16))
+def jl_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186 Johnson-Lindenstrauss random projection over the int8 tier
+    (operators/similarity.jl_project_int8 — Johnson & Lindenstrauss
+    1984; Achlioptas 2003 database-friendly ±1 projections): the
+    64-dim embedding corpus compressed to 16 integer components via a
+    Rademacher sign matrix derived from md5 parity — the
+    distance-preserving dimensionality cut below even PQ codes.
+    Scale shape: vectors int8-quantize FIRST (exact, engine-pinned) so
+    the projection is order-free INTEGER arithmetic; the corpus pass
+    is ONE Arrow-batched mapInPandas numpy matmul (the PQ-assign
+    measured precedent over interpreted HOF folds); the sign matrix is
+    model-scale and regenerated per-executor from md5 — no broadcast,
+    no driver state, no shuffle before the final long-form release.
+    The oracle replays quantization, signs, and the relational
+    SUM(x*sign) — bit-identical because everything is integer. Parked
+    for the r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        jl_project_int8,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return jl_project_int8(e, "vec_id", "embedding", out_dim=16).orderBy(
+        "vec_id", "j"
+    )
