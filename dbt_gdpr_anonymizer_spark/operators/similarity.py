@@ -48,6 +48,7 @@ __all__ = [
     "hard_negatives",
     "hashing_embed",
     "jl_project_int8",
+    "rrf_fuse",
 ]
 
 
@@ -1697,3 +1698,60 @@ def jl_project_int8(
             )
 
     return q.mapInPandas(gen, schema)
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    *,
+    k: int = 60,
+    scale: int = 1000000,
+) -> DataFrame:
+    """X187 reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009): combine named rankings — each a frame ``(id_col, rank)``
+    with 1-based ranks — into ``rrf(d) = Σ_r scale div (k + rank_r(d))``.
+    The rank-based fusion that needs NO score calibration between
+    retrievers (BM25's unbounded sums vs cosine's [-1,1] fuse without
+    normalization), standard in hybrid lexical+dense retrieval stacks.
+
+    INTEGER end to end: each contribution is ``scale div (k + rank)``
+    (integer division per list member, summed exactly — not a float
+    1/(k+r) whose fold order could diverge across engines). A document
+    missing from a list contributes nothing. Released columns:
+    ``(id_col, n_lists, rrf_pm, rank_<name>...)`` — per-source ranks
+    ride along NULL-able so the fusion is auditable per row — ordered
+    by ``rrf_pm`` desc with ``id_col`` tiebreak.
+
+    Scale shape: one unionByName of the (small, already top-k-bounded)
+    ranking frames, one keyed aggregate. The rankings themselves are
+    the expensive part and belong to their retrievers; fusion adds no
+    corpus-scale work."""
+    from functools import reduce as _reduce
+
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    parts = [
+        r.select(
+            F.col(id_col),
+            F.lit(name).alias("_src"),
+            F.col("rank").cast("long").alias("_rank"),
+        )
+        for name, r in rankings.items()
+    ]
+    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum(F.expr(f"{int(scale)} div ({int(k)} + _rank)"))
+        .cast("long")
+        .alias("rrf_pm"),
+    ] + [
+        F.min(F.when(F.col("_src") == name, F.col("_rank")))
+        .cast("long")
+        .alias(f"rank_{name}")
+        for name in rankings
+    ]
+    return (
+        u.groupBy(id_col)
+        .agg(*aggs)
+        .orderBy(F.col("rrf_pm").desc(), F.col(id_col))
+    )

@@ -1686,6 +1686,7 @@ _CHECK_LAST = [
     "vocab_growth_documents",
     "rfm_segments_customers",
     "jl_projection_embeddings",
+    "rrf_fusion_documents",
 ]
 
 
@@ -13886,3 +13887,137 @@ def jl_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_project_int8(e, "vec_id", "embedding", out_dim=16).orderBy(
         "vec_id", "j"
     )
+
+
+def _rrf_oracle_sql(k: int = 60, topn: int = 100) -> str:
+    """Replay of the hybrid-retrieval fusion: the shared tf/df/dl/stats
+    machinery (the bm25_search oracle's exact float shapes), BOTH
+    integer-quantized scorers (each (doc, term) contribution floors to
+    a 2^16-scaled BIGINT BEFORE the per-doc sum, so no float fold
+    order exists — the sparse_cosine_topk stance), the two top-100
+    rankings with (score desc, doc_id) tie order, and the integer
+    reciprocal-rank fusion sum(1e6 div (k + rank))."""
+    return f"""
+    with d as (
+      select doc_id, unnest(list_filter({_WORDS_SQL}, t -> t <> '')) as word
+      from documents
+    ),
+    tf as (select doc_id, word, count(*) as tf from d group by 1, 2),
+    dl as (select doc_id, count(*) as dl from d group by 1),
+    dfq as (select word, count(*) as df
+            from (select distinct doc_id, word from d) group by 1),
+    stats as (select count(*) as n_docs,
+                     (select avg(dl) from dl) as avgdl
+              from documents),
+    base as (
+      select tf.doc_id,
+             cast(floor(ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                  * ((tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+                  * 65536.0) as bigint) as c_bm,
+             cast(floor(tf.tf
+                  * (ln((s.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+                  * 65536.0) as bigint) as c_tf
+      from tf
+      join dfq using (word)
+      join dl using (doc_id)
+      cross join stats s
+      where tf.word in ('spark', 'data', 'shuffle')
+    ),
+    scored as (
+      select doc_id, sum(c_bm) as s_bm, sum(c_tf) as s_tf
+      from base group by doc_id
+    ),
+    ra as (
+      select doc_id, row_number() over (order by s_bm desc, doc_id) as rank
+      from scored qualify rank <= {topn}
+    ),
+    rb as (
+      select doc_id, row_number() over (order by s_tf desc, doc_id) as rank
+      from scored qualify rank <= {topn}
+    ),
+    u as (
+      select doc_id, 'bm25' as src, rank from ra
+      union all
+      select doc_id, 'tfidf' as src, rank from rb
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_lists,
+           cast(sum(1000000 // ({k} + rank)) as bigint) as rrf_pm,
+           cast(min(case when src = 'bm25' then rank end) as bigint)
+             as rank_bm25,
+           cast(min(case when src = 'tfidf' then rank end) as bigint)
+             as rank_tfidf
+    from u
+    group by doc_id
+    order by rrf_pm desc, doc_id
+    """
+
+
+@register("rrf_fusion_documents", _rrf_oracle_sql(60, 100))
+def rrf_fusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187 reciprocal-rank fusion of hybrid retrieval
+    (operators/similarity.rrf_fuse — Cormack, Clarke & Buettcher 2009):
+    the same 3-term keyword query scored by BOTH Okapi BM25 (k1=1.2,
+    b=0.75 — the bm25_search shapes) and smoothed TF-IDF, each ranking
+    cut to its top 100 (score desc, doc_id tie order) and fused as
+    sum(1e6 div (60 + rank)) — the calibration-free hybrid-retrieval
+    combiner. Determinism: each (doc, term) contribution floors to a
+    2^16-scaled BIGINT BEFORE the per-doc sum (the sparse_cosine_topk
+    stance — integer sums have no fold order), ranks are integer-score
+    ties broken on doc_id, and fusion is pure integer division. Scale
+    shape: ONE shared tf/df/dl pass feeds both scorers (the term
+    filter prunes before any join); rankings are TakeOrdered top-100s;
+    the only windows run over those 100-row frames (bounded by
+    construction); the 1-row corpus stats ride the bounded-1-row-stats
+    broadcast. Parked for the r12 window per the no-new-slots rule."""
+    from pyspark.sql import Window as W
+
+    from dbt_gdpr_anonymizer_spark.operators.similarity import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(tx.words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dl = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfq = d.distinct().groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    k1, b = 1.2, 0.75
+    idf_bm = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    idf_tf = F.log(
+        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+    ) + F.lit(1.0)
+    base = (
+        tf.filter(F.col("word").isin("spark", "data", "shuffle"))
+        .join(dfq, "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf_bm * tf_norm * F.lit(65536.0))
+            .cast("bigint")
+            .alias("c_bm"),
+            F.floor(F.col("tf") * idf_tf * F.lit(65536.0))
+            .cast("bigint")
+            .alias("c_tf"),
+        )
+    )
+    scored = base.groupBy("doc_id").agg(
+        F.sum("c_bm").alias("s_bm"), F.sum("c_tf").alias("s_tf")
+    )
+    ranked = {}
+    for name, col in (("bm25", "s_bm"), ("tfidf", "s_tf")):
+        top = scored.orderBy(F.col(col).desc(), "doc_id").limit(100)
+        w = W.orderBy(F.col(col).desc(), "doc_id")
+        ranked[name] = top.withColumn("rank", F.row_number().over(w)).select(
+            "doc_id", "rank"
+        )
+    return rrf_fuse(ranked, "doc_id", k=60)

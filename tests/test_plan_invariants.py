@@ -136,6 +136,10 @@ BNLJ_ALLOWED = {
     #     the 12-boundary pivot row) cross-joined into per-row codegen
     #     (the bounded 1-row-stats pattern)
     "rfm_segments_customers",
+    #   rrf_fusion_documents — the 1-row corpus stats (n_docs, avgdl)
+    #     broadcast cross-joined into both scorers (the bm25_search
+    #     bounded 1-row-stats pattern)
+    "rrf_fusion_documents",
 }
 
 
@@ -155,6 +159,10 @@ WINDOW_GLOBAL_ALLOWED = {
     #   vocab_growth_documents — the cumulative fold runs over the
     #     n_buckets-row (16) bucket frame, never the corpus
     "vocab_growth_documents",
+    #   rrf_fusion_documents — the rank windows run over the two
+    #     TakeOrdered top-100 frames (bounded by construction, the
+    #     word_frequency_zipf precedent)
+    "rrf_fusion_documents",
 }
 
 
