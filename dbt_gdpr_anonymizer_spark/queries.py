@@ -1687,6 +1687,7 @@ _CHECK_LAST = [
     "rfm_segments_customers",
     "jl_projection_embeddings",
     "rrf_fusion_documents",
+    "record_linkage_customers",
 ]
 
 
@@ -14021,3 +14022,145 @@ def rrf_fusion_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "rank"
         )
     return rrf_fuse(ranked, "doc_id", k=60)
+
+
+def _linkage_oracle_sql() -> str:
+    """Replay of operators/linkage.fs_link_pairs over customer and its
+    deterministic dirty twin: the twin construction (mid-name 'x'
+    substitution every 3rd key, email prefix corruption every 4th,
+    balance shift k mod 7), the (nation, name-suffix-3) blocking
+    equi-join, the three agreement tests (native levenshtein — same DP
+    definition both engines, parity unit-pinned), the integer e6
+    weight sum, the possible-threshold filter, and the decision
+    split."""
+    return f"""
+    with base as (
+      select c_custkey as k, c_nationkey as nk, lower(c_name) as nl,
+             {_EMAIL_SQL} as email,
+             cast(floor(c_acctbal) as bigint) as bal
+      from customer
+    ),
+    l as (
+      select k as id, nk, right(nl, 3) as sfx, nl as name, email, bal
+      from base
+    ),
+    r0 as (
+      select k + 10000000 as id, nk,
+             case when k % 3 = 0
+                  then substring(nl, 1, 5) || 'x' || substring(nl, 7)
+                  else nl end as name,
+             case when k % 4 = 0 then 'x' || email else email end as email,
+             bal + (k % 7) as bal
+      from base
+    ),
+    r as (select id, nk, right(name, 3) as sfx, name, email, bal from r0),
+    cand as (
+      select l.id as a_id, r.id as b_id,
+             case when levenshtein(l.name, r.name) <= 2
+                  then 1 else 0 end as agree_name,
+             case when l.email = r.email then 1 else 0 end as agree_email,
+             case when abs(l.bal - r.bal) <= 3 then 1 else 0 end as agree_bal
+      from l join r on l.nk = r.nk and l.sfx = r.sfx
+    ),
+    scored as (
+      select a_id, b_id, agree_name, agree_email, agree_bal,
+             cast((case when agree_name = 1 then 2200000 else -1100000 end)
+                + (case when agree_email = 1 then 3000000 else -400000 end)
+                + (case when agree_bal = 1 then 800000 else -600000 end)
+                as bigint) as score_e6
+      from cand
+    )
+    select a_id, b_id, agree_name, agree_email, agree_bal, score_e6,
+           case when score_e6 >= 3000000 then 'match'
+                else 'possible' end as decision
+    from scored
+    where score_e6 >= 1000000
+    order by a_id, b_id
+    """
+
+
+@register("record_linkage_customers", _linkage_oracle_sql())
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X189 blocked Fellegi-Sunter record linkage
+    (operators/linkage.fs_link_pairs — Fellegi & Sunter, JASA 1969):
+    the duplicate-subject detection upstream of every GDPR right the
+    reference implements (an Art. 17 erasure that misses the typo'd
+    duplicate row fails). Customer links against a DETERMINISTIC dirty
+    twin (mid-name character substitution every 3rd key, corrupted
+    email every 4th, small balance drift) on three agreement tests —
+    native levenshtein <= 2 (same DP definition in both engines,
+    parity unit-pinned in tests/test_linkage.py), email equality
+    (NULL = conservative disagreement), |balance delta| <= 3 — with
+    fixed integer-e6 log-likelihood weights summed exactly and
+    thresholded into match/possible. Scale shape: blocking on
+    (nation, name-suffix-3) makes candidates a hash equi-join (never
+    a cartesian — the comparators run on candidates only); weights are
+    literals (the trained-model stance: m/u estimation is an offline
+    fit, scoring is deterministic); only pairs >= the possible
+    threshold release, with per-field agreement bits riding along for
+    auditability. Parked for the r12 window per the no-new-slots
+    rule."""
+    from dbt_gdpr_anonymizer_spark.operators.linkage import fs_link_pairs
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.lower(F.col("c_name")).alias("nl"),
+        _email_col().alias("email"),
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("bal"),
+    )
+    left = base.select(
+        F.col("k").alias("id"),
+        "nk",
+        F.expr("right(nl, 3)").alias("sfx"),
+        F.col("nl").alias("name"),
+        "email",
+        "bal",
+    )
+    right = (
+        base.select(
+            (F.col("k") + 10000000).alias("id"),
+            "nk",
+            F.when(
+                F.col("k") % 3 == 0,
+                F.concat(
+                    F.substring("nl", 1, 5),
+                    F.lit("x"),
+                    F.expr("substring(nl, 7)"),
+                ),
+            )
+            .otherwise(F.col("nl"))
+            .alias("name"),
+            F.when(
+                F.col("k") % 4 == 0, F.concat(F.lit("x"), F.col("email"))
+            )
+            .otherwise(F.col("email"))
+            .alias("email"),
+            (F.col("bal") + F.col("k") % 7).alias("bal"),
+        )
+        .select(
+            "id", "nk", F.expr("right(name, 3)").alias("sfx"),
+            "name", "email", "bal",
+        )
+    )
+    tests = {
+        "name": F.levenshtein(F.col("a_name"), F.col("b_name")) <= 2,
+        "email": F.col("a_email") == F.col("b_email"),
+        "bal": F.abs(F.col("a_bal") - F.col("b_bal")) <= 3,
+    }
+    weights = {
+        "name": (2_200_000, -1_100_000),
+        "email": (3_000_000, -400_000),
+        "bal": (800_000, -600_000),
+    }
+    return fs_link_pairs(
+        left,
+        right,
+        "id",
+        ["nk", "sfx"],
+        tests,
+        weights,
+        match_threshold_e6=3_000_000,
+        possible_threshold_e6=1_000_000,
+    )
