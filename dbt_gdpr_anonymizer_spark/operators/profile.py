@@ -37,7 +37,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["benford_profile", "gini_concentration"]
+__all__ = ["benford_profile", "changepoint_scan", "gini_concentration"]
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
@@ -201,3 +201,69 @@ def gini_concentration(
         .orderBy("grp")
     )
     return out
+
+
+def changepoint_scan(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    count_col: str,
+) -> DataFrame:
+    """Two-sample mean-shift scan over an ordered per-period count
+    table — the volume-changepoint question monitoring asks of an
+    events stream ("when did this event type's daily rate jump"),
+    scored at every candidate split exactly.
+
+    For a group's periods 1..T with counts x_t, cumulative S_t and
+    total S, the split statistic at interior t is the absolute
+    mean gap |S_t/t − (S−S_t)/(T−t)|, evaluated as the EXACT integer
+    rational ``(1e6 · |S_t·(T−t) − (S−S_t)·t|) div (t·(T−t))`` — no
+    float division whose rounding could reorder near-tied splits. The
+    numerator scales in decimal(38,0) (corpus-size · 1e6 overflows
+    int64; ``div`` on decimals releases an exact BIGINT). The largest
+    ``gap_ppm`` row per group is the changepoint candidate; ALL splits
+    release so the whole scan profile is checkable.
+
+    Scale stance: the input is the (group, period) COUNT table — the
+    caller aggregates the corpus first, so every window here is
+    PARTITIONED by group over a period-domain-bounded frame (the
+    group-histogram precedent), never the raw corpus. Returns
+    ``(group, period, t, gap_ppm)`` for interior splits (t < T),
+    ordered by (group, period); groups with one period release
+    nothing.
+    """
+    w_ord = Window.partitionBy(group_col).orderBy(time_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(time_col).alias("period"),
+        F.col(count_col).cast("long").alias("_x"),
+    )
+    scanned = base.select(
+        "grp",
+        "period",
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.sum("_x").over(w_cum).cast("long").alias("_st"),
+        F.sum("_x").over(w_all).cast("long").alias("_s"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("_tt"),
+    ).where(F.col("t") < F.col("_tt"))
+    a = F.abs(
+        F.col("_st") * (F.col("_tt") - F.col("t"))
+        - (F.col("_s") - F.col("_st")) * F.col("t")
+    )
+    return (
+        scanned.withColumn("_a", a)
+        .select(
+            "grp",
+            "period",
+            "t",
+            F.expr(
+                "cast(_a as decimal(38,0)) * 1000000"
+                " div (t * (_tt - t))"
+            ).alias("gap_ppm"),
+        )
+        .orderBy("grp", "period")
+    )

@@ -1688,6 +1688,7 @@ _CHECK_LAST = [
     "jl_projection_embeddings",
     "rrf_fusion_documents",
     "record_linkage_customers",
+    "changepoint_daily_events",
 ]
 
 
@@ -14164,3 +14165,67 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         match_threshold_e6=3_000_000,
         possible_threshold_e6=1_000_000,
     )
+
+
+def _changepoint_oracle_sql() -> str:
+    """Replay of operators/profile.changepoint_scan over daily event
+    counts per event_type: the per-(type, day) count table, cumulative
+    and total sums over the day-bounded partitioned frame, and the
+    exact integer-rational split statistic
+    (1e6*|S_t*(T-t)-(S-S_t)*t|) // (t*(T-t)) in HUGEINT (the Spark
+    side scales in decimal(38,0) — same exact integers)."""
+    return """
+    with daily as (
+      select event_type as grp,
+             cast(date_trunc('day', ts::timestamp) as timestamp) as period,
+             cast(count(*) as bigint) as x
+      from events
+      group by 1, 2
+    ),
+    scanned as (
+      select grp, period,
+             cast(row_number() over w as bigint) as t,
+             cast(sum(x) over (partition by grp order by period
+                  rows between unbounded preceding and current row)
+                  as bigint) as st,
+             cast(sum(x) over (partition by grp) as bigint) as s,
+             cast(count(*) over (partition by grp) as bigint) as tt
+      from daily
+      window w as (partition by grp order by period)
+    )
+    select grp, period, t,
+           cast((abs(cast(st as hugeint) * (tt - t)
+                     - (cast(s as hugeint) - st) * t) * 1000000)
+                // (t * (tt - t)) as bigint) as gap_ppm
+    from scanned
+    where t < tt
+    order by grp, period
+    """
+
+
+@register("changepoint_daily_events", _changepoint_oracle_sql())
+def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188 volume changepoint scan
+    (operators/profile.changepoint_scan): every candidate split of each
+    event type's daily-count series scored by the exact two-sample
+    mean-gap statistic — the "when did this stream's rate jump"
+    question monitoring asks, with the argmax row per type being the
+    changepoint candidate. Exactness: the gap is the integer rational
+    (1e6*|S_t*(T-t)-(S-S_t)*t|) div (t*(T-t)) — no float division to
+    reorder near-tied splits; the scaled numerator rides decimal(38,0)
+    (corpus-count * 1e6 overflows int64; div on decimals releases an
+    exact BIGINT; the oracle's HUGEINT twin). Scale shape: the corpus
+    collapses to the (type, day) count table FIRST (one map-side
+    groupBy); every window after that is partitioned by type over the
+    day-domain-bounded frame — never the raw corpus. Parked for the
+    r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.profile import (
+        changepoint_scan,
+    )
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", F.col("ts")).alias("period"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return changepoint_scan(daily, "grp", "period", "x")

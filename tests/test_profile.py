@@ -148,3 +148,62 @@ def test_gini_groups_are_independent(spark):
     got = _run_gini(spark, groups)
     for g, vals in groups.items():
         assert got[g].gini_e6 == math.floor(_py_gini(vals) * 1e6), g
+
+
+# ------------------------------------------------------------- changepoint
+
+
+def _py_changepoint(rows):
+    """rows: [(grp, period, count)] — replay of the scan contract."""
+    from collections import defaultdict
+
+    by_grp = defaultdict(list)
+    for g, p, x in rows:
+        by_grp[g].append((p, x))
+    out = {}
+    for g, seq in by_grp.items():
+        seq.sort()
+        xs = [x for _, x in seq]
+        T, S = len(xs), sum(xs)
+        st = 0
+        for t in range(1, T):
+            st += xs[t - 1]
+            a = abs(st * (T - t) - (S - st) * t)
+            out[(g, seq[t - 1][0])] = (t, (1000000 * a) // (t * (T - t)))
+    return out
+
+
+def _run_cp(spark, rows):
+    from dbt_gdpr_anonymizer_spark.operators.profile import changepoint_scan
+
+    df = spark.createDataFrame(rows, "grp string, period int, n bigint")
+    got = changepoint_scan(df, "grp", "period", "n")
+    return {(r.grp, r.period): (r.t, r.gap_ppm) for r in got.collect()}
+
+
+def test_changepoint_matches_python_replay(spark):
+    rows = [("a", p, 10) for p in range(1, 6)] + [
+        ("a", p, 50) for p in range(6, 11)
+    ]
+    rows += [("b", p, (p * 13) % 7) for p in range(1, 9)]
+    assert _run_cp(spark, rows) == _py_changepoint(rows)
+
+
+def test_changepoint_peak_at_true_shift(spark):
+    rows = [("a", p, 10) for p in range(1, 6)] + [
+        ("a", p, 50) for p in range(6, 11)
+    ]
+    got = _run_cp(spark, rows)
+    best = max(got.items(), key=lambda kv: kv[1][1])
+    assert best[0] == ("a", 5)  # split after period 5 = the level shift
+
+
+def test_changepoint_flat_series_scores_zero(spark):
+    rows = [("a", p, 7) for p in range(1, 9)]
+    got = _run_cp(spark, rows)
+    assert all(v[1] == 0 for v in got.values())
+
+
+def test_changepoint_single_period_group_releases_nothing(spark):
+    got = _run_cp(spark, [("solo", 1, 5), ("b", 1, 1), ("b", 2, 9)])
+    assert all(g != "solo" for (g, _) in got)
