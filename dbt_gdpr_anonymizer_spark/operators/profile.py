@@ -37,7 +37,12 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["benford_profile", "changepoint_scan", "gini_concentration"]
+__all__ = [
+    "benford_profile",
+    "changepoint_scan",
+    "gini_concentration",
+    "ks_drift",
+]
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
 
@@ -266,4 +271,85 @@ def changepoint_scan(
             ).alias("gap_ppm"),
         )
         .orderBy("grp", "period")
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    side_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance per group — the
+    distribution-drift test (did this metric's shape change between
+    two cohorts/windows) complementing the binned PSI signal
+    (event_value_drift_psi): KS is binning-free, ``D = max_v |F1(v) −
+    F2(v)|`` over the empirical CDFs.
+
+    ``side_col`` must be 0/1 (the two samples); ``value_col`` must be
+    integral (the gini fail-fast precedent — callers quantize floats
+    explicitly). Both ECDFs collapse onto ONE (group, value) histogram
+    with per-side counts (map-side combine), cumulate over the
+    group-partitioned value-bounded frame (the group-histogram
+    stance — never a corpus sort), and the distance at each step is
+    the EXACT integer rational ``(1e6·|c1cum·n2 − c2cum·n1|) div
+    (n1·n2)`` — cross-multiplied, so no float ECDF subtraction; the
+    scaled numerator rides decimal(38,0) (corpus² · 1e6 overflows
+    int64). Returns ``(group, n1, n2, ks_ppm)``; a group missing
+    either side releases NULL ks_ppm (no distance is defined).
+    """
+    t = dict(df.dtypes).get(value_col)
+    if t not in _INTEGRAL:
+        raise TypeError(
+            f"ks_drift: column {value_col!r} has type {t}; quantize to "
+            "an integral type first (double->bigint casts round in "
+            "DuckDB but truncate in Spark)"
+        )
+    hist = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("bigint").alias("v"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col(side_col) == 0, 1).otherwise(0)
+            ).cast("long").alias("c1"),
+            F.sum(
+                F.when(F.col(side_col) == 1, 1).otherwise(0)
+            ).cast("long").alias("c2"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    stepped = hist.select(
+        "grp",
+        F.sum("c1").over(w_cum).cast("long").alias("c1cum"),
+        F.sum("c2").over(w_cum).cast("long").alias("c2cum"),
+        F.sum("c1").over(w_all).cast("long").alias("n1"),
+        F.sum("c2").over(w_all).cast("long").alias("n2"),
+    )
+    d = F.expr(
+        "abs(cast(c1cum as decimal(38,0)) * n2"
+        " - cast(c2cum as decimal(38,0)) * n1) * 1000000"
+        " div (cast(n1 as decimal(38,0)) * n2)"
+    )
+    return (
+        stepped.withColumn(
+            "_d",
+            F.when((F.col("n1") > 0) & (F.col("n2") > 0), d),
+        )
+        .groupBy("grp")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max("_d").cast("long").alias("ks_ppm"),
+        )
+        .orderBy("grp")
     )

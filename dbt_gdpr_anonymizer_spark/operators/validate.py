@@ -552,3 +552,52 @@ def canary_leak_audit(
         ],
         "canary string, n_raw bigint, n_anonymized bigint, leaked boolean",
     )
+
+
+def fd_conformance(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Functional-dependency conformance report: does ``lhs_cols →
+    rhs_col`` hold, and how badly not — the schema-level data-quality
+    check (Codd FDs; the profiling primitive behind tools like
+    Deequ's uniqueness/consistency constraints) a pipeline runs before
+    trusting a column as a join key or a generalization target.
+
+    A left-hand-side group VIOLATES the FD when it maps to more than
+    one distinct non-NULL ``rhs_col`` value (NULL rhs values are
+    ignored — SQL distinct-aggregate convention, documented). Released
+    as ONE summary row, all exact integers:
+    ``(n_groups, n_violating, n_rows_violating, conformance_ppm)``
+    with ``conformance_ppm = 1e6·(n_groups − n_violating) div
+    n_groups`` (NULL when the frame is empty).
+
+    Scale shape: one distinct-aggregate groupBy over the lhs key
+    (map-side partial on (lhs, rhs) distinct), one 1-row rollup — no
+    window, no join, no second corpus pass.
+    """
+    g = df.groupBy(*[F.col(c) for c in lhs_cols]).agg(
+        F.countDistinct(F.col(rhs_col)).alias("_nd"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    viol = F.when(F.col("_nd") > 1, 1).otherwise(0)
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(viol).cast("long").alias("n_violating"),
+        F.sum(F.when(F.col("_nd") > 1, F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_violating"),
+    ).select(
+        "n_groups",
+        "n_violating",
+        "n_rows_violating",
+        F.when(
+            F.col("n_groups") > 0,
+            F.expr(
+                "(n_groups - n_violating) * 1000000 div n_groups"
+            ),
+        )
+        .cast("long")
+        .alias("conformance_ppm"),
+    )

@@ -1689,6 +1689,8 @@ _CHECK_LAST = [
     "rrf_fusion_documents",
     "record_linkage_customers",
     "changepoint_daily_events",
+    "ks_drift_event_values",
+    "fd_conformance_orders",
 ]
 
 
@@ -14229,3 +14231,118 @@ def changepoint_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("period"),
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
     return changepoint_scan(daily, "grp", "period", "x")
+
+
+def _ks_oracle_sql() -> str:
+    """Replay of operators/profile.ks_drift over odd-vs-even-day event
+    value cents per event_type: the per-side (group, value) histogram,
+    cumulative + total counts over the group-partitioned value frame,
+    and the exact cross-multiplied KS step distance in HUGEINT (the
+    Spark side scales in decimal(38,0) — same exact integers)."""
+    return """
+    with base as (
+      select event_type as grp,
+             (date_part('day', ts::timestamp)::BIGINT % 2)::INT as side,
+             cast(floor(value * 100) as bigint) as v
+      from events
+      where value is not null
+    ),
+    hist as (
+      select grp, v,
+             cast(sum(case when side = 0 then 1 else 0 end) as bigint) as c1,
+             cast(sum(case when side = 1 then 1 else 0 end) as bigint) as c2
+      from base group by grp, v
+    ),
+    stepped as (
+      select grp,
+             cast(sum(c1) over w as bigint) as c1cum,
+             cast(sum(c2) over w as bigint) as c2cum,
+             cast(sum(c1) over (partition by grp) as bigint) as n1,
+             cast(sum(c2) over (partition by grp) as bigint) as n2
+      from hist
+      window w as (partition by grp order by v
+                   rows between unbounded preceding and current row)
+    )
+    select grp, max(n1) as n1, max(n2) as n2,
+           cast(max(case when n1 > 0 and n2 > 0 then
+                (abs(cast(c1cum as hugeint) * n2
+                     - cast(c2cum as hugeint) * n1) * 1000000)
+                // (cast(n1 as hugeint) * n2) end) as bigint) as ks_ppm
+    from stepped
+    group by grp
+    order by grp
+    """
+
+
+@register("ks_drift_event_values", _ks_oracle_sql())
+def ks_drift_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X190 exact two-sample Kolmogorov-Smirnov drift
+    (operators/profile.ks_drift): per event_type, the binning-free KS
+    distance between the value distributions of odd- vs even-day
+    events (a self-replaying null split — the test's answer should sit
+    near zero, and the CHECK verifies the exact statistic either way).
+    Complements the binned PSI signal (event_value_drift_psi): KS
+    needs no bin design and catches shape changes PSI's bins can
+    straddle. Exactness: values quantize to integer cents EXPLICITLY
+    (floor(value*100) — both engines compute the identical double
+    product first), both ECDFs collapse onto ONE per-side (group,
+    value) histogram, and the step distance is the cross-multiplied
+    integer rational (1e6*|c1cum*n2 - c2cum*n1|) div (n1*n2) riding
+    decimal(38,0)/HUGEINT — no float ECDF subtraction anywhere. Scale
+    shape: one map-side histogram, windows only over the
+    group-partitioned bounded value frame, one final groupBy. Parked
+    for the r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.profile import ks_drift
+
+    e = _events(spark, sf_dir)
+    base = e.where(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("grp"),
+        (F.dayofmonth(F.col("ts")).cast("bigint") % 2)
+        .cast("int")
+        .alias("side"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    return ks_drift(base, "grp", "side", "v")
+
+
+@register(
+    "fd_conformance_orders",
+    """
+    with g as (
+      select o_custkey,
+             count(distinct o_orderpriority) as nd,
+             cast(count(*) as bigint) as n
+      from orders
+      group by o_custkey
+    )
+    select cast(count(*) as bigint) as n_groups,
+           cast(sum(case when nd > 1 then 1 else 0 end) as bigint)
+             as n_violating,
+           cast(sum(case when nd > 1 then n else 0 end) as bigint)
+             as n_rows_violating,
+           case when count(*) > 0 then
+             cast((count(*) - sum(case when nd > 1 then 1 else 0 end))
+                  * 1000000 // count(*) as bigint)
+           end as conformance_ppm
+    from g
+    """,
+)
+def fd_conformance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X191 functional-dependency conformance
+    (operators/validate.fd_conformance — Codd FDs; the Deequ-style
+    consistency constraint): does o_custkey -> o_orderpriority hold,
+    and with how much violating row mass — the schema-trust check a
+    pipeline runs before using a column as a generalization target or
+    assuming a key determines an attribute (here it fails by design:
+    customers order at many priorities, and the exact violation
+    census is the released answer). Scale shape: ONE distinct-
+    aggregate groupBy over the key (map-side partial on the (lhs,
+    rhs) distinct pairs) plus a 1-row rollup — no window, no join, no
+    second corpus pass; all-integer release incl. conformance_ppm =
+    1e6*(conforming groups) div groups. Parked for the r12 window per
+    the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.validate import fd_conformance
+
+    return fd_conformance(
+        _t(spark, sf_dir, "orders"), ["o_custkey"], "o_orderpriority"
+    )

@@ -207,3 +207,75 @@ def test_changepoint_flat_series_scores_zero(spark):
 def test_changepoint_single_period_group_releases_nothing(spark):
     got = _run_cp(spark, [("solo", 1, 5), ("b", 1, 1), ("b", 2, 9)])
     assert all(g != "solo" for (g, _) in got)
+
+
+# ---------------------------------------------------------------- KS drift
+
+
+def _py_ks(rows):
+    """rows: [(grp, side, v)] — replay: exact KS in integer ppm."""
+    from collections import defaultdict
+
+    by_grp = defaultdict(lambda: ([], []))
+    for g, s, v in rows:
+        if v is not None:
+            by_grp[g][s].append(v)
+    out = {}
+    for g, (a, b) in by_grp.items():
+        n1, n2 = len(a), len(b)
+        if n1 == 0 or n2 == 0:
+            out[g] = (n1, n2, None)
+            continue
+        vals = sorted(set(a) | set(b))
+        best, c1, c2 = 0, 0, 0
+        for v in vals:
+            c1 += sum(1 for x in a if x == v)
+            c2 += sum(1 for x in b if x == v)
+            best = max(best, (1000000 * abs(c1 * n2 - c2 * n1)) // (n1 * n2))
+        out[g] = (n1, n2, best)
+    return out
+
+
+def _run_ks(spark, rows):
+    from dbt_gdpr_anonymizer_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame(rows, "grp string, side int, v bigint")
+    got = ks_drift(df, "grp", "side", "v")
+    return {r.grp: (r.n1, r.n2, r.ks_ppm) for r in got.collect()}
+
+
+def test_ks_matches_python_replay(spark):
+    rows = (
+        [("a", 0, v) for v in [1, 2, 2, 3, 5, 8, 9]]
+        + [("a", 1, v) for v in [4, 5, 6, 6, 7, 9]]
+        + [("b", 0, v) for v in [1, 1, 1]]
+        + [("b", 1, v) for v in [1, 1, 2]]
+    )
+    assert _run_ks(spark, rows) == _py_ks(rows)
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [("g", s, v) for s in (0, 1) for v in [3, 7, 7, 11]]
+    assert _run_ks(spark, rows)["g"] == (4, 4, 0)
+
+
+def test_ks_disjoint_samples_full_distance(spark):
+    rows = [("g", 0, v) for v in [1, 2, 3]] + [
+        ("g", 1, v) for v in [10, 11, 12]
+    ]
+    assert _run_ks(spark, rows)["g"] == (3, 3, 1000000)
+
+
+def test_ks_missing_side_releases_null(spark):
+    rows = [("g", 0, 5), ("g", 0, 6)]
+    assert _run_ks(spark, rows)["g"] == (2, 0, None)
+
+
+def test_ks_rejects_float_values(spark):
+    import pytest as _pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.profile import ks_drift
+
+    df = spark.createDataFrame([("g", 0, 1.5)], "grp string, side int, v double")
+    with _pytest.raises(TypeError, match="integral"):
+        ks_drift(df, "grp", "side", "v")
