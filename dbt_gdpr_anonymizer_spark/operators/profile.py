@@ -42,6 +42,7 @@ __all__ = [
     "changepoint_scan",
     "gini_concentration",
     "ks_drift",
+    "spearman_corr",
 ]
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
@@ -353,3 +354,104 @@ def ks_drift(
         )
         .orderBy("grp")
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation per group — the monotone-
+    association signal between two metrics (does quality track length,
+    does price track quantity) that Pearson misses under nonlinearity
+    and outliers, computed WITHOUT a corpus sort.
+
+    Ranks use the tie-average convention via the histogram trick: a
+    value with count ``c`` and ``f`` strictly-smaller rows has average
+    rank ``f + (c+1)/2``, so its DOUBLED rank ``2f + c + 1`` is an
+    exact integer (the gini stance — no /2). Spearman = Pearson over
+    the doubled ranks (scaling both variables by 2 leaves r
+    unchanged). Plan: one (group, value) histogram + partitioned
+    running sum PER VARIABLE (bounded frames, the
+    group_quantiles_exact stance), two hash joins back to the row
+    frame (histogram-sized build sides), then ONE aggregate of the
+    five moment sums in decimal(38,0) — exact for any n ≤ ~1.3e12
+    (Σ(2n)² bound). The final
+    ``r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)·(n·Syy − Sy²))``
+    combines those exact integers in doubles (identical casts and IEEE
+    sqrt in both engines) and releases ``floor(r·1e6)`` BIGINT next to
+    the exact ``n`` witness; zero variance on either side releases
+    NULL.
+
+    ``x_col``/``y_col`` must be integral (the established fail-fast:
+    DuckDB rounds double→bigint casts, Spark truncates); rows with a
+    NULL in either column are excluded (pairwise-complete).
+    """
+    for c in (x_col, y_col):
+        t = dict(df.dtypes).get(c)
+        if t not in _INTEGRAL:
+            raise TypeError(
+                f"spearman_corr: column {c!r} has type {t}; floor() to "
+                "an integral type first (double->bigint casts round in "
+                "DuckDB but truncate in Spark)"
+            )
+    rows = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+
+    def ranks(col: str, out: str):
+        hist = rows.groupBy("grp", col).agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return hist.select(
+            "grp",
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + F.col("_c")
+                + F.lit(1)
+            )
+            .cast("long")
+            .alias(out),
+        )
+
+    ranked = rows.join(ranks("x", "rx"), ["grp", "x"]).join(
+        ranks("y", "ry"), ["grp", "y"]
+    )
+    d19 = "decimal(19,0)"
+    mx = F.col("rx").cast(d19)
+    my = F.col("ry").cast(d19)
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(mx).cast("decimal(38,0)").alias("_sx"),
+        F.sum(my).cast("decimal(38,0)").alias("_sy"),
+        F.sum(mx * mx).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(my * my).cast("decimal(38,0)").alias("_syy"),
+        F.sum(mx * my).cast("decimal(38,0)").alias("_sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    vx = nd * F.col("_sxx").cast("double") - sx * sx
+    vy = nd * F.col("_syy").cast("double") - sy * sy
+    cov = nd * F.col("_sxy").cast("double") - sx * sy
+    return agg.select(
+        "grp",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(cov / F.sqrt(vx * vy) * 1000000),
+        )
+        .cast("bigint")
+        .alias("spearman_e6"),
+    ).orderBy("grp")

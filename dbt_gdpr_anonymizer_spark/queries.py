@@ -1691,6 +1691,7 @@ _CHECK_LAST = [
     "changepoint_daily_events",
     "ks_drift_event_values",
     "fd_conformance_orders",
+    "spearman_qty_price_lineitem",
 ]
 
 
@@ -14346,3 +14347,99 @@ def fd_conformance_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fd_conformance(
         _t(spark, sf_dir, "orders"), ["o_custkey"], "o_orderpriority"
     )
+
+
+def _spearman_oracle_sql() -> str:
+    """Replay of operators/profile.spearman_corr over lineitem
+    quantity vs whole-unit extended price per return flag: the doubled
+    tie-average ranks (2f + c + 1 — exact integers, the gini stance),
+    the two histogram joins back to the row frame, the five moment
+    sums in HUGEINT (the Spark side's decimal(38,0) twins — same exact
+    integers), and the final Pearson-over-ranks combination in
+    doubles with IEEE sqrt."""
+    return """
+    with rows_ as (
+      select l_returnflag as grp,
+             cast(floor(l_quantity) as bigint) as x,
+             cast(floor(l_extendedprice) as bigint) as y
+      from lineitem
+      where l_quantity is not null and l_extendedprice is not null
+    ),
+    rx as (
+      select grp, x,
+             cast(2 * coalesce(sum(c) over (partition by grp order by x
+                    rows between unbounded preceding and 1 preceding), 0)
+                  + c + 1 as bigint) as rx
+      from (select grp, x, cast(count(*) as bigint) as c
+            from rows_ group by grp, x)
+    ),
+    ry as (
+      select grp, y,
+             cast(2 * coalesce(sum(c) over (partition by grp order by y
+                    rows between unbounded preceding and 1 preceding), 0)
+                  + c + 1 as bigint) as ry
+      from (select grp, y, cast(count(*) as bigint) as c
+            from rows_ group by grp, y)
+    ),
+    ranked as (
+      select rows_.grp, rx.rx, ry.ry
+      from rows_
+      join rx on rows_.grp = rx.grp and rows_.x = rx.x
+      join ry on rows_.grp = ry.grp and rows_.y = ry.y
+    ),
+    agg as (
+      select grp, cast(count(*) as bigint) as n,
+             sum(cast(rx as hugeint)) as sx,
+             sum(cast(ry as hugeint)) as sy,
+             sum(cast(rx as hugeint) * rx) as sxx,
+             sum(cast(ry as hugeint) * ry) as syy,
+             sum(cast(rx as hugeint) * ry) as sxy
+      from ranked group by grp
+    )
+    select grp, n,
+           case when (cast(n as double) * cast(sxx as double)
+                      - cast(sx as double) * cast(sx as double)) > 0
+                 and (cast(n as double) * cast(syy as double)
+                      - cast(sy as double) * cast(sy as double)) > 0
+           then cast(floor(
+             (cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+             / sqrt((cast(n as double) * cast(sxx as double)
+                     - cast(sx as double) * cast(sx as double))
+                    * (cast(n as double) * cast(syy as double)
+                       - cast(sy as double) * cast(sy as double)))
+             * 1000000) as bigint)
+           end as spearman_e6
+    from agg
+    order by grp
+    """
+
+
+@register("spearman_qty_price_lineitem", _spearman_oracle_sql())
+def spearman_qty_price_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X192 exact Spearman rank correlation
+    (operators/profile.spearman_corr): the monotone association
+    between order-line quantity and whole-unit extended price per
+    return flag — the outlier-robust dependence signal (quality vs
+    length, price vs volume) Pearson misses under nonlinearity,
+    computed WITHOUT a corpus sort. Ranks are the tie-average
+    convention via the histogram trick, kept DOUBLED (2f + c + 1) so
+    they stay exact integers (scaling both variables by 2 leaves r
+    unchanged); the five moment sums aggregate in decimal(38,0)
+    (HUGEINT oracle twins) and only the final Pearson combination —
+    one fixed-shape double expression with IEEE sqrt — leaves integer
+    space, released floor(r*1e6) next to the exact n. Scale shape:
+    one bounded histogram + partitioned running sum per variable, two
+    hash joins back (histogram-sized build sides), one aggregate — no
+    window ever touches the raw row frame. Parked for the r12 window
+    per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.profile import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice")).cast("bigint").alias("price"),
+    )
+    return spearman_corr(li, "grp", "qty", "price")

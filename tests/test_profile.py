@@ -279,3 +279,92 @@ def test_ks_rejects_float_values(spark):
     df = spark.createDataFrame([("g", 0, 1.5)], "grp string, side int, v double")
     with _pytest.raises(TypeError, match="integral"):
         ks_drift(df, "grp", "side", "v")
+
+
+# ----------------------------------------------------------------- Spearman
+
+
+def _py_spearman(pairs):
+    """pairs: [(x, y)] — tie-average Spearman, exact replay."""
+
+    def avg_ranks(vals):
+        order = sorted(set(vals))
+        f, out = 0, {}
+        from collections import Counter
+
+        cnt = Counter(vals)
+        for v in order:
+            c = cnt[v]
+            out[v] = f + (c + 1) / 2
+            f += c
+        return [out[v] for v in vals]
+
+    xs = avg_ranks([p[0] for p in pairs])
+    ys = avg_ranks([p[1] for p in pairs])
+    n = len(pairs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx <= 0 or vy <= 0:
+        return None
+    return (n * sxy - sx * sy) / (vx * vy) ** 0.5
+
+
+def _run_spearman(spark, groups):
+    from dbt_gdpr_anonymizer_spark.operators.profile import spearman_corr
+
+    rows = [(g, x, y) for g, ps in groups.items() for x, y in ps]
+    df = spark.createDataFrame(rows, "grp string, x bigint, y bigint")
+    got = spearman_corr(df, "grp", "x", "y")
+    return {r.grp: (r.n, r.spearman_e6) for r in got.collect()}
+
+
+def test_spearman_perfect_monotone_is_one(spark):
+    ps = [(i, i * i) for i in range(1, 9)]  # nonlinear but monotone
+    assert _run_spearman(spark, {"g": ps})["g"] == (8, 1000000)
+
+
+def test_spearman_perfect_inverse_is_minus_one(spark):
+    ps = [(i, 100 - i) for i in range(1, 9)]
+    n, r = _run_spearman(spark, {"g": ps})["g"]
+    assert (n, r) == (8, -1000000)
+
+
+def test_spearman_matches_python_replay_with_ties(spark):
+    import math
+
+    ps = [(3, 9), (1, 2), (4, 2), (1, 5), (5, 5), (9, 7), (2, 2), (6, 5)]
+    n, r = _run_spearman(spark, {"g": ps})["g"]
+    want = _py_spearman(ps)
+    assert n == len(ps)
+    assert r == math.floor(want * 1e6)
+
+
+def test_spearman_zero_variance_releases_null(spark):
+    ps = [(5, i) for i in range(1, 6)]
+    assert _run_spearman(spark, {"g": ps})["g"] == (5, None)
+
+
+def test_spearman_null_pairs_excluded(spark):
+    from dbt_gdpr_anonymizer_spark.operators.profile import spearman_corr
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", None, 9), ("g", 2, None), ("g", 3, 3)],
+        "grp string, x bigint, y bigint",
+    )
+    got = spearman_corr(df, "grp", "x", "y").collect()[0]
+    assert got.n == 2
+
+
+def test_spearman_rejects_float_input(spark):
+    import pytest as _pytest
+
+    from dbt_gdpr_anonymizer_spark.operators.profile import spearman_corr
+
+    df = spark.createDataFrame(
+        [("g", 1.5, 2)], "grp string, x double, y bigint"
+    )
+    with _pytest.raises(TypeError, match="integral"):
+        spearman_corr(df, "grp", "x", "y")
