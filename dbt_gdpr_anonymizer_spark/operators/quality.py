@@ -1277,3 +1277,99 @@ def readability_profile(
         .cast("bigint")
         .alias("fk_grade_e2"),
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    *,
+    n: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise source-overlap matrix: for every unordered source pair,
+    the EXACT count of shared distinct word-``n``-grams and the exact
+    Jaccard in integer ppm — the "which sources mirror each other"
+    planning view that X146's per-source exclusivity can't give (a
+    source can be non-exclusive without telling you WHO it overlaps;
+    dedup ordering and mixture dedup-priority need the pair).
+
+    Scale design: grams collapse once to the distinct
+    ``(source, gram-hash)`` incidence (map-side combine; xxhash64
+    identity — the exact_dedup collision stance, while the oracle uses
+    gram strings so a collision would surface); the pair counts come
+    from ONE gram-keyed self-equi-join of that incidence (per-gram
+    fan-out bounded by the SOURCE-domain size squared — catalog
+    cardinality, never corpus rows); per-source totals are one keyed
+    aggregate, broadcast-joined back onto the ≤ |S|²/2-row pair frame.
+    ``jaccard_ppm = 1e6·shared div (tA + tB − shared)`` in exact
+    integers. Returns ``(source_a, source_b, shared_grams, grams_a,
+    grams_b, jaccard_ppm)`` ordered by the pair; non-overlapping pairs
+    are absent (their Jaccard is 0).
+    """
+    ws = tx.words(text_col)
+    base = docs.select(
+        F.col(group_col),
+        ws.alias("_ws"),
+        F.greatest(F.size(ws), F.lit(0)).alias("_n"),
+    )
+    grams = base.select(
+        F.col(group_col),
+        F.explode(
+            F.when(
+                F.col("_n") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - n + 1),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("_ws", i, n), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("_gh"),
+    ).distinct()
+    grams = grams.persist()
+    totals = grams.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_t")
+    )
+    a = grams.select(F.col(group_col).alias("source_a"), "_gh")
+    b = grams.select(F.col(group_col).alias("source_b"), "_gh")
+    pairs = (
+        a.join(b, "_gh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                totals.select(
+                    F.col(group_col).alias("source_a"),
+                    F.col("_t").alias("grams_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                totals.select(
+                    F.col(group_col).alias("source_b"),
+                    F.col("_t").alias("grams_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            "grams_a",
+            "grams_b",
+            F.expr(
+                "shared_grams * 1000000"
+                " div (grams_a + grams_b - shared_grams)"
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    return track_caches(out, grams)

@@ -1692,6 +1692,7 @@ _CHECK_LAST = [
     "ks_drift_event_values",
     "fd_conformance_orders",
     "spearman_qty_price_lineitem",
+    "source_overlap_matrix_documents",
 ]
 
 
@@ -14443,3 +14444,62 @@ def spearman_qty_price_lineitem(
         F.floor(F.col("l_extendedprice")).cast("bigint").alias("price"),
     )
     return spearman_corr(li, "grp", "qty", "price")
+
+
+@register(
+    "source_overlap_matrix_documents",
+    f"""
+    with w0 as (select source, {_WORDS_SQL} as ws0 from documents),
+    w as (select source, list_filter(ws0, t -> t <> '') as ws from w0),
+    g as (
+      select source,
+             unnest(list_transform(range(1, len(ws) - 1),
+               i -> array_to_string(ws[i:i+2], ' '))) as gm
+      from w where len(ws) >= 3
+    ),
+    d as (select distinct source, gm from g),
+    t as (select source, cast(count(*) as bigint) as t from d
+          group by source),
+    p as (
+      select a.source as source_a, b.source as source_b,
+             cast(count(*) as bigint) as shared_grams
+      from d a join d b on a.gm = b.gm and a.source < b.source
+      group by 1, 2
+    )
+    select p.source_a, p.source_b, p.shared_grams,
+           ta.t as grams_a, tb.t as grams_b,
+           cast((p.shared_grams * 1000000)
+                // (ta.t + tb.t - p.shared_grams) as bigint)
+             as jaccard_ppm
+    from p
+    join t ta on p.source_a = ta.source
+    join t tb on p.source_b = tb.source
+    order by source_a, source_b
+    """,
+)
+def source_overlap_matrix_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X193 pairwise source-overlap matrix
+    (operators/quality.source_overlap_matrix): exact shared distinct
+    word-3-gram counts + integer Jaccard for every unordered source
+    pair — the "which sources mirror each other" planning view X146's
+    per-source exclusivity can't give (non-exclusive tells you THAT a
+    source overlaps, not WHO with; dedup ordering and mixture
+    dedup-priority need the pair). Scale shape: grams collapse once to
+    the distinct (source, gram-hash) incidence (xxhash64 identity —
+    the exact_dedup collision stance; the ORACLE uses gram strings, so
+    a collision would surface as a count mismatch), pair counts come
+    from ONE gram-keyed self-equi-join (per-gram fan-out bounded by
+    the catalog-cardinality source domain squared, never corpus
+    rows), per-source totals broadcast back onto the <= |S|^2/2-row
+    pair frame; all-integer release incl. jaccard_ppm. Parked for the
+    r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        source_overlap_matrix,
+    )
+
+    out = source_overlap_matrix(
+        _t(spark, sf_dir, "documents"), n=3
+    )
+    return _retrack(out, out)

@@ -131,3 +131,51 @@ def test_readability_non_ascii_boundary_parity(spark):
     # crêpe -> 'cr pe': 'cr' is a vowel-less run (+1), 'pe' has 'e';
     # 'du' and 'chef' one group each -> 4 total for doc 1
     assert got[1] == (3, 4)
+
+
+# ------------------------------------------------------ source overlap matrix
+
+
+def test_source_overlap_matrix_exact_counts(spark):
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "the quick brown fox jumps"),
+            (2, "b", "the quick brown cat sits"),
+            (3, "c", "entirely different words here now"),
+            (4, "b", "quick brown fox again"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap_matrix(docs, n=3).collect()
+    }
+    # source a grams: {the quick brown, quick brown fox, brown fox jumps}
+    # source b grams: {the quick brown, quick brown cat, brown cat sits,
+    #                  quick brown fox, brown fox again}
+    ab = got[("a", "b")]
+    assert ab.shared_grams == 2  # 'the quick brown', 'quick brown fox'
+    assert ab.grams_a == 3 and ab.grams_b == 5
+    assert ab.jaccard_ppm == (2 * 1000000) // (3 + 5 - 2)
+    # c overlaps nobody -> absent
+    assert all("c" not in k for k in got)
+
+
+def test_source_overlap_matrix_release_caches(spark):
+    from dbt_gdpr_anonymizer_spark.operators.caching import release_caches
+    from dbt_gdpr_anonymizer_spark.operators.quality import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "one two three four"), (2, "b", "two three four five")],
+        "doc_id bigint, source string, text string",
+    )
+    out = source_overlap_matrix(docs, n=3)
+    out.collect()
+    assert getattr(out, "cached_deps", ())
+    release_caches(out)
