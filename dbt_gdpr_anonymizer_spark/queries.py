@@ -1693,6 +1693,7 @@ _CHECK_LAST = [
     "fd_conformance_orders",
     "spearman_qty_price_lineitem",
     "source_overlap_matrix_documents",
+    "triangle_count_brands",
 ]
 
 
@@ -14503,3 +14504,69 @@ def source_overlap_matrix_documents(
         _t(spark, sf_dir, "documents"), n=3
     )
     return _retrack(out, out)
+
+
+@register(
+    "triangle_count_brands",
+    """
+    with items as (
+      select distinct l.l_orderkey as bk, p.p_brand as it
+      from lineitem l join part p on l.l_partkey = p.p_partkey
+    ),
+    e as (
+      select a.it as u, b.it as v
+      from items a join items b on a.bk = b.bk and a.it < b.it
+      group by 1, 2
+      having count(*) >= 10
+    ),
+    tri as (
+      select x.u as a, x.v as b, y.v as c
+      from e x
+      join e y on x.v = y.u
+      join e z on z.u = x.u and z.v = y.v
+    ),
+    corners as (
+      select a as node from tri
+      union all select b from tri
+      union all select c from tri
+    )
+    select node, cast(count(*) as bigint) as n_triangles
+    from corners
+    group by node
+    order by node
+    """,
+)
+def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X194 degree-oriented triangle counting
+    (operators/graph.triangle_count — Suri & Vassilvitskii WWW 2011;
+    the GraphX triangleCount shape): per-node triangle membership over
+    the brand co-purchase graph (brands co-occurring in >= 10 orders),
+    the clustering-coefficient numerator that tells a taxonomy/mixture
+    pass how clique-like a category graph is. Scale shape: edges
+    orient from the lower-(degree, id) endpoint, so wedges enumerate
+    only at each edge's LOWER end — per-node fan-out capped at
+    O(sqrt(E)) even on power-law graphs (a hub's edges nearly all
+    point INTO it, so it is almost never a wedge apex); everything is
+    hash equi-joins + keyed aggregates, no cartesian, no window. The
+    oracle counts the same triangles orientation-free (the release is
+    orientation-invariant), so the oriented rewrite's correctness is
+    checked against the plain closed-wedge semantics. Parked for the
+    r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    items = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it")
+    ).distinct()
+    a = items.select(F.col("bk"), F.col("it").alias("u"))
+    b = items.select(F.col("bk"), F.col("it").alias("v"))
+    edges = (
+        a.join(b, "bk")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 10)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    return triangle_count(edges, "src", "dst")
