@@ -35,6 +35,7 @@ __all__ = [
     "generalize_to_k",
     "microaggregate",
     "dp_quantile",
+    "mondrian_partition",
 ]
 
 
@@ -713,3 +714,162 @@ def dp_budget_ledger(
     ).withColumn(
         "admitted", F.col("cum_eps_micro") <= F.lit(budget_micro)
     )
+
+
+def mondrian_partition(
+    df: DataFrame,
+    dim_cols: Sequence[str],
+    k: int,
+    *,
+    rounds: int = 6,
+) -> DataFrame:
+    """Mondrian multidimensional k-anonymity partitioning (LeFevre,
+    DeWitt & Ramakrishnan, ICDE 2006) — THE canonical greedy algorithm
+    behind multidimensional generalization, strictly stronger than the
+    single-attribute ladder (`k_anonymity_generalize`): recursively
+    split the quasi-identifier space at the median of each partition's
+    widest dimension, stopping where a split would leave either side
+    below ``k``. The released equivalence classes are the per-partition
+    bounding boxes + counts — every class ≥ k by construction.
+
+    Determinism contract (fully cross-engine): dims must be INTEGRAL
+    (the established fail-fast); the widest dimension breaks ties in
+    ``dim_cols`` order via a ``>=`` chain; the median is the exact
+    inverse-ECDF value at ``ceil(n/2)`` (the group_quantiles_exact
+    rank); a split happens iff BOTH sides (≤ median / > median) hold
+    ≥ k rows. ``rounds`` is a FIXED unroll budget (max 2^rounds
+    classes), which is what makes a non-recursive SQL oracle possible
+    (the BPE unrolled-oracle precedent) — partitions that can no
+    longer split pass through remaining rounds unchanged, so extra
+    rounds are idempotent (and the loop exits early once no partition
+    splits, which cannot change the result).
+
+    Scale shape per round: ONE per-partition stats aggregate and ONE
+    bounded (partition, chosen-value) histogram with a window over
+    that frame — both DISTRIBUTED — while only the ≤ 2^rounds-row
+    decision state (widest dim, median, split bit per partition)
+    crosses the driver (the kmeans/BPE bounded-model-state stance) and
+    returns as literal CASE chains, so the per-round plan growth is
+    one projection, never a self-referencing join (a join-based round
+    triples plan references and the analyzer blows up ~3^rounds — the
+    pagerank-lineage lesson, found as a driver OOM at rounds=7).
+    Partition ids encode the split tree (root 1; children 2p / 2p+1)
+    and are released as opaque BIGINTs. NULL dims are out of contract
+    — callers pre-clean.
+
+    Returns ``(pid, n, <dim>_min, <dim>_max ...)`` ordered by pid.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
+    dims = list(dim_cols)
+    if not dims:
+        raise ValueError("mondrian_partition: dim_cols must be non-empty")
+    types = dict(df.dtypes)
+    for c in dims:
+        if types.get(c) not in {"tinyint", "smallint", "int", "bigint"}:
+            raise TypeError(
+                f"mondrian_partition: column {c!r} has type "
+                f"{types.get(c)}; floor() to an integral type first "
+                "(double->bigint casts round in DuckDB but truncate in "
+                "Spark)"
+            )
+    rows = df.select(
+        *[F.col(c).cast("bigint").alias(c) for c in dims]
+    ).withColumn("pid", F.lit(1).cast("bigint"))
+    persisted: list[DataFrame] = []
+    for _ in range(rounds):
+        rows = rows.persist()
+        persisted.append(rows)
+        stats = rows.groupBy("pid").agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            *[
+                f(c).alias(f"_{nm}_{c}")
+                for c in dims
+                for nm, f in (("mn", F.min), ("mx", F.max))
+            ],
+        ).collect()
+        # driver-side widest-dim choice per partition (>= chain, ties to
+        # the earlier dim): bounded model state, ≤ 2^rounds rows
+        chosen: dict[int, tuple[int, int]] = {}
+        for r in stats:
+            ranges = [r[f"_mx_{c}"] - r[f"_mn_{c}"] for c in dims]
+            cd = ranges.index(max(ranges))
+            if r["_n"] >= 2 * k:
+                chosen[r["pid"]] = (cd, r["_n"])
+        if not chosen:
+            break
+        vexpr = None
+        for pid, (cd, _n) in chosen.items():
+            w = F.when(F.col("pid") == pid, F.col(dims[cd]))
+            vexpr = w if vexpr is None else vexpr.when(
+                F.col("pid") == pid, F.col(dims[cd])
+            )
+        h = (
+            rows.where(
+                F.col("pid").isin([int(p) for p in chosen])
+            )
+            .select("pid", vexpr.alias("_v"))
+            .groupBy("pid", "_v")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        w_cum = (
+            Window.partitionBy("pid")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        med = (
+            h.select(
+                "pid",
+                "_v",
+                F.sum("_c").over(w_cum).cast("long").alias("_cum"),
+                F.sum("_c").over(w_all).cast("long").alias("_tot"),
+            )
+            .groupBy("pid")
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("_cum") >= F.expr("(_tot + 1) div 2"),
+                        F.col("_v"),
+                    )
+                ).alias("_med"),
+                F.min(
+                    F.when(
+                        F.col("_cum") >= F.expr("(_tot + 1) div 2"),
+                        F.col("_cum"),
+                    )
+                )
+                .cast("long")
+                .alias("_nle"),
+            )
+            .collect()
+        )
+        splits: dict[int, tuple[int, int]] = {}
+        for r in med:
+            cd, n = chosen[r["pid"]]
+            nle = r["_nle"]
+            if nle >= k and n - nle >= k:
+                splits[r["pid"]] = (cd, r["_med"])
+        if not splits:
+            break
+        pexpr = None
+        for pid, (cd, m) in splits.items():
+            left = (F.col("pid") == pid) & (F.col(dims[cd]) <= F.lit(m))
+            right = F.col("pid") == pid
+            if pexpr is None:
+                pexpr = F.when(left, F.lit(2 * pid))
+            else:
+                pexpr = pexpr.when(left, F.lit(2 * pid))
+            pexpr = pexpr.when(right, F.lit(2 * pid + 1))
+        rows = rows.select(
+            *dims,
+            pexpr.otherwise(F.col("pid")).cast("bigint").alias("pid"),
+        )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in dims:
+        aggs.append(F.min(c).cast("long").alias(f"{c}_min"))
+        aggs.append(F.max(c).cast("long").alias(f"{c}_max"))
+    out = rows.groupBy("pid").agg(*aggs).orderBy("pid")
+    return track_caches(out, *persisted)

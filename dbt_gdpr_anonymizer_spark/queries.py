@@ -1694,6 +1694,7 @@ _CHECK_LAST = [
     "spearman_qty_price_lineitem",
     "source_overlap_matrix_documents",
     "triangle_count_brands",
+    "mondrian_kanon_customers",
 ]
 
 
@@ -14570,3 +14571,107 @@ def triangle_count_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )
     return triangle_count(edges, "src", "dst")
+
+
+def _mondrian_oracle_sql(k: int = 25, rounds: int = 6) -> str:
+    """Unrolled replay of operators/privacy.mondrian_partition over
+    (floor(c_acctbal), c_nationkey): per round — partition stats, the
+    >=-chain widest-dimension choice, the inverse-ECDF median at
+    ceil(n/2) with its n_le witness, the both-sides->=k split
+    decision, and the 2p/2p+1 reassignment. Fixed ``rounds`` is what
+    makes the non-recursive oracle possible (the BPE unrolled
+    precedent); extra rounds are idempotent."""
+    ctes = [
+        "a0 as materialized (select cast(floor(c_acctbal) as bigint) as bal,"
+        " cast(c_nationkey as bigint) as nk,"
+        " cast(1 as bigint) as pid from customer)"
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+    s{r} as (
+      select pid, cast(count(*) as bigint) as n,
+             min(bal) as mn1, max(bal) as mx1,
+             min(nk) as mn2, max(nk) as mx2
+      from a{r} group by pid
+    ),
+    c{r} as materialized (
+      select pid, n,
+             case when (mx1 - mn1) >= (mx2 - mn2) then 1 else 2 end as cd
+      from s{r}
+    ),
+    h{r} as (
+      select a.pid, case when c.cd = 1 then a.bal else a.nk end as v,
+             cast(count(*) as bigint) as cnt
+      from a{r} a join c{r} c using (pid)
+      group by 1, 2
+    ),
+    q{r} as (
+      select pid, v,
+             sum(cnt) over (partition by pid order by v
+                rows between unbounded preceding and current row) as cum,
+             sum(cnt) over (partition by pid) as tot
+      from h{r}
+    ),
+    m{r} as (
+      select pid,
+             min(case when cum >= (tot + 1) // 2 then v end) as med,
+             cast(min(case when cum >= (tot + 1) // 2 then cum end)
+                  as bigint) as nle
+      from q{r} group by pid
+    ),
+    d{r} as (
+      select c.pid, c.cd, m.med,
+             (m.nle >= {k} and c.n - m.nle >= {k}) as spl
+      from c{r} c join m{r} m using (pid)
+    ),
+    a{r + 1} as materialized (
+      select a.bal, a.nk,
+             case when d.spl and
+                    (case when d.cd = 1 then a.bal else a.nk end) <= d.med
+                  then 2 * a.pid
+                  when d.spl then 2 * a.pid + 1
+                  else a.pid end as pid
+      from a{r} a join d{r} d using (pid)
+    )""")
+    body = ",".join(ctes)
+    return f"""
+    with {body}
+    select pid, cast(count(*) as bigint) as n,
+           cast(min(bal) as bigint) as bal_min,
+           cast(max(bal) as bigint) as bal_max,
+           cast(min(nk) as bigint) as nk_min,
+           cast(max(nk) as bigint) as nk_max
+    from a{rounds}
+    group by pid
+    order by pid
+    """
+
+
+@register("mondrian_kanon_customers", _mondrian_oracle_sql(25, 6))
+def mondrian_kanon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X195 Mondrian multidimensional k-anonymity
+    (operators/privacy.mondrian_partition — LeFevre/DeWitt/
+    Ramakrishnan ICDE 2006): the canonical greedy median-cut
+    partitioning of the (whole-unit balance, nation) quasi-identifier
+    space with k=25 — every released equivalence class is a bounding
+    box holding >= 25 customers, strictly finer than the
+    single-attribute ladder (k_anonymity_generalize) because each cut
+    picks the locally widest dimension. Determinism: integral dims
+    (fail-fast), >=-chain widest-dim tie order, inverse-ECDF median at
+    ceil(n/2), split iff BOTH sides >= k, pids encode the split tree
+    (2p/2p+1). Scale shape per round: one partition-stats aggregate,
+    one bounded (partition, value) histogram + partitioned window, one
+    broadcast decision join — never a corpus sort, never a driver
+    collect; ``rounds=6`` is a fixed unroll budget (the BPE
+    unrolled-oracle precedent — extra rounds idempotent), so the
+    oracle replays all six rounds non-recursively. Parked for the r12
+    window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import (
+        mondrian_partition,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("bal"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+    )
+    return mondrian_partition(c, ["bal", "nk"], 25, rounds=6)
