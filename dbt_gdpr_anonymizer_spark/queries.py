@@ -1695,6 +1695,7 @@ _CHECK_LAST = [
     "source_overlap_matrix_documents",
     "triangle_count_brands",
     "mondrian_kanon_customers",
+    "mondrian_utility_customers",
 ]
 
 
@@ -14675,3 +14676,74 @@ def mondrian_kanon_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("bigint").alias("nk"),
     )
     return mondrian_partition(c, ["bal", "nk"], 25, rounds=6)
+
+
+def _mondrian_ncp_oracle_sql(k: int = 25, rounds: int = 6) -> str:
+    """The X195 oracle extended one step: per released equivalence
+    class, the Normalized Certainty Penalty (Xu et al., KDD 2006) —
+    the information-loss COST of the anonymization — as the exact
+    integer rational (1e6*(r_bal*Rg_nk + r_nk*Rg_bal)) div
+    (2*Rg_bal*Rg_nk) against the 1-row global ranges."""
+    inner = _mondrian_oracle_sql(k, rounds)
+    return f"""
+    with boxes as ({inner}),
+    g as (
+      select max(bal_max) - min(bal_min) as rg_bal,
+             max(nk_max) - min(nk_min) as rg_nk
+      from boxes
+    )
+    select pid, n,
+           (bal_max - bal_min) as r_bal,
+           (nk_max - nk_min) as r_nk,
+           cast((1000000 * ((bal_max - bal_min) * rg_nk
+                            + (nk_max - nk_min) * rg_bal))
+                // (2 * rg_bal * rg_nk) as bigint) as ncp_ppm
+    from boxes cross join g
+    order by pid
+    """
+
+
+@register("mondrian_utility_customers", _mondrian_ncp_oracle_sql(25, 6))
+def mondrian_utility_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X196 Mondrian information-loss report
+    (operators/privacy.mondrian_partition + the Normalized Certainty
+    Penalty of Xu et al. KDD 2006): every X195 equivalence class next
+    to its utility COST — ncp_ppm = mean over dims of
+    (class range / global range), the generalization-loss measure that
+    pairs with k-anonymity the way pq_recall_report pairs with the PQ
+    codes (anonymization without a measured cost is half an answer;
+    the anonymization_utility precedent). Pure integer arithmetic: the
+    per-dim ratios combine over the common denominator
+    (1e6*(r1*Rg2 + r2*Rg1)) div (2*Rg1*Rg2); the global ranges are a
+    1-row aggregate OVER THE CLASS BOXES (already class-cardinality
+    bounded), broadcast back as the bounded-1-row-stats crossJoin.
+    Parked for the r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.privacy import (
+        mondrian_partition,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("bal"),
+        F.col("c_nationkey").cast("bigint").alias("nk"),
+    )
+    boxes = mondrian_partition(c, ["bal", "nk"], 25, rounds=6)
+    g = boxes.agg(
+        (F.max("bal_max") - F.min("bal_min")).alias("rg_bal"),
+        (F.max("nk_max") - F.min("nk_min")).alias("rg_nk"),
+    )
+    out = boxes.crossJoin(F.broadcast(g)).select(
+        "pid",
+        "n",
+        (F.col("bal_max") - F.col("bal_min")).alias("r_bal"),
+        (F.col("nk_max") - F.col("nk_min")).alias("r_nk"),
+        F.expr(
+            "(1000000 * ((bal_max - bal_min) * rg_nk"
+            " + (nk_max - nk_min) * rg_bal))"
+            " div (2 * rg_bal * rg_nk)"
+        )
+        .cast("bigint")
+        .alias("ncp_ppm"),
+    ).orderBy("pid")
+    return _retrack(out, boxes)

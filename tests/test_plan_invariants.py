@@ -140,6 +140,10 @@ BNLJ_ALLOWED = {
     #     broadcast cross-joined into both scorers (the bm25_search
     #     bounded 1-row-stats pattern)
     "rrf_fusion_documents",
+    #   mondrian_utility_customers — the 1-row global-range frame
+    #     broadcast cross-joined onto the class-cardinality-bounded
+    #     Mondrian box table (the bounded 1-row-stats pattern)
+    "mondrian_utility_customers",
 }
 
 
