@@ -1696,6 +1696,11 @@ _CHECK_LAST = [
     "triangle_count_brands",
     "mondrian_kanon_customers",
     "mondrian_utility_customers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
 ]
 
 
@@ -14747,3 +14752,316 @@ def mondrian_utility_customers(
         .alias("ncp_ppm"),
     ).orderBy("pid")
     return _retrack(out, boxes)
+
+
+@register(
+    "q4_order_priority",
+    """
+    select o_orderpriority, cast(count(*) as bigint) as order_count
+    from orders o
+    where o.o_orderdate >= timestamp '1996-07-01'
+      and o.o_orderdate < timestamp '1996-10-01'
+      and exists (
+        select 1 from lineitem l
+        where l.l_orderkey = o.o_orderkey
+          and l.l_shipdate > o.o_orderdate + interval 30 day
+      )
+    group by o_orderpriority
+    order by o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): per-priority counts of
+    a quarter's orders having at least one LATE line (shipped > 30
+    days after the order — the schema's stand-in for Q4's
+    commitdate/receiptdate pair). Exercises the EXISTS decorrelation:
+    Spark plans the semi join (no duplicate inflation from
+    multi-line orders), the date filter pushes to the orders scan, and
+    the per-order line condition references BOTH sides (a correlated
+    non-equi conjunct riding the equi semi join). Parked for the r12
+    window per the no-new-slots rule."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("interval 30 day")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    select cast(sum(cast(round(l_extendedprice * 100) as bigint)
+                    * cast(round(l_discount * 100) as bigint))
+                as bigint) as revenue_e4,
+           cast(count(*) as bigint) as n_lines
+    from lineitem
+    where l_shipdate >= timestamp '1996-01-01'
+      and l_shipdate < timestamp '1997-01-01'
+      and l_discount between 0.05 and 0.07
+      and l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    filter-and-aggregate scan — the query whose entire cost IS the
+    scan, so it certifies predicate pushdown (all four conjuncts reach
+    the parquet reader) and map-side total aggregation with no
+    shuffle beyond the 1-row fold. Revenue = Σ price_cents *
+    discount_pct in EXACT integers (round on the 2-decimal doubles is
+    exact, the q14 precedent), released as revenue_e4 BIGINT next to
+    the qualifying line count. Parked for the r12 window per the
+    no-new-slots rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(pc * d100).cast("bigint").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    with li as (
+      select l_partkey, cast(floor(l_quantity) as bigint) as qty,
+             cast(round(l_extendedprice * 100) as bigint) as pc
+      from lineitem
+    ),
+    stats as (
+      select l_partkey, cast(sum(qty) as bigint) as sq,
+             cast(count(*) as bigint) as nq
+      from li group by l_partkey
+    )
+    select cast(sum(li.pc) as bigint) as below_avg_revenue_cents,
+           cast(count(*) as bigint) as n_lines
+    from li
+    join part on li.l_partkey = p_partkey
+    join stats on li.l_partkey = stats.l_partkey
+    where p_brand = 'Brand#1' and 5 * li.qty * stats.nq < stats.sq
+    """,
+)
+def q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lines of one
+    brand whose quantity is below 20% of the part's average quantity —
+    the correlated-average subquery decorrelated into a per-part stats
+    join. The float threshold ``qty < 0.2*avg(qty)`` becomes the EXACT
+    integer cross-multiplication ``5*qty*n < sum_qty`` (no float
+    average, no engine division to diverge); revenue sums price cents.
+    Exercises aggregate-then-self-join decorrelation with the brand
+    filter pushed below the join. Parked for the r12 window per the
+    no-new-slots rule."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty").cast("long").alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("nq"),
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(stats, "l_partkey")
+        .where(
+            F.lit(5) * F.col("qty") * F.col("nq") < F.col("sq")
+        )
+        .agg(
+            F.sum("pc").cast("bigint").alias("below_avg_revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    with ol as (
+      select l.l_orderkey, l.l_suppkey, o.o_orderdate,
+             (l.l_shipdate > o.o_orderdate + interval 60 day) as late
+      from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+      where o.o_orderstatus = 'F'
+    ),
+    sup_order as (
+      select l_orderkey, l_suppkey, bool_or(late) as late
+      from ol group by l_orderkey, l_suppkey
+    ),
+    culprit as (
+      select a.l_orderkey, a.l_suppkey
+      from sup_order a
+      where a.late
+        and exists (select 1 from sup_order b
+                    where b.l_orderkey = a.l_orderkey
+                      and b.l_suppkey <> a.l_suppkey)
+        and not exists (select 1 from sup_order c
+                        where c.l_orderkey = a.l_orderkey
+                          and c.l_suppkey <> a.l_suppkey and c.late)
+    )
+    select s.s_name, cast(count(*) as bigint) as numwait
+    from culprit join supplier s on culprit.l_suppkey = s.s_suppkey
+    group by s.s_name
+    order by numwait desc, s_name
+    limit 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished orders, the suppliers who were the SOLE late shipper
+    (late = shipped > 60 days after the order — the schema's
+    receiptdate/commitdate stand-in) on a multi-supplier order. The
+    classic semi + anti join pair over the same per-(order, supplier)
+    aggregate: EXISTS another supplier, NOT EXISTS another LATE
+    supplier. Spark plan: one groupBy builds the (order, supplier,
+    late) state; the semi/anti arms are hash joins against reused
+    aggregations; the release is a TakeOrdered top-100 (numwait desc,
+    name) — no window. Parked for the r12 window per the
+    no-new-slots rule."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    ol = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("interval 60 day")
+        ).alias("late"),
+    )
+    so = ol.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).cast("boolean").alias("late")
+    )
+    others = so.select(
+        F.col("l_orderkey"), F.col("l_suppkey").alias("_other"),
+        F.col("late").alias("_other_late"),
+    )
+    a = so.where(F.col("late"))
+    with_other = a.join(
+        others,
+        (a.l_orderkey == others.l_orderkey)
+        & (F.col("l_suppkey") != F.col("_other")),
+        "left_semi",
+    )
+    culprit = with_other.join(
+        others.where(F.col("_other_late")),
+        (with_other.l_orderkey == others.l_orderkey)
+        & (F.col("l_suppkey") != F.col("_other")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprit.join(s, culprit.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    with c as (
+      select c_custkey, cast(c_nationkey as bigint) as cntry,
+             cast(floor(c_acctbal * 100) as bigint) as bal_cents
+      from customer
+      where c_nationkey in (1, 3, 5, 7, 9, 11, 13)
+    ),
+    s as (
+      select cast(sum(bal_cents) as bigint) as pos_sum,
+             cast(count(*) as bigint) as pos_n
+      from c where bal_cents > 0
+    ),
+    hot as (
+      select c.cntry, c.bal_cents
+      from c cross join s
+      where c.bal_cents * s.pos_n > s.pos_sum
+        and not exists (select 1 from orders o
+                        where o.o_custkey = c.c_custkey
+                          and o.o_orderdate >= timestamp '2001-01-01')
+    )
+    select cntry, cast(count(*) as bigint) as numcust,
+           cast(sum(bal_cents) as bigint) as total_bal_cents
+    from hot
+    group by cntry
+    order by cntry
+    """,
+)
+def q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers in a
+    7-country set with above-average balances and no order in the data's final year
+    (every synthetic customer has SOME order, so Q22's "never ordered"
+    is rebased to "dormant since 2001") — per country, their count and
+    total balance. The scalar-subquery
+    average becomes the EXACT integer cross-multiplication
+    ``bal_cents * n_pos > sum_pos_cents`` against a 1-row positive-
+    balance stats broadcast (no float average anywhere — the q17
+    stance), and the NOT EXISTS is a hash anti join on the order
+    keys. The country filter pushes to the customer scan; nation keys
+    stand in for Q22's phone country codes. Parked for the r12 window
+    per the no-new-slots rule."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select(
+            "c_custkey",
+            F.col("c_nationkey").cast("bigint").alias("cntry"),
+            F.floor(F.col("c_acctbal") * 100)
+            .cast("bigint")
+            .alias("bal_cents"),
+        )
+    )
+    s = c.where(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").cast("long").alias("pos_sum"),
+        F.count(F.lit(1)).cast("long").alias("pos_n"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    hot = (
+        c.crossJoin(F.broadcast(s))
+        .where(F.col("bal_cents") * F.col("pos_n") > F.col("pos_sum"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        hot.groupBy("cntry")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        )
+        .orderBy("cntry")
+    )

@@ -144,6 +144,10 @@ BNLJ_ALLOWED = {
     #     broadcast cross-joined onto the class-cardinality-bounded
     #     Mondrian box table (the bounded 1-row-stats pattern)
     "mondrian_utility_customers",
+    #   q22_global_sales_opportunity — the 1-row positive-balance stats
+    #     frame broadcast cross-joined into the threshold filter (the
+    #     bounded 1-row-stats pattern; Q22's scalar subquery)
+    "q22_global_sales_opportunity",
 }
 
 
