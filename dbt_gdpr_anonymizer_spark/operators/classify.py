@@ -26,13 +26,13 @@ tabodino/dbt-gdpr-anonymizer).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.functions.text import words
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
-__all__ = ["naive_bayes_scores"]
+__all__ = ["auc_exact", "naive_bayes_scores"]
 
 
 def naive_bayes_scores(
@@ -133,3 +133,103 @@ def naive_bayes_scores(
         .withColumn("pred_pos", F.col("logodds") > 0)
     )
     return track_caches(out, toks)
+
+
+def auc_exact(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC AUC via the Mann–Whitney U statistic — the classifier
+    metrology every quality-gate deployment needs next to its scores
+    (a gate with unmeasured ranking power is half an answer; the
+    pq_recall_report stance), computed WITHOUT a corpus sort.
+
+    AUC = P(score_pos > score_neg) + ½·P(tie) =
+    (Σ r_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg) with tie-average
+    ranks. Ranks come from the (score, count, pos-count) HISTOGRAM:
+    the doubled tie-average rank of a score value with total count
+    ``c`` and ``f`` strictly-smaller rows is the exact integer
+    ``2f + c + 1`` (the spearman/gini stance), so
+    ``auc_ppm = (1e6·(Σ cpos·(2f+c+1) − n_pos(n_pos+1))) div
+    (2·n_pos·n_neg)`` is integer-exact end to end — the numerator is
+    non-negative by construction (positives at the global bottom give
+    exactly n_pos(n_pos+1)).
+
+    Scale stance: the global strictly-smaller cumulative ``f`` over
+    the score histogram uses relational.range_bucket_offsets (the
+    global_row_number machinery — per-bucket window + broadcast
+    prefix, NO single-partition window even when the score domain is
+    corpus-sized); sums accumulate in decimal(38,0). ``score_col``
+    must be integral (quantized scores — the established fail-fast);
+    ``label_col`` must be boolean; NULL labels/scores are excluded.
+    Returns ONE row ``(n_pos, n_neg, auc_ppm)``; a single-class input
+    releases NULL auc_ppm."""
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        range_bucket_offsets,
+    )
+
+    t = dict(scored.dtypes).get(score_col)
+    if t not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"auc_exact: score column {score_col!r} has type {t}; "
+            "quantize to an integral type first (the logodds_e4 "
+            "convention — float scores would need a float rank order)"
+        )
+    rows = scored.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(label_col).cast("boolean").alias("_y"),
+    )
+    hist = rows.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("_cpos"),
+    )
+    bo = range_bucket_offsets(hist, "_s", weight_col="_c")
+    w = (
+        Window.partitionBy("_gb")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = bo.select(
+        "_c",
+        "_cpos",
+        (
+            F.coalesce(F.sum("_c").over(w), F.lit(0)) + F.col("_goff")
+        ).cast("long").alias("_f"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.sum(
+            F.col("_cpos").cast(dec)
+            * (
+                F.lit(2).cast(dec) * F.col("_f").cast(dec)
+                + F.col("_c").cast(dec)
+                + F.lit(1).cast(dec)
+            )
+        )
+        .cast(dec)
+        .alias("_sum2r"),
+        F.sum("_cpos").cast("long").alias("n_pos"),
+        F.sum("_c").cast("long").alias("_n"),
+    )
+    out = agg.select(
+        "n_pos",
+        (F.col("_n") - F.col("n_pos")).alias("n_neg"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("_n") - F.col("n_pos") > 0),
+            F.expr(
+                "(_sum2r - cast(n_pos as decimal(38,0)) * (n_pos + 1))"
+                " * 1000000"
+                " div (2 * cast(n_pos as decimal(38,0))"
+                " * (_n - n_pos))"
+            ),
+        )
+        .cast("bigint")
+        .alias("auc_ppm"),
+    )
+    return track_caches(out, *getattr(bo, "cached_deps", ()))

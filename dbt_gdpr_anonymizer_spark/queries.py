@@ -1701,6 +1701,7 @@ _CHECK_LAST = [
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    "auc_lang_classifier",
 ]
 
 
@@ -9154,9 +9155,10 @@ def bigram_lm_perplexity_documents(
     )
 
 
-@register(
-    "naive_bayes_lang_classifier",
-    f"""
+# Shared NB-score CTE prefix (base ... contrib) used by BOTH the
+# classifier release and the AUC metrology oracle so the two replays can
+# never drift (the _dsir_cte_sql precedent). Ends after ``contrib``.
+_NB_CTE_SQL = f"""
     with base as (
       select doc_id, {_WORDS_SQL} as ws,
              lang = 'en' as y, doc_id % 4 = 0 as is_train
@@ -9188,7 +9190,13 @@ def bigram_lm_perplexity_documents(
              ) as token_ll
       from tk left join wc using (w) cross join tt
       group by tk.doc_id
-    )
+    )"""
+
+
+@register(
+    "naive_bayes_lang_classifier",
+    _NB_CTE_SQL
+    + """
     select b.doc_id,
            cast(coalesce(c.n_tokens, 0) as bigint) as n_tokens,
            cast(floor((ln(dc.n_pos) - ln(dc.n_neg)
@@ -15065,3 +15073,82 @@ def q22_global_sales_opportunity(
         )
         .orderBy("cntry")
     )
+
+
+@register(
+    "auc_lang_classifier",
+    _NB_CTE_SQL
+    + """
+    ,
+    scores as (
+      select b.doc_id, b.y,
+             cast(floor((ln(dc.n_pos) - ln(dc.n_neg)
+                         + coalesce(c.token_ll, 0.0)) * 10000) as bigint)
+               as s
+      from base b left join contrib c using (doc_id) cross join dc
+    ),
+    hist as (
+      select s, cast(count(*) as bigint) as c,
+             cast(sum(case when y then 1 else 0 end) as bigint) as cpos
+      from scores group by s
+    ),
+    rk as (
+      select s, c, cpos,
+             cast(coalesce(sum(c) over (order by s rows between
+                  unbounded preceding and 1 preceding), 0) as bigint) as f
+      from hist
+    ),
+    agg as (
+      select sum(cast(cpos as hugeint) * (2 * f + c + 1)) as sum2r,
+             cast(sum(cpos) as bigint) as npos,
+             cast(sum(c) as bigint) as n
+      from rk
+    )
+    select npos as n_pos, (n - npos) as n_neg,
+           case when npos > 0 and n - npos > 0 then
+             cast(((sum2r - cast(npos as hugeint) * (npos + 1)) * 1000000)
+                  // (2 * cast(npos as hugeint) * (n - npos)) as bigint)
+           end as auc_ppm
+    from agg
+    """,
+)
+def auc_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X197 exact ROC AUC of the NB language gate
+    (operators/classify.auc_exact — Mann-Whitney U with tie-average
+    ranks): the ranking-power metrology for X129's quality-gate scores
+    against the true lang=='en' labels, exact in integer ppm — the
+    classifier twin of pq_recall_report's "measure what you deploy"
+    stance. The scores are the SAME logodds_e4 BIGINTs the checked
+    classifier releases (the oracle extends the shared _NB_CTE_SQL
+    prefix, so the two replays cannot drift); doubled tie-average
+    ranks (2f+c+1) come from the score histogram with the global
+    strictly-smaller cumulative routed through
+    relational.range_bucket_offsets — NO single-partition window even
+    when the score domain is corpus-sized (the oracle can afford the
+    plain window). Sums ride decimal(38,0)/HUGEINT; auc_ppm =
+    (1e6*(sum2r - npos*(npos+1))) div (2*npos*nneg), numerator
+    non-negative by construction. Parked for the r12 window per the
+    no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.classify import (
+        auc_exact,
+        naive_bayes_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    nb = naive_bayes_scores(
+        d,
+        label=F.col("lang") == F.lit("en"),
+        train=F.col("doc_id") % 4 == 0,
+    )
+    scored = nb.select(
+        "doc_id",
+        F.floor(F.col("logodds") * 10000).cast("bigint").alias("s"),
+    )
+    truth = d.select(
+        "doc_id", (F.col("lang") == F.lit("en")).alias("y")
+    )
+    frame = scored.join(truth, "doc_id")
+    out = auc_exact(frame, "s", "y")
+    # retrack from the RAW operator outputs: .select() drops cached_deps
+    # (operators/caching.py contract), so `scored`/`frame` carry nothing
+    return _retrack(out, nb, out)

@@ -148,6 +148,10 @@ BNLJ_ALLOWED = {
     #     frame broadcast cross-joined into the threshold filter (the
     #     bounded 1-row-stats pattern; Q22's scalar subquery)
     "q22_global_sales_opportunity",
+    #   auc_lang_classifier — composes naive_bayes_scores, whose 1-row
+    #     stats frame (class priors + token totals) is the allowlisted
+    #     bounded 1-row-stats crossJoin of the NB query itself
+    "auc_lang_classifier",
 }
 
 
