@@ -35,6 +35,7 @@ __all__ = [
     "bigram_array",
     "bigram_lm_scores",
     "kn_bigram_lm_scores",
+    "min_k_prob_scores",
     "pmi_collocations",
     "trigram_array",
     "trigram_lm_scores",
@@ -407,3 +408,111 @@ def pmi_collocations(
         .limit(k)
     )
     return track_caches(out, pairs)
+
+
+def min_k_prob_scores(
+    docs: DataFrame,
+    *,
+    k_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Min-K% prob membership-inference score (Shi et al. 2023,
+    "Detecting Pretraining Data from Large Language Models"): per
+    document, the mean negative log-likelihood of its K% LEAST-likely
+    bigram events under the corpus bigram LM — the modern contamination
+    / memorization probe that complements the lexical (n-gram) and
+    semantic (embedding) decontamination tiers: a document the model
+    has memorized has suspiciously FEW low-probability tokens, so a
+    LOW min-K% score flags membership.
+
+    Determinism contract: per-event NLLs quantize to ``floor(nll·1e4)``
+    BIGINT ON THE VOCAB-BOUNDED MODEL TABLE (one ln + one floor per
+    DISTINCT bigram — the bigram-LM fold stance), so everything
+    per-document is integer arithmetic: sort the event-NLL array
+    descending, take ``m = max(1, (n·k_pct) div 100)`` (ties across the
+    cut are interchangeable for a sum), and release the exact
+    ``(n_events, m, sum_topk_e4, mink_mean_e4 = sum div m)``.
+
+    Scale shape: the model join is the bigram LM's single events-sized
+    equi-join; the only per-doc state is the doc's own event array
+    (bounded by document length — the chat_stats array-side stance),
+    sorted and folded per row with NO cross-document shuffle beyond
+    the one groupBy. Documents with no bigram events release
+    ``(0, 0, NULL, NULL)``.
+    """
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+
+    if not 1 <= int(k_pct) <= 100:
+        raise ValueError("min_k_prob_scores: k_pct must be in [1, 100]")
+    toks = docs.select(F.col(id_col), words(text_col).alias("ws")).persist()
+    events = toks.select(
+        id_col, F.explode(bigram_array(F.col("ws"))).alias("bg")
+    ).persist()
+    bigrams = events.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    unigrams = (
+        toks.select(F.explode("ws").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
+    nll_e4 = F.floor(
+        -F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v")))
+        * 10000
+    ).cast("long")
+    model = (
+        bigrams.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(unigrams, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select("bg", nll_e4.alias("_nll_e4"))
+    )
+    per_doc = (
+        events.join(model, "bg")
+        .groupBy(id_col)
+        .agg(F.collect_list("_nll_e4").alias("_nlls"))
+        .select(
+            id_col,
+            F.size("_nlls").cast("long").alias("n_events"),
+            F.sort_array("_nlls", asc=False).alias("_sorted"),
+        )
+        .select(
+            id_col,
+            "n_events",
+            F.greatest(
+                F.lit(1), F.expr(f"(n_events * {int(k_pct)}) div 100")
+            )
+            .cast("long")
+            .alias("m"),
+            "_sorted",
+        )
+        .select(
+            id_col,
+            "n_events",
+            "m",
+            F.expr(
+                "aggregate(slice(_sorted, 1, cast(m as int)), 0L,"
+                " (a, x) -> a + x)"
+            ).alias("sum_topk_e4"),
+        )
+        .select(
+            id_col,
+            "n_events",
+            "m",
+            "sum_topk_e4",
+            F.expr("sum_topk_e4 div m").alias("mink_mean_e4"),
+        )
+    )
+    out = (
+        toks.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("m", F.lit(0)).cast("long").alias("m"),
+            F.col("sum_topk_e4").cast("long"),
+            F.col("mink_mean_e4").cast("long"),
+        )
+        .orderBy(id_col)
+    )
+    return track_caches(out, toks, events)

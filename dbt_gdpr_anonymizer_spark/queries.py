@@ -1702,6 +1702,7 @@ _CHECK_LAST = [
     "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
     "auc_lang_classifier",
+    "minkprob_documents",
 ]
 
 
@@ -15152,3 +15153,74 @@ def auc_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # retrack from the RAW operator outputs: .select() drops cached_deps
     # (operators/caching.py contract), so `scored`/`frame` carry nothing
     return _retrack(out, nb, out)
+
+
+@register(
+    "minkprob_documents",
+    f"""
+    with ws as (select doc_id, {_WORDS_SQL} as ws from documents),
+    ev as (
+      select doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) as bg
+      from ws
+    ),
+    m0 as (select bg, count(*) as c12 from ev group by bg),
+    u as (select w, count(*) as c1
+          from (select unnest(ws) as w from ws) where w <> '' group by w),
+    v as (select count(*) as v from u),
+    model as (
+      select m0.bg,
+             cast(floor(-ln((m0.c12 + 1.0) / (u.c1 + v.v)) * 10000)
+                  as bigint) as nll_e4
+      from m0
+      join u on string_split(m0.bg, ' ')[1] = u.w
+      cross join v
+    ),
+    pd as (
+      select e.doc_id,
+             cast(count(*) as bigint) as n_events,
+             list(model.nll_e4 order by model.nll_e4 desc) as nlls
+      from ev e join model using (bg)
+      group by e.doc_id
+    ),
+    res as (
+      select doc_id, n_events,
+             cast(greatest(1, (n_events * 20) // 100) as bigint) as m,
+             cast(list_sum(nlls[1:greatest(1, (n_events * 20) // 100)])
+                  as bigint) as sum_topk_e4
+      from pd
+    )
+    select d.doc_id,
+           cast(coalesce(r.n_events, 0) as bigint) as n_events,
+           cast(coalesce(r.m, 0) as bigint) as m,
+           r.sum_topk_e4,
+           cast(r.sum_topk_e4 // r.m as bigint) as mink_mean_e4
+    from documents d left join res r using (doc_id)
+    order by doc_id
+    """,
+)
+def minkprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X199 Min-K% prob membership inference
+    (operators/lm.min_k_prob_scores — Shi et al. 2023): per document,
+    the mean NLL of its 20% least-likely bigram events under the
+    corpus bigram LM — the memorization/contamination probe that
+    completes the decontamination tier's third modality (lexical
+    n-grams, semantic embeddings, now LIKELIHOOD shape: a memorized
+    document has suspiciously few low-probability events, so LOW
+    min-K% flags membership). Determinism: per-event NLLs floor to e4
+    BIGINT on the vocab-bounded model table (one ln per DISTINCT
+    bigram — the X128 fold stance; p <= 1 by construction so the
+    integers are non-negative and div == //); everything per-doc is
+    exact integer arithmetic over the doc's own sorted event array
+    (bounded by document length — the chat_stats array-side stance;
+    ties across the top-m cut are interchangeable for a sum). This
+    oracle intentionally shares its count CTEs with the
+    bigram_lm_perplexity oracle shape (both frozen strings — see that
+    register). Parked for the r12 window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.lm import min_k_prob_scores
+
+    out = min_k_prob_scores(
+        _t(spark, sf_dir, "documents"), k_pct=20
+    )
+    return _retrack(out, out)

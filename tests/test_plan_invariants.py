@@ -152,6 +152,10 @@ BNLJ_ALLOWED = {
     #     stats frame (class priors + token totals) is the allowlisted
     #     bounded 1-row-stats crossJoin of the NB query itself
     "auc_lang_classifier",
+    #   minkprob_documents — the bigram LM's 1-row vocab-size frame
+    #     broadcast cross-joined onto the vocab-bounded model table
+    #     (the bigram_lm_perplexity bounded 1-row-stats pattern)
+    "minkprob_documents",
 }
 
 
