@@ -972,6 +972,10 @@ def real_decoder(payload: bytes) -> list[float]:
         return bmp_decoder(payload)
     if payload is not None and len(payload) >= 4 and payload[:2] == b"\xff\xd8":
         return jpeg_decoder(payload)
+    if payload is not None and len(payload) >= 8 and payload[:4] in (
+        b"II*\x00", b"MM\x00*"
+    ):
+        return tiff_decoder(payload)
     raise NotImplementedError(
         "no native parser for this payload (native tiers: RIFF/WAVE "
         "PCM-16, 24-bpp BMP, RGB8 PNG, palette GIF, baseline grayscale "
@@ -1393,3 +1397,169 @@ def synth_jpeg_udf():
 
     _synth.__annotations__ = {"ids": pd.Series, "return": pd.Series}
     return pandas_udf(_synth, "binary")
+
+
+def make_tiff_gray8(
+    pixels: list[list[int]], *, rows_per_strip: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Build a minimal uncompressed 8-bit grayscale TIFF 6.0 (single
+    IFD; BlackIsZero; one strip by default, or ``rows_per_strip`` for
+    a multi-strip layout) — synthesis twin of :func:`tiff_decoder`.
+    ``big_endian=True`` writes the MM byte order (the decoder handles
+    both)."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    rps = h if rows_per_strip is None else max(1, rows_per_strip)
+    strips = []
+    for y0 in range(0, max(h, 1), rps):
+        strips.append(
+            bytes(v for row in pixels[y0 : y0 + rps] for v in row)
+        )
+    if not strips:
+        strips = [b""]
+    n_strips = len(strips)
+    data_off = 8
+    offs, counts, cur = [], [], data_off
+    for sdata in strips:
+        offs.append(cur)
+        counts.append(len(sdata))
+        cur += len(sdata)
+    arrays_off = cur  # external arrays (when n_strips > 1) follow data
+    ext = b""
+    if n_strips > 1:
+        strip_off_val = arrays_off
+        ext += b"".join(struct.pack(e + "I", o) for o in offs)
+        strip_cnt_val = arrays_off + 4 * n_strips
+        ext += b"".join(struct.pack(e + "I", c) for c in counts)
+    else:
+        strip_off_val = offs[0]
+        strip_cnt_val = counts[0]
+    ifd_off = arrays_off + len(ext)
+    entries = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (273, 4, n_strips, strip_off_val),
+        (277, 3, 1, 1),
+        (278, 3, 1, rps),
+        (279, 4, n_strips, strip_cnt_val),
+    ]
+    ifd = struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        if typ == 3:  # SHORT: left-justified in the 4-byte value slot
+            ifd += struct.pack(e + "HH", val, 0)
+        else:
+            ifd += struct.pack(e + "I", val)
+    ifd += struct.pack(e + "I", 0)
+    header = (b"MM" if big_endian else b"II") + struct.pack(
+        e + "HI", 42, ifd_off
+    )
+    return header + b"".join(strips) + ext + ifd
+
+
+def tiff_decoder(payload: bytes) -> list[float]:
+    """REAL TIFF 6.0 baseline parse (public spec, stdlib struct): both
+    byte orders (II/MM), the IFD entry walk with inline-vs-offset
+    value resolution (SHORT/LONG, count > 1 arrays), multi-strip
+    reassembly via StripOffsets/StripByteCounts, and the baseline
+    grayscale constraint set (Compression=1, BitsPerSample=8,
+    SamplesPerPixel=1). LZW/JPEG-compressed, multi-sample, or tiled
+    TIFFs raise ``NotImplementedError`` with the Pillow swap-in named
+    (the jpeg_decoder fence precedent). FEATURE_DIM features:
+    ``[width, height, sum_gray, max_gray, min_gray, corner_gray,
+    n_strips, rows_per_strip]``."""
+    import struct
+
+    if payload is None or len(payload) < 8:
+        raise ValueError("not a TIFF payload")
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload (bad byte-order mark)")
+    (magic, ifd_off) = struct.unpack(e + "HI", payload[2:8])
+    if magic != 42:
+        raise ValueError("not a TIFF payload (magic != 42)")
+    (n,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    type_size = {3: 2, 4: 4}
+
+    def read_values(typ: int, cnt: int, raw: bytes) -> list[int]:
+        sz = type_size[typ]
+        fmt = e + ("H" if typ == 3 else "I")
+        if sz * cnt <= 4:
+            buf = raw
+        else:
+            (off,) = struct.unpack(e + "I", raw)
+            buf = payload[off : off + sz * cnt]
+        return [
+            struct.unpack(fmt, buf[i * sz : i * sz + sz])[0]
+            for i in range(cnt)
+        ]
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[base : base + 8])
+        if typ in type_size:
+            tags[tag] = read_values(typ, cnt, payload[base + 8 : base + 12])
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    bps = tags.get(258, [1])[0]
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    if comp != 1 or bps != 8 or spp != 1:
+        raise NotImplementedError(
+            f"only uncompressed 8-bit grayscale TIFF is parsed natively "
+            f"(got compression={comp}, bits={bps}, samples={spp}); "
+            "compressed/multi-sample/tiled profiles need Pillow — pass "
+            "decode_features(df, decoder=your_fn)"
+        )
+    offs = tags.get(273, [])
+    cnts = tags.get(279, [])
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(offs, cnts)
+    )
+    pix = list(data[: w * h])
+    tl = pix[0] if pix else 0
+    rps = tags.get(278, [h])[0]
+    return [
+        float(w),
+        float(h),
+        float(sum(pix)),
+        float(max(pix, default=0)),
+        float(min(pix, default=0)),
+        float(tl),
+        float(len(offs)),
+        float(rps),
+    ]
+
+
+def synth_tiff_udf():
+    """Closed-form grayscale TIFF per id: ``w = 4 + id%5``,
+    ``h = 3 + id%3``, pixel ``(x, y) = (id*5 + y*37 + x*11) % 256`` —
+    the oracle recomputes features from this form and never sees the
+    bytes (the synth_png_udf stance). Single strip."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(d: int) -> bytes:
+        w, h = 4 + d % 5, 3 + d % 3
+        pixels = [
+            [(d * 5 + y * 37 + x * 11) % 256 for x in range(w)]
+            for y in range(h)
+        ]
+        return make_tiff_gray8(pixels)
+
+    @pandas_udf("binary")
+    def _synth(ids):
+        return ids.map(lambda d: _one(int(d)))
+
+    return _synth

@@ -1703,6 +1703,7 @@ _CHECK_LAST = [
     "q22_global_sales_opportunity",
     "auc_lang_classifier",
     "minkprob_documents",
+    "multimodal_tiff_features",
 ]
 
 
@@ -15224,3 +15225,70 @@ def minkprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), k_pct=20
     )
     return _retrack(out, out)
+
+
+@register(
+    "multimodal_tiff_features",
+    """
+    with px as (
+      select doc_id, 4 + doc_id % 5 as w, 3 + doc_id % 3 as h
+      from documents
+    ),
+    f as (
+      select doc_id, w, h,
+             flatten(list_transform(range(0, h), y ->
+               list_transform(range(0, w), x ->
+                 (doc_id*5 + y*37 + x*11) % 256))) as pxs
+      from px
+    )
+    select doc_id as media_id,
+           cast(w as bigint) as width,
+           cast(h as bigint) as height,
+           cast(list_sum(pxs) as bigint) as sum_gray,
+           cast(list_max(pxs) as bigint) as max_gray,
+           cast(list_min(pxs) as bigint) as min_gray,
+           cast((doc_id*5) % 256 as bigint) as corner_gray,
+           cast(1 as bigint) as n_strips,
+           cast(h as bigint) as rows_per_strip
+    from f order by media_id
+    """,
+)
+def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X200 hermetic baseline-TIFF decode end to end
+    (operators/multimodal.tiff_decoder — TIFF 6.0, public spec, stdlib
+    struct): per-doc uncompressed 8-bit grayscale TIFFs are synthesized
+    closed-form (synth_tiff_udf), then decoded by the REAL parser —
+    both byte orders (II/MM), the IFD entry walk with inline-vs-offset
+    value resolution, multi-strip reassembly (unit-pinned incl. the
+    external-LONG-array spill), and the baseline constraint fence
+    (LZW/multi-sample/tiled profiles refuse with the Pillow swap-in
+    named — the jpeg_decoder precedent) — through the same Arrow
+    mapInPandas plumbing as the WAV/BMP/PNG/GIF/MP4/JPEG tiers. The
+    oracle recomputes the features from the closed form and never sees
+    the bytes, so any IFD, offset, or strip bug breaks the hash; all
+    features are integer-valued BIGINTs. Parked for the r12 window per
+    the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        real_decoder,
+        synth_tiff_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        synth_tiff_udf()(F.col("doc_id")).alias("payload"),
+    )
+    feats = decode_features(media, decoder=real_decoder)
+    names = [
+        "width", "height", "sum_gray", "max_gray", "min_gray",
+        "corner_gray", "n_strips", "rows_per_strip",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).cast("long").alias(nm)
+            for i, nm in enumerate(names)
+        ],
+    ).orderBy("media_id")
