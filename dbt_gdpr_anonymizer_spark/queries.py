@@ -1704,6 +1704,7 @@ _CHECK_LAST = [
     "auc_lang_classifier",
     "minkprob_documents",
     "multimodal_tiff_features",
+    "ndcg_fused_retrieval",
 ]
 
 
@@ -15292,3 +15293,130 @@ def multimodal_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, nm in enumerate(names)
         ],
     ).orderBy("media_id")
+
+
+def _ndcg_weights(n: int) -> list[int]:
+    """floor(1e9 / log2(rank+1)) for ranks 1..n — the DCG discount
+    ladder as INTEGER literals computed once driver-side and embedded
+    identically in both engines (the HLL alpha-literal stance), so the
+    gain-weighted sums stay in exact integer arithmetic."""
+    import math as _math
+
+    return [int(1e9 // _math.log2(r + 1)) for r in range(1, n + 1)]
+
+
+def _ndcg_oracle_sql(k: int = 60, topn: int = 100) -> str:
+    """Replay of the nDCG report: the full rrf_fusion ranking (nested
+    as a derived table — byte-compatible with the checked
+    _rrf_oracle_sql), the graded relevance label (distinct query terms
+    present, gain 2^rel - 1), the literal integer discount ladder, and
+    both the ranked and ideal gain-weighted sums."""
+    w = _ndcg_weights(2 * topn)
+    warr = "[" + ", ".join(str(x) for x in w) + "]"
+    return f"""
+    with fused as (
+      select * from ({_rrf_oracle_sql(k, topn)}) t
+    ),
+    rel as (
+      select doc_id,
+             len(list_intersect({_WORDS_SQL},
+                 ['spark', 'data', 'shuffle'])) as r
+      from documents
+    ),
+    ranked as (
+      select f.doc_id,
+             row_number() over (order by f.rrf_pm desc, f.doc_id) as rnk,
+             cast(pow(2, rel.r) - 1 as bigint) as gain
+      from fused f join rel using (doc_id)
+    ),
+    ideal as (
+      select doc_id,
+             row_number() over (order by gain desc, doc_id) as irnk,
+             gain
+      from ranked
+    ),
+    agg as (
+      select
+        (select cast(count(*) as bigint) from ranked) as n_ranked,
+        (select cast(sum(gain * ({warr})[rnk]) as bigint) from ranked)
+          as dcg_e9,
+        (select cast(sum(gain * ({warr})[irnk]) as bigint) from ideal)
+          as idcg_e9
+    )
+    select n_ranked, dcg_e9, idcg_e9,
+           case when idcg_e9 > 0 then
+             cast((dcg_e9 * 1000000) // idcg_e9 as bigint) end as ndcg_ppm
+    from agg
+    """
+
+
+@register("ndcg_fused_retrieval", _ndcg_oracle_sql(60, 100))
+def ndcg_fused_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X201 exact nDCG of the hybrid-retrieval fusion (Järvelin &
+    Kekäläinen 2002): the X187 RRF ranking scored against a GRADED
+    deterministic relevance label — rel = distinct query terms present
+    in the document (0..3), gain 2^rel - 1 — with the DCG discount
+    ladder floor(1e9/log2(rank+1)) embedded as INTEGER literals in
+    both engines (the shared-literal stance), so DCG, ideal DCG, and
+    ndcg_ppm = 1e6*dcg div idcg are exact integer arithmetic end to
+    end — no float sum anywhere (the per-rank float discount is the
+    classic cross-engine fold trap; literals kill it). The ranking
+    metrology that tells a retrieval deployment whether fusion HELPED
+    — next to X187's raw ranks and X197's classifier AUC, completing
+    the IR measurement tier. Scale shape: everything after the rrf
+    frame operates on its <= 2*topn-row release (windows over that
+    bounded frame; the word_frequency_zipf stance). Parked for the r12
+    window per the no-new-slots rule."""
+    from pyspark.sql import Window as W
+
+    fused = rrf_fusion_documents(spark, sf_dir).select("doc_id", "rrf_pm")
+    d = _t(spark, sf_dir, "documents")
+    rel = d.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                tx.words("text"),
+                F.array(F.lit("spark"), F.lit("data"), F.lit("shuffle")),
+            )
+        ).alias("r"),
+    )
+    ranked = (
+        fused.join(rel, "doc_id")
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("rrf_pm").desc(), "doc_id"))
+            .alias("rnk"),
+            (F.pow(F.lit(2.0), F.col("r")) - 1).cast("bigint").alias("gain"),
+        )
+    )
+    weights = _ndcg_weights(200)
+    warr = F.array(*[F.lit(x) for x in weights])
+    ideal = ranked.select(
+        "gain",
+        F.row_number()
+        .over(W.orderBy(F.col("gain").desc(), "doc_id"))
+        .alias("irnk"),
+    )
+    a = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(F.col("gain") * F.element_at(warr, F.col("rnk")))
+        .cast("long")
+        .alias("dcg_e9"),
+    )
+    b = ideal.agg(
+        F.sum(F.col("gain") * F.element_at(warr, F.col("irnk")))
+        .cast("long")
+        .alias("idcg_e9"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_ranked",
+        "dcg_e9",
+        "idcg_e9",
+        F.when(
+            F.col("idcg_e9") > 0,
+            F.expr("dcg_e9 * 1000000 div idcg_e9"),
+        )
+        .cast("bigint")
+        .alias("ndcg_ppm"),
+    )

@@ -156,6 +156,10 @@ BNLJ_ALLOWED = {
     #     broadcast cross-joined onto the vocab-bounded model table
     #     (the bigram_lm_perplexity bounded 1-row-stats pattern)
     "minkprob_documents",
+    #   ndcg_fused_retrieval — composes rrf_fusion (its 1-row corpus
+    #     stats broadcast) plus the 1-row dcg x idcg cross join (two
+    #     bounded 1-row-stats frames)
+    "ndcg_fused_retrieval",
 }
 
 
@@ -179,6 +183,9 @@ WINDOW_GLOBAL_ALLOWED = {
     #     TakeOrdered top-100 frames (bounded by construction, the
     #     word_frequency_zipf precedent)
     "rrf_fusion_documents",
+    #   ndcg_fused_retrieval — the rank/ideal-rank windows run over the
+    #     <= 2*topn-row fused release (bounded by construction)
+    "ndcg_fused_retrieval",
 }
 
 
