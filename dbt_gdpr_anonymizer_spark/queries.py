@@ -1705,6 +1705,7 @@ _CHECK_LAST = [
     "minkprob_documents",
     "multimodal_tiff_features",
     "ndcg_fused_retrieval",
+    "jl_distortion_report",
 ]
 
 
@@ -15420,3 +15421,144 @@ def ndcg_fused_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_ppm"),
     )
+
+
+def _jl_distortion_oracle_sql(
+    n_q: int = 40, out_dim: int = 16, salt: str = "jl"
+) -> str:
+    """Replay of the JL distortion report: the int8 quantization and
+    md5-parity projection of the X186 oracle restricted to the query
+    set, all unordered pairs, and BOTH cosines (original int8 space vs
+    projected space) floored to e6 — integer dot products under
+    identical double division/sqrt in each engine."""
+    sign = (
+        f"case when (strpos('0123456789abcdef', substring("
+        f"md5('{salt}:' || cast(e.i - 1 as varchar) || ':' ||"
+        f" cast(t.j as varchar)), 1, 1)) - 1) % 2 = 0"
+        " then 1 else -1 end"
+    )
+    return f"""
+    with m as (
+      select vec_id, embedding,
+             cast(list_aggregate(embedding, 'min') as double) as v_min,
+             cast(list_aggregate(embedding, 'max') as double) as v_max
+      from embeddings where vec_id < {n_q}
+    ),
+    q as (
+      select vec_id,
+             case when v_max > v_min then
+               list_transform(embedding,
+                 x -> cast(floor((cast(x as double) - v_min) * 255.0
+                                 / (v_max - v_min)) - 128 as bigint))
+             else list_transform(embedding, x -> cast(0 as bigint))
+             end as qv
+      from m
+    ),
+    e as (
+      select vec_id, generate_subscripts(qv, 1) as i, unnest(qv) as x
+      from q
+    ),
+    proj as (
+      select e.vec_id, t.j,
+             cast(sum(e.x * ({sign})) as bigint) as p
+      from e cross join range(0, {out_dim}) t(j)
+      group by e.vec_id, t.j
+    ),
+    pv as (
+      select vec_id, list(p order by j) as pvec from proj group by vec_id
+    ),
+    pairs as (
+      select a.vec_id as a_id, b.vec_id as b_id,
+             a.qv as qa, b.qv as qb, pa.pvec as pa, pb.pvec as pb
+      from q a
+      join q b on a.vec_id < b.vec_id
+      join pv pa on pa.vec_id = a.vec_id
+      join pv pb on pb.vec_id = b.vec_id
+    ),
+    c as (
+      select a_id, b_id,
+             list_dot_product(qa::DOUBLE[], qb::DOUBLE[])
+               / (sqrt(list_dot_product(qa::DOUBLE[], qa::DOUBLE[]))
+                  * sqrt(list_dot_product(qb::DOUBLE[], qb::DOUBLE[])))
+               as co,
+             list_dot_product(pa::DOUBLE[], pb::DOUBLE[])
+               / (sqrt(list_dot_product(pa::DOUBLE[], pa::DOUBLE[]))
+                  * sqrt(list_dot_product(pb::DOUBLE[], pb::DOUBLE[])))
+               as cp
+      from pairs
+    )
+    select a_id, b_id,
+           cast(floor(co * 1000000) as bigint) as cos_orig_ppm,
+           cast(floor(cp * 1000000) as bigint) as cos_proj_ppm,
+           cast(floor(cp * 1000000) as bigint)
+             - cast(floor(co * 1000000) as bigint) as diff_ppm
+    from c
+    order by a_id, b_id
+    """
+
+
+@register("jl_distortion_report", _jl_distortion_oracle_sql(40, 16))
+def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X202 JL distortion metrology (the pq_recall_report stance: a
+    compression tier without a measured loss is half an answer): for
+    all pairs of a 40-vector deterministic query set, the cosine in
+    the ORIGINAL int8 space next to the cosine in the 16-dim projected
+    space and their signed ppm difference — the distance-preservation
+    guarantee JL PROMISES (Johnson-Lindenstrauss 1984), measured on
+    this corpus at this out_dim. Both dot products are INTEGER folds
+    (order-free — int8 codes and integer projections); only the final
+    norm division/sqrt is float, identical in both engines, floored to
+    e6. The pair fan-out is query-set-bounded (40x40 — the
+    t_closeness/ann_cosine bounded-crossJoin contract, allowlisted);
+    the corpus is never pair-joined. Parked for the r12 window per the
+    no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        jl_project_int8,
+        quantize_int8,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    q = quantize_int8(e).select("vec_id", "q_vec")
+    proj = jl_project_int8(e, "vec_id", "embedding", out_dim=16)
+    pv = proj.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("j", "p"))),
+            lambda s: s["p"],
+        ).alias("pvec")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    def cos(x, y):
+        return dot(x, y).cast("double") / (
+            F.sqrt(dot(x, x).cast("double"))
+            * F.sqrt(dot(y, y).cast("double"))
+        )
+
+    a = q.select(
+        F.col("vec_id").alias("a_id"), F.col("q_vec").alias("qa")
+    ).join(
+        pv.select(F.col("vec_id").alias("a_id"), F.col("pvec").alias("pa")),
+        "a_id",
+    )
+    b = q.select(
+        F.col("vec_id").alias("b_id"), F.col("q_vec").alias("qb")
+    ).join(
+        pv.select(F.col("vec_id").alias("b_id"), F.col("pvec").alias("pb")),
+        "b_id",
+    )
+    pairs = a.crossJoin(b).where(F.col("a_id") < F.col("b_id"))
+    co = F.floor(cos("qa", "qb") * 1000000).cast("bigint")
+    cp = F.floor(cos("pa", "pb") * 1000000).cast("bigint")
+    return pairs.select(
+        "a_id",
+        "b_id",
+        co.alias("cos_orig_ppm"),
+        cp.alias("cos_proj_ppm"),
+        (cp - co).alias("diff_ppm"),
+    ).orderBy("a_id", "b_id")

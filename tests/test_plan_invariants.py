@@ -160,6 +160,10 @@ BNLJ_ALLOWED = {
     #     stats broadcast) plus the 1-row dcg x idcg cross join (two
     #     bounded 1-row-stats frames)
     "ndcg_fused_retrieval",
+    #   jl_distortion_report — the pair fan-out is a crossJoin of two
+    #     40-row query-set frames (the t_closeness/ann_cosine bounded
+    #     contract); the corpus is never pair-joined
+    "jl_distortion_report",
 }
 
 
