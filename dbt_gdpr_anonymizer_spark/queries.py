@@ -1706,6 +1706,7 @@ _CHECK_LAST = [
     "multimodal_tiff_features",
     "ndcg_fused_retrieval",
     "jl_distortion_report",
+    "dow_seasonality_events",
 ]
 
 
@@ -15562,3 +15563,79 @@ def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cp.alias("cos_proj_ppm"),
         (cp - co).alias("diff_ppm"),
     ).orderBy("a_id", "b_id")
+
+
+@register(
+    "dow_seasonality_events",
+    """
+    with daily as (
+      select event_type as grp,
+             cast(date_trunc('day', ts::timestamp) as timestamp) as day,
+             cast(count(*) as bigint) as x
+      from events
+      group by 1, 2
+    ),
+    dowd as (
+      select grp, (dayofweek(day) + 1)::INT as dow, x from daily
+    ),
+    per as (
+      select grp, dow,
+             cast(sum(x) as bigint) as t_d,
+             cast(count(*) as bigint) as n_d
+      from dowd group by grp, dow
+    ),
+    tot as (
+      select grp, cast(sum(t_d) as bigint) as t_all,
+             cast(sum(n_d) as bigint) as n_all
+      from per group by grp
+    )
+    select per.grp as grp, per.dow, per.t_d, per.n_d,
+           cast((per.t_d * tot.n_all * 1000000)
+                // (per.n_d * tot.t_all) as bigint) as idx_ppm
+    from per join tot on per.grp = tot.grp
+    order by per.grp, per.dow
+    """,
+)
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X203 day-of-week seasonality index: per (event_type, weekday),
+    the mean daily volume relative to the type's overall mean daily
+    volume — the weekly-rhythm profile (weekend dips, Monday spikes)
+    monitoring baselines against before alerting on the X188
+    changepoint scan. EXACT integer rationals end to end: idx_ppm =
+    (1e6 * T_dow * N_days) div (n_dow_days * T_total) — no float mean
+    anywhere; the released (T_d, n_d) witnesses pin the full state.
+    Scale shape: the corpus collapses once to the (type, day) count
+    table; everything after is keyed aggregates over the
+    day-domain-bounded frame — one broadcast-sized join, no window.
+    Convention: Spark dayofweek is 1=Sunday..7=Saturday; DuckDB's is
+    0=Sunday..6, so the oracle adds 1 (cross-engine pin verified at
+    registration). Parked for the r12 window per the no-new-slots
+    rule."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("grp"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    per = daily.select(
+        "grp", F.dayofweek("day").cast("int").alias("dow"), "x"
+    ).groupBy("grp", "dow").agg(
+        F.sum("x").cast("long").alias("t_d"),
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+    )
+    tot = per.groupBy("grp").agg(
+        F.sum("t_d").cast("long").alias("t_all"),
+        F.sum("n_d").cast("long").alias("n_all"),
+    )
+    return (
+        per.join(F.broadcast(tot), "grp")
+        .select(
+            "grp",
+            "dow",
+            "t_d",
+            "n_d",
+            F.expr("t_d * n_all * 1000000 div (n_d * t_all)")
+            .cast("bigint")
+            .alias("idx_ppm"),
+        )
+        .orderBy("grp", "dow")
+    )
