@@ -1707,6 +1707,7 @@ _CHECK_LAST = [
     "ndcg_fused_retrieval",
     "jl_distortion_report",
     "dow_seasonality_events",
+    "conversion_latency_quantiles",
 ]
 
 
@@ -15639,3 +15640,94 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "dow")
     )
+
+
+@register(
+    "conversion_latency_quantiles",
+    """
+    with p as (
+      select event_id as pid, user_id, ts::timestamp as pts
+      from events where event_type = 'purchase'
+    ),
+    c as (
+      select user_id, ts::timestamp as cts
+      from events where event_type = 'click'
+    ),
+    lastc as (
+      select p.pid, p.pts, max(c.cts) as cts
+      from p left join c
+        on p.user_id = c.user_id and c.cts <= p.pts
+      group by p.pid, p.pts
+    ),
+    lat as (
+      select (date_part('hour', pts))::INT as hr,
+             case when cts is not null then
+               (epoch_us(pts) - epoch_us(cts)) // 1000000 end as lat_s
+      from lastc
+    ),
+    hist as (
+      select hr, lat_s as v, cast(count(*) as bigint) as c
+      from lat where lat_s is not null group by 1, 2
+    ),
+    run as (
+      select hr, v,
+             sum(c) over (partition by hr order by v
+                rows between unbounded preceding and current row) as cum,
+             sum(c) over (partition by hr) as n
+      from hist
+    )
+    select hr, cast(p.num as bigint) as p_num,
+           cast(4 as bigint) as p_den,
+           cast(min(case when cum >= (p.num * n + 3) // 4 then v end)
+                as bigint) as q_value
+    from run cross join (values (1), (2), (3)) p(num)
+    group by hr, p.num
+    order by hr, p_num
+    """,
+)
+def conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X204 conversion-latency quantiles: per purchase hour-of-day, the
+    exact quartiles of seconds from the user's LAST preceding click to
+    the purchase — the attribution-latency distribution product
+    analytics reads next to the funnel (X-funnel) and the interval
+    join (X-clicks-before-purchase). Composition of two established
+    scale tiers: relational.asof_join pairs each purchase with its
+    latest click at-or-before (one shuffle on user_id + one ordered
+    window carry — no quadratic range join), and
+    relational.group_quantiles_exact releases inverse-ECDF quartiles
+    from the (hour, latency) histogram (no percentile UDAF buffering a
+    hot hour). Latency is exact integer seconds
+    ((unix_micros delta) div 1e6 — date_diff('second', ...) counts
+    boundary CROSSINGS and would disagree on sub-second components);
+    purchases with no preceding click contribute NULL and drop from
+    the quantile population by the X162 contract. Parked for the r12
+    window per the no-new-slots rule."""
+    from dbt_gdpr_anonymizer_spark.operators.relational import (
+        asof_join,
+        group_quantiles_exact,
+    )
+
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts")
+    )
+    j = asof_join(p, c, "user_id", left_ts="pts", right_ts="ts")
+    lat = j.select(
+        F.hour("pts").cast("int").alias("hr"),
+        F.when(
+            F.col("ts_asof").isNotNull(),
+            F.expr("(unix_micros(pts) - unix_micros(ts_asof)) div 1000000"),
+        )
+        .cast("bigint")
+        .alias("lat_s"),
+    )
+    return group_quantiles_exact(
+        lat, "hr", "lat_s", [(1, 4), (2, 4), (3, 4)]
+    ).orderBy("hr", "p_num")
