@@ -121,3 +121,45 @@ def test_grid_cells_shape_and_stats_join_is_one_row(spark):
     assert len(rows) == 20
     # one shared lon width for the whole frame (1-row stats broadcast)
     assert len({r._cd_lon for r in rows}) == 1
+
+
+# ------------------------------------------------------ property: recall
+# (the load-bearing guarantee, pinned over ARBITRARY generated configs —
+# the r9-properties precedent: the exact bug class a hand-picked fixture
+# can miss is the one hypothesis finds)
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _point_sets(draw):
+    n = draw(st.integers(min_value=2, max_value=14))
+    # keep |lat| <= 80 (the documented non-degenerate band) and away
+    # from the +-180 lon wrap (the documented out-of-contract edge)
+    pts = [
+        (
+            i,
+            draw(
+                st.floats(
+                    min_value=-80.0, max_value=80.0,
+                    allow_nan=False, allow_infinity=False,
+                )
+            ),
+            draw(
+                st.floats(
+                    min_value=-170.0, max_value=170.0,
+                    allow_nan=False, allow_infinity=False,
+                )
+            ),
+        )
+        for i in range(n)
+    ]
+    radius = draw(st.sampled_from([0.5, 2.0, 25.0, 400.0]))
+    return pts, radius
+
+
+@settings(max_examples=8, deadline=None)
+@given(_point_sets())
+def test_property_recall_equals_brute_force(spark, cfg):
+    pts, radius = cfg
+    assert _run(spark, pts, radius) == _brute_pairs(pts, radius)
