@@ -72,6 +72,15 @@ def fs_link_pairs(
         raise ValueError(
             "fs_link_pairs: tests and weights must cover the same names"
         )
+    if not block_cols:
+        # An empty block list would leave cond=None and degenerate into an
+        # unconditioned cartesian join — the exact shape the module's
+        # blocking contract exists to prevent. Fail fast (repo precedent:
+        # gini/zorder TypeError guards, unsafe-salt ValueError).
+        raise ValueError(
+            "fs_link_pairs: block_cols must be non-empty — blocking is "
+            "what replaces the cartesian pair space"
+        )
     a = left.select([F.col(c).alias(f"a_{c}") for c in left.columns])
     b = right.select([F.col(c).alias(f"b_{c}") for c in right.columns])
     cond = None

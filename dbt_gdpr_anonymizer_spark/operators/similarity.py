@@ -1653,6 +1653,14 @@ def jl_project_int8(
     per-executor from md5 (model-scale, dim × out_dim — never
     broadcast, never collected). Returns the LONG form
     ``(id_col, j, p)`` — one row per vector per output component.
+
+    Contract: ``id_col`` must be an integral column (it is released as
+    LongType and converted via numpy int64 inside the Arrow batches —
+    enforced up front with a TypeError, the gini/zorder precedent,
+    rather than an opaque numpy failure deep inside mapInPandas), and
+    every vector must share ONE dimension ``dim`` (the sign matrix is
+    keyed on it; ragged corpora must be length-normalized first —
+    mixed dims inside one Arrow batch raise a ValueError here).
     """
     from pyspark.sql.types import (
         IntegerType,
@@ -1660,6 +1668,13 @@ def jl_project_int8(
         StructField,
         StructType,
     )
+
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"jl_project_int8: id_col {id_col!r} must be integral "
+            f"(got {id_type}) — ids release as LongType"
+        )
 
     q = quantize_int8(df, vec_col, id_col).select(id_col, "q_vec")
     schema = StructType(
@@ -1678,6 +1693,13 @@ def jl_project_int8(
         for pdf in batches:
             if pdf.empty:
                 continue
+            dims = {len(v) for v in pdf["q_vec"]}
+            if len(dims) != 1:
+                raise ValueError(
+                    "jl_project_int8: ragged vector dimensions within "
+                    f"one batch ({sorted(dims)}) — vectors must share "
+                    "one dim; length-normalize the corpus first"
+                )
             arr = np.array([np.asarray(v) for v in pdf["q_vec"]], dtype=np.int64)
             dim = arr.shape[1]
             s = cache.get(dim)
@@ -1725,17 +1747,33 @@ def rrf_fuse(
     Scale shape: one unionByName of the (small, already top-k-bounded)
     ranking frames, one keyed aggregate. The rankings themselves are
     the expensive part and belong to their retrievers; fusion adds no
-    corpus-scale work."""
+    corpus-scale work.
+
+    Contract: ranking names become ``rank_<name>`` output columns, so
+    they must be identifier-safe (validated up front); a ranking frame
+    carrying duplicate rows for one id is reduced to its BEST (min)
+    rank before fusing, so duplicates can neither double-count rrf
+    contributions nor inflate ``n_lists`` past ``len(rankings)``."""
+    import re as _re
     from functools import reduce as _reduce
 
     if not rankings:
         raise ValueError("rrf_fuse: rankings must be non-empty")
+    for name in rankings:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(
+                f"rrf_fuse: ranking name {name!r} is not identifier-safe "
+                "(it becomes the rank_<name> output column)"
+            )
     parts = [
         r.select(
             F.col(id_col),
             F.lit(name).alias("_src"),
             F.col("rank").cast("long").alias("_rank"),
         )
+        # min-rank dedup per id: one row per (ranking, id) by contract
+        .groupBy(id_col, "_src")
+        .agg(F.min("_rank").alias("_rank"))
         for name, r in rankings.items()
     ]
     u = _reduce(lambda a, b: a.unionByName(b), parts)

@@ -1355,12 +1355,6 @@ _CHECK_LAST = [
     # distinct_limit_sample, deterministic_sample (all removed from this
     # list; outputs unchanged since r2, so their old green rows remain
     # valid and r10 simply refreshes the evidence).
-    "lang_id_accuracy",  # text family (text_quality_profile)
-    "simhash_fingerprint",  # twin of simhash_neardup
-    "rolling_fingerprint_documents",  # fingerprint family (winnowing)
-    "winnow_fingerprints_documents",  # twin of winnow_overlap_pairs
-    "dedup_corpus_survivors",  # composition of checked dedup ops
-    "json_props_extract",  # twin of jsonl_flatten_roundtrip
     # r4 rotation: pulls the three round-3 operators (sparse_cosine_search,
     # leakage_safe_split_documents, pack_sequences_documents — positions
     # 51-53, never driver-checked) inside the window. The three demoted
@@ -1369,8 +1363,6 @@ _CHECK_LAST = [
     # skew_safe_distinct_users the distinct-count family, and
     # embedding_neardup's driver row was a trivial 0-row match (the corpus
     # has no pairs ≥0.9; planted-pair semantics live in the unit suite).
-    "distinct_counts",
-    "embedding_neardup",
     # r4 additions rotation: each demoted row is green in r1-r3 artifacts
     # and replaced by a strictly-stronger superset entry —
     #   sessionize_events ⊂ stream_sessionize_events (same gap oracle +
@@ -1382,17 +1374,11 @@ _CHECK_LAST = [
     #     reduce + the index anti-join),
     #   ingest_sample_deterministic: sampling family keeps stratified +
     #     priority reps — frees a slot for temperature_resample_documents.
-    "sessionize_events",
-    "scrub_text_pii",
-    "exact_dedup_documents",
-    "ingest_sample_deterministic",
     #   neardup_components ⊂ neardup_representatives (the representative
     #     oracle unrolls the same component rounds, then argmaxes)
-    "neardup_components",
     #   repetition_profile_documents ⊂ corpus_quality_gate_documents (the
     #     gate's oracle embeds the profile CTEs verbatim, plus the
     #     decision precedence)
-    "repetition_profile_documents",
     # r5 rotation: ALL former decimal-release queries (rollup_pricing,
     # hourly_event_rollup, sliding_window_rollup, q5, q14, plus the
     # never-driver-checked unpivot_event_counts / event_value_stats) are
@@ -1404,15 +1390,9 @@ _CHECK_LAST = [
     # pack_token_counts, pack_cumsums) are promoted for the same reason.
     # The ten rows demoted to make room each hold an UNCHANGED compared
     # output + a green r4 driver row + a checked green representative:
-    "l_diversity",  # QI-group privacy family (k_anonymity, dp_noisy checked)
     "union_violations",  # union-all family (pii_inventory checked)
     "topk_orders_per_bucket",  # rank-window family (stratified_sample)
     "tfidf_top_terms",  # corpus-stats scoring family (bm25_search checked)
-    "simhash_neardup",  # near-dup family (minhash/ngram/edit checked)
-    "asof_join_purchase_signup",  # temporal-join family (interval_join)
-    "pivot_event_counts",  # reshape family (unpivot round-trip re-promoted)
-    "embedding_int8_quantize",  # similarity family (ann_cosine checked)
-    "priority_sample_documents",  # sampling family (stratified checked)
     "skew_safe_distinct_users",  # distinct family (quality_metrics checked)
     # r5 second rotation: pulls the three NEW queries (word_frequency_zipf,
     # quality_deciles_documents, stream_dedup_documents — first driver
@@ -1422,12 +1402,10 @@ _CHECK_LAST = [
     "sparse_cosine_search",  # similarity family (ann_cosine_topk checked)
     "temperature_resample_documents",  # sampling family (stratified checked)
     # chunk_documents (new, first exposure) takes this slot:
-    "incremental_merge_orders",  # incremental/SCD family (scd2 checked)
     # credit_card_luhn_scan (new, first exposure) takes this slot; the
     # CASE+lookup-join ops stay checked via staging_flags (flags/CASE),
     # corpus_quality_gate (precedence CASE) and the dim joins in
     # q5/join_revenue; output unchanged and green r1-r4:
-    "case_categorization",
     # ------------------------------------------------------------------
     # r6 rotation (executing the plan written at SURVEY §7 end-of-r5):
     # 27 parked rows PROMOTED into the checked window (removed from this
@@ -1661,18 +1639,6 @@ _CHECK_LAST = [
     # r10-late new queries: implemented + unit-tested this round, parked
     # outside the checked front per the no-new-slots rule; they enter by
     # construction in the r11 window.
-    "kn_bigram_lm_documents",
-    "countmin_topk_documents",
-    "hll_distinct_users_events",
-    "bloom_decontaminate_documents",
-    "hll_daily_users_events",
-    "ngram_containment_neardup",
-    "mojibake_profile_documents",
-    "pmi_collocations_documents",
-    "cm_grid_daily_events",
-    "readability_documents",
-    "hll_overlap_event_types",
-    "cm_join_size_orders_lineitem",
     # ------------------------------------------------------------------
     # r10 extended-session additions: parked for the r12 window (the
     # r11 promote/refill lists are pinned in SURVEY and stay byte-
@@ -1708,6 +1674,59 @@ _CHECK_LAST = [
     "jl_distortion_report",
     "dow_seasonality_events",
     "conversion_latency_quantiles",
+    # ------------------------------------------------------------------
+    # r11 rotation (executing the plan at SURVEY §7 end-of-r10,
+    # CORRECTNESS_r10 came back 50/50 green so the green-path applies):
+    # the 12 r10-late queries PROMOTED into the checked window (removed
+    # from this list — first external exposure for the sketch/LM/
+    # containment/text-metrology tier) plus the 22 oldest-external-
+    # evidence re-promotions listed in the plan (6 r2-latest-green, 8
+    # r3-latest-green, 8 r4-latest-green, name-ascending within a round;
+    # all removed from this list). The 16 r10-promoted debt rows stay
+    # for their second round (demote in r12). The 34 rows demoted below
+    # are the 13 r10 refresh twins (refresh accomplished — their
+    # registry evidence is now the r10 artifact) and the 21 r9-promoted
+    # rows (two rounds of driver green, r9+r10, byte-unchanged compared
+    # outputs). Front total: exactly 50 = 16 kept + 12 promoted + 22
+    # re-promoted. NO new-query slots (the parked backlog drains first;
+    # the 31 extended-session rows remain parked for r12).
+    # ------------------------------------------------------------------
+    # demoted r11: the 13 refresh twins, evidence refreshed in r10:
+    "mask_email_hash",
+    "mask_phone_partial",
+    "mask_coordinates_round",
+    "suppress_column",
+    "geohash",
+    "haversine",
+    "phone_functions",
+    "email_functions",
+    "valid_coordinates",
+    "surrogate_key",
+    "like_filter",
+    "distinct_limit_sample",
+    "deterministic_sample",
+    # demoted r11 with 2 rounds of green (r9+r10), unchanged outputs:
+    "session_window_rollup",
+    "corpus_snapshot_diff",
+    "vocab_oov_rate",
+    "dp_noisy_spend_by_priority",
+    "dataset_card_by_source",
+    "outlier_events_exact",
+    "event_value_trend",
+    "mask_generalize_order_dates",
+    "canary_scrub_audit",
+    "naive_bayes_lang_classifier",
+    "embedding_int8_covariance",
+    "warc_ingest_documents",
+    "phrase_search_documents",
+    "url_canonical_dedup_documents",
+    "hard_negatives_embeddings",
+    "script_profile_documents",
+    "dedup_incremental_neardup_documents",
+    "gate_agreement_documents",
+    "multimodal_png_rgba_features",
+    "embedding_centroid_drift",
+    "anonymization_utility_customers",
 ]
 
 
@@ -14818,7 +14837,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    select cast(sum(cast(round(l_extendedprice * 100) as bigint)
+    select cast(sum(cast(round(l_extendedprice * 100) as hugeint)
                     * cast(round(l_discount * 100) as bigint))
                 as bigint) as revenue_e4,
            cast(count(*) as bigint) as n_lines
@@ -14837,10 +14856,15 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the 1-row fold. Revenue = Σ price_cents *
     discount_pct in EXACT integers (round on the 2-decimal doubles is
     exact, the q14 precedent), released as revenue_e4 BIGINT next to
-    the qualifying line count. Parked for the r12 window per the
-    no-new-slots rule."""
+    the qualifying line count. The per-line product is up to ~7e7, so
+    the SUM accumulates in decimal(38,0) (Spark) / HUGEINT (oracle)
+    per the repo convention — a plain LongType sum wraps silently at
+    very large scale factors while DuckDB errors (r10 ADVICE item);
+    the final release cast back to BIGINT is value-identical wherever
+    the total fits. Parked for the r12 window per the no-new-slots
+    rule."""
     li = _t(spark, sf_dir, "lineitem")
-    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
     d100 = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.where(
@@ -15591,8 +15615,8 @@ def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       from per group by grp
     )
     select per.grp as grp, per.dow, per.t_d, per.n_d,
-           cast((per.t_d * tot.n_all * 1000000)
-                // (per.n_d * tot.t_all) as bigint) as idx_ppm
+           cast((cast(per.t_d as hugeint) * tot.n_all * 1000000)
+                // (cast(per.n_d as hugeint) * tot.t_all) as bigint) as idx_ppm
     from per join tot on per.grp = tot.grp
     order by per.grp, per.dow
     """,
@@ -15605,6 +15629,10 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     changepoint scan. EXACT integer rationals end to end: idx_ppm =
     (1e6 * T_dow * N_days) div (n_dow_days * T_total) — no float mean
     anywhere; the released (T_d, n_d) witnesses pin the full state.
+    The scaled numerator rides decimal(38,0) (Spark) / HUGEINT
+    (oracle) per the repo convention: at large event counts
+    t_d * n_all * 1e6 exceeds int64 (~9.2e18) and plain BIGINT would
+    wrap silently on Spark while DuckDB errors (r10 ADVICE item).
     Scale shape: the corpus collapses once to the (type, day) count
     table; everything after is keyed aggregates over the
     day-domain-bounded frame — one broadcast-sized join, no window.
@@ -15634,7 +15662,10 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "t_d",
             "n_d",
-            F.expr("t_d * n_all * 1000000 div (n_d * t_all)")
+            F.expr(
+                "cast(t_d as decimal(38,0)) * n_all * 1000000"
+                " div (cast(n_d as decimal(38,0)) * t_all)"
+            )
             .cast("bigint")
             .alias("idx_ppm"),
         )

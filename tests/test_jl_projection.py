@@ -83,3 +83,25 @@ def test_bound_on_magnitude(spark):
     rows = [(1, [float(x) for x in range(64)])]
     got = jl_project_int8(_mk(spark, rows), out_dim=16).collect()
     assert all(abs(r.p) <= 128 * 64 for r in got)
+
+
+def test_non_integral_id_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0])], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        jl_project_int8(df, out_dim=4)
+
+
+def test_ragged_dims_rejected(spark):
+    # one partition -> one Arrow batch, so the ragged pair meets the guard
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<float>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged vector dimensions"):
+        jl_project_int8(df, out_dim=4).collect()

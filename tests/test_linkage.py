@@ -121,3 +121,20 @@ def test_levenshtein_spark_matches_reference_values(spark):
         "a string, b string",
     ).select(F.levenshtein("a", "b").alias("d")).collect()
     assert [r.d for r in rows] == [3, 1, 4, 3, 0]
+
+
+def test_empty_block_cols_rejected(spark):
+    # blocking IS the cartesian guard — an empty block list must fail
+    # fast instead of degenerating into an unconditioned join (r10 ADVICE)
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="block_cols"):
+        fs_link_pairs(
+            left,
+            right,
+            "id",
+            [],
+            _tests(),
+            _WEIGHTS,
+            match_threshold_e6=4_000_000,
+            possible_threshold_e6=500_000,
+        )

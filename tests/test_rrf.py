@@ -50,3 +50,22 @@ def test_integer_scale_parameter(spark):
     a = _mk(spark, [(1, 1)])
     row = rrf_fuse({"a": a}, k=0, scale=100).collect()[0]
     assert row.rrf_pm == 100  # 100 div (0 + 1)
+
+
+def test_duplicate_ids_reduce_to_best_rank(spark):
+    # A ranking frame violating the one-row-per-id contract must not
+    # double-count: the id fuses once, at its best (min) rank, and
+    # n_lists stays bounded by the number of rankings (r10 ADVICE).
+    a = _mk(spark, [(1, 3), (1, 1), (2, 2)])
+    b = _mk(spark, [(1, 4)])
+    got = {r.doc_id: r for r in rrf_fuse({"a": a, "b": b}, k=60).collect()}
+    s = 1000000
+    assert got[1].n_lists == 2
+    assert got[1].rank_a == 1 and got[1].rank_b == 4
+    assert got[1].rrf_pm == s // 61 + s // 64
+
+
+def test_unsafe_ranking_name_rejected(spark):
+    a = _mk(spark, [(1, 1)])
+    with pytest.raises(ValueError, match="identifier-safe"):
+        rrf_fuse({"bad name; drop": a})
