@@ -7459,37 +7459,55 @@ def orderkey_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X110 gaps-and-islands: contiguous runs of surviving keys after a
     filter — the classic sequence-integrity check (missing-id audit,
     ingest-completeness verification: holes in an append-only id space
-    mean lost batches). The `key − row_number()` trick makes each
-    contiguous run a constant group key. The sequence numbering is NOT a
-    global-ordered window (which plans a single-partition WindowExec —
-    the whole filtered table through one task at scale): it's the
-    range-bucketed two-pass scheme (relational.global_row_number —
-    per-bucket row_number + broadcast cumulative bucket counts), exact
-    and identical to the global window because keys are distinct. First
-    100 runs released."""
-    from dbt_gdpr_anonymizer_spark.operators.relational import (
-        global_row_number,
-    )
-
+    mean lost batches). The oracle keeps the textbook
+    `key − row_number()` formulation; the Spark plan exploits what that
+    trick only rediscovers — runs are CONTIGUOUS INTEGER intervals, so
+    a key starts a run iff key−1 is absent and ends one iff key+1 is
+    absent (two hash anti self-joins, no row numbering anywhere), and
+    run_len = run_end − run_start + 1 exactly. Runs interleave strictly
+    (s₁ ≤ e₁ < s₂ ≤ e₂ < …), so the i-th smallest start pairs with the
+    i-th smallest end: both released frames are TakeOrdered top-100,
+    and the pairing row_number windows run over those ≤100-row frames
+    (bounded by construction — the rrf_fusion precedent), never the
+    corpus. r11 rewrite: replaces the range-bucketed global_row_number
+    two-pass (exact too, but approxQuantile + persist + offsets collect
+    = a measured 10-job floor and the bench's batch-position persist);
+    this shape plans 0 persists, 0 driver collects, and the anti-joins
+    AQE-broadcast at bench scale while degrading to shuffle hash joins
+    at 100 TB."""
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "O"
     ).select("o_orderkey")
-    rn = global_row_number(o, "o_orderkey", out_col="_rn")
-    g = rn.select(
-        "o_orderkey",
-        (F.col("o_orderkey") - F.col("_rn")).alias("grp"),
+    nxt = o.select((F.col("o_orderkey") + 1).alias("_k"))
+    prv = o.select((F.col("o_orderkey") - 1).alias("_k"))
+    starts = (
+        o.join(nxt, F.col("o_orderkey") == F.col("_k"), "left_anti")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select(F.col("o_orderkey").alias("run_start"))
     )
-    return _retrack(
-        g.groupBy("grp")
-        .agg(
-            F.min("o_orderkey").alias("run_start"),
-            F.max("o_orderkey").alias("run_end"),
-            F.count(F.lit(1)).cast("long").alias("run_len"),
+    ends = (
+        o.join(prv, F.col("o_orderkey") == F.col("_k"), "left_anti")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .select(F.col("o_orderkey").alias("run_end"))
+    )
+    from pyspark.sql import Window as W
+
+    ws = W.orderBy("run_start")
+    we = W.orderBy("run_end")
+    s = starts.withColumn("_i", F.row_number().over(ws))
+    e = ends.withColumn("_i", F.row_number().over(we))
+    return (
+        s.join(e, "_i")
+        .select(
+            "run_start",
+            "run_end",
+            (F.col("run_end") - F.col("run_start") + 1)
+            .cast("long")
+            .alias("run_len"),
         )
-        .select("run_start", "run_end", "run_len")
         .orderBy("run_start")
-        .limit(100),
-        rn,
     )
 
 

@@ -14,8 +14,9 @@ cluster:
   task) — only over inputs bounded by CONSTRUCTION, never corpus-sized
   (see WINDOW_GLOBAL_ALLOWED). r8: orderkey_gap_islands' global
   row_number was rewritten onto relational.global_row_number (range
-  buckets + broadcast offsets) specifically so it does NOT need an
-  allowlist slot here.
+  buckets + broadcast offsets); r11 rewrote it again onto boundary
+  anti-joins whose pairing windows run over TakeOrdered top-100
+  frames, so its allowlist slot is the bounded-frame kind.
 
 Catching these at plan level keeps a future query edit from silently
 reintroducing an all-pairs join that works at sf0.01 and dies at 100 TB.
@@ -190,6 +191,11 @@ WINDOW_GLOBAL_ALLOWED = {
     #   ndcg_fused_retrieval — the rank/ideal-rank windows run over the
     #     <= 2*topn-row fused release (bounded by construction)
     "ndcg_fused_retrieval",
+    #   orderkey_gap_islands — r11 anti-join rewrite: the start/end
+    #     pairing row_numbers run over the two TakeOrdered top-100
+    #     frames (bounded by construction, the rrf_fusion precedent);
+    #     the corpus-scale work is the two hash anti self-joins
+    "orderkey_gap_islands",
 }
 
 
