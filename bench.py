@@ -186,40 +186,54 @@ _STREAMING_REPLAYS = {"stream_sessionize_events", "stream_interval_join_clicks"}
 _DUCK_CAP_SEC = float(os.environ.get("BENCH_DUCK_CAP_SEC", "30"))
 
 
-def time_oracles(
-    names: list[str], sf_dir: str
-) -> tuple[dict[str, float | None], set[str], dict[str, str]]:
-    """Co-time each headline query's DuckDB oracle on the same host, same
-    session, same parquet (the r5 verdict's fix for cross-round host-drift
-    ambiguity): warm-up + median of three, per-query interrupt cap. None =
-    no oracle, cap exceeded, or oracle error (errors reported separately —
-    a broken oracle must not masquerade as a timeout)."""
-    import threading
+class OracleTimer:
+    """Times one query's DuckDB oracle on the same host, same session,
+    same parquet (the r5 verdict's fix for cross-round host-drift
+    ambiguity): warm-up + median of three, per-query interrupt cap.
+    ``time_one`` returns None for no oracle, cap exceeded, or oracle
+    error (errors recorded separately — a broken oracle must not
+    masquerade as a timeout).
 
-    import duckdb
+    r11: callers interleave ``time_one`` with the Spark timings so each
+    query's two sides are measured ADJACENT in time — the r10 closing
+    band (1.678-2.014 on identical code) and the r10 driver run's
+    slow-DuckDB outlier showed that minutes of host-load drift between
+    the all-Spark phase and the all-DuckDB phase lands entirely on one
+    side of the ratio; co-timing per query makes each ratio robust to
+    slow drift (fast noise still averages out in the medians)."""
 
-    from dbt_gdpr_anonymizer_spark.queries import all_oracles
+    def __init__(self, sf_dir: str):
+        import duckdb
 
-    oracles = all_oracles()
-    con = duckdb.connect()
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    con.execute(f"set threads to {int(cpus)}")
-    for t in _TABLES:
-        con.execute(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+        from dbt_gdpr_anonymizer_spark.queries import all_oracles
 
-    def run_once(sql: str) -> float | None:
+        self._duckdb = duckdb
+        self.oracles = all_oracles()
+        self.con = duckdb.connect()
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        self.con.execute(f"set threads to {int(cpus)}")
+        for t in _TABLES:
+            self.con.execute(
+                f"create view {t} as select * from '{sf_dir}/{t}.parquet'"
+            )
+        self.capped: set[str] = set()
+        self.errors: dict[str, str] = {}
+
+    def _run_once(self, sql: str) -> float | None:
         """Returns elapsed sec; None = interrupted at the cap. A genuine
         oracle failure raises (duckdb.InterruptException is the documented
         interrupt type; a raw duckdb.Error here means the SQL is broken)."""
-        timer = threading.Timer(_DUCK_CAP_SEC, con.interrupt)
+        import threading
+
+        timer = threading.Timer(_DUCK_CAP_SEC, self.con.interrupt)
         timer.start()
         t0 = time.perf_counter()
         try:
-            con.execute(sql).fetchall()
+            self.con.execute(sql).fetchall()
             return time.perf_counter() - t0
-        except duckdb.InterruptException:
+        except self._duckdb.InterruptException:
             return None
-        except duckdb.Error as e:
+        except self._duckdb.Error as e:
             # Race guard: an interrupt that lands mid-parse can surface as a
             # generic Error whose message names the interrupt. Anything else
             # is a real failure and propagates.
@@ -229,34 +243,23 @@ def time_oracles(
         finally:
             timer.cancel()
 
-    out: dict[str, float | None] = {}
-    capped_names: set[str] = set()
-    errors: dict[str, str] = {}
-    for name in names:
-        sql = oracles.get(name)
+    def time_one(self, name: str) -> float | None:
+        sql = self.oracles.get(name)
         if sql is None:
-            out[name] = None
-            continue
+            return None
         runs: list[float] = []
-        capped = False
         try:
             for i in range(4):  # 1 warm-up + 3 timed
-                r = run_once(sql)
+                r = self._run_once(sql)
                 if r is None:
-                    capped = True
-                    break
+                    self.capped.add(name)
+                    return None
                 if i:
                     runs.append(r)
         except Exception as e:  # broken oracle SQL — surface, don't mislabel
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            out[name] = None
-            continue
-        if capped:
-            capped_names.add(name)
-            out[name] = None
-        else:
-            out[name] = round(sorted(runs)[1], 3)
-    return out, capped_names, errors
+            self.errors[name] = f"{type(e).__name__}: {e}"[:300]
+            return None
+        return round(sorted(runs)[1], 3)
 
 
 def main() -> None:
@@ -275,7 +278,9 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    oracle_timer = OracleTimer(sf_dir)
     timings: dict[str, float] = {}
+    duck: dict[str, float | None] = {}
     for name in names:
         # One untimed warm-up (plan compilation, code generation, parquet
         # footer cache), then the MEDIAN of three timed steady-state runs —
@@ -300,8 +305,12 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
             release_caches(df)
         timings[name] = round(sorted(runs)[1], 3)
+        # Co-timed per query (r11): the oracle runs IMMEDIATELY after the
+        # query's Spark runs, so each ratio's two sides see the same host
+        # state; see OracleTimer docstring for the band evidence.
+        duck[name] = oracle_timer.time_one(name)
 
-    duck, duck_capped, duck_errors = time_oracles(names, sf_dir)
+    duck_capped, duck_errors = oracle_timer.capped, oracle_timer.errors
     ratio = {
         n: (round(timings[n] / duck[n], 2) if duck.get(n) else None)
         for n in names
