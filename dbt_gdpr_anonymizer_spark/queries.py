@@ -12272,6 +12272,283 @@ ORACLE["pq_recall_report"] = f"""
 """
 
 
+def _pq_residual_subspace_cte_sql(j: int, d: int, k: int, iters: int) -> str:
+    """Per-subspace EUCLIDEAN Lloyd unroll for the residual-PQ oracle —
+    the :func:`_pq_subspace_cte_sql` structure with the three residual
+    differences of operators/similarity._lloyd_l2_np replayed exactly:
+    (1) input is the residual slice ``rv[j*d+1:(j+1)*d]`` (CTE ``rv`` =
+    x − c_cell); (2) seeding is k EVENLY-SPACED rows of the id-sorted
+    corpus (``rn0 = (i·n) // k`` — first-k seeding collapses onto the
+    coarse seeds' ≈0 residuals, the measured r10 pathology); (3)
+    assignment is L2 argmin via ``c·c − 2·r·c`` (the same algebra the
+    numpy core uses — r·r is constant per row) with (asc, code id)
+    ties, and the centroid update is the PLAIN member mean — no
+    normalization, empty cells keep their previous centroid. Ends at
+    ``t{j}_af(vec_id, cell)``."""
+    p = f"t{j}_"
+    d2 = (
+        "(list_dot_product({c}.cv, {c}.cv)"
+        " - 2 * list_dot_product({v}.vv, {c}.cv))"
+    )
+    avgs = ", ".join(f"avg(vv[{i + 1}])" for i in range(d))
+    seed_ids = ", ".join(str(i) for i in range(k))
+    parts = [
+        (
+            f"{p}v as (select vec_id, vv[{j * d + 1}:{(j + 1) * d}] as vv "
+            "from rv)"
+        ),
+        (
+            f"{p}r as (select vec_id, vv, "
+            "row_number() over (order by vec_id) - 1 as rn0 "
+            f"from {p}v)"
+        ),
+        (
+            f"{p}c0 as (select s.i as centroid_id, t.vv as cv from "
+            f"(select i, (i * cnt.n) // {k} as want from "
+            f"(select unnest([{seed_ids}]) as i), cnt) s "
+            f"join {p}r t on t.rn0 = s.want)"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        prev, cur = f"{p}c{i - 1}", f"{p}c{i}"
+        parts.append(
+            f"{p}a{i} as (select vec_id, vv, cell from ("
+            f"select v.vec_id, v.vv, c.centroid_id as cell, "
+            f"row_number() over (partition by v.vec_id order by "
+            f"{d2.format(v='v', c='c')} asc, c.centroid_id) as rn "
+            f"from {p}v v cross join {prev} c) where rn = 1)"
+        )
+        parts.append(
+            f"{p}m{i} as (select cell, [{avgs}] as mv from {p}a{i} "
+            "group by cell)"
+        )
+        parts.append(
+            f"{cur} as (select p.centroid_id, "
+            "case when m.cell is null then p.cv else m.mv end as cv "
+            f"from {prev} p left join {p}m{i} m "
+            "on p.centroid_id = m.cell)"
+        )
+    parts.append(
+        f"{p}af as (select vec_id, cell from ("
+        f"select v.vec_id, c.centroid_id as cell, "
+        f"row_number() over (partition by v.vec_id order by "
+        f"{d2.format(v='v', c='c')} asc, c.centroid_id) as rn "
+        f"from {p}v v cross join {p}c{iters} c) where rn = 1)"
+    )
+    return ",\n".join(parts)
+
+
+def _pq_residual_recall_oracle_sql(
+    nlist: int,
+    nprobe: int,
+    m: int,
+    dim: int,
+    k: int,
+    iters: int,
+    nq: int,
+    topk: int,
+) -> str:
+    """Oracle for :func:`pq_residual_recall`: the proven exact-cosine
+    CTE, the registered raw-IVFADC replay embedded verbatim (so the raw
+    tier can never drift from its checked definition), and the residual
+    tier replayed in full — coarse routing, 64-term unrolled residual
+    subtraction, m evenly-seeded Euclidean Lloyd chains
+    (:func:`_pq_residual_subspace_cte_sql`), and the residual ADC whose
+    score adds the coarse term back:
+    ``dot(q, c_cell) + Σ_j dot(q_j, cb_j[code_j])`` in the Spark fold
+    order (coarse + left-assoc LUT chain)."""
+    d = dim // m
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    subs = ",\n".join(
+        _pq_residual_subspace_cte_sql(j, d, k, iters) for j in range(m)
+    )
+    res_diff = ", ".join(
+        f"v.vv[{i + 1}] - c.cv[{i + 1}]" for i in range(dim)
+    )
+    adc = " + ".join(
+        f"list_dot_product(qp.qv[{j * d + 1}:{(j + 1) * d}], b{j}.cv)"
+        for j in range(m)
+    )
+    code_joins = "\n      ".join(
+        f"join t{j}_af on t{j}_af.vec_id = a.vec_id" for j in range(m)
+    )
+    book_joins = "\n      ".join(
+        f"join t{j}_c{iters} b{j} on b{j}.centroid_id = t{j}_af.cell"
+        for j in range(m)
+    )
+    return f"""
+    with v as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+    cents as (select row_number() over (order by vec_id) - 1 as centroid_id,
+                     vv as cv
+              from v order by vec_id limit {nlist}),
+    asg as (select vec_id, cell from (
+      select v.vec_id, c.centroid_id as cell,
+             row_number() over (partition by v.vec_id order by
+               {cos.format(a='v.vv', b='c.cv')} desc, c.centroid_id) as rn
+      from v cross join cents c) where rn = 1),
+    rv as (select v.vec_id, [{res_diff}] as vv
+           from v join asg on v.vec_id = asg.vec_id
+           join cents c on asg.cell = c.centroid_id),
+    cnt as (select count(*) as n from rv),
+    {subs},
+    q as (select vec_id as query_id, vv as qv from v
+          where vec_id < {nq}),
+    qp as (select query_id, qv, cell from (
+      select q.query_id, q.qv, c.centroid_id as cell,
+             row_number() over (partition by q.query_id order by
+               {cos.format(a='q.qv', b='c.cv')} desc, c.centroid_id) as rn
+      from q cross join cents c) where rn <= {nprobe}),
+    scored as (
+      select qp.query_id, a.vec_id,
+             list_dot_product(qp.qv, cc.cv) + ({adc}) as adc
+      from qp
+      join cents cc on qp.cell = cc.centroid_id
+      join asg a on a.cell = qp.cell
+      {code_joins}
+      {book_joins}
+      where a.vec_id <> qp.query_id
+    ),
+    rres as (select query_id, vec_id,
+                    row_number() over (partition by query_id
+                                       order by adc desc, vec_id) as rank
+             from scored),
+    res as (select query_id, vec_id, 1 as _r from rres where rank <= {topk}),
+    exact as (
+      select query_id, vec_id from (
+        with eq as (select vec_id as query_id, embedding::DOUBLE[] as qv
+                    from embeddings where vec_id < {nq}),
+        ev as (select vec_id, embedding::DOUBLE[] as vv from embeddings),
+        escored as (
+          select query_id, vec_id,
+                 list_dot_product(qv, vv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(vv, vv))) as c
+          from eq join ev on vec_id != query_id
+        ),
+        er as (select query_id, vec_id,
+                      row_number() over (partition by query_id
+                                         order by c desc, vec_id) as rn
+               from escored)
+        select query_id, vec_id from er where rn <= {topk}
+      )
+    ),
+    rawivf as (
+      select query_id, vec_id, 1 as _i
+      from ({ORACLE["ivf_pq_topk_embeddings"]})
+    ),
+    agg as (
+      select e.query_id,
+             cast(count(*) as bigint) as k_exact,
+             cast(sum(coalesce(i._i, 0)) as bigint) as ivfpq_hits,
+             cast(sum(coalesce(r._r, 0)) as bigint) as res_hits
+      from exact e
+      left join rawivf i on e.query_id = i.query_id
+                        and e.vec_id = i.vec_id
+      left join res r on e.query_id = r.query_id and e.vec_id = r.vec_id
+      group by e.query_id
+    )
+    select query_id, k_exact, ivfpq_hits, res_hits,
+           cast((1000000 * ivfpq_hits) // k_exact as bigint)
+             as ivfpq_recall_ppm,
+           cast((1000000 * res_hits) // k_exact as bigint)
+             as res_recall_ppm
+    from agg order by query_id
+    """
+
+
+# NOT registered (r11 oracle freeze: the registry holds at 250 until the
+# parked backlog drains — VERDICT r10 item 2). Pre-staged as the FIRST
+# registration when the freeze lifts (r13 per the committed r12 rotation
+# plan); until then the Spark/oracle pair is pinned by
+# tests/test_pq_residual_recall.py running both sides on the same
+# parquet — the same row/schema/value comparison the external driver
+# applies (VERDICT r10 item 5's "hash-green + parked", honored without
+# growing the registry).
+PQ_RESIDUAL_RECALL_ORACLE = _pq_residual_recall_oracle_sql(
+    16, 4, 4, 64, 4, 2, 3, 5
+)
+
+
+def pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall metrology answering the r9/r10 residual question ON the
+    checked corpus: per query, how much of the exact cosine top-5 the
+    raw-encoding IVFADC and the RESIDUAL-encoding IVFADC
+    (Jégou §5.1 / FAISS IndexIVFPQ: codebooks over ``x − c_cell``,
+    Euclidean Lloyd, ADC adds ``dot(q, c_cell)`` back) each recover —
+    the side-by-side frame that decides the encoding default per
+    corpus. Same scale shape as pq_recall_report: bounded driver-side
+    fits, one narrow corpus assign per tier, broadcast probe joins,
+    per-query rank windows. Releases BIGINT hits + integral-division
+    ppm recalls; the raw tier reuses the registered
+    ivf_pq_topk_embeddings oracle SQL verbatim so the two replays
+    cannot drift."""
+    from dbt_gdpr_anonymizer_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        pq_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    seeds = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>"))
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    )
+    coarse = [[float(x) for x in r[1]] for r in seeds]
+    models_raw = pq_fit(emb, m=4, dim=64, k=4, iters=2, fit_sample_n=None)
+    models_res = pq_fit(
+        emb, m=4, dim=64, k=4, iters=2, fit_sample_n=None, coarse=coarse
+    )
+    exact = cosine_topk(emb, queries_df, k=5).select("query_id", "vec_id")
+    raw = ivf_pq_topk(
+        emb, queries_df, models_raw, k=5, nlist=16, nprobe=4, coarse=coarse
+    ).select("query_id", "vec_id", F.lit(1).alias("_i"))
+    res = ivf_pq_topk(
+        emb,
+        queries_df,
+        models_res,
+        k=5,
+        nlist=16,
+        nprobe=4,
+        coarse=coarse,
+        residual=True,
+    ).select("query_id", "vec_id", F.lit(1).alias("_r"))
+    return (
+        exact.join(raw, ["query_id", "vec_id"], "left")
+        .join(res, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_exact"),
+            F.sum(F.coalesce("_i", F.lit(0))).cast("long").alias(
+                "ivfpq_hits"
+            ),
+            F.sum(F.coalesce("_r", F.lit(0))).cast("long").alias(
+                "res_hits"
+            ),
+        )
+        .select(
+            "query_id",
+            "k_exact",
+            "ivfpq_hits",
+            "res_hits",
+            F.expr(
+                "cast(1000000 * ivfpq_hits div k_exact as bigint)"
+            ).alias("ivfpq_recall_ppm"),
+            F.expr(
+                "cast(1000000 * res_hits div k_exact as bigint)"
+            ).alias("res_recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def _hembed_oracle_sql(dim: int) -> str:
     """Full-value oracle for the hashing-trick embedding: replays token
     normalization (_WORDS_SQL), the md5-nibble bucket (the _hbucket_sql
