@@ -1634,6 +1634,7 @@ def jl_project_int8(
     *,
     out_dim: int = 16,
     salt: str = "jl",
+    dim: int | None = None,
 ) -> DataFrame:
     """X186 Johnson–Lindenstrauss random projection over the int8 tier
     (Johnson & Lindenstrauss 1984; Achlioptas 2003's database-friendly
@@ -1658,9 +1659,13 @@ def jl_project_int8(
     LongType and converted via numpy int64 inside the Arrow batches —
     enforced up front with a TypeError, the gini/zorder precedent,
     rather than an opaque numpy failure deep inside mapInPandas), and
-    every vector must share ONE dimension ``dim`` (the sign matrix is
-    keyed on it; ragged corpora must be length-normalized first —
-    mixed dims inside one Arrow batch raise a ValueError here).
+    every vector must share ONE dimension — the sign matrix is keyed
+    on it, so a ragged corpus would silently mix projections from
+    incomparable matrices. Pass ``dim`` to pin it plan-side for free;
+    with ``dim=None`` one distinct-size aggregate derives it (and
+    fails fast on a mixed-dim corpus — a DRIVER-side ValueError, not a
+    per-batch one, so cross-batch raggedness cannot slip through).
+    Each batch still asserts its vectors against the pinned dim.
     """
     from pyspark.sql.types import (
         IntegerType,
@@ -1675,6 +1680,22 @@ def jl_project_int8(
             f"jl_project_int8: id_col {id_col!r} must be integral "
             f"(got {id_type}) — ids release as LongType"
         )
+    if dim is None:
+        sizes = (
+            df.select(F.size(F.col(vec_col)).alias("_d"))
+            .distinct()
+            .limit(3)
+            .collect()
+        )
+        got = sorted(r["_d"] for r in sizes)
+        if len(got) > 1:
+            raise ValueError(
+                "jl_project_int8: ragged vector dimensions across the "
+                f"corpus ({got}) — vectors must share one dim; "
+                "length-normalize first or pass dim= explicitly"
+            )
+        dim = got[0] if got else 0
+    expected_dim = int(dim)
 
     q = quantize_int8(df, vec_col, id_col).select(id_col, "q_vec")
     schema = StructType(
@@ -1693,18 +1714,26 @@ def jl_project_int8(
         for pdf in batches:
             if pdf.empty:
                 continue
-            dims = {len(v) for v in pdf["q_vec"]}
-            if len(dims) != 1:
+            try:
+                arr = np.array(
+                    [np.asarray(v) for v in pdf["q_vec"]], dtype=np.int64
+                )
+            except ValueError as e:  # inhomogeneous lists in one batch
                 raise ValueError(
                     "jl_project_int8: ragged vector dimensions within "
-                    f"one batch ({sorted(dims)}) — vectors must share "
-                    "one dim; length-normalize the corpus first"
+                    "one batch — vectors must share one dim"
+                ) from e
+            if arr.shape[1] != expected_dim:
+                raise ValueError(
+                    "jl_project_int8: batch vector dim "
+                    f"{arr.shape[1]} != expected {expected_dim} — "
+                    "ragged corpus; length-normalize first"
                 )
-            arr = np.array([np.asarray(v) for v in pdf["q_vec"]], dtype=np.int64)
-            dim = arr.shape[1]
-            s = cache.get(dim)
+            s = cache.get(expected_dim)
             if s is None:
-                s = cache[dim] = _jl_sign_matrix(dim, out_dim, salt)
+                s = cache[expected_dim] = _jl_sign_matrix(
+                    expected_dim, out_dim, salt
+                )
             proj = arr @ s  # exact int64 matmul
             n = len(pdf)
             yield pd.DataFrame(
@@ -1771,12 +1800,14 @@ def rrf_fuse(
             F.lit(name).alias("_src"),
             F.col("rank").cast("long").alias("_rank"),
         )
-        # min-rank dedup per id: one row per (ranking, id) by contract
-        .groupBy(id_col, "_src")
-        .agg(F.min("_rank").alias("_rank"))
         for name, r in rankings.items()
     ]
-    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    # min-rank dedup per (ranking, id): ONE post-union aggregate (not one
+    # per ranking frame) enforces the one-row-per-id contract, so
+    # duplicates can neither double-count nor inflate n_lists.
+    u = _reduce(lambda a, b: a.unionByName(b), parts).groupBy(
+        id_col, "_src"
+    ).agg(F.min("_rank").alias("_rank"))
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_lists"),
         F.sum(F.expr(f"{int(scale)} div ({int(k)} + _rank)"))

@@ -14226,7 +14226,7 @@ def jl_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    return jl_project_int8(e, "vec_id", "embedding", out_dim=16).orderBy(
+    return jl_project_int8(e, "vec_id", "embedding", out_dim=16, dim=64).orderBy(
         "vec_id", "j"
     )
 
@@ -15840,7 +15840,7 @@ def jl_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
     q = quantize_int8(e).select("vec_id", "q_vec")
-    proj = jl_project_int8(e, "vec_id", "embedding", out_dim=16)
+    proj = jl_project_int8(e, "vec_id", "embedding", out_dim=16, dim=64)
     pv = proj.groupBy("vec_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("j", "p"))),

@@ -95,13 +95,27 @@ def test_non_integral_id_rejected(spark):
         jl_project_int8(df, out_dim=4)
 
 
-def test_ragged_dims_rejected(spark):
-    # one partition -> one Arrow batch, so the ragged pair meets the guard
+def test_ragged_dims_rejected_at_plan_time(spark):
+    # corpus-level guard: a ragged corpus fails DRIVER-side (one
+    # distinct-size aggregate) even when every Arrow batch would be
+    # internally uniform — the silent cross-batch mixed-matrix case
     import pytest
 
     df = spark.createDataFrame(
         [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
         "vec_id bigint, embedding array<float>",
-    ).coalesce(1)
-    with pytest.raises(Exception, match="ragged vector dimensions"):
-        jl_project_int8(df, out_dim=4).collect()
+    ).repartition(2)
+    with pytest.raises(ValueError, match="ragged vector dimensions"):
+        jl_project_int8(df, out_dim=4)
+
+
+def test_pinned_dim_mismatch_rejected_in_batch(spark):
+    # with dim= pinned (skipping the corpus aggregate), a wrong-dim
+    # batch still raises instead of projecting with the wrong matrix
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="!= expected"):
+        jl_project_int8(df, out_dim=4, dim=8).collect()
