@@ -16057,3 +16057,791 @@ def conversion_latency_quantiles(
     return group_quantiles_exact(
         lat, "hr", "lat_s", [(1, 4), (2, 4), (3, 4)]
     ).orderBy("hr", "p_num")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion tier (r11 extended session). With these ten the full
+# 22-query TPC-H plan-shape suite is re-expressed on the synthetic schema
+# (q1/q3/q5/q10/q14/q16/q18 registered earlier; q4/q6/q17/q21/q22 in the
+# r10 extended set). NOT registered — the r11 oracle freeze holds the
+# registry at 250 until the parked backlog drains (VERDICT r10 item 2);
+# each pair below is pinned by tests/test_tpch_staged.py applying the
+# external driver's own row/schema/value comparison, the
+# pq_residual_recall precedent. r13 registration candidates.
+#
+# Schema rebase notes (testdata has no partsupp / commitdate / shipmode):
+#   * "supply cost" → min line price cents (q2) / p_retailprice (q9)
+#   * "stock value" → shipped line-price value per part (q11, q20)
+#   * commitdate/receiptdate lateness → shipped > orderdate + 60 days
+#     (the q21 stand-in); shipmode → l_returnflag (q12)
+# Exact-integer discipline throughout: cents/e4 via round(x*100) (exact
+# on 2-decimal doubles), revenue sums accumulate in decimal(38,0)/HUGEINT
+# (int64-wrap-proof at large SF — the q6 ADVICE lesson), ratios release
+# as integral decimal div ppm, never a float in a compared column.
+# ---------------------------------------------------------------------------
+
+Q2_MIN_COST_SUPPLIER_ORACLE = """
+with eu as (
+  select s_suppkey, s_name, n_name,
+         cast(round(s_acctbal * 100) as bigint) as bal_cents
+  from supplier join nation on s_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+  where r_name = 'EUROPE'
+),
+pp as (
+  select p_partkey, p_name from part
+  where p_type = 'ECONOMY' and p_size between 1 and 15
+),
+pairs as (
+  select p_partkey, p_name, s_name, n_name, bal_cents,
+         cast(round(l_extendedprice * 100) as bigint) as pc
+  from lineitem join pp on l_partkey = p_partkey
+  join eu on l_suppkey = s_suppkey
+),
+mn as (select p_partkey, min(pc) as min_pc from pairs group by 1)
+select distinct bal_cents, s_name, n_name, p_partkey, p_name, min_pc
+from pairs join mn using (p_partkey)
+where pc = min_pc
+order by bal_cents desc, n_name, s_name, p_partkey
+limit 100
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each ECONOMY part in
+    a size band, the EUROPE-region supplier(s) that shipped it at the
+    minimal line price — the correlated scalar-MIN subquery
+    decorrelated into a per-part min + join-back (the q17 stance), with
+    the region/nation/supplier dim chain on BOTH the min computation
+    and the outer block (Q2's defining feature). Min over exact integer
+    cents, (part, supplier) pairs deduped before release (two tied
+    lines must not emit twice), and the top-100 release is a
+    TakeOrdered over a TOTAL order (bal desc, n_name, s_name, partkey —
+    partkey+name pin ties) so the LIMIT cut is a deterministic set.
+    Scale: dims broadcast under AQE; the only corpus shuffle is the
+    partkey groupBy. Staged for r13 (r11 oracle freeze)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias(
+                "bal_cents"
+            ),
+        )
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            (F.col("p_type") == "ECONOMY") & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    pairs = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "bal_cents", "pc")
+    )
+    mn = pairs.groupBy("p_partkey").agg(F.min("pc").alias("min_pc"))
+    return (
+        pairs.join(mn, "p_partkey")
+        .where(F.col("pc") == F.col("min_pc"))
+        .select(
+            "bal_cents", "s_name", "n_name", "p_partkey", "p_name", "min_pc"
+        )
+        .distinct()
+        .orderBy(
+            F.col("bal_cents").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q7_NATION_VOLUME_SHIPPING_ORACLE = """
+select n1.n_name as supp_nation, n2.n_name as cust_nation,
+       cast(year(l_shipdate) as bigint) as l_year,
+       cast(sum(cast(round(l_extendedprice * 100) as hugeint)
+                * (100 - cast(round(l_discount * 100) as bigint)))
+            as bigint) as revenue_e4,
+       cast(count(*) as bigint) as n_lines
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join nation n2 on c_nationkey = n2.n_nationkey
+join supplier on l_suppkey = s_suppkey
+join nation n1 on s_nationkey = n1.n_nationkey
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1998-01-01'
+  and ((n1.n_name = 'NATION_18' and n2.n_name = 'NATION_19')
+       or (n1.n_name = 'NATION_19' and n2.n_name = 'NATION_18'))
+group by 1, 2, 3
+order by 1, 2, 3
+"""
+
+
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue of
+    lines shipped between the NATION_18/NATION_19 pair in either
+    direction, by (supplier nation, customer nation, ship year). Both
+    nation dims pre-filter to the two names BEFORE their joins (so the
+    supplier/customer legs each drop ~23/25 of rows pre-shuffle) and
+    the disjunctive pair predicate runs on the joined frame — the
+    classic two-role-same-dim self-join. Revenue in exact e4 integers,
+    decimal(38,0) accumulator. Scale: supplier/customer/nation
+    broadcast; the lineitem↔orders equi join is the one big shuffle.
+    Staged for r13 (r11 oracle freeze)."""
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            (pc * (100 - d100)).alias("rev"),
+        )
+    )
+    names = ["NATION_18", "NATION_19"]
+    n1 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(names))
+    n2 = _t(spark, sf_dir, "nation").where(F.col("n_name").isin(names))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(n1, F.col("s_nationkey") == n1.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    co = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(n2, F.col("c_nationkey") == n2.n_nationkey)
+        .select("o_orderkey", F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(co, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_18")
+                & (F.col("cust_nation") == "NATION_19")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_19")
+                & (F.col("cust_nation") == "NATION_18")
+            )
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum("rev").cast("bigint").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q8_NATIONAL_MARKET_SHARE_ORACLE = """
+with asia_c as (
+  select c_custkey from customer
+  join nation on c_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+  where r_name = 'ASIA'
+),
+j as (
+  select cast(year(o_orderdate) as bigint) as o_year,
+         n_name as supp_nation,
+         cast(round(l_extendedprice * 100) as hugeint)
+           * (100 - cast(round(l_discount * 100) as bigint)) as rev
+  from lineitem
+  join part on l_partkey = p_partkey and p_type = 'STANDARD'
+  join supplier on l_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+  join orders on l_orderkey = o_orderkey
+  join asia_c on o_custkey = c_custkey
+),
+a as (
+  select o_year,
+         sum(case when supp_nation = 'NATION_12' then rev else 0 end)
+           as nrev,
+         sum(rev) as trev
+  from j group by 1
+)
+select o_year,
+       cast((nrev * 1000000) // trev as bigint) as mkt_share_ppm,
+       cast(nrev as bigint) as nation_rev_e4,
+       cast(trev as bigint) as total_rev_e4
+from a
+order by o_year
+"""
+
+
+def q8_national_market_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_12's share of
+    STANDARD-part revenue sold into ASIA-region customers, per order
+    year. The share is the integral decimal division
+    ``(nation_rev * 1e6) div total_rev`` over decimal(38,0)/HUGEINT
+    accumulators — no float ratio — released next to both revenue
+    witnesses; the CASE-conditional sum and the total ride ONE
+    aggregation pass (a second scan for the denominator would double
+    the big join). Scale: part/supplier/nation/region/customer all
+    broadcast under AQE; lineitem↔orders is the single big shuffle.
+    Staged for r13 (r11 oracle freeze)."""
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .join(asia_c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_year")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"),
+            ),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (pc * (100 - d100)).alias("rev"),
+    )
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    a = j.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_12", F.col("rev"))
+            .otherwise(zero)
+        ).alias("_n"),
+        F.sum("rev").alias("_t"),
+    )
+    return a.select(
+        "o_year",
+        F.expr("cast((_n * 1000000) div _t as bigint)").alias(
+            "mkt_share_ppm"
+        ),
+        F.col("_n").cast("bigint").alias("nation_rev_e4"),
+        F.col("_t").cast("bigint").alias("total_rev_e4"),
+    ).orderBy("o_year")
+
+
+Q9_PRODUCT_TYPE_PROFIT_ORACLE = """
+select n_name as nation, cast(year(o_orderdate) as bigint) as o_year,
+       cast(sum(cast(round(l_extendedprice * 100) as hugeint)
+                  * (100 - cast(round(l_discount * 100) as bigint))
+                - 100 * cast(round(p_retailprice * 100) as hugeint)
+                  * cast(floor(l_quantity) as bigint))
+            as bigint) as profit_e4,
+       cast(count(*) as bigint) as n_lines
+from lineitem
+join part on l_partkey = p_partkey and p_name like '%widget%'
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+join orders on l_orderkey = o_orderkey
+group by 1, 2
+order by nation, o_year desc
+"""
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per (supplier nation,
+    order year), the profit on widget parts — discounted revenue minus
+    acquisition cost, with ``p_retailprice × quantity`` standing in for
+    Q9's ps_supplycost (no partsupp in the schema). The LIKE filter
+    pushes into the part dim before its join; profit is exact signed e4
+    integers accumulated in decimal(38,0)/HUGEINT (profit can be
+    negative — decimal carries sign exactly). Scale: dims broadcast,
+    lineitem↔orders the one big shuffle, group-by keyspace is
+    |nations|×|years| so the final agg is map-side dominated.
+    Staged for r13 (r11 oracle freeze)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("decimal(38,0)")
+            .alias("rc"),
+        )
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("nation"),
+            ),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    qty = F.floor(F.col("l_quantity")).cast("bigint")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        pc.alias("pc"), d100.alias("d100"), qty.alias("qty"),
+    )
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    profit = (
+        F.col("pc") * (100 - F.col("d100"))
+        - F.lit(100) * F.col("rc") * F.col("qty")
+    )
+    return (
+        j.groupBy("nation", "o_year")
+        .agg(
+            F.sum(profit).cast("bigint").alias("profit_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q11_IMPORTANT_STOCK_ORACLE = """
+with eu as (
+  select s_suppkey from supplier
+  join nation on s_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+  where r_name = 'EUROPE'
+),
+v as (
+  select l_partkey as p_partkey,
+         sum(cast(round(l_extendedprice * 100) as hugeint)) as val
+  from lineitem join eu on l_suppkey = s_suppkey
+  group by 1
+),
+t as (select sum(val) as tot, cast(count(*) as bigint) as np from v)
+select p_partkey, cast(val as bigint) as value_cents
+from v cross join t
+where 4 * val * np > 5 * tot
+order by value_cents desc, p_partkey
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    EUROPE-supplied line value exceeds 1.25× the mean part value —
+    shipped line-price value standing in for Q11's
+    ps_supplycost×ps_availqty (no partsupp). The HAVING-against-a-
+    scalar-subquery becomes the exact integer cross-multiplication
+    ``4 × value × n_parts > 5 × total`` against a 1-row stats broadcast
+    (the q22 stance; no float fraction). Q11's literal fraction scales
+    as 0.0001/SF to stay selective as parts grow; dividing by the part
+    count builds that scale-invariance in (a fixed fraction emptied the
+    release at sf0.01 — found by the 3-SF sweep). The total and count
+    re-aggregate the
+    per-part frame — the corpus is scanned ONCE. Values in
+    decimal(38,0)/HUGEINT. Scale: one partkey-shuffle groupBy; the
+    threshold join is a broadcast nested loop over one row
+    (allowlisted 1-row crossJoin pattern). Staged for r13 (r11
+    oracle freeze)."""
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("decimal(38,0)")
+        .alias("pc"),
+    )
+    v = (
+        li.join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("pc").alias("val"))
+    )
+    t = v.agg(
+        F.sum("val").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    return (
+        v.crossJoin(F.broadcast(t))
+        .where(4 * F.col("val") * F.col("np") > 5 * F.col("tot"))
+        .select(
+            "p_partkey", F.col("val").cast("bigint").alias("value_cents")
+        )
+        .orderBy(F.col("value_cents").desc(), "p_partkey")
+    )
+
+
+Q12_PRIORITY_SHIPPING_ORACLE = """
+select l_returnflag,
+       cast(sum(case when l_shipdate > o_orderdate + interval 60 day
+                      and o_orderpriority in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when l_shipdate > o_orderdate + interval 60 day
+                      and o_orderpriority not in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as low_line_count,
+       cast(count(*) as bigint) as n_lines
+from lineitem join orders on l_orderkey = o_orderkey
+where l_shipdate >= timestamp '1997-01-01'
+  and l_shipdate < timestamp '1998-01-01'
+group by l_returnflag
+order by l_returnflag
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority): among 1997
+    shipments, per return-flag class (the schema's shipmode stand-in),
+    how many LATE lines (shipped > 60 days after the order — the q21
+    lateness stand-in) carried urgent/high vs lower priorities. The
+    CASE-conditional dual count over one join — both counts and the
+    total ride a single aggregation, the date range pushes to the
+    lineitem scan. Scale: one orderkey shuffle join, 3-row result.
+    Staged for r13 (r11 oracle freeze)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "interval 60 day"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    one = F.lit(1)
+    zero = F.lit(0)
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(late & hi, one).otherwise(zero))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(late & ~hi, one).otherwise(zero))
+            .cast("bigint")
+            .alias("low_line_count"),
+            F.count(one).cast("long").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q13_CUSTOMER_DISTRIBUTION_ORACLE = """
+with oc as (
+  select o_custkey, cast(count(*) as bigint) as cnt
+  from orders
+  where o_orderpriority <> '4-NOT SPECIFIED'
+  group by 1
+),
+cc as (
+  select coalesce(cnt, 0) as c_count
+  from customer left join oc on c_custkey = o_custkey
+)
+select c_count, cast(count(*) as bigint) as custdist
+from cc
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+
+def q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers Q13 exists to count — the left outer join
+    whose NULL side coalesces to 0 before the second aggregation
+    (priority filter stands in for Q13's comment NOT LIKE). The classic
+    double-aggregate: orders collapse per customer first (map-side
+    combine on custkey), then the distribution groupBy runs over the
+    customer-sized frame. Scale: one custkey shuffle each side of the
+    outer join; the distribution keyspace is tiny. Staged for r13
+    (r11 oracle freeze)."""
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    cc = c.join(oc, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")).alias("c_count")
+    )
+    return (
+        cc.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q15_TOP_SUPPLIER_ORACLE = """
+with rev as (
+  select l_suppkey,
+         sum(cast(round(l_extendedprice * 100) as hugeint)
+             * (100 - cast(round(l_discount * 100) as bigint)))
+           as tr
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01'
+    and l_shipdate < timestamp '1996-04-01'
+  group by 1
+),
+mx as (select max(tr) as mt from rev)
+select s_suppkey, s_name, cast(tr as bigint) as total_revenue_e4
+from rev cross join mx
+join supplier on l_suppkey = s_suppkey
+where tr = mt
+order by s_suppkey
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximal
+    revenue in 1996Q1 — Q15's view + scalar-MAX subquery becomes a
+    per-supplier aggregate reused on both sides: once to feed the
+    1-row MAX, once as the frame the max filters (the corpus is
+    scanned ONCE; Q15's CREATE VIEW double-reference pattern).
+    Equality on exact decimal e4 integers — a float revenue tie at
+    max would be engine-dependent; integers make the tie set exact.
+    Scale: one suppkey-shuffle groupBy over the date-pruned scan, the
+    max joins back as a 1-row broadcast. Staged for r13 (r11 oracle
+    freeze)."""
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(pc * (100 - d100)).alias("tr"))
+    )
+    mx = rev.agg(F.max("tr").alias("mt"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("tr") == F.col("mt"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("tr").cast("bigint").alias("total_revenue_e4"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q19_DISCOUNTED_REVENUE_ORACLE = """
+select cast(sum(cast(round(l_extendedprice * 100) as hugeint)
+                * (100 - cast(round(l_discount * 100) as bigint)))
+            as bigint) as revenue_e4,
+       cast(count(*) as bigint) as n_lines
+from lineitem join part on l_partkey = p_partkey
+where (p_brand = 'Brand#12' and p_size between 1 and 5
+       and l_quantity >= 1 and l_quantity <= 11)
+   or (p_brand = 'Brand#23' and p_size between 1 and 10
+       and l_quantity >= 10 and l_quantity <= 20)
+   or (p_brand = 'Brand#3' and p_size between 1 and 15
+       and l_quantity >= 20 and l_quantity <= 30)
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue): revenue over THREE
+    disjunctive brand/size/quantity branches — the OR-of-conjuncts
+    predicate that defeats naive pushdown. Spark keeps the equi join on
+    partkey and evaluates the residual disjunction post-join; the
+    common prefix (the partkey equality) is what makes this a hash
+    join, not Q19's literal cross predicate. Revenue exact e4 in
+    decimal(38,0)/HUGEINT, 1-row release with the line-count witness.
+    Scale: part broadcasts under AQE; single scan of lineitem.
+    Staged for r13 (r11 oracle freeze)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg(
+            F.sum("rev").cast("bigint").alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+Q20_POTENTIAL_PROMOTION_ORACLE = """
+with blue as (
+  select p_partkey from part where p_name like 'blue%'
+),
+sp as (
+  select l_partkey, l_suppkey,
+         cast(sum(cast(floor(l_quantity) as bigint)) as bigint) as sq
+  from lineitem join blue on l_partkey = p_partkey
+  where l_shipdate >= timestamp '1997-01-01'
+    and l_shipdate < timestamp '1998-01-01'
+  group by 1, 2
+),
+pt as (
+  select l_partkey, cast(sum(sq) as bigint) as tot from sp group by 1
+),
+qual as (
+  select distinct l_suppkey
+  from sp join pt using (l_partkey)
+  where 10 * sp.sq > 3 * pt.tot
+)
+select s_name, cast(round(s_acctbal * 100) as bigint) as bal_cents
+from supplier
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+where r_name = 'EUROPE'
+  and s_suppkey in (select l_suppkey from qual)
+order by s_name
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): EUROPE-region
+    suppliers who shipped more than 30% of some blue part's 1997
+    volume — a dominant-supplier screen standing in for Q20's
+    availqty-vs-half-of-shipped test (no partsupp). The correlated
+    ``> 0.5 × sum(qty)`` becomes the exact cross-multiplication
+    ``10×sq > 3×total`` between the (supplier, part) aggregate and its
+    part-level rollup (re-aggregated from the pair frame — one corpus
+    scan), and the supplier release is a semi join against the
+    qualifying distinct supplier set — Q20's nested IN-chain as two
+    hash joins. Scale: one (partkey, suppkey) shuffle; everything
+    after is part-cardinality bounded. Staged for r13 (r11 oracle
+    freeze)."""
+    blue = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor(F.col("l_quantity")).cast("bigint").alias("qty"),
+        )
+    )
+    sp = (
+        li.join(blue, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").cast("long").alias("sq"))
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("sq").cast("long").alias("tot"))
+    qual = (
+        sp.join(pt, "l_partkey")
+        .where(10 * F.col("sq") > 3 * F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias(
+                "bal_cents"
+            ),
+        )
+    )
+    return (
+        s.join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "bal_cents")
+        .orderBy("s_name")
+    )
