@@ -1,0 +1,278 @@
+"""Temporal analytics over bounded period tables: exact lag
+autocorrelation, dyadic-exact EWMA smoothing, and Nelson–Aalen
+cumulative-hazard (survival) estimation.
+
+The monitoring questions downstream of the existing temporal tier
+(changepoint scan, KS drift, day-of-week seasonality): is the daily
+series self-correlated (weekly rhythm shows as a lag-7 peak), what is
+its smoothed level (the alerting baseline), and how fast do subjects
+"die" (churn / convert) as a function of age.
+
+Determinism stances (all established in this repo):
+
+* **ACF** is Pearson at lag L over the (t, t+L) pairs of the
+  day-bounded count table — five moment sums in exact
+  decimal(38,0)/HUGEINT integers (the spearman_corr pattern,
+  operators/profile.py:359), one fixed-shape double combination with
+  IEEE sqrt, released ``floor(r·1e6)``; zero variance → NULL.
+* **EWMA** with a DYADIC smoothing factor α = num/den (den a small
+  integer literal) folds the scaled-integer recurrence
+  ``s_t = (num·x_t·scale + (den−num)·s_{t−1}) div den`` — every step
+  an exact integer division, so the whole trajectory is
+  engine-reproducible (a float EWMA would compound rounding
+  differently per fold order). The fold is inherently sequential PER
+  GROUP but the input is a period-bounded table (days, not corpus
+  rows): Spark folds each group's sorted array with ``aggregate``
+  (one whole-stage span, no driver state), the oracle replays it as a
+  recursive CTE. Inputs must be NON-NEGATIVE integers: Spark ``div``
+  truncates toward zero while DuckDB ``//`` floors, so a negative
+  intermediate would diverge — counts satisfy this by construction.
+* **Nelson–Aalen** (Nelson 1972; Aalen 1978) releases the cumulative
+  hazard instead of the Kaplan–Meier product: H(t) = Σ_{t_i≤t} d_i/n_i
+  sums per-step integral divisions ``1e6·d_i div n_i`` — exact
+  integers end to end, where KM's running product would force a float
+  fold. Right-censored subjects leave the risk set without
+  contributing an event — the estimator's reason to exist.
+
+Scale shapes: every operator collapses the corpus FIRST (daily counts
+/ per-subject aggregates — one map-side-combined groupBy), then runs
+windows/joins over the period- or duration-bounded frame only. No
+corpus sort, no unpartitioned corpus window.
+
+No reference counterpart: tabodino/dbt-gdpr-anonymizer has no
+temporal analytics; this extends the monitoring tier a production
+anonymization pipeline needs (is the masked stream's volume rhythm
+intact; did masking change conversion behavior).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral(df: DataFrame, col: str, op: str) -> None:
+    t = dict(df.dtypes).get(col)
+    if t not in _INTEGRAL:
+        raise TypeError(
+            f"{op}: column {col!r} has type {t}; floor() to an integral "
+            "type first (double->bigint casts round in DuckDB but "
+            "truncate in Spark)"
+        )
+
+
+def acf_lags(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+    lags: Sequence[int],
+) -> DataFrame:
+    """Exact lag-L autocorrelation per group over an integer-indexed
+    series: Pearson between x(t) and x(t+L) for every ``L`` in
+    ``lags``, pairing only indices where BOTH sides exist (missing
+    periods pairwise-drop; the day table usually has every day, so
+    this is the contiguous ACF).
+
+    Plan: the lag fan-out is a literal explode (|lags| copies of the
+    period-bounded table, never the corpus), the alignment is one hash
+    equi-join on (group, t+L), and the five moment sums ride
+    decimal(38,0) — exact for any bounded-count series. The final
+    Pearson combination is the spearman_corr double+IEEE-sqrt shape,
+    released ``floor(r·1e6)`` next to the exact pair count; fewer than
+    2 pairs or zero variance on either side releases NULL.
+    """
+    _require_integral(df, t_col, "acf_lags")
+    _require_integral(df, x_col, "acf_lags")
+    if not lags or any(int(lg) <= 0 for lg in lags):
+        raise ValueError("acf_lags: lags must be positive integers")
+    base = df.where(
+        F.col(t_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    a = base.withColumn(
+        "lag", F.explode(F.array(*[F.lit(int(lg)) for lg in lags]))
+    ).select("grp", "lag", "t", F.col("x").alias("xa"))
+    b = base.select(
+        F.col("grp").alias("_g"),
+        F.col("t").alias("_t"),
+        F.col("x").alias("xb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("grp") == F.col("_g"))
+        & (F.col("_t") == F.col("t") + F.col("lag")),
+    )
+    d19 = "decimal(19,0)"
+    mx = F.col("xa").cast(d19)
+    my = F.col("xb").cast(d19)
+    agg = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(mx).cast("decimal(38,0)").alias("_sx"),
+        F.sum(my).cast("decimal(38,0)").alias("_sy"),
+        F.sum(mx * mx).cast("decimal(38,0)").alias("_sxx"),
+        F.sum(my * my).cast("decimal(38,0)").alias("_syy"),
+        F.sum(mx * my).cast("decimal(38,0)").alias("_sxy"),
+    )
+    nd = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    vx = nd * F.col("_sxx").cast("double") - sx * sx
+    vy = nd * F.col("_syy").cast("double") - sy * sy
+    cov = nd * F.col("_sxy").cast("double") - sx * sy
+    return agg.select(
+        "grp",
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.floor(cov / F.sqrt(vx * vy) * 1000000),
+        )
+        .cast("bigint")
+        .alias("acf_e6"),
+    ).orderBy("grp", "lag")
+
+
+def ewma_fold(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exponentially-weighted moving average per group with a DYADIC
+    (small-rational) smoothing factor, folded in exact scaled
+    integers: ``s_1 = x_1·scale``;
+    ``s_t = (num·x_t·scale + (den−num)·s_{t−1}) div den``.
+
+    Sequential per group by nature, but the group series is
+    period-bounded: each group's (t, x) rows collapse to ONE sorted
+    array (``array_sort`` on the distinct integer index) and fold via
+    the ``aggregate`` HOF appending to a running struct array — no
+    driver state, no corpus window; ``inline`` re-flattens. Inputs
+    must be non-negative integers (Spark ``div`` truncates, DuckDB
+    ``//`` floors; they agree only on non-negatives — counts satisfy
+    this by construction) and ``x·scale·num`` must fit int64.
+    Releases (grp, t, x, ewma_e6) with ewma at the given scale.
+    """
+    _require_integral(df, t_col, "ewma_fold")
+    _require_integral(df, x_col, "ewma_fold")
+    num, den = int(alpha_num), int(alpha_den)
+    if not (0 < num < den):
+        raise ValueError("ewma_fold: require 0 < alpha_num < alpha_den")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    arr = base.groupBy("grp").agg(
+        F.array_sort(F.collect_list(F.struct("t", "x"))).alias("_a")
+    )
+    folded = arr.select(
+        "grp",
+        F.expr(
+            f"""
+            aggregate(
+              _a,
+              cast(array() as array<struct<t: bigint, x: bigint,
+                                           s: bigint>>),
+              (acc, e) -> array_append(acc, named_struct(
+                't', e.t, 'x', e.x,
+                's', case when size(acc) = 0 then e.x * {scale}
+                     else (e.x * {scale} * {num}
+                           + {den - num} * element_at(acc, -1).s)
+                          div {den} end))
+            )
+            """
+        ).alias("_f"),
+    )
+    return (
+        folded.select("grp", F.inline("_f"))
+        .select("grp", "t", "x", F.col("s").alias("ewma_e6"))
+        .orderBy("grp", "t")
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    group_col: str,
+    dur_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard curve per group from
+    right-censored durations: one input row per subject with an
+    integral age ``dur_col`` (time observed) and ``event_col`` = 1 if
+    the terminal event (churn, conversion) happened at that age, 0 if
+    the subject was censored there (still alive when observation
+    ended).
+
+    At each distinct EVENT age t_i: d_i = events at t_i, n_i =
+    subjects still at risk (dur ≥ t_i — censored subjects count until
+    they leave). The hazard step releases as the exact integral
+    division ``1e6·d_i div n_i`` and the curve as its running sum —
+    integer-exact end to end (Kaplan–Meier's running PRODUCT would
+    force a float fold; Nelson–Aalen is the sum-form estimator, and
+    exp(−H) recovers S(t) downstream when needed).
+
+    Plan: subjects collapse to the (group, dur) histogram first; the
+    risk set is total − running count over the duration-bounded frame
+    partitioned by group. Releases
+    (grp, dur, n_at_risk, d_events, hazard_step_e6, cum_hazard_e6)
+    for event ages only.
+    """
+    _require_integral(df, dur_col, "nelson_aalen")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(dur_col).cast("bigint").alias("dur"),
+        F.col(event_col).cast("int").alias("ev"),
+    ).where(F.col("dur").isNotNull() & (F.col("dur") >= 0))
+    hist = base.groupBy("grp", "dur").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    w_prior = (
+        Window.partitionBy("grp")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("grp")
+    stepped = hist.select(
+        "grp",
+        "dur",
+        "d",
+        (
+            F.sum("c").over(w_tot)
+            - F.coalesce(F.sum("c").over(w_prior), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    ).where(F.col("d") > 0)
+    step = F.expr("(1000000 * d) div n_at_risk")
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        stepped.select(
+            "grp",
+            "dur",
+            "n_at_risk",
+            F.col("d").alias("d_events"),
+            step.cast("bigint").alias("hazard_step_e6"),
+        )
+        .withColumn(
+            "cum_hazard_e6",
+            F.sum("hazard_step_e6").over(w_cum).cast("bigint"),
+        )
+        .orderBy("grp", "dur")
+    )

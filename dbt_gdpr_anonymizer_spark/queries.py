@@ -16845,3 +16845,306 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "bal_cents")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal-analytics tier (r11 extended session, operators/timeseries.py):
+# exact lag autocorrelation, dyadic-exact EWMA, Nelson-Aalen hazard, and
+# sequential 2-pattern mining. NOT registered (r11 oracle freeze) — pinned
+# by tests/test_timeseries.py applying the driver's own comparison.
+# r13 registration candidates.
+# ---------------------------------------------------------------------------
+
+ACF_DAILY_EVENTS_ORACLE = """
+with daily as (
+  select event_type as grp,
+         epoch_us(ts::timestamp) // 86400000000 as t,
+         cast(count(*) as bigint) as x
+  from events
+  group by 1, 2
+),
+l as (select unnest([1, 2, 3, 7]) as lag),
+pairs as (
+  select a.grp, l.lag, a.x as xa, b.x as xb
+  from daily a cross join l
+  join daily b on b.grp = a.grp and b.t = a.t + l.lag
+),
+m as (
+  select grp, lag, cast(count(*) as bigint) as n_pairs,
+         sum(cast(xa as hugeint)) as sx,
+         sum(cast(xb as hugeint)) as sy,
+         sum(cast(xa as hugeint) * xa) as sxx,
+         sum(cast(xb as hugeint) * xb) as syy,
+         sum(cast(xa as hugeint) * xb) as sxy
+  from pairs group by 1, 2
+)
+select grp, cast(lag as bigint) as lag, n_pairs,
+       case when (cast(n_pairs as double) * cast(sxx as double)
+                  - cast(sx as double) * cast(sx as double)) > 0
+             and (cast(n_pairs as double) * cast(syy as double)
+                  - cast(sy as double) * cast(sy as double)) > 0
+       then cast(floor(
+         (cast(n_pairs as double) * cast(sxy as double)
+          - cast(sx as double) * cast(sy as double))
+         / sqrt((cast(n_pairs as double) * cast(sxx as double)
+                 - cast(sx as double) * cast(sx as double))
+                * (cast(n_pairs as double) * cast(syy as double)
+                   - cast(sy as double) * cast(sy as double)))
+         * 1000000) as bigint)
+       end as acf_e6
+from m
+order by grp, lag
+"""
+
+
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lag autocorrelation of daily event volume per type
+    (operators/timeseries.acf_lags): lags 1/2/3/7 — the weekly-rhythm
+    detector reading BEFORE trusting the X188 changepoint scan (a
+    lag-7 peak says the "jump" is just Sunday). Day index is the exact
+    integer ``unix_micros div 86400e6`` (no date_diff boundary
+    semantics to diverge); moments ride decimal(38,0)/HUGEINT; the
+    Pearson combination is the spearman double+IEEE-sqrt shape,
+    floor(r*1e6). Scale: corpus collapses to the (type, day) count
+    table once; the lag fan-out explodes literal lags over that
+    bounded table. Staged for r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import acf_lags
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return acf_lags(daily, "et", "d", "x", [1, 2, 3, 7])
+
+
+EWMA_DAILY_EVENTS_ORACLE = """
+with recursive daily as (
+  select event_type as grp,
+         epoch_us(ts::timestamp) // 86400000000 as t,
+         cast(count(*) as bigint) as x
+  from events
+  group by 1, 2
+),
+d as (
+  select grp, t, x,
+         cast(row_number() over (partition by grp order by t) as bigint)
+           as rn
+  from daily
+),
+r as (
+  select grp, t, x, rn, cast(x as hugeint) * 1000000 as s
+  from d where rn = 1
+  union all
+  select d.grp, d.t, d.x, d.rn,
+         (cast(d.x as hugeint) * 1000000 + 3 * r.s) // 4
+  from r join d on d.grp = r.grp and d.rn = r.rn + 1
+)
+select grp, t, x, cast(s as bigint) as ewma_e6
+from r
+order by grp, t
+"""
+
+
+def ewma_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-exact EWMA (alpha = 1/4) of daily event volume per type
+    (operators/timeseries.ewma_fold): the alerting baseline next to
+    the raw counts — every step the exact integer recurrence
+    ``s_t = (x_t*1e6 + 3*s_{t-1}) div 4``, so the whole smoothed
+    trajectory is engine-reproducible (a float EWMA compounds ulp
+    differently per fold order). Spark folds each type's sorted
+    day array with the aggregate HOF (period-bounded, no driver
+    state); the oracle replays the recurrence as a recursive CTE —
+    the first recursive-CTE oracle in the repo (the unrolled-CTE
+    Mondrian/BPE precedent, without the unroll budget). Staged for
+    r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import ewma_fold
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return ewma_fold(daily, "et", "d", "x", 1, 4, 1_000_000)
+
+
+TIME_TO_PURCHASE_HAZARD_ORACLE = """
+with su as (
+  select user_id, min(ts::timestamp) as sts
+  from events where event_type = 'signup' group by 1
+),
+pu as (
+  select user_id, ts::timestamp as pts
+  from events where event_type = 'purchase'
+),
+fp as (
+  select su.user_id, su.sts, min(pu.pts) as pts
+  from su left join pu
+    on pu.user_id = su.user_id and pu.pts > su.sts
+  group by 1, 2
+),
+mx as (select max(ts::timestamp) as mts from events),
+subj as (
+  select cast(dayofweek(sts) + 1 as bigint) as grp,
+         case when pts is not null
+              then (epoch_us(pts) - epoch_us(sts)) // 3600000000
+              else (epoch_us(mts) - epoch_us(sts)) // 3600000000
+         end as dur,
+         case when pts is not null then 1 else 0 end as ev
+  from fp cross join mx
+),
+hist as (
+  select grp, dur, cast(count(*) as bigint) as c,
+         cast(sum(ev) as bigint) as d
+  from subj group by 1, 2
+),
+stepped as (
+  select grp, dur, d,
+         cast(sum(c) over (partition by grp)
+              - coalesce(sum(c) over (partition by grp order by dur
+                   rows between unbounded preceding and 1 preceding), 0)
+              as bigint) as n_at_risk
+  from hist
+)
+select grp, dur, n_at_risk, d as d_events,
+       cast((1000000 * d) // n_at_risk as bigint) as hazard_step_e6,
+       cast(sum((1000000 * d) // n_at_risk) over (
+              partition by grp order by dur
+              rows between unbounded preceding and current row)
+            as bigint) as cum_hazard_e6
+from stepped
+where d > 0
+order by grp, dur
+"""
+
+
+def time_to_purchase_hazard_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen time-to-conversion hazard
+    (operators/timeseries.nelson_aalen): per signup-weekday cohort,
+    the cumulative hazard of the hours from a user's FIRST signup to
+    their first subsequent purchase — users with no later purchase are
+    RIGHT-CENSORED at the corpus max timestamp (they stay in the risk
+    set until their censoring age, the estimator's reason to exist;
+    a naive conversion-rate query would just drop them). Hazard steps
+    are exact integral divisions 1e6*d div n summed — integer-exact
+    where Kaplan-Meier's product would float-fold. Weekday pins the
+    Spark-1=Sunday / DuckDB-0=Sunday convention (X203: oracle adds 1).
+    Scale: corpus collapses to per-user signup/first-purchase rows
+    (two keyed aggregates + one user-key join); everything after is
+    duration-bounded. Staged for r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import nelson_aalen
+
+    e = _events(spark, sf_dir)
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("sts"))
+    )
+    pu = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_u"), F.col("ts").alias("pts")
+    )
+    fp = (
+        su.join(
+            pu,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("pts") > F.col("sts")),
+            "left",
+        )
+        .groupBy("user_id", "sts")
+        .agg(F.min("pts").alias("pts"))
+    )
+    mx = e.agg(F.max("ts").alias("mts"))
+    subj = fp.crossJoin(F.broadcast(mx)).select(
+        F.dayofweek("sts").cast("bigint").alias("cohort"),
+        F.when(
+            F.col("pts").isNotNull(),
+            F.expr("(unix_micros(pts) - unix_micros(sts)) div 3600000000"),
+        )
+        .otherwise(
+            F.expr("(unix_micros(mts) - unix_micros(sts)) div 3600000000")
+        )
+        .cast("bigint")
+        .alias("dur_h"),
+        F.col("pts").isNotNull().cast("int").alias("ev"),
+    )
+    return nelson_aalen(subj, "cohort", "dur_h", "ev")
+
+
+SEQ_2PATTERNS_EVENTS_ORACLE = """
+with ut as (
+  select user_id, event_type,
+         epoch_us(min(ts::timestamp)) as mn,
+         epoch_us(max(ts::timestamp)) as mx
+  from events group by 1, 2
+),
+nu as (select cast(count(distinct user_id) as bigint) as n_users
+       from events),
+sup as (
+  select a.event_type as ant, b.event_type as cons,
+         cast(count(*) as bigint) as support_users
+  from ut a join ut b
+    on a.user_id = b.user_id and a.mn < b.mx
+  group by 1, 2
+)
+select ant, cons, support_users, n_users,
+       cast((1000000 * support_users) // n_users as bigint)
+         as support_ppm
+from sup cross join nu
+order by support_users desc, ant, cons
+"""
+
+
+def seq_2patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential 2-pattern support (PrefixSpan's length-2 frame,
+    Pei et al. 2001): for every ordered event-type pair (a -> b), the
+    number of users whose stream contains an a STRICTLY BEFORE some b
+    (existential order, not adjacency; a==b reads "type repeats").
+    The classic funnel-discovery sweep the hand-built funnel query
+    can't give (it needs the pair declared). Exactness: containment
+    ``exists i<j`` collapses to ``min_ts(a) < max_ts(b)`` on the per-
+    (user, type) min/max aggregate — each user contributes each pair
+    at most once, so count(*) IS the distinct-user support; ppm is
+    integral division. Scale: corpus collapses to the (user, type)
+    min/max table (one map-side groupBy); the pair join fans out
+    |types|^2 per user, never corpus rows. Staged for r13 (r11
+    oracle freeze)."""
+    e = _events(spark, sf_dir)
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("mn"),
+        F.max(F.expr("unix_micros(ts)")).alias("mx"),
+    )
+    a = ut.select(
+        "user_id", F.col("event_type").alias("ant"), "mn"
+    )
+    b = ut.select(
+        F.col("user_id").alias("_u"),
+        F.col("event_type").alias("cons"),
+        "mx",
+    )
+    sup = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("mn") < F.col("mx")),
+        )
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_users"))
+    )
+    nu = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return (
+        sup.crossJoin(F.broadcast(nu))
+        .select(
+            "ant",
+            "cons",
+            "support_users",
+            "n_users",
+            F.expr(
+                "cast((1000000 * support_users) div n_users as bigint)"
+            ).alias("support_ppm"),
+        )
+        .orderBy(F.col("support_users").desc(), "ant", "cons")
+    )

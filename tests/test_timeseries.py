@@ -1,0 +1,186 @@
+"""Temporal-analytics tier: unit pins for operators/timeseries.py plus
+driver-style oracle parity for the four staged queries (NOT registered —
+r11 oracle freeze; r13 candidates, the pq_residual_recall precedent).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from dbt_gdpr_anonymizer_spark import queries as Q
+from dbt_gdpr_anonymizer_spark.operators.timeseries import (
+    acf_lags,
+    ewma_fold,
+    nelson_aalen,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TINY", "/root/testdata/sf0.001")
+
+PAIRS = [
+    (Q.acf_daily_events, Q.ACF_DAILY_EVENTS_ORACLE),
+    (Q.ewma_daily_events, Q.EWMA_DAILY_EVENTS_ORACLE),
+    (
+        Q.time_to_purchase_hazard_events,
+        Q.TIME_TO_PURCHASE_HAZARD_ORACLE,
+    ),
+    (Q.seq_2patterns_events, Q.SEQ_2PATTERNS_EVENTS_ORACLE),
+]
+
+
+def _oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_dir}/events.parquet'"
+    )
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    con.close()
+    return cols, rows
+
+
+@pytest.mark.parametrize(
+    "fn,sql", PAIRS, ids=[fn.__name__ for fn, _ in PAIRS]
+)
+def test_matches_duckdb_oracle(spark, fn, sql):
+    sdf = fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sorted(
+        tuple(r) for r in sdf.collect()
+    )
+    ocols, orows = _oracle(sql, SF_DIR)
+    orows = sorted(tuple(r) for r in orows)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0, f"{fn.__name__}: empty result"
+    assert srows == orows
+
+
+# ---------------------------------------------------------------- units
+
+
+def test_acf_alternating_series_is_minus_one(spark):
+    # x alternates 1,3,1,3,... -> lag-1 ACF is exactly -1
+    rows = [("g", t, 1 if t % 2 == 0 else 3) for t in range(10)]
+    df = spark.createDataFrame(rows, "grp string, t int, x int")
+    out = acf_lags(df, "grp", "t", "x", [1, 2]).collect()
+    by_lag = {r.lag: r for r in out}
+    assert by_lag[1].acf_e6 == -1_000_000
+    assert by_lag[2].acf_e6 == 1_000_000 - 1 or by_lag[2].acf_e6 == 1_000_000
+    assert by_lag[1].n_pairs == 9
+
+
+def test_acf_constant_series_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", t, 5) for t in range(6)], "grp string, t int, x int"
+    )
+    out = acf_lags(df, "grp", "t", "x", [1]).collect()
+    assert out[0].acf_e6 is None
+
+
+def test_acf_rejects_non_integral_and_bad_lags(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 1.5)], "grp string, t int, x double"
+    )
+    with pytest.raises(TypeError):
+        acf_lags(df, "grp", "t", "x", [1])
+    ok = spark.createDataFrame([("g", 1, 1)], "grp string, t int, x int")
+    with pytest.raises(ValueError):
+        acf_lags(ok, "grp", "t", "x", [])
+    with pytest.raises(ValueError):
+        acf_lags(ok, "grp", "t", "x", [0])
+
+
+def test_ewma_hand_computed(spark):
+    # alpha=1/4, scale=100: x = [8, 4, 12]
+    # s1 = 800; s2 = (400 + 3*800) div 4 = 700; s3 = (1200+3*700) div 4 = 825
+    df = spark.createDataFrame(
+        [("g", 1, 8), ("g", 2, 4), ("g", 3, 12)],
+        "grp string, t int, x int",
+    )
+    out = ewma_fold(df, "grp", "t", "x", 1, 4, 100).collect()
+    assert [(r.t, r.ewma_e6) for r in out] == [(1, 800), (2, 700), (3, 825)]
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([("g", 1, 1)], "grp string, t int, x int")
+    with pytest.raises(ValueError):
+        ewma_fold(df, "grp", "t", "x", 4, 4)
+    with pytest.raises(ValueError):
+        ewma_fold(df, "grp", "t", "x", 0, 4)
+
+
+def test_nelson_aalen_hand_computed(spark):
+    # durations: 1 (event), 2 (censored), 3 (event)
+    # t=1: n=3, d=1 -> 333333 ; t=3: n=1, d=1 -> 1000000 ; cum 1333333
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 0), ("g", 3, 1)],
+        "grp string, dur int, ev int",
+    )
+    out = nelson_aalen(df, "grp", "dur", "ev").collect()
+    assert [(r.dur, r.n_at_risk, r.d_events, r.hazard_step_e6,
+             r.cum_hazard_e6) for r in out] == [
+        (1, 3, 1, 333333, 1333333 - 1000000),
+        (3, 1, 1, 1000000, 1333333),
+    ]
+
+
+def test_nelson_aalen_censored_only_group_is_empty(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 0), ("g", 7, 0)], "grp string, dur int, ev int"
+    )
+    assert nelson_aalen(df, "grp", "dur", "ev").count() == 0
+
+
+def test_hazard_monotone_and_bounded(spark):
+    rows = Q.time_to_purchase_hazard_events(spark, SF_DIR).collect()
+    assert rows
+    last = {}
+    for r in rows:
+        assert 0 < r.hazard_step_e6 <= 1_000_000
+        assert r.hazard_step_e6 == 1_000_000 * r.d_events // r.n_at_risk
+        prev = last.get(r.grp, 0)
+        assert r.cum_hazard_e6 == prev + r.hazard_step_e6
+        last[r.grp] = r.cum_hazard_e6
+
+
+def test_seq_patterns_tiny(spark):
+    # user 1: a@1, b@2  -> supports (a,b); user 2: b@1, a@2 -> (b,a)
+    # both users: no repeats -> no self pairs
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "a"),
+        (1, base + dt.timedelta(hours=1), "b"),
+        (2, base, "b"),
+        (2, base + dt.timedelta(hours=1), "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    )
+    from pyspark.sql import functions as F
+
+    ut = df.groupBy("user_id", "event_type").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("mn"),
+        F.max(F.expr("unix_micros(ts)")).alias("mx"),
+    )
+    a = ut.select("user_id", F.col("event_type").alias("ant"), "mn")
+    b = ut.select(
+        F.col("user_id").alias("_u"),
+        F.col("event_type").alias("cons"),
+        "mx",
+    )
+    sup = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("_u")) & (F.col("mn") < F.col("mx")),
+        )
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .collect()
+    )
+    got = {(r.ant, r.cons): r.s for r in sup}
+    assert got == {("a", "b"): 1, ("b", "a"): 1}
