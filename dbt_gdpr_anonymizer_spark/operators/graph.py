@@ -15,7 +15,12 @@ from pyspark.sql import functions as F
 
 from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
-__all__ = ["connected_components", "pagerank_int", "triangle_count"]
+__all__ = [
+    "connected_components",
+    "label_propagation",
+    "pagerank_int",
+    "triangle_count",
+]
 
 
 def connected_components(
@@ -340,3 +345,79 @@ def triangle_count(
         .orderBy("node")
     )
     return per_node
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) with a deterministic tie order: every node
+    starts labeled with its own id; each round sets ``label(v)`` to the
+    MOST FREQUENT label among v's neighbors' previous-round labels,
+    ties broken by the SMALLEST label (the paper's random tie-break
+    replaced by an order both engines share — the repo's determinism
+    stance; the registry oracle unrolls the identical rounds in SQL).
+    Neighbors only — a node's own label does not vote (the classic
+    asynchronous variant's self-vote would need an update order, which
+    is exactly the nondeterminism being removed). Fixed synchronous
+    rounds: bipartite-ish regions may oscillate rather than converge —
+    the bounded-round unroll IS the contract (the Mondrian fixed-
+    budget precedent), not a convergence loop.
+
+    Scale shape: per round ONE hash join (bidirected edges against the
+    label table) + one map-side-partial (node, label) count + one
+    row_number pick over the node-partitioned, degree-bounded label
+    frame. Labels persist per round so the logical plan stays
+    O(rounds) (the connected_components lineage lesson). Returns
+    ``(node, community, community_size)`` for every node incident to
+    an edge, community sizes from one rollup over the node frame.
+    """
+    if rounds < 1:
+        raise ValueError("label_propagation: rounds must be >= 1")
+    from pyspark.sql import Window
+
+    cached: list[DataFrame] = []
+    ed = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).persist()
+    cached.append(ed)
+    bi = ed.unionByName(
+        ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        bi.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lb", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lb").asc()
+    )
+    for _ in range(rounds):
+        votes = (
+            bi.join(labels, bi["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"), F.col("lb"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lb")
+            .persist()
+        )
+        cached.append(labels)
+    sz = labels.groupBy("lb").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    out = (
+        labels.join(sz, "lb")
+        .select(
+            "node",
+            F.col("lb").alias("community"),
+            "community_size",
+        )
+        .orderBy("node")
+    )
+    return track_caches(out, *cached)

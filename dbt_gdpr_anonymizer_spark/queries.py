@@ -17148,3 +17148,106 @@ def seq_2patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("support_users").desc(), "ant", "cons")
     )
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled replay of operators/graph.label_propagation over the
+    brand co-purchase graph (the triangle_count_brands edge builder):
+    per round — the bidirected neighbor-label vote count and the
+    (count desc, label asc) row_number pick. Fixed ``rounds`` makes
+    the non-recursive oracle possible (the Mondrian/BPE unrolled
+    precedent); synchronous rounds are what keep the two replays
+    bit-identical."""
+    ctes = [
+        """items as (
+      select distinct l.l_orderkey as bk, p.p_brand as it
+      from lineitem l join part p on l.l_partkey = p.p_partkey
+    )""",
+        """e as (
+      select a.it as u, b.it as v
+      from items a join items b on a.bk = b.bk and a.it < b.it
+      group by 1, 2
+      having count(*) >= 10
+    )""",
+        """bi as (
+      select u, v from e
+      union all
+      select v as u, u as v from e
+    )""",
+        "lab0 as (select distinct u as n, u as lb from bi)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} as (
+      select bi.u as n, l.lb, cast(count(*) as bigint) as c
+      from bi join lab{r - 1} l on bi.v = l.n
+      group by 1, 2
+    )"""
+        )
+        ctes.append(
+            f"""lab{r} as (
+      select n, lb from (
+        select n, lb,
+               row_number() over (partition by n
+                                  order by c desc, lb asc) as rn
+        from c{r})
+      where rn = 1
+    )"""
+        )
+    ctes.append(
+        f"""sz as (
+      select lb, cast(count(*) as bigint) as community_size
+      from lab{rounds} group by 1
+    )"""
+    )
+    return (
+        "with "
+        + ",\n".join(ctes)
+        + f"""
+    select n as node, lab{rounds}.lb as community, community_size
+    from lab{rounds} join sz using (lb)
+    order by node
+    """
+    )
+
+
+LPA_COMMUNITIES_BRANDS_ORACLE = _lpa_oracle_sql(4)
+
+
+def lpa_communities_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (operators/graph.label_propagation — Raghavan/Albert/Kumara 2007)
+    over the brand co-purchase graph X194 counts triangles on: the
+    "which categories cluster together" taxonomy view a mixture/dedup
+    planner reads next to the clique-ness signal. Determinism: the
+    paper's random tie-break is replaced by (count desc, label asc) —
+    the order both engines share — and rounds are FIXED synchronous
+    (4; the Mondrian bounded-unroll stance), so the unrolled-CTE
+    oracle replays bit-identically. Scale shape: per round one hash
+    join + one map-side (node, label) count + one degree-bounded
+    row_number pick; labels persist per round so the plan stays
+    O(rounds) (the connected_components lineage lesson). Staged for
+    r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    items = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it")
+        )
+        .distinct()
+    )
+    a = items.select(F.col("bk"), F.col("it").alias("u"))
+    b = items.select(F.col("bk"), F.col("it").alias("v"))
+    edges = (
+        a.join(b, "bk")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 10)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    out = label_propagation(edges, "src", "dst", rounds=4)
+    return _retrack(out, out)

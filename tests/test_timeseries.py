@@ -184,3 +184,54 @@ def test_seq_patterns_tiny(spark):
     )
     got = {(r.ant, r.cons): r.s for r in sup}
     assert got == {("a", "b"): 1, ("b", "a"): 1}
+
+
+# ------------------------------------------------------- LPA communities
+
+
+def test_lpa_matches_duckdb_oracle(spark):
+    sdf = Q.lpa_communities_brands(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"create view {t} as select * from '{SF_DIR}/{t}.parquet'"
+        )
+    res = con.execute(Q.LPA_COMMUNITIES_BRANDS_ORACLE)
+    ocols = [d[0] for d in res.description]
+    orows = sorted(tuple(r) for r in res.fetchall())
+    con.close()
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    # two 3-cliques joined by one bridge edge: each clique converges to
+    # its own min label; the bridge is outvoted 2-to-1 on both sides
+    from dbt_gdpr_anonymizer_spark.operators.graph import label_propagation
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+        ("x", "y"), ("x", "z"), ("y", "z"),
+        ("c", "x"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {
+        r.node: r.community
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    assert out["a"] == out["b"] == out["c"]
+    assert out["x"] == out["y"] == out["z"]
+    assert out["a"] != out["x"]
+
+
+def test_lpa_rejects_bad_rounds(spark):
+    from dbt_gdpr_anonymizer_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        label_propagation(df, rounds=0)
