@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grid_cells", "radius_pairs"]
+__all__ = ["dbscan_clusters", "grid_cells", "radius_pairs"]
 
 # km per degree of latitude: 2*pi*6371/360, rounded to the literal both
 # engines embed (the shared-literal stance — the value only needs to be
@@ -210,3 +210,105 @@ def radius_pairs(
         )
         .orderBy("a_id", "b_id")
     )
+
+
+def dbscan_clusters(
+    df: DataFrame,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    *,
+    eps_km: float,
+    min_pts: int,
+    cc_iters: int = 6,
+) -> DataFrame:
+    """Grid-blocked DBSCAN (Ester/Kriegel/Sander/Xu, KDD 1996) over
+    geographic points — density clustering without the cartesian: the
+    eps-neighborhood graph comes from :func:`radius_pairs` (3×3 cell
+    probe + hash equi-join + exact haversine verify), CORE points are
+    those with ≥ ``min_pts`` points in their closed neighborhood
+    (incident pairs ≥ min_pts − 1 — the pair graph excludes self), and
+    clusters are the connected components of the core–core subgraph
+    (synchronous min-label, ``cc_iters`` fixed rounds — exact for
+    components of diameter ≤ cc_iters, the connected_components
+    contract; an isolated core seeds its own cluster). BORDER points
+    (non-core with ≥ 1 core neighbor) attach to the SMALLEST cluster
+    label among their core neighbors — the paper leaves border
+    assignment order-dependent; the min rule is the deterministic
+    choice both engines share. Noise points (neither) do not release.
+
+    Scale: the pair graph persists once and feeds degree counts, the
+    core filter (two semi joins), and the component rounds — all hash
+    joins and keyed aggregates over the PAIR frame, whose size the
+    grid blocking already bounded. Returns ``(pid, cluster, is_core)``
+    ordered by pid; cluster labels are min member core ids.
+    """
+    if min_pts < 2:
+        raise ValueError("dbscan_clusters: min_pts must be >= 2")
+    from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
+    from dbt_gdpr_anonymizer_spark.operators.graph import (
+        connected_components,
+    )
+
+    # localCheckpoint (not plain persist): the pair graph feeds degree
+    # counts, two core semi-joins, AND the component rounds — and the
+    # min-label rounds reference their input 2^iters times at ANALYSIS
+    # time (the connected_components plan-shape note). With persist the
+    # executors compute once but the analyzer still expands ~2^iters
+    # copies of the whole grid/probe/verify subplan — measured driver
+    # heap OOM on a 5-row input at iters=6. Checkpointing swaps the
+    # plan root for a leaf, so every downstream reference is O(1).
+    pairs = (
+        radius_pairs(df, id_col, lat_col, lon_col, radius_km=eps_km)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=False)
+    )
+    inc = pairs.select(
+        F.col("a_id").alias("pid"), F.col("b_id").alias("nb")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("pid"), F.col("a_id").alias("nb"))
+    )
+    deg = inc.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    cores = deg.where(F.col("_n") >= min_pts - 1).select("pid")
+    e_cc = pairs.join(
+        cores.select(F.col("pid").alias("a_id")), "a_id", "left_semi"
+    ).join(
+        cores.select(F.col("pid").alias("b_id")), "b_id", "left_semi"
+    )
+    comp = connected_components(
+        e_cc.select("a_id", "b_id"),
+        src="a_id",
+        dst="b_id",
+        iters=cc_iters,
+        checkpoint=True,
+    )
+    core_lab = cores.join(
+        comp, cores["pid"] == comp["node"], "left"
+    ).select(
+        "pid",
+        F.coalesce(F.col("component"), F.col("pid")).alias("cluster"),
+    )
+    border = (
+        inc.join(cores, "pid", "left_anti")
+        .join(
+            core_lab.select(
+                F.col("pid").alias("nb"), F.col("cluster")
+            ),
+            "nb",
+        )
+        .groupBy("pid")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = (
+        core_lab.withColumn("is_core", F.lit(1).cast("bigint"))
+        .unionByName(
+            border.withColumn("is_core", F.lit(0).cast("bigint"))
+        )
+        .orderBy("pid")
+    )
+    # comp's own caches ride its cached_deps (attributes don't survive
+    # plan transforms — re-track them, the _retrack contract); the
+    # checkpointed pair graph frees with GC, no unpersist needed.
+    return track_caches(out, *getattr(comp, "cached_deps", ()))

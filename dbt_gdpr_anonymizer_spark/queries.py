@@ -17251,3 +17251,142 @@ def lpa_communities_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = label_propagation(edges, "src", "dst", rounds=4)
     return _retrack(out, out)
+
+
+def _cc_rounds_materialized_sql(iters: int) -> str:
+    """_cc_rounds_sql with every round CTE MATERIALIZED: DuckDB inlines
+    plain CTEs, and each round references the previous one TWICE — the
+    2^iters plan expansion that stalled the Mondrian oracle until its
+    CTEs were materialized (and here stalled the DBSCAN oracle at
+    iters=6). Registered oracles keep the byte-stable plain helper;
+    new oracles over expensive edge CTEs use this one."""
+    parts = [
+        "l0 as materialized (select distinct a as node, a as label from bi)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""l{k} as materialized (
+      select l.node,
+             least(l.label, coalesce(min(nb.label), l.label)) as label
+      from l{k - 1} l
+      left join bi on bi.a = l.node
+      left join l{k - 1} nb on nb.node = bi.b
+      group by l.node, l.label
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _dbscan_oracle_sql(
+    radius_km: float = 20.0, min_pts: int = 3, cc_iters: int = 6
+) -> str:
+    """Replay of operators/spatial.dbscan_clusters over the customer
+    coordinates: the X181 grid/probe/verify pair tier (same driver-side
+    cell-width literals via repr — the shared-literal stance), degree
+    counts over the symmetric incidence, the core filter, the unrolled
+    synchronous min-label rounds over the core-core subgraph
+    (_cc_rounds_sql — algorithmic equality with
+    operators/graph.connected_components), isolated-core self-labels,
+    and the min-label border attachment."""
+    cd_lat = radius_km / 111.19
+    lon_num = radius_km * 1.5708
+    hav = (
+        "6371*2*asin(sqrt(pow(sin(radians(b_lat-a_lat)/2),2) + "
+        "cos(radians(a_lat))*cos(radians(b_lat))*"
+        "pow(sin(radians(b_lon-a_lon)/2),2)))"
+    )
+    return f"""
+    with pts as (
+      select c_custkey as pid, {_LAT_SQL} as lat, {_LON_SQL} as lon
+      from customer
+    ),
+    s as (select max(abs(lat)) as maxabslat from pts),
+    cells as (
+      select pid, lat, lon,
+             cast(floor((lat + 90.0) / {cd_lat!r}) as bigint) as gi,
+             cast(floor((lon + 180.0) /
+               ({lon_num!r} / (111.19 * cos(radians(maxabslat)))))
+               as bigint) as gj
+      from pts cross join s
+      where lat is not null and lon is not null
+    ),
+    probe as (
+      select pid as a_id, lat as a_lat, lon as a_lon,
+             gi + dx.d as pi, gj + dy.d as pj
+      from cells,
+           (values (-1), (0), (1)) dx(d),
+           (values (-1), (0), (1)) dy(d)
+    ),
+    cand as (
+      select a_id, a_lat, a_lon,
+             b.pid as b_id, b.lat as b_lat, b.lon as b_lon
+      from probe
+      join cells b on probe.pi = b.gi and probe.pj = b.gj
+                   and probe.a_id < b.pid
+    ),
+    pairs as materialized (
+      select a_id, b_id from cand where {hav} <= {radius_km!r}
+    ),
+    inc as materialized (
+      select a_id as pid, b_id as nb from pairs
+      union all
+      select b_id as pid, a_id as nb from pairs
+    ),
+    deg as materialized (select pid, count(*) as c from inc group by 1),
+    cores as materialized (select pid from deg where c >= {min_pts - 1}),
+    bi as materialized (
+      select a_id as a, b_id as b from pairs
+      where a_id in (select pid from cores)
+        and b_id in (select pid from cores)
+      union all
+      select b_id as a, a_id as b from pairs
+      where a_id in (select pid from cores)
+        and b_id in (select pid from cores)
+    ),
+    {_cc_rounds_materialized_sql(cc_iters)},
+    core_lab as materialized (
+      select c.pid, coalesce(l{cc_iters}.label, c.pid) as cluster
+      from cores c left join l{cc_iters} on l{cc_iters}.node = c.pid
+    ),
+    border as (
+      select i.pid, min(cl.cluster) as cluster
+      from inc i
+      join core_lab cl on cl.pid = i.nb
+      where i.pid not in (select pid from cores)
+      group by i.pid
+    )
+    select pid, cluster, cast(1 as bigint) as is_core from core_lab
+    union all
+    select pid, cluster, cast(0 as bigint) as is_core from border
+    order by pid
+    """
+
+
+DBSCAN_CUSTOMERS_ORACLE = _dbscan_oracle_sql(20.0, 3, 6)
+
+
+def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN (operators/spatial.dbscan_clusters — Ester
+    et al. KDD 1996) over the customer coordinates: the density
+    clusters behind X181's proximity question (radius pairs tell you
+    WHO is close; DBSCAN tells you the dense GROUPS a re-identification
+    adversary would target), eps = 20 km, min_pts = 3. Every
+    nondeterminism in the paper is pinned: border points attach to the
+    MIN core-neighbor cluster, components run FIXED synchronous
+    min-label rounds (exact for diameter <= 6 — the
+    connected_components contract; the oracle unrolls the identical
+    rounds), and cluster labels are min member ids. Scale: the pair
+    graph persists once (grid-blocked, never cartesian); everything
+    after is hash joins + keyed aggregates over the pair frame.
+    Staged for r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.spatial import dbscan_clusters
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    out = dbscan_clusters(
+        c, "pid", "lat", "lon", eps_km=20.0, min_pts=3, cc_iters=6
+    )
+    return _retrack(out, out)

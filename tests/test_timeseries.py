@@ -235,3 +235,57 @@ def test_lpa_rejects_bad_rounds(spark):
 
     with _pt.raises(ValueError):
         label_propagation(df, rounds=0)
+
+
+# ------------------------------------------------------------- DBSCAN
+
+
+def test_dbscan_matches_duckdb_oracle(spark):
+    sdf = Q.dbscan_customers(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"create view customer as select * from '{SF_DIR}/customer.parquet'"
+    )
+    res = con.execute(Q.DBSCAN_CUSTOMERS_ORACLE)
+    ocols = [d[0] for d in res.description]
+    orows = sorted(tuple(r) for r in res.fetchall())
+    con.close()
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+
+
+def test_dbscan_semantics_tiny(spark):
+    # 4 points on a line 1km apart (core chain) + 1 far-away noise point;
+    # eps=1.5km, min_pts=3: middle points are core (2 neighbors), the two
+    # ends are border (1 core neighbor each), the far point is noise.
+    from dbt_gdpr_anonymizer_spark.operators.spatial import dbscan_clusters
+
+    rows = [
+        (1, 0.0, 0.0),
+        (2, 0.009, 0.0),   # ~1.0 km north
+        (3, 0.018, 0.0),
+        (4, 0.027, 0.0),
+        (9, 5.0, 5.0),     # noise
+    ]
+    df = spark.createDataFrame(rows, "pid int, lat double, lon double")
+    out = dbscan_clusters(
+        df, "pid", "lat", "lon", eps_km=1.5, min_pts=3
+    ).collect()
+    got = {r.pid: (r.cluster, r.is_core) for r in out}
+    assert 9 not in got
+    assert got[2][1] == 1 and got[3][1] == 1     # middle: core
+    assert got[1][1] == 0 and got[4][1] == 0     # ends: border
+    assert len({v[0] for v in got.values()}) == 1  # one cluster
+
+
+def test_dbscan_rejects_bad_min_pts(spark):
+    from dbt_gdpr_anonymizer_spark.operators.spatial import dbscan_clusters
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "pid int, lat double, lon double"
+    )
+    with pytest.raises(ValueError):
+        dbscan_clusters(df, "pid", "lat", "lon", eps_km=1.0, min_pts=1)
