@@ -17,6 +17,7 @@ from dbt_gdpr_anonymizer_spark.operators.caching import track_caches
 
 __all__ = [
     "connected_components",
+    "kcore_peel",
     "label_propagation",
     "pagerank_int",
     "triangle_count",
@@ -421,3 +422,73 @@ def label_propagation(
         .orderBy("node")
     )
     return track_caches(out, *cached)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    k: int,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core extraction by fixed-round peeling (Seidman 1983; the
+    Matula/Beck peel loop with a bounded round budget): repeatedly drop
+    every node whose degree in the SURVIVING subgraph is below ``k``,
+    ``rounds`` times. After convergence the survivors are exactly the
+    k-core — the maximal subgraph with min degree ≥ k, the standard
+    "dense backbone" screen (a near-dup or co-purchase cluster that
+    survives the 3-core is structure, not noise). Peeling removes
+    cascades: a node can be above k initially and fall below once its
+    weaker neighbors leave — that cascade is why one degree filter is
+    NOT enough and each round must recompute degrees on the filtered
+    edge set. Fixed synchronous rounds are the repo's bounded-unroll
+    contract (Mondrian/LPA): exact whenever the peel converges within
+    ``rounds`` (extra rounds are idempotent), and the unrolled-CTE
+    oracle replays the identical rounds bit-for-bit.
+
+    Scale shape: per round one degree aggregation + two semi joins
+    (keep edges whose BOTH ends survive) over the shrinking edge set.
+    Each round references the previous edge set THREE times (the edges
+    plus both semi-join build sides), so the analysis-time plan grows
+    3^rounds without truncation — every round therefore
+    localCheckpoints its edge frame (the dbscan_clusters lesson: a
+    plain persist leaves the analyzer expanding the full subplan; at
+    8 rounds that is 6561 copies). Returns ``(node, degree)`` for
+    surviving nodes with their final in-core degree, ordered by node.
+    """
+    if k < 1:
+        raise ValueError("kcore_peel: k must be >= 1")
+    if rounds < 1:
+        raise ValueError("kcore_peel: rounds must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.select(F.col("n").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("n").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("n").alias("node"), "degree")
+        .orderBy("node")
+    )

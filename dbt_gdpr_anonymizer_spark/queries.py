@@ -17390,3 +17390,118 @@ def dbscan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, "pid", "lat", "lon", eps_km=20.0, min_pts=3, cc_iters=6
     )
     return _retrack(out, out)
+
+
+def _kcore_oracle_sql(
+    radius_km: float = 40.0, k: int = 3, rounds: int = 8
+) -> str:
+    """Replay of operators/graph.kcore_peel over the eps=40km customer
+    proximity graph: the X181 grid/probe/verify pair tier, then
+    ``rounds`` unrolled peel rounds — degree count, >=k keep set, and
+    the both-ends edge filter — every CTE MATERIALIZED (each round
+    references the previous edge CTE three times; inlined that is
+    3^rounds, the dbscan oracle lesson). The final release recomputes
+    degrees on the peeled edge set and filters >= k, exactly as the
+    operator does."""
+    cd_lat = radius_km / 111.19
+    lon_num = radius_km * 1.5708
+    hav = (
+        "6371*2*asin(sqrt(pow(sin(radians(b_lat-a_lat)/2),2) + "
+        "cos(radians(a_lat))*cos(radians(b_lat))*"
+        "pow(sin(radians(b_lon-a_lon)/2),2)))"
+    )
+    ctes = [
+        f"""pts as (
+      select c_custkey as pid, {_LAT_SQL} as lat, {_LON_SQL} as lon
+      from customer
+    )""",
+        "s as (select max(abs(lat)) as maxabslat from pts)",
+        f"""cells as (
+      select pid, lat, lon,
+             cast(floor((lat + 90.0) / {cd_lat!r}) as bigint) as gi,
+             cast(floor((lon + 180.0) /
+               ({lon_num!r} / (111.19 * cos(radians(maxabslat)))))
+               as bigint) as gj
+      from pts cross join s
+      where lat is not null and lon is not null
+    )""",
+        """probe as (
+      select pid as a_id, lat as a_lat, lon as a_lon,
+             gi + dx.d as pi, gj + dy.d as pj
+      from cells,
+           (values (-1), (0), (1)) dx(d),
+           (values (-1), (0), (1)) dy(d)
+    )""",
+        """cand as (
+      select a_id, a_lat, a_lon,
+             b.pid as b_id, b.lat as b_lat, b.lon as b_lon
+      from probe
+      join cells b on probe.pi = b.gi and probe.pj = b.gj
+                   and probe.a_id < b.pid
+    )""",
+        f"""e0 as materialized (
+      select a_id as u, b_id as v from cand where {hav} <= {radius_km!r}
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""deg{r} as materialized (
+      select n, cast(count(*) as bigint) as d
+      from (select u as n from e{r - 1}
+            union all select v from e{r - 1})
+      group by 1
+    )"""
+        )
+        ctes.append(
+            f"keep{r} as materialized "
+            f"(select n from deg{r} where d >= {k})"
+        )
+        ctes.append(
+            f"""e{r} as materialized (
+      select e.u, e.v from e{r - 1} e
+      join keep{r} a on e.u = a.n
+      join keep{r} b on e.v = b.n
+    )"""
+        )
+    return (
+        "with "
+        + ",\n    ".join(ctes)
+        + f"""
+    select n as node, cast(count(*) as bigint) as degree
+    from (select u as n from e{rounds} union all select v from e{rounds})
+    group by 1
+    having count(*) >= {k}
+    order by node
+    """
+    )
+
+
+KCORE_SPATIAL_CUSTOMERS_ORACLE = _kcore_oracle_sql(40.0, 3, 8)
+
+
+def kcore_spatial_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core backbone of the customer proximity graph
+    (operators/graph.kcore_peel — Seidman 1983 / Matula-Beck peeling):
+    the eps=40km pair graph's 3-core, the dense spatial clusters that
+    survive cascade removal — a stricter density screen than X211's
+    DBSCAN (min_pts counts a point's own neighbors; the k-core demands
+    the NEIGHBORS' neighbors hold up too, which is what the peel
+    cascade checks). rounds=8 fixed synchronous peels (measured: the
+    peel converges by round 8 at sf0.001/0.01/0.1; extra rounds
+    idempotent, and the oracle unrolls the identical rounds so parity
+    holds even pre-convergence). Spark-side every round
+    localCheckpoints (3 references per round — 3^8 analyzer copies
+    without truncation, the dbscan lesson); oracle-side every round
+    CTE is materialized. Staged for r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.graph import kcore_peel
+    from dbt_gdpr_anonymizer_spark.operators.spatial import radius_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("pid"),
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    )
+    pairs = radius_pairs(c, "pid", "lat", "lon", radius_km=40.0)
+    return kcore_peel(
+        pairs.select("a_id", "b_id"), "a_id", "b_id", k=3, rounds=8
+    )

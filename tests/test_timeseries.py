@@ -289,3 +289,44 @@ def test_dbscan_rejects_bad_min_pts(spark):
     )
     with pytest.raises(ValueError):
         dbscan_clusters(df, "pid", "lat", "lon", eps_km=1.0, min_pts=1)
+
+
+# -------------------------------------------------------------- k-core
+
+
+def test_kcore_matches_duckdb_oracle(spark):
+    sdf = Q.kcore_spatial_customers(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"create view customer as select * from '{SF_DIR}/customer.parquet'"
+    )
+    res = con.execute(Q.KCORE_SPATIAL_CUSTOMERS_ORACLE)
+    ocols = [d[0] for d in res.description]
+    orows = sorted(tuple(r) for r in res.fetchall())
+    con.close()
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+
+
+def test_kcore_cascade_semantics(spark):
+    # triangle a-b-c plus a pendant chain c-d-e: at k=2 the chain peels
+    # in CASCADE (e first, then d) — a single degree filter would keep d
+    from dbt_gdpr_anonymizer_spark.operators.graph import kcore_peel
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.node: r.degree for r in kcore_peel(df, k=2, rounds=4).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_rejects_bad_params(spark):
+    from dbt_gdpr_anonymizer_spark.operators.graph import kcore_peel
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=0, rounds=4)
+    with pytest.raises(ValueError):
+        kcore_peel(df, k=2, rounds=0)
