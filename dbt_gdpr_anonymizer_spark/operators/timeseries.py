@@ -24,9 +24,11 @@ Determinism stances (all established in this repo):
   GROUP but the input is a period-bounded table (days, not corpus
   rows): Spark folds each group's sorted array with ``aggregate``
   (one whole-stage span, no driver state), the oracle replays it as a
-  recursive CTE. Inputs must be NON-NEGATIVE integers: Spark ``div``
-  truncates toward zero while DuckDB ``//`` floors, so a negative
-  intermediate would diverge — counts satisfy this by construction.
+  recursive CTE. Negative intermediates are SAFE: both Spark ``div``
+  and DuckDB ``//`` truncate toward zero on integers (measured:
+  ``-7 div 4 = -1`` in both engines — despite DuckDB's docs calling
+  ``//`` floor division), which is what lets the Holt trend term go
+  negative without a parity break.
 * **Nelson–Aalen** (Nelson 1972; Aalen 1978) releases the cumulative
   hazard instead of the Kaplan–Meier product: H(t) = Σ_{t_i≤t} d_i/n_i
   sums per-step integral divisions ``1e6·d_i div n_i`` — exact
@@ -158,10 +160,10 @@ def ewma_fold(
     period-bounded: each group's (t, x) rows collapse to ONE sorted
     array (``array_sort`` on the distinct integer index) and fold via
     the ``aggregate`` HOF appending to a running struct array — no
-    driver state, no corpus window; ``inline`` re-flattens. Inputs
-    must be non-negative integers (Spark ``div`` truncates, DuckDB
-    ``//`` floors; they agree only on non-negatives — counts satisfy
-    this by construction) and ``x·scale·num`` must fit int64.
+    driver state, no corpus window; ``inline`` re-flattens. Signed
+    inputs are safe — Spark ``div`` and DuckDB ``//`` both truncate
+    toward zero on integers (measured; see the module docstring) —
+    and ``x·scale·num`` must fit int64.
     Releases (grp, t, x, ewma_e6) with ewma at the given scale.
     """
     _require_integral(df, t_col, "ewma_fold")
@@ -275,4 +277,88 @@ def nelson_aalen(
             F.sum("hazard_step_e6").over(w_cum).cast("bigint"),
         )
         .orderBy("grp", "dur")
+    )
+
+
+def holt_fold(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend; Holt
+    1957) with DYADIC smoothing factors, folded in exact scaled
+    integers — the trend-aware extension of :func:`ewma_fold`:
+
+      ``l_1 = x_1·scale``;  ``b_1 = 0``
+      ``l_t = (αn·x_t·scale + (αd−αn)·(l_{t−1}+b_{t−1})) div αd``
+      ``b_t = (βn·(l_t − l_{t−1}) + (βd−βn)·b_{t−1}) div βd``
+
+    The trend ``b_t`` is SIGNED; integer-division parity on negatives
+    holds because both engines truncate toward zero (measured — see
+    the module docstring). Same scale shape as ewma_fold: one sorted
+    array per group, one ``aggregate`` HOF fold, ``inline`` back to
+    rows; the oracle is a recursive CTE with the identical
+    recurrences. Releases (grp, t, x, level_e6, trend_e6,
+    forecast_e6) where forecast is the one-step-ahead ``l_t + b_t``.
+    """
+    _require_integral(df, t_col, "holt_fold")
+    _require_integral(df, x_col, "holt_fold")
+    an, ad = int(alpha_num), int(alpha_den)
+    bn, bd = int(beta_num), int(beta_den)
+    if not (0 < an < ad and 0 < bn < bd):
+        raise ValueError(
+            "holt_fold: require 0 < alpha_num < alpha_den and "
+            "0 < beta_num < beta_den"
+        )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    arr = base.groupBy("grp").agg(
+        F.array_sort(F.collect_list(F.struct("t", "x"))).alias("_a")
+    )
+    lnew = (
+        f"(e.x * {scale} * {an} + {ad - an} * "
+        "(element_at(acc, -1).l + element_at(acc, -1).b))"
+        f" div {ad}"
+    )
+    folded = arr.select(
+        "grp",
+        F.expr(
+            f"""
+            aggregate(
+              _a,
+              cast(array() as array<struct<t: bigint, x: bigint,
+                                           l: bigint, b: bigint>>),
+              (acc, e) -> array_append(acc,
+                case when size(acc) = 0
+                then named_struct('t', e.t, 'x', e.x,
+                                  'l', e.x * {scale},
+                                  'b', cast(0 as bigint))
+                else named_struct('t', e.t, 'x', e.x,
+                  'l', {lnew},
+                  'b', ({bn} * ({lnew} - element_at(acc, -1).l)
+                        + {bd - bn} * element_at(acc, -1).b) div {bd})
+                end))
+            """
+        ).alias("_f"),
+    )
+    return (
+        folded.select("grp", F.inline("_f"))
+        .select(
+            "grp",
+            "t",
+            "x",
+            F.col("l").alias("level_e6"),
+            F.col("b").alias("trend_e6"),
+            (F.col("l") + F.col("b")).cast("bigint").alias("forecast_e6"),
+        )
+        .orderBy("grp", "t")
     )

@@ -17505,3 +17505,59 @@ def kcore_spatial_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(
         pairs.select("a_id", "b_id"), "a_id", "b_id", k=3, rounds=8
     )
+
+
+HOLT_DAILY_EVENTS_ORACLE = """
+with recursive daily as (
+  select event_type as grp,
+         epoch_us(ts::timestamp) // 86400000000 as t,
+         cast(count(*) as bigint) as x
+  from events
+  group by 1, 2
+),
+d as (
+  select grp, t, x,
+         cast(row_number() over (partition by grp order by t) as bigint)
+           as rn
+  from daily
+),
+r as (
+  select grp, t, x, rn,
+         cast(x as hugeint) * 1000000 as l,
+         cast(0 as hugeint) as b
+  from d where rn = 1
+  union all
+  select d.grp, d.t, d.x, d.rn,
+         (cast(d.x as hugeint) * 1000000 + 3 * (r.l + r.b)) // 4 as l,
+         (((cast(d.x as hugeint) * 1000000 + 3 * (r.l + r.b)) // 4
+           - r.l) + 3 * r.b) // 4 as b
+  from r join d on d.grp = r.grp and d.rn = r.rn + 1
+)
+select grp, t, x,
+       cast(l as bigint) as level_e6,
+       cast(b as bigint) as trend_e6,
+       cast(l + b as bigint) as forecast_e6
+from r
+order by grp, t
+"""
+
+
+def holt_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-exact Holt level+trend smoothing (alpha = beta = 1/4) of
+    daily event volume per type (operators/timeseries.holt_fold): the
+    one-step-ahead forecast baseline next to X207's flat EWMA — the
+    trend term catches ramps a level-only smoother lags behind. Every
+    step is exact integer arithmetic; the SIGNED trend is safe because
+    both engines truncate integer division toward zero (measured this
+    session — the module docstring's -7 div 4 = -1 pin; DuckDB's docs
+    call // floor division, but on integers it truncates). Oracle is
+    the recursive-CTE twin of the X207 shape with the two-recurrence
+    step. Staged for r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import holt_fold
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return holt_fold(daily, "et", "d", "x", 1, 4, 1, 4, 1_000_000)

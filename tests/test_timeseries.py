@@ -330,3 +330,39 @@ def test_kcore_rejects_bad_params(spark):
         kcore_peel(df, k=0, rounds=4)
     with pytest.raises(ValueError):
         kcore_peel(df, k=2, rounds=0)
+
+
+# ---------------------------------------------------------------- Holt
+
+
+def test_holt_matches_duckdb_oracle(spark):
+    sdf = Q.holt_daily_events(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    ocols, orows = _oracle(Q.HOLT_DAILY_EVENTS_ORACLE, SF_DIR)
+    orows = sorted(tuple(r) for r in orows)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+
+
+def test_holt_hand_computed_with_negative_trend(spark):
+    # alpha=beta=1/2, scale=100: x = [8, 4]
+    # l1=800, b1=0; l2=(4*100 + 800) div 2 = 600; b2=((600-800) + 0) div 2
+    # = -200 div 2 = -100  (negative trend exercises signed div parity)
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import holt_fold
+
+    df = spark.createDataFrame(
+        [("g", 1, 8), ("g", 2, 4)], "grp string, t int, x int"
+    )
+    out = holt_fold(df, "grp", "t", "x", 1, 2, 1, 2, 100).collect()
+    got = [(r.t, r.level_e6, r.trend_e6, r.forecast_e6) for r in out]
+    assert got == [(1, 800, 0, 800), (2, 600, -100, 500)]
+
+
+def test_holt_rejects_bad_factors(spark):
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import holt_fold
+
+    df = spark.createDataFrame([("g", 1, 1)], "grp string, t int, x int")
+    with pytest.raises(ValueError):
+        holt_fold(df, "grp", "t", "x", 1, 4, 4, 4)
