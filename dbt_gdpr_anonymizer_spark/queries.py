@@ -17561,3 +17561,122 @@ def holt_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 86400000000").alias("d"),
     ).agg(F.count(F.lit(1)).cast("long").alias("x"))
     return holt_fold(daily, "et", "d", "x", 1, 4, 1, 4, 1_000_000)
+
+
+def _textrank_oracle_sql(
+    iters: int = 5, damping_pct: int = 85, scale: int = 10**12
+) -> str:
+    """Replay of the TextRank composition: the word co-occurrence graph
+    (consecutive normalized words, len >= 3, undirected-deduped then
+    symmetrized) and the X135 integer-exact PageRank update unrolled
+    ``iters`` times — same floor-division rule as the registered
+    pagerank oracle, over the word graph's own node spine. Graph CTEs
+    are MATERIALIZED: every iteration references the edge CTE, and
+    inlining would re-run the corpus explode per iteration."""
+    base = f"(({100 - damping_pct} * {scale}) // 100 // nn)"
+    ctes = [
+        f"w as (select doc_id, {_WORDS_SQL} as ws from documents)",
+        """pr as (
+      select ws[i] as a, ws[i + 1] as b
+      from (select ws, unnest(range(1, len(ws))) as i
+            from w where len(ws) >= 2)
+    )""",
+        """eu as materialized (
+      select distinct least(a, b) as u, greatest(a, b) as v
+      from pr
+      where a <> b and len(a) >= 3 and len(b) >= 3
+    )""",
+        """bi as materialized (
+      select u as src, v as dst from eu
+      union all
+      select v as src, u as dst from eu
+    )""",
+        "spine as materialized (select distinct src as node_id from bi)",
+        "n as (select count(*) as nn from spine)",
+        """deg as materialized (
+      select src, count(*) as outdeg from bi group by src
+    )""",
+        f"""r0 as materialized (
+      select node_id, ({scale} // nn) as r
+      from spine cross join n
+    )""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""r{k} as materialized (
+      select spine.node_id,
+             ({base} + ({damping_pct} * coalesce(s.s, 0)) // 100) as r
+      from spine cross join n
+      left join (
+        select e.dst as nid, sum(p.r // deg.outdeg) as s
+        from r{k - 1} p
+        join deg on p.node_id = deg.src
+        join bi e on e.src = deg.src
+        group by e.dst
+      ) s on spine.node_id = s.nid
+    )"""
+        )
+    return (
+        "with " + ",\n    ".join(ctes)
+        + f"""
+    select node_id as word, cast(r as bigint) as rank_units
+    from r{iters}
+    order by rank_units desc, word
+    limit 50"""
+    )
+
+
+TEXTRANK_KEYWORDS_ORACLE = _textrank_oracle_sql()
+
+
+def textrank_keywords_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    integer-exact PageRank (operators/graph.pagerank_int — X135's
+    bit-reproducible floor-division variant) over the corpus word
+    co-occurrence graph (consecutive normalized words, len >= 3,
+    unweighted undirected = symmetric directed edges — the paper's
+    window-2 unweighted setting), releasing the top-50 words by
+    (rank desc, word) — the graph-centrality keyword signal tf-idf
+    misses (a term that BRIDGES topics outranks a merely frequent
+    one). Scale shape: one corpus explode builds the vocab-bounded
+    edge list; everything after (degrees, 5 unrolled iterations) is
+    vocab-sized; the release is TakeOrdered over integer ranks with
+    the word tiebreak. Staged for r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.graph import pagerank_int
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(tx.words("text").alias("ws")).where(F.size("ws") >= 2)
+    pairs = w.select(
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1),"
+                " (x, i) -> struct(x as a, element_at(ws, i + 2) as b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    eu = (
+        pairs.where(
+            (F.col("a") != F.col("b"))
+            & (F.length("a") >= 3)
+            & (F.length("b") >= 3)
+        )
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    bi = eu.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        eu.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = bi.select(F.col("src").alias("node_id")).distinct()
+    ranks = pagerank_int(bi, nodes, iters=5, checkpoint_every=5)
+    out = (
+        ranks.select(F.col("node_id").alias("word"), "rank_units")
+        .orderBy(F.col("rank_units").desc(), "word")
+        .limit(50)
+    )
+    return _retrack(out, ranks)
