@@ -17680,3 +17680,58 @@ def textrank_keywords_documents(
         .limit(50)
     )
     return _retrack(out, ranks)
+
+
+# ---------------------------------------------------------------------------
+# Staged r13 registration list (r11 oracle freeze: NOT in QUERIES/ORACLE —
+# the registry holds at 250 until the parked backlog drains). Each pair
+# below is pinned by its pytest module applying the driver's comparison;
+# scripts/check_staged.py drives the whole list in one command, both
+# fetchall and pandas modes, producing a CHECK_STAGED artifact. When the
+# freeze lifts, registration = move each pair into @register (names and
+# SQL are final).
+# ---------------------------------------------------------------------------
+
+STAGED_QUERIES: dict[str, QueryFn] = {}
+STAGED_ORACLE: dict[str, str] = {}
+
+
+def _stage(name: str, fn: QueryFn, oracle: str) -> None:
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLE[name] = oracle
+
+
+_stage("pq_residual_recall", pq_residual_recall, PQ_RESIDUAL_RECALL_ORACLE)
+_stage("q2_min_cost_supplier", q2_min_cost_supplier,
+       Q2_MIN_COST_SUPPLIER_ORACLE)
+_stage("q7_nation_volume_shipping", q7_nation_volume_shipping,
+       Q7_NATION_VOLUME_SHIPPING_ORACLE)
+_stage("q8_national_market_share", q8_national_market_share,
+       Q8_NATIONAL_MARKET_SHARE_ORACLE)
+_stage("q9_product_type_profit", q9_product_type_profit,
+       Q9_PRODUCT_TYPE_PROFIT_ORACLE)
+_stage("q11_important_stock", q11_important_stock,
+       Q11_IMPORTANT_STOCK_ORACLE)
+_stage("q12_priority_shipping", q12_priority_shipping,
+       Q12_PRIORITY_SHIPPING_ORACLE)
+_stage("q13_customer_distribution", q13_customer_distribution,
+       Q13_CUSTOMER_DISTRIBUTION_ORACLE)
+_stage("q15_top_supplier", q15_top_supplier, Q15_TOP_SUPPLIER_ORACLE)
+_stage("q19_discounted_revenue", q19_discounted_revenue,
+       Q19_DISCOUNTED_REVENUE_ORACLE)
+_stage("q20_potential_promotion", q20_potential_promotion,
+       Q20_POTENTIAL_PROMOTION_ORACLE)
+_stage("acf_daily_events", acf_daily_events, ACF_DAILY_EVENTS_ORACLE)
+_stage("ewma_daily_events", ewma_daily_events, EWMA_DAILY_EVENTS_ORACLE)
+_stage("time_to_purchase_hazard_events", time_to_purchase_hazard_events,
+       TIME_TO_PURCHASE_HAZARD_ORACLE)
+_stage("seq_2patterns_events", seq_2patterns_events,
+       SEQ_2PATTERNS_EVENTS_ORACLE)
+_stage("lpa_communities_brands", lpa_communities_brands,
+       LPA_COMMUNITIES_BRANDS_ORACLE)
+_stage("dbscan_customers", dbscan_customers, DBSCAN_CUSTOMERS_ORACLE)
+_stage("kcore_spatial_customers", kcore_spatial_customers,
+       KCORE_SPATIAL_CUSTOMERS_ORACLE)
+_stage("holt_daily_events", holt_daily_events, HOLT_DAILY_EVENTS_ORACLE)
+_stage("textrank_keywords_documents", textrank_keywords_documents,
+       TEXTRANK_KEYWORDS_ORACLE)
