@@ -58,6 +58,9 @@ __all__ = [
     "synth_mp4_udf",
     "decode_features",
     "sample_frames",
+    "make_netpbm",
+    "netpbm_decoder",
+    "synth_netpbm_udf",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -976,6 +979,13 @@ def real_decoder(payload: bytes) -> list[float]:
         b"II*\x00", b"MM\x00*"
     ):
         return tiff_decoder(payload)
+    if (
+        payload is not None
+        and len(payload) >= 3
+        and payload[0:1] == b"P"
+        and payload[1:2] in (b"1", b"2", b"3", b"4", b"5", b"6")
+    ):
+        return netpbm_decoder(payload)
     raise NotImplementedError(
         "no native parser for this payload (native tiers: RIFF/WAVE "
         "PCM-16, 24-bpp BMP, RGB8 PNG, palette GIF, baseline grayscale "
@@ -1557,6 +1567,150 @@ def synth_tiff_udf():
             for y in range(h)
         ]
         return make_tiff_gray8(pixels)
+
+    @pandas_udf("binary")
+    def _synth(ids):
+        return ids.map(lambda d: _one(int(d)))
+
+    return _synth
+
+
+def make_netpbm(fmt: int, pixels, maxval: int = 255) -> bytes:
+    """Build a Netpbm image (P2 ASCII-gray, P3 ASCII-RGB, P5 binary-
+    gray, P6 binary-RGB) from a row-major grid — synthesis twin of
+    :func:`netpbm_decoder`. Gray grids hold ints; RGB grids hold
+    (r, g, b) tuples. A comment line rides after the magic so the
+    decoder's comment handling is exercised by every synthetic
+    payload."""
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    rgb = fmt in (3, 6)
+    flat: list[int] = []
+    for row in pixels:
+        for px in row:
+            if rgb:
+                flat.extend(px)
+            else:
+                flat.append(px)
+    header = (
+        f"P{fmt}\n# synthetic netpbm\n{w} {h}\n{maxval}\n".encode()
+    )
+    if fmt in (5, 6):
+        return header + bytes(flat)
+    body = " ".join(str(v) for v in flat)
+    return header + body.encode() + b"\n"
+
+
+def netpbm_decoder(payload: bytes) -> list[float]:
+    """REAL Netpbm parse (the public netpbm format spec, pure stdlib):
+    P2/P3 (ASCII gray/RGB) and P5/P6 (binary gray/RGB), with the
+    spec's whitespace-separated header tokens and ``#``-to-newline
+    comments anywhere in the header; binary rasters start exactly one
+    whitespace byte after the maxval token and are read positionally
+    (a raster byte that happens to be ``#`` or whitespace is data, not
+    syntax). Constraint fence: P1/P4 bitmaps and maxval > 255 (2-byte
+    big-endian samples) refuse with ``NotImplementedError`` naming the
+    Pillow swap-in — the jpeg_decoder precedent. FEATURE_DIM features:
+    ``[fmt, width, height, maxval, channels, sum_samples, max_sample,
+    min_sample]`` (all integer-valued; exact in float32 below 2^24)."""
+    if payload is None or len(payload) < 3 or payload[0:1] != b"P":
+        raise ValueError("not a netpbm payload")
+    fmt_ch = payload[1:2]
+    if fmt_ch in (b"1", b"4"):
+        raise NotImplementedError(
+            "P1/P4 bitmap netpbm is not parsed natively; use Pillow via "
+            "decode_features(df, decoder=your_fn)"
+        )
+    if fmt_ch not in (b"2", b"3", b"5", b"6"):
+        raise ValueError("not a netpbm payload")
+    fmt = int(fmt_ch)
+    pos = 2
+
+    def next_token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c in (b" ", b"\t", b"\r", b"\n"):
+                pos += 1
+            elif c == b"#":
+                while (
+                    pos < len(payload)
+                    and payload[pos : pos + 1] != b"\n"
+                ):
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1] not in (
+            b" ", b"\t", b"\r", b"\n", b"#",
+        ):
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated netpbm header")
+        return payload[start:pos]
+
+    w = int(next_token())
+    h = int(next_token())
+    maxval = int(next_token())
+    if maxval > 255:
+        raise NotImplementedError(
+            "netpbm maxval > 255 means 2-byte big-endian samples; not "
+            "parsed natively — use Pillow via decode_features(df, "
+            "decoder=your_fn)"
+        )
+    channels = 3 if fmt in (3, 6) else 1
+    n = w * h * channels
+    if fmt in (5, 6):
+        pos += 1  # exactly one whitespace byte after maxval (spec)
+        raster = payload[pos : pos + n]
+        if len(raster) < n:
+            raise ValueError("truncated netpbm raster")
+        samples = list(raster)
+    else:
+        samples = [int(next_token()) for _ in range(n)]
+    if any(v > maxval for v in samples):
+        raise ValueError("netpbm sample exceeds maxval")
+    return [
+        float(fmt),
+        float(w),
+        float(h),
+        float(maxval),
+        float(channels),
+        float(sum(samples)),
+        float(max(samples, default=0)),
+        float(min(samples, default=0)),
+    ]
+
+
+def synth_netpbm_udf():
+    """Closed-form Netpbm per id, rotating the format by ``id % 3``
+    (0 -> P5 binary gray, 1 -> P6 binary RGB, 2 -> P2 ASCII gray):
+    ``w = 3 + id % 4``, ``h = 2 + id % 3``, sample
+    ``(id*7 + y*31 + x*13 + c*17) % 256`` (c = channel, 0 for gray) —
+    the oracle recomputes features from this form and never sees the
+    bytes (the synth_png_udf stance)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _one(d: int) -> bytes:
+        w, h = 3 + d % 4, 2 + d % 3
+        variant = d % 3
+        if variant == 1:
+            pixels = [
+                [
+                    tuple(
+                        (d * 7 + y * 31 + x * 13 + c * 17) % 256
+                        for c in range(3)
+                    )
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+            return make_netpbm(6, pixels)
+        pixels = [
+            [(d * 7 + y * 31 + x * 13) % 256 for x in range(w)]
+            for y in range(h)
+        ]
+        return make_netpbm(5 if variant == 0 else 2, pixels)
 
     @pandas_udf("binary")
     def _synth(ids):

@@ -17735,3 +17735,83 @@ _stage("kcore_spatial_customers", kcore_spatial_customers,
 _stage("holt_daily_events", holt_daily_events, HOLT_DAILY_EVENTS_ORACLE)
 _stage("textrank_keywords_documents", textrank_keywords_documents,
        TEXTRANK_KEYWORDS_ORACLE)
+
+
+MULTIMODAL_NETPBM_ORACLE = """
+with px as (
+  select doc_id,
+         3 + doc_id % 4 as w,
+         2 + doc_id % 3 as h,
+         case when doc_id % 3 = 0 then 5
+              when doc_id % 3 = 1 then 6
+              else 2 end as fmt,
+         case when doc_id % 3 = 1 then 3 else 1 end as ch
+  from documents
+),
+f as (
+  select doc_id, fmt, w, h, ch,
+         flatten(flatten(list_transform(range(0, h), y ->
+           list_transform(range(0, w), x ->
+             list_transform(range(0, ch), c ->
+               (doc_id*7 + y*31 + x*13 + c*17) % 256))))) as ss
+  from px
+)
+select doc_id as media_id,
+       cast(fmt as bigint) as fmt,
+       cast(w as bigint) as width,
+       cast(h as bigint) as height,
+       cast(255 as bigint) as maxval,
+       cast(ch as bigint) as channels,
+       cast(list_sum(ss) as bigint) as sum_samples,
+       cast(list_max(ss) as bigint) as max_sample,
+       cast(list_min(ss) as bigint) as min_sample
+from f
+order by media_id
+"""
+
+
+def multimodal_netpbm_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hermetic Netpbm decode end to end
+    (operators/multimodal.netpbm_decoder — the public netpbm spec,
+    pure stdlib): per-doc payloads rotate P5 binary-gray / P6
+    binary-RGB / P2 ASCII-gray by doc_id % 3 (synth_netpbm_udf, every
+    header carrying a comment line so comment handling is always
+    exercised), decoded by the REAL parser through the same Arrow
+    mapInPandas plumbing as the WAV/BMP/PNG/GIF/MP4/JPEG/TIFF tiers;
+    P1/P4 bitmaps and maxval>255 refuse with the named Pillow swap-in
+    (the jpeg_decoder fence precedent). The oracle recomputes all
+    features from the closed synthesis form and never sees the bytes.
+    Staged for r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.multimodal import (
+        decode_features,
+        real_decoder,
+        synth_netpbm_udf,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        synth_netpbm_udf()(F.col("doc_id")).alias("payload"),
+    )
+    feats = decode_features(media, decoder=real_decoder)
+    names = [
+        "fmt", "width", "height", "maxval", "channels",
+        "sum_samples", "max_sample", "min_sample",
+    ]
+    return feats.select(
+        "media_id",
+        *[
+            F.element_at("features", i + 1).cast("long").alias(nm)
+            for i, nm in enumerate(names)
+        ],
+    ).orderBy("media_id")
+
+
+_stage(
+    "multimodal_netpbm_features",
+    multimodal_netpbm_features,
+    MULTIMODAL_NETPBM_ORACLE,
+)
