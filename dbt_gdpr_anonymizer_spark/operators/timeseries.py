@@ -362,3 +362,131 @@ def holt_fold(
         )
         .orderBy("grp", "t")
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test + Theil–Sen slope per group
+    (Mann 1945; Kendall 1975; Theil 1950; Sen 1968) — the
+    distribution-free "is this series drifting" answer next to the
+    changepoint scan's "when did it jump", exact where it can be:
+
+    * ``s_stat = Σ_{i<j} sign(x_j − x_i)`` — a pure integer over the
+      ordered pairs of the period-bounded series.
+    * ``var18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)`` — 18·Var(S) with
+      the tie correction, released as the EXACT integer witness (the
+      /18 rational never materializes).
+    * ``z_e6`` — the continuity-corrected normal score
+      ``(S − sign(S)) / sqrt(var18/18)`` as the one fixed-shape double
+      + IEEE sqrt, floored e6 (the spearman release stance); NULL when
+      var18 = 0 (all values tied).
+    * ``sen_slope_e6`` — the Theil–Sen median of pairwise slopes
+      ``((x_j − x_i)·1e6) div (t_j − t_i)`` (exact integer slopes;
+      signed div parity measured — module docstring), median as the
+      LOWER inverse-ECDF rank ceil(m/2) over the slope histogram (the
+      group_quantiles_exact stance — deterministic, no float median).
+
+    Scale shape: ONE self equi-join on the group key over the
+    period-bounded table builds the pair frame (fan-out |T|² per
+    group, never corpus rows — collapse the corpus to period counts
+    first); tie counts are a value histogram; the Sen median runs over
+    the group-partitioned slope histogram. Groups with fewer than 2
+    points do not release.
+    """
+    _require_integral(df, t_col, "mann_kendall")
+    _require_integral(df, x_col, "mann_kendall")
+    base = df.where(
+        F.col(t_col).isNotNull() & F.col(x_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    a = base.select("grp", F.col("t").alias("ti"), F.col("x").alias("xi"))
+    b = base.select(
+        F.col("grp").alias("_g"),
+        F.col("t").alias("tj"),
+        F.col("x").alias("xj"),
+    )
+    pairs = a.join(
+        b, (F.col("grp") == F.col("_g")) & (F.col("ti") < F.col("tj"))
+    ).select(
+        "grp",
+        F.signum(F.col("xj") - F.col("xi")).cast("long").alias("sgn"),
+        F.expr("((xj - xi) * 1000000) div (tj - ti)").alias("slope_e6"),
+    )
+    stats = pairs.groupBy("grp").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    npts = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ties = (
+        base.groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .where(F.col("tc") > 1)
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            )
+            .cast("long")
+            .alias("tie18")
+        )
+    )
+    # Sen median: lower inverse-ECDF rank ceil(m/2) over the slope
+    # histogram, group-partitioned windows only
+    hist = pairs.groupBy("grp", "slope_e6").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("slope_e6")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    sen = (
+        hist.select(
+            "grp",
+            "slope_e6",
+            F.sum("c").over(w_cum).alias("_cum"),
+            F.sum("c").over(w_tot).alias("_m"),
+        )
+        .where(F.col("_cum") >= F.expr("(_m + 1) div 2"))
+        .groupBy("grp")
+        .agg(F.min("slope_e6").cast("long").alias("sen_slope_e6"))
+    )
+    j = (
+        stats.join(npts, "grp")
+        .join(ties, "grp", "left")
+        .join(sen, "grp")
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie18"), F.lit(0))
+    ).cast("long")
+    sgn_s = F.signum(F.col("s_stat")).cast("long")
+    z = (
+        (F.col("s_stat") - sgn_s).cast("double")
+        / F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    )
+    return (
+        j.withColumn("var18", var18)
+        .select(
+            "grp",
+            "n",
+            "n_pairs",
+            "s_stat",
+            "var18",
+            F.when(F.col("var18") > 0, F.floor(z * 1000000))
+            .cast("bigint")
+            .alias("z_e6"),
+            "sen_slope_e6",
+        )
+        .orderBy("grp")
+    )

@@ -17815,3 +17815,95 @@ _stage(
     multimodal_netpbm_features,
     MULTIMODAL_NETPBM_ORACLE,
 )
+
+
+MK_TREND_DAILY_EVENTS_ORACLE = """
+with daily as (
+  select event_type as grp,
+         epoch_us(ts::timestamp) // 86400000000 as t,
+         cast(count(*) as bigint) as x
+  from events
+  group by 1, 2
+),
+pairs as materialized (
+  select a.grp,
+         cast(sign(b.x - a.x) as bigint) as sgn,
+         ((b.x - a.x) * 1000000) // (b.t - a.t) as slope_e6
+  from daily a join daily b on a.grp = b.grp and a.t < b.t
+),
+stats as (
+  select grp, cast(sum(sgn) as bigint) as s_stat,
+         cast(count(*) as bigint) as n_pairs
+  from pairs group by 1
+),
+npts as (select grp, cast(count(*) as bigint) as n from daily group by 1),
+ties as (
+  select grp,
+         cast(sum(tc * (tc - 1) * (2 * tc + 5)) as bigint) as tie18
+  from (select grp, x, cast(count(*) as bigint) as tc
+        from daily group by 1, 2)
+  where tc > 1
+  group by 1
+),
+hist as (
+  select grp, slope_e6, cast(count(*) as bigint) as c
+  from pairs group by 1, 2
+),
+cum as (
+  select grp, slope_e6,
+         sum(c) over (partition by grp order by slope_e6
+              rows between unbounded preceding and current row) as cm,
+         sum(c) over (partition by grp) as m
+  from hist
+),
+sen as (
+  select grp, cast(min(slope_e6) as bigint) as sen_slope_e6
+  from cum where cm >= (m + 1) // 2
+  group by 1
+),
+v as (
+  select stats.grp, n, n_pairs, s_stat,
+         cast(n * (n - 1) * (2 * n + 5) - coalesce(tie18, 0) as bigint)
+           as var18,
+         sen_slope_e6
+  from stats
+  join npts using (grp)
+  left join ties using (grp)
+  join sen using (grp)
+)
+select grp, n, n_pairs, s_stat, var18,
+       case when var18 > 0 then
+         cast(floor((s_stat - sign(s_stat))
+                    / sqrt(var18 / 18.0) * 1000000) as bigint)
+       end as z_e6,
+       sen_slope_e6
+from v
+order by grp
+"""
+
+
+def mk_trend_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall + Theil-Sen trend suite
+    (operators/timeseries.mann_kendall) over daily event volume per
+    type: the distribution-free "is this stream drifting" answer next
+    to X188's "when did it jump" — S is a pure integer pair statistic,
+    the tie-corrected 18*Var(S) releases as an exact integer witness,
+    the continuity-corrected z is the one fixed-shape double + IEEE
+    sqrt floored e6, and the Sen slope is the LOWER inverse-ECDF
+    median of exact integer pairwise slopes (signed div parity
+    measured — the X213 pin). Pair fan-out is day-domain bounded
+    (the corpus collapsed to daily counts first). Staged for r13
+    (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import mann_kendall
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return mann_kendall(daily, "et", "d", "x")
+
+
+_stage(
+    "mk_trend_daily_events", mk_trend_daily_events, MK_TREND_DAILY_EVENTS_ORACLE
+)

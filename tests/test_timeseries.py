@@ -366,3 +366,42 @@ def test_holt_rejects_bad_factors(spark):
     df = spark.createDataFrame([("g", 1, 1)], "grp string, t int, x int")
     with pytest.raises(ValueError):
         holt_fold(df, "grp", "t", "x", 1, 4, 4, 4)
+
+
+# -------------------------------------------------------- Mann-Kendall
+
+
+def test_mk_matches_duckdb_oracle(spark):
+    sdf = Q.mk_trend_daily_events(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    ocols, orows = _oracle(Q.MK_TREND_DAILY_EVENTS_ORACLE, SF_DIR)
+    orows = sorted(tuple(r) for r in orows)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+
+
+def test_mk_monotone_series(spark):
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import mann_kendall
+
+    # strictly increasing: S = n(n-1)/2, sen slope = min pairwise slope
+    df = spark.createDataFrame(
+        [("g", t, 2 * t) for t in range(6)], "grp string, t int, x int"
+    )
+    r = mann_kendall(df, "grp", "t", "x").collect()[0]
+    assert r.s_stat == 15 and r.n_pairs == 15
+    assert r.sen_slope_e6 == 2_000_000
+    assert r.var18 == 6 * 5 * 17
+    assert r.z_e6 > 0
+
+
+def test_mk_all_tied_is_null_z(spark):
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import mann_kendall
+
+    df = spark.createDataFrame(
+        [("g", t, 7) for t in range(4)], "grp string, t int, x int"
+    )
+    r = mann_kendall(df, "grp", "t", "x").collect()[0]
+    assert r.s_stat == 0 and r.var18 == 0 and r.z_e6 is None
+    assert r.sen_slope_e6 == 0
