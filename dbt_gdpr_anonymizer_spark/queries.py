@@ -17907,3 +17907,106 @@ def mk_trend_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _stage(
     "mk_trend_daily_events", mk_trend_daily_events, MK_TREND_DAILY_EVENTS_ORACLE
 )
+
+
+SEQ_3PATTERNS_EVENTS_ORACLE = """
+with ut as (
+  select user_id, event_type,
+         epoch_us(min(ts::timestamp)) as mn,
+         epoch_us(max(ts::timestamp)) as mx
+  from events group by 1, 2
+),
+ac as (
+  select a.user_id, a.event_type as ant, a.mn,
+         c.event_type as cons, c.mx
+  from ut a join ut c on a.user_id = c.user_id
+),
+bev as (
+  select user_id, event_type as mid, epoch_us(ts::timestamp) as tb
+  from events
+),
+trip as (
+  select distinct ac.user_id, ant, mid, cons
+  from ac join bev on bev.user_id = ac.user_id
+                   and bev.tb > ac.mn and bev.tb < ac.mx
+),
+nu as (select cast(count(distinct user_id) as bigint) as n_users
+       from events),
+sup as (
+  select ant, mid, cons, cast(count(*) as bigint) as support_users
+  from trip group by 1, 2, 3
+)
+select ant, mid, cons, support_users, n_users,
+       cast((1000000 * support_users) // n_users as bigint)
+         as support_ppm
+from sup cross join nu
+order by support_users desc, ant, mid, cons
+"""
+
+
+def seq_3patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential 3-pattern support completing X209's PrefixSpan frame
+    (Pei et al. 2001, length-3): users whose stream contains types
+    a, b, c in STRICT temporal order — ``exists i<j<k`` collapses to
+    "some b-event lies strictly between the user's first a and last c"
+    given a-existence and c-existence, so the plan is the (user, type)
+    min/max table self-paired (|types|² per user) probed by the user's
+    raw events (constant |types|² fan-out per event — bounded, never
+    a corpus self-join); distinct (user, triple) before the count
+    makes count(*) the distinct-user support. ppm integral division.
+    Staged for r13 (r11 oracle freeze)."""
+    e = _events(spark, sf_dir)
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("mn"),
+        F.max(F.expr("unix_micros(ts)")).alias("mx"),
+    )
+    ac = ut.select(
+        "user_id", F.col("event_type").alias("ant"), "mn"
+    ).join(
+        ut.select(
+            F.col("user_id").alias("_u"),
+            F.col("event_type").alias("cons"),
+            "mx",
+        ),
+        F.col("user_id") == F.col("_u"),
+    )
+    bev = e.select(
+        F.col("user_id").alias("_bu"),
+        F.col("event_type").alias("mid"),
+        F.expr("unix_micros(ts)").alias("tb"),
+    )
+    trip = (
+        ac.join(
+            bev,
+            (F.col("user_id") == F.col("_bu"))
+            & (F.col("tb") > F.col("mn"))
+            & (F.col("tb") < F.col("mx")),
+        )
+        .select("user_id", "ant", "mid", "cons")
+        .distinct()
+    )
+    sup = trip.groupBy("ant", "mid", "cons").agg(
+        F.count(F.lit(1)).cast("long").alias("support_users")
+    )
+    nu = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return (
+        sup.crossJoin(F.broadcast(nu))
+        .select(
+            "ant",
+            "mid",
+            "cons",
+            "support_users",
+            "n_users",
+            F.expr(
+                "cast((1000000 * support_users) div n_users as bigint)"
+            ).alias("support_ppm"),
+        )
+        .orderBy(F.col("support_users").desc(), "ant", "mid", "cons")
+    )
+
+
+_stage(
+    "seq_3patterns_events", seq_3patterns_events, SEQ_3PATTERNS_EVENTS_ORACLE
+)

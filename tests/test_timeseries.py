@@ -405,3 +405,72 @@ def test_mk_all_tied_is_null_z(spark):
     r = mann_kendall(df, "grp", "t", "x").collect()[0]
     assert r.s_stat == 0 and r.var18 == 0 and r.z_e6 is None
     assert r.sen_slope_e6 == 0
+
+
+# --------------------------------------------------------- 3-patterns
+
+
+def test_seq3_matches_duckdb_oracle(spark):
+    sdf = Q.seq_3patterns_events(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    ocols, orows = _oracle(Q.SEQ_3PATTERNS_EVENTS_ORACLE, SF_DIR)
+    orows = sorted(tuple(r) for r in orows)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+
+
+def test_seq3_strict_order_semantics(spark):
+    # user 1: a@1 b@2 c@3 -> (a,b,c) supported; (c,b,a) not;
+    # (a,a,c)? needs an a strictly between first a and last c -> no
+    # second a, unsupported. user 2: a@1 a@2 c@3 -> (a,a,c) supported.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return base + dt.timedelta(hours=h)
+
+    rows = [
+        (1, ts(1), "a"), (1, ts(2), "b"), (1, ts(3), "c"),
+        (2, ts(1), "a"), (2, ts(2), "a"), (2, ts(3), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, ts timestamp, event_type string"
+    )
+    from pyspark.sql import functions as F
+
+    ut = df.groupBy("user_id", "event_type").agg(
+        F.min(F.expr("unix_micros(ts)")).alias("mn"),
+        F.max(F.expr("unix_micros(ts)")).alias("mx"),
+    )
+    ac = ut.select("user_id", F.col("event_type").alias("ant"), "mn").join(
+        ut.select(
+            F.col("user_id").alias("_u"),
+            F.col("event_type").alias("cons"),
+            "mx",
+        ),
+        F.col("user_id") == F.col("_u"),
+    )
+    bev = df.select(
+        F.col("user_id").alias("_bu"),
+        F.col("event_type").alias("mid"),
+        F.expr("unix_micros(ts)").alias("tb"),
+    )
+    trip = (
+        ac.join(
+            bev,
+            (F.col("user_id") == F.col("_bu"))
+            & (F.col("tb") > F.col("mn"))
+            & (F.col("tb") < F.col("mx")),
+        )
+        .select("user_id", "ant", "mid", "cons")
+        .distinct()
+        .collect()
+    )
+    got = {(r.user_id, r.ant, r.mid, r.cons) for r in trip}
+    assert (1, "a", "b", "c") in got
+    assert (1, "c", "b", "a") not in got
+    assert (1, "a", "a", "c") not in got
+    assert (2, "a", "a", "c") in got
