@@ -490,3 +490,79 @@ def mann_kendall(
         )
         .orderBy("grp")
     )
+
+
+def cusum_fold(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Two-sided CUSUM drift chart per group (Page 1954) in exact
+    integers: deviations from the series' own mean accumulate with a
+    reset-at-zero —
+
+      ``pos_t = max(0, pos_{t−1} + n·x_t − T)``
+      ``neg_t = max(0, neg_{t−1} + T − n·x_t)``
+
+    where n = series length and T = series total, so the per-step
+    deviation ``n·x_t − T`` is the mean deviation SCALED BY n — the
+    mean itself (a rational) never materializes and every step is
+    integer arithmetic (release columns carry the ``_nx`` suffix to
+    mark the scale). The classic online "has the level shifted"
+    companion to the X188 offline changepoint scan: a sustained shift
+    grows one side linearly while noise keeps resetting it.
+
+    Same shape as ewma_fold: one groupBy builds the sorted day array
+    PLUS the (n, T) aggregates in a single pass; the fold lambda
+    captures n and T as outer columns; ``inline`` re-flattens. The
+    oracle replays the recurrences as a recursive CTE carrying n and T
+    through the recursion. Releases
+    (grp, t, x, cusum_pos_nx, cusum_neg_nx).
+    """
+    _require_integral(df, t_col, "cusum_fold")
+    _require_integral(df, x_col, "cusum_fold")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    agg = base.groupBy("grp").agg(
+        F.array_sort(F.collect_list(F.struct("t", "x"))).alias("_a"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("x").cast("long").alias("_tot"),
+    )
+    folded = agg.select(
+        "grp",
+        F.expr(
+            """
+            aggregate(
+              _a,
+              cast(array() as array<struct<t: bigint, x: bigint,
+                                           sp: bigint, sn: bigint>>),
+              (acc, e) -> array_append(acc,
+                case when size(acc) = 0
+                then named_struct('t', e.t, 'x', e.x,
+                  'sp', greatest(cast(0 as bigint), _n * e.x - _tot),
+                  'sn', greatest(cast(0 as bigint), _tot - _n * e.x))
+                else named_struct('t', e.t, 'x', e.x,
+                  'sp', greatest(cast(0 as bigint),
+                         element_at(acc, -1).sp + _n * e.x - _tot),
+                  'sn', greatest(cast(0 as bigint),
+                         element_at(acc, -1).sn + _tot - _n * e.x))
+                end)
+            )
+            """
+        ).alias("_f"),
+    )
+    return (
+        folded.select("grp", F.inline("_f"))
+        .select(
+            "grp",
+            "t",
+            "x",
+            F.col("sp").alias("cusum_pos_nx"),
+            F.col("sn").alias("cusum_neg_nx"),
+        )
+        .orderBy("grp", "t")
+    )

@@ -18010,3 +18010,61 @@ def seq_3patterns_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _stage(
     "seq_3patterns_events", seq_3patterns_events, SEQ_3PATTERNS_EVENTS_ORACLE
 )
+
+
+CUSUM_DAILY_EVENTS_ORACLE = """
+with recursive daily as (
+  select event_type as grp,
+         epoch_us(ts::timestamp) // 86400000000 as t,
+         cast(count(*) as bigint) as x
+  from events
+  group by 1, 2
+),
+d as (
+  select grp, t, x,
+         cast(row_number() over (partition by grp order by t) as bigint)
+           as rn,
+         cast(count(*) over (partition by grp) as bigint) as n,
+         cast(sum(x) over (partition by grp) as bigint) as tot
+  from daily
+),
+r as (
+  select grp, t, x, rn, n, tot,
+         greatest(cast(0 as bigint), n * x - tot) as sp,
+         greatest(cast(0 as bigint), tot - n * x) as sn
+  from d where rn = 1
+  union all
+  select d.grp, d.t, d.x, d.rn, d.n, d.tot,
+         greatest(cast(0 as bigint), r.sp + d.n * d.x - d.tot) as sp,
+         greatest(cast(0 as bigint), r.sn + d.tot - d.n * d.x) as sn
+  from r join d on d.grp = r.grp and d.rn = r.rn + 1
+)
+select grp, t, x,
+       cast(sp as bigint) as cusum_pos_nx,
+       cast(sn as bigint) as cusum_neg_nx
+from r
+order by grp, t
+"""
+
+
+def cusum_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift chart (operators/timeseries.cusum_fold —
+    Page 1954) over daily event volume per type: the ONLINE "has the
+    level shifted" companion to X188's offline changepoint scan — a
+    sustained shift grows one side linearly while noise keeps
+    resetting at zero. Deviations are measured against the series' own
+    mean SCALED BY n (``n·x_t − T``), so the rational mean never
+    materializes and every fold step is exact integer arithmetic; the
+    oracle replays the recurrences as a recursive CTE carrying (n, T).
+    Staged for r13 (r11 oracle freeze)."""
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import cusum_fold
+
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type").alias("et"),
+        F.expr("unix_micros(ts) div 86400000000").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return cusum_fold(daily, "et", "d", "x")
+
+
+_stage("cusum_daily_events", cusum_daily_events, CUSUM_DAILY_EVENTS_ORACLE)

@@ -474,3 +474,31 @@ def test_seq3_strict_order_semantics(spark):
     assert (1, "c", "b", "a") not in got
     assert (1, "a", "a", "c") not in got
     assert (2, "a", "a", "c") in got
+
+
+# ---------------------------------------------------------------- CUSUM
+
+
+def test_cusum_matches_duckdb_oracle(spark):
+    sdf = Q.cusum_daily_events(spark, SF_DIR)
+    scols = sdf.columns
+    srows = sorted(tuple(r) for r in sdf.collect())
+    ocols, orows = _oracle(Q.CUSUM_DAILY_EVENTS_ORACLE, SF_DIR)
+    orows = sorted(tuple(r) for r in orows)
+    assert scols == ocols
+    assert len(srows) == len(orows) > 0
+    assert srows == orows
+
+
+def test_cusum_hand_computed(spark):
+    # x = [1, 1, 4]: n=3, T=6; dev*n = [-3, -3, +6]
+    # pos: max(0,-3)=0, 0-3->0, 0+6->6 ; neg: 3, 6, max(0,6-6)=0
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import cusum_fold
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 4)],
+        "grp string, t int, x int",
+    )
+    out = cusum_fold(df, "grp", "t", "x").collect()
+    got = [(r.t, r.cusum_pos_nx, r.cusum_neg_nx) for r in out]
+    assert got == [(1, 0, 3), (2, 0, 6), (3, 6, 0)]

@@ -194,3 +194,26 @@ def test_lpa_property(spark, edges):
     sizes = Counter(lab.values())
     for r in rows:
         assert r.community_size == sizes[r.community]
+
+
+@given(pairs=_series)
+@settings(**_SETTINGS)
+def test_cusum_property(spark, pairs):
+    from dbt_gdpr_anonymizer_spark.operators.timeseries import cusum_fold
+
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in pairs], "grp string, t int, x int"
+    )
+    got = [
+        (r.t, r.cusum_pos_nx, r.cusum_neg_nx)
+        for r in cusum_fold(df, "grp", "t", "x").collect()
+    ]
+    n = len(pairs)
+    tot = sum(x for _, x in pairs)
+    sp = sn = 0
+    expect = []
+    for t, x in sorted(pairs):
+        sp = max(0, sp + n * x - tot)
+        sn = max(0, sn + tot - n * x)
+        expect.append((t, sp, sn))
+    assert got == expect
