@@ -98,13 +98,29 @@ def naive_bayes_scores(
     oov_floor = F.log((F.lit(0) + F.lit(1.0)) / (t_pos + v)) - F.log(
         (F.lit(0) + F.lit(1.0)) / (t_neg + v)
     )
-    contrib = (
+    # r11 (guide §2.4): the id-spine back-join is folded into the scoring
+    # aggregation as one NULL-_ll pad row per DOCUMENT — the OOV coalesce
+    # runs BEFORE the union, so a real token's _ll is always non-null
+    # (in-vocab ratio or the smoothing floor) and the pad NULL stays
+    # distinguishable: count(_ll) counts real tokens only, sum(_ll) is
+    # NULL for zero-token docs (handled by the existing coalesce below).
+    # Removes the corpus-sized LEFT join + its shuffle at any scale.
+    tok_ll = (
         toks.join(word_ratio, "w", "left")
         .crossJoin(stats)
+        .select(
+            id_col, F.coalesce(F.col("_lr"), oov_floor).alias("_ll")
+        )
+    )
+    pad = base.select(
+        F.col(id_col), F.lit(None).cast("double").alias("_ll")
+    )
+    contrib = (
+        tok_ll.unionByName(pad)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.coalesce(F.col("_lr"), oov_floor)).alias("token_ll"),
+            F.count("_ll").alias("n_tokens"),
+            F.sum("_ll").alias("token_ll"),
         )
     )
     # Empty-class training splits make the prior undefined: fail loudly at
@@ -120,14 +136,10 @@ def naive_bayes_scores(
         )
     )
     out = (
-        base.select(id_col)
-        .join(contrib, id_col, "left")
-        .crossJoin(stats)
+        contrib.crossJoin(stats)
         .select(
             id_col,
-            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias(
-                "n_tokens"
-            ),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
             (prior + F.coalesce("token_ll", F.lit(0.0))).alias("logodds"),
         )
         .withColumn("pred_pos", F.col("logodds") > 0)

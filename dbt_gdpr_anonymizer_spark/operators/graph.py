@@ -189,16 +189,20 @@ def pagerank_int(
     both engines drop the SAME mass); dangling-node mass is dropped, not
     redistributed (documented; the classic simplification).
 
-    Scale shape: each iteration is ONE equi-join (ranks ⋈ edges on src)
-    plus ONE map-side-partial aggregation on dst, joined back to the node
-    spine so rank-less nodes keep the base term. Ranks persist and rotate
-    every ``checkpoint_every`` iterations (the kmeans loop pattern,
-    bounding lineage depth for long runs) — iterations BETWEEN
-    checkpoints chain lazily in one lineage, so a 5-iteration run costs
-    ~2 Spark jobs instead of 6 (per-job scheduling overhead dominated
-    the wall time at bench scale; arithmetic and output are unchanged).
-    Out-degrees are computed once. Driver holds no per-node state;
-    everything is partitioned by node id.
+    Scale shape (r11): each iteration is ONE equi-join (ranks ⋈ the
+    degree-annotated edge table on src) plus ONE map-side-partial
+    aggregation on dst — the out-degree attach and the spine-membership
+    filter are static, so both are joined once BEFORE the loop, and the
+    spine back-join is folded into the aggregation as a zero-contribution
+    row per node (sum + 0 ≡ coalesce(sum, 0); rank-less nodes keep the
+    base term as before). Node ids must be unique (the spine contract).
+    Ranks persist and rotate every ``checkpoint_every`` iterations (the
+    kmeans loop pattern, bounding lineage depth for long runs) —
+    iterations BETWEEN checkpoints chain lazily in one lineage.
+    Out-degrees are computed once, over ALL out-edges of each src
+    (including edges to off-spine targets, whose contributions are
+    dropped — identical to the pre-r11 spine-left-join semantics).
+    Driver holds no per-node state; everything is partitioned by node id.
 
     Returns ``(id_col, rank_units BIGINT)`` — rank in 1/scale units.
 
@@ -218,31 +222,57 @@ def pagerank_int(
     edge_pairs = edges.select(src_col, dst_col).persist()
     deg = edge_pairs.groupBy(src_col).agg(
         F.count(F.lit(1)).alias("_outdeg")
-    ).persist()
+    )
     spine = nodes.select(F.col(id_col)).persist()
+    # r11 optimization (guide §2.4 — remove shuffles outright): both the
+    # out-degree attach and the spine membership of each edge's dst are
+    # STATIC across iterations, so they are joined ONCE here instead of
+    # once per iteration. `_outdeg` counts ALL out-edges of src (including
+    # edges whose dst is outside the spine — exactly what the old
+    # per-iteration deg join used), while the semi-join drops the
+    # off-spine dst rows whose contributions the old spine LEFT join
+    # discarded after aggregating them. Per iteration the loop below then
+    # costs ONE equi-join + ONE aggregation (was: deg join + edge join +
+    # aggregation + spine left join — 2 of the 4 per-iteration shuffles
+    # are gone at any scale, not just at bench scale).
+    edges_deg = (
+        edge_pairs.join(deg, src_col)
+        .join(
+            spine.select(F.col(id_col).alias(dst_col)), dst_col, "semi"
+        )
+        .persist()
+    )
     ranks = spine.select(
         id_col, F.lit(scale // n_nodes).cast("long").alias("_r")
     ).persist()
+    # Zero-contribution row per spine node: folds the old per-iteration
+    # "spine LEFT JOIN summed" back-join into the SAME aggregation shuffle
+    # (sum + 0 == coalesce(sum, 0) for present keys; absent keys get the
+    # bare 0 the left-join miss produced). Requires unique node ids — the
+    # documented spine contract.
+    zero = spine.select(
+        F.col(id_col).alias("_dst"), F.lit(0).cast("long").alias("_c")
+    )
     prev_persisted = ranks
     for i in range(iters):
-        contribs = (
-            ranks.join(deg, ranks[id_col] == deg[src_col])
-            .join(edge_pairs, src_col)
-            .select(
-                F.col(dst_col).alias("_dst"),
-                # integral division (Spark `div`, DuckDB `//`) — double
-                # division + cast can round past the true floor
-                F.expr("_r div _outdeg").alias("_c"),
-            )
-        )
-        summed = contribs.groupBy("_dst").agg(F.sum("_c").alias("_s"))
-        new_ranks = spine.join(
-            summed, spine[id_col] == summed["_dst"], "left"
+        contribs = ranks.join(
+            edges_deg, ranks[id_col] == edges_deg[src_col]
         ).select(
-            id_col,
+            F.col(dst_col).alias("_dst"),
+            # integral division (Spark `div`, DuckDB `//`) — double
+            # division + cast can round past the true floor
+            F.expr("_r div _outdeg").alias("_c"),
+        )
+        summed = (
+            contribs.unionByName(zero)
+            .groupBy("_dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        new_ranks = summed.select(
+            F.col("_dst").alias(id_col),
             (
                 F.lit(base).cast("long")
-                + F.expr(f"({damping_pct} * coalesce(_s, 0)) div 100")
+                + F.expr(f"({damping_pct} * _s) div 100")
             ).alias("_r"),
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
@@ -258,14 +288,16 @@ def pagerank_int(
     # the loop `ranks` is usually a lazy chain on top of `prev_persisted`
     # (the last checkpoint, or the initial ranks when iters <
     # checkpoint_every). Tracking only `ranks` leaked one cached DataFrame
-    # per call for the session lifetime. `deg` stays tracked too (NOT
-    # eagerly unpersisted here): the returned plan is still lazy and its
-    # post-checkpoint iterations join deg once per remaining iteration —
-    # an eager unpersist would make consumption recompute the out-degree
-    # aggregation, contradicting the "computed once" contract. unpersist()
-    # on a non-persisted frame is a no-op, so tracking all is safe in
-    # every branch.
-    return track_caches(out, prev_persisted, ranks, spine, deg, edge_pairs)
+    # per call for the session lifetime. `edges_deg` stays tracked too
+    # (NOT eagerly unpersisted here): the returned plan is still lazy and
+    # its post-checkpoint iterations join edges_deg once per remaining
+    # iteration — an eager unpersist would make consumption recompute it,
+    # contradicting the "computed once" contract. unpersist() on a
+    # non-persisted frame is a no-op, so tracking all is safe in every
+    # branch.
+    return track_caches(
+        out, prev_persisted, ranks, spine, edges_deg, edge_pairs
+    )
 
 
 def triangle_count(

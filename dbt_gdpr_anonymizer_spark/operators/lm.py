@@ -106,23 +106,25 @@ def bigram_lm_scores(
         .crossJoin(F.broadcast(vocab))
         .select("bg", neg_ll.alias("_nll"))
     )
-    scored = (
-        events.join(model, "bg")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("_nll") / F.count(F.lit(1))).alias("xent"),
-        )
+    # r11 (guide §2.4): the id-spine back-join is folded into the scoring
+    # aggregation as one NULL-_nll pad row per document — count(_nll)
+    # counts only real scored events (every event's _nll is non-null:
+    # c12 ≥ 1), so a document with no scorable bigram releases (0, NULL)
+    # exactly as the old LEFT join did, and the corpus-sized join + its
+    # shuffle are gone at any scale. sum over all-NULL is NULL and NULL/0
+    # is NULL (Divide's null check precedes the ANSI zero check), so the
+    # zero-bigram arm stays NULL-released.
+    pad = toks.select(
+        F.col(id_col), F.lit(None).cast("double").alias("_nll")
     )
     out = (
-        toks.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
-                "n_bigrams"
-            ),
-            "xent",
+        events.join(model, "bg")
+        .select(id_col, "_nll")
+        .unionByName(pad)
+        .groupBy(id_col)
+        .agg(
+            F.count("_nll").cast("bigint").alias("n_bigrams"),
+            (F.sum("_nll") / F.count("_nll")).alias("xent"),
         )
     )
     return track_caches(out, toks, events)
@@ -230,23 +232,20 @@ def trigram_lm_scores(
         .crossJoin(stats)
         .select("tg", (-F.log(p)).alias("_nll"))
     )
-    scored = (
-        events.join(model, "tg")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            (F.sum("_nll") / F.count(F.lit(1))).alias("xent"),
-        )
+    # r11: id-spine back-join folded into the aggregation via NULL-_nll
+    # pad rows (see bigram_lm_scores — count(_nll) skips the pads, every
+    # real event's _nll is non-null, zero-trigram docs release (0, NULL)).
+    pad = toks.select(
+        F.col(id_col), F.lit(None).cast("double").alias("_nll")
     )
     out = (
-        toks.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias(
-                "n_trigrams"
-            ),
-            "xent",
+        events.join(model, "tg")
+        .select(id_col, "_nll")
+        .unionByName(pad)
+        .groupBy(id_col)
+        .agg(
+            F.count("_nll").cast("bigint").alias("n_trigrams"),
+            (F.sum("_nll") / F.count("_nll")).alias("xent"),
         )
     )
     return track_caches(out, toks, events)
@@ -321,23 +320,21 @@ def kn_bigram_lm_scores(
         .crossJoin(F.broadcast(types))
         .select("bg", (-F.log(p)).alias("_nll"))
     )
-    scored = (
-        events.join(model, "bg")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            (F.sum("_nll") / F.count(F.lit(1))).alias("xent"),
-        )
+    # r11: id-spine back-join folded into the aggregation via NULL-_nll
+    # pad rows (see bigram_lm_scores — count(_nll) skips the pads; here
+    # every event joins the model by construction, so _nll is non-null
+    # for every real event and zero-bigram docs release (0, NULL)).
+    pad = toks.select(
+        F.col(id_col), F.lit(None).cast("double").alias("_nll")
     )
     out = (
-        toks.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias(
-                "n_bigrams"
-            ),
-            "xent",
+        events.join(model, "bg")
+        .select(id_col, "_nll")
+        .unionByName(pad)
+        .groupBy(id_col)
+        .agg(
+            F.count("_nll").cast("bigint").alias("n_bigrams"),
+            (F.sum("_nll") / F.count("_nll")).alias("xent"),
         )
     )
     return track_caches(out, toks, events)

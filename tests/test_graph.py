@@ -103,6 +103,40 @@ def test_pagerank_int_matches_reference_recurrence(spark):
     assert sum(got.values()) <= scale
 
 
+def test_pagerank_off_spine_targets_dropped_outdeg_counts_all(spark):
+    """The r11 pre-joined edge table must keep the original spine-left-join
+    semantics: an edge whose dst is OUTSIDE the node spine still counts in
+    its src's out-degree (diluting the src's per-edge contribution), but
+    the mass sent to the off-spine target is dropped, and the off-spine id
+    never appears in the output."""
+    from dbt_gdpr_anonymizer_spark.operators.graph import pagerank_int
+
+    # spine {0, 1}; node 0 also links to 5 (not a spine node)
+    edge_list = [(0, 1), (0, 5), (1, 0)]
+    n, iters, damp, scale = 2, 3, 85, 10**12
+
+    outdeg = {0: 2, 1: 1}  # edge to 5 STILL counts
+    base = ((100 - damp) * scale) // 100 // n
+    r = {v: scale // n for v in range(n)}
+    for _ in range(iters):
+        s = {v: 0 for v in range(n)}
+        for a, b in edge_list:
+            if b in s:  # mass to node 5 is dropped
+                s[b] += r[a] // outdeg[a]
+        r = {v: base + (damp * s[v]) // 100 for v in range(n)}
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    nodes = spark.createDataFrame([(0,), (1,)], ["node_id"])
+    got = {
+        row["node_id"]: row["rank_units"]
+        for row in pagerank_int(
+            edges, nodes, iters=iters, damping_pct=damp, scale=scale
+        ).collect()
+    }
+    assert got == r
+    assert 5 not in got
+
+
 def test_pagerank_releases_all_caches(spark):
     """r8 ADVICE: the checkpoint rotation left the live checkpoint cache
     untracked (track_caches saw only the final lazy `ranks`), leaking one
