@@ -279,20 +279,29 @@ def cross_doc_span_profile(
         .filter(F.col("_df") > 1)
         .select("_gh")
     )
-    dup_positions = (
-        grams.join(shared, "_gh", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_ndup"))
+    # r11 (guide §2.4): the id-spine back-join is folded into the per-doc
+    # aggregation — one pad row per document carries _n with zero dup
+    # weight, each semi-join survivor carries one dup count with NULL _n,
+    # and a single groupBy releases both (max over {_n, NULLs} = _n;
+    # sum(_d) = the old count(*), 0 for pad-only docs). Integer-exact,
+    # and the corpus-sized LEFT join + its shuffle are gone at any scale.
+    probe = grams.join(shared, "_gh", "left_semi").select(
+        id_col,
+        F.lit(None).cast("int").alias("_n"),
+        F.lit(1).cast("long").alias("_d"),
     )
+    padded = base.select(id_col, "_n", F.lit(0).cast("long").alias("_d"))
     n_grams = F.when(F.col("_n") >= k, F.col("_n") - k + 1).otherwise(
         F.lit(0)
     )
     out = (
-        base.join(dup_positions, id_col, "left")
+        probe.unionByName(padded)
+        .groupBy(id_col)
+        .agg(F.max("_n").alias("_n"), F.sum("_d").alias("_ndup"))
         .select(
             F.col(id_col),
             n_grams.cast("long").alias("n_grams"),
-            F.coalesce("_ndup", F.lit(0)).cast("long").alias("_ndup"),
+            F.col("_ndup").cast("long").alias("_ndup"),
         )
         .select(
             id_col,
@@ -392,6 +401,15 @@ def remove_duplicate_spans(
         )
         .distinct()
     )
+    # r11 measured-and-REVERTED (the negative-result precedent): a tail
+    # that collected covered POSITION INTEGERS per doc and rebuilt the
+    # text map-side via array_except(sequence(1, n), covered) +
+    # transform(element_at) — i.e. shuffle metadata instead of token
+    # strings (guide §8) — profiled 2.40 → 2.93 s at sf0.1: the
+    # interpreted per-element HOF evaluation (the char_entropy lesson)
+    # costs more than the three string shuffles it saves at this corpus
+    # size. The codegen'd posexplode/anti-join/collect_list tail below
+    # stays the measured-faster plan.
     toks = base.select(
         id_col,
         F.posexplode(F.col("_ws")).alias("_pos0", "_tok"),

@@ -2222,6 +2222,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tx.words("text")).alias("word")
     ).filter(F.col("word") != "")
     tf = d.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    # r11 measured-and-REVERTED: deriving df from the tf table
+    # (tf.groupBy(word).count() — one row per distinct pair) was tried to
+    # collapse the two corpus tokenization passes into one shared
+    # exchange, but Spark 4.1's exchange reuse does NOT unify the two tf
+    # subtrees even at AQE runtime (verified: executedPlan has 2 Generate
+    # nodes, 0 ReusedExchange either way), so the rewrite only restacked
+    # the same shuffles (profiled flat: 1.28 vs 1.34 s at sf0.1). The
+    # explode+distinct df below stays.
     dfq = (
         d.distinct()
         .groupBy("word")
