@@ -3882,9 +3882,6 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (global max event time, ms-floored, − 30 min). The oracle
     replays exactly that arithmetic on the batch gap-sessionization —
     integer ms comparisons, nothing engine-divergent."""
-    import os
-    import tempfile
-
     from dbt_gdpr_anonymizer_spark.streaming.sessionize import (
         stream_sessionize,
     )
@@ -3892,31 +3889,12 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select(
         F.col("user_id").cast("bigint").alias("user_id"), "ts"
     )
-    us = F.unix_micros(F.col("ts"))
-    cuts = e.agg(
-        F.percentile(us, 1.0 / 3).alias("c1"),
-        F.percentile(us, 2.0 / 3).alias("c2"),
-    ).collect()[0]
-    c1, c2 = int(cuts["c1"]), int(cuts["c2"])
-    tmp = tempfile.mkdtemp(prefix="stream_sess_")
-    parts = [
-        e.filter(us <= c1),
-        e.filter((us > c1) & (us <= c2)),
-        e.filter(us > c2),
-    ]
-    for i, p in enumerate(parts):
-        path = f"{tmp}/f{i}"
-        p.coalesce(1).write.parquet(path)
-        mt = 1_000.0 * (i + 1)
-        for root, _, files in os.walk(path):
-            for f_ in files:
-                os.utime(os.path.join(root, f_), (mt, mt))
-        os.utime(path, (mt, mt))
-    stream = (
-        spark.readStream.schema("user_id bigint, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{tmp}/f*")
-    )
+    # r11: inline prep replaced with the shared `_replay_batches` helper
+    # (one min/max aggregate + one partitioned write instead of an exact
+    # percentile UDAF + three sequential coalesce(1) jobs). The emitted
+    # session set is CUT-INVARIANT — see the helper docstring — so the
+    # oracle arithmetic is untouched.
+    stream = _replay_batches(spark, e, "user_id bigint, ts timestamp")
     sessions = stream_sessionize(
         stream, gap_minutes=30, watermark="30 minutes"
     )
@@ -6200,36 +6178,56 @@ def _replay_batches(
     — arrival is time-ordered across batches, so watermarks advance the
     way they would against a live, roughly-ordered source. Same harness
     as ``stream_sessionize_events``; factored for reuse by every
-    streaming registry query that needs a deterministic replay."""
+    streaming registry query that needs a deterministic replay.
+
+    r11 prep optimization (the drained OUTPUT is cut-invariant — batch
+    boundaries only decide WHEN a row arrives, arrival stays time-ordered
+    for any monotone cuts, and every consumer's append-mode result is
+    gated by the final watermark, which depends only on max event time):
+
+    * cuts are equal thirds of the [min, max] event-time RANGE — one
+      cheap codegen min/max aggregate instead of the exact ``percentile``
+      UDAF, which buffered every event timestamp per partition;
+    * the ``n`` batch files are written in ONE pass — a batch-id column,
+      ``repartition(n, _b)`` (each key owns exactly one task, so exactly
+      one file per batch), ``partitionBy(_b)`` (the id is stripped from
+      the rows), then directory renames + mtimes — instead of ``n``
+      sequential full-scan ``coalesce(1)`` jobs.
+
+    A time-skewed frame can leave a middle range empty; ``partitionBy``
+    then writes no directory for it and the replay simply has one fewer
+    micro-batch (same drained rows).
+    """
     import os
     import tempfile
 
     ts_col = schema.split(",")[-1].strip().split(" ")[0]
     us = F.unix_micros(F.col(ts_col))
-    cuts = df.agg(
-        *[
-            F.percentile(us, (i + 1) / n).alias(f"c{i}")
-            for i in range(n - 1)
-        ]
-    ).collect()[0]
-    bounds = [int(cuts[f"c{i}"]) for i in range(n - 1)]
+    mm = df.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).collect()[0]
+    mn, mx = int(mm["mn"]), int(mm["mx"])
+    bounds = [mn + (mx - mn) * (i + 1) // n for i in range(n - 1)]
+    batch = F.when(us <= bounds[0], 0)
+    for i in range(1, n - 1):
+        batch = batch.when(us <= bounds[i], i)
+    batch = batch.otherwise(n - 1)
     tmp = tempfile.mkdtemp(prefix="replay_")
-    lo = None
+    raw = f"{tmp}/raw"
+    (
+        df.withColumn("_b", batch)
+        .repartition(n, "_b")
+        .write.partitionBy("_b")
+        .parquet(raw)
+    )
     for i in range(n):
-        hi = bounds[i] if i < n - 1 else None
-        p = df
-        if lo is not None:
-            p = p.filter(us > lo)
-        if hi is not None:
-            p = p.filter(us <= hi)
-        path = f"{tmp}/f{i}"
-        p.coalesce(1).write.parquet(path)
+        src, dst = f"{raw}/_b={i}", f"{tmp}/f{i}"
+        if not os.path.isdir(src):
+            continue  # empty time range — skip (one fewer micro-batch)
+        os.rename(src, dst)
         mt = 1_000.0 * (i + 1)
-        for root, _, files in os.walk(path):
+        for root, _, files in os.walk(dst):
             for f_ in files:
                 os.utime(os.path.join(root, f_), (mt, mt))
-        os.utime(path, (mt, mt))
-        lo = hi
+        os.utime(dst, (mt, mt))
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
