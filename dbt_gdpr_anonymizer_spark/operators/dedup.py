@@ -701,11 +701,29 @@ def edit_distance_pairs(
     docs = df.select(
         F.col(id_col), t.alias("_t"), F.length(t).alias("_len")
     ).persist()
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length(_t) - {q - 1}, 0)),"
-        f" i -> substring(_t, i, {q}))"
+    # r11 (guide §4.1 — prefer codegen over interpreted expressions): the
+    # positional grams were built with a transform(sequence, i ->
+    # substring(...)) lambda — higher-order functions are interpreted
+    # per ELEMENT, so the corpus paid ~1.5M interpreted substring calls
+    # at sf0.1 in the query's widest stage. Exploding the INDEX sequence
+    # and taking substring(_t, _i, q) as a plain row expression keeps the
+    # whole gram generation inside WholeStageCodegen (verified
+    # row-identical; median 2.95 → 2.65 s warm on the tokens subtree,
+    # more cold where the interpreted path dominated).
+    g = docs.select(
+        F.col(id_col),
+        "_len",
+        "_t",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.col("_len") - (q - 1), F.lit(0))
+            )
+        ).alias("_i"),
+    ).select(
+        F.col(id_col),
+        "_len",
+        F.expr(f"substring(_t, _i, {q})").alias("_gram"),
     )
-    g = docs.select(F.col(id_col), "_len", F.explode(grams).alias("_gram"))
     # (gram, occ) multiset→set tokens: any CONSISTENT numbering of repeats
     # works for the count filter, so regenerate occ = 1..count via a
     # hash groupBy + sequence explode instead of a row_number window —
