@@ -587,19 +587,29 @@ def winnow_fingerprints(
     md5-derived 32-bit values mod ``mod``, bit-identical in DuckDB.
     """
     pre = df.select(F.col(id_col), tx.words(text_col).alias("_ws"))
-    grams = F.when(
-        F.size("_ws") >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_ws") - (k - 1)),
-            lambda i: F.array_join(F.slice(F.col("_ws"), i, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join("_ws", " ")))
-    g = pre.select(F.col(id_col), grams.alias("_gs"))
-    h = g.select(
+    # r11 (guide §4.1): gram text -> md5 -> hex32 -> mod fused into ONE
+    # lambda pass. The previous three chained transforms (grams, md5 map,
+    # hex32 map) each ran interpreted per element AND materialized two
+    # transient per-row string arrays (the gram strings and the hex
+    # digests). One pass does a third of the lambda dispatches and
+    # allocates only the final bigint array; `slice` past the end of a
+    # short array returns the whole array, so the < k-words doc hashes
+    # its whole token sequence as one gram exactly as before (edge
+    # pinned by the A/B identity check and the winnow units). Measured
+    # sf0.1: warm medians 1.43 -> 1.26 s, cold first exec 2.88 -> 1.53 s,
+    # fingerprint relation bit-identical (100 958 rows, symdiff 0).
+    h = pre.select(
         F.col(id_col),
         F.transform(
-            F.transform("_gs", F.md5),
-            lambda d: (tx.md5_hex32(d) % F.lit(mod)).cast("bigint"),
+            F.sequence(
+                F.lit(1), F.greatest(F.size("_ws") - (k - 1), F.lit(1))
+            ),
+            lambda i: (
+                tx.md5_hex32(
+                    F.md5(F.array_join(F.slice(F.col("_ws"), i, k), " "))
+                )
+                % F.lit(mod)
+            ).cast("bigint"),
         ).alias("_hs"),
     )
     wins = F.transform(
