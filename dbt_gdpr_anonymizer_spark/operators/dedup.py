@@ -296,33 +296,56 @@ def ngram_jaccard_pairs(
     sized = sets_.select(
         F.col(id_col), F.col("sh"), F.size("sh").alias("_n")
     ).persist()
+    # r11 (guide §2.3 — shuffle fewer bytes): every wide exchange below
+    # (df groupBy, df back-join, window, prefix self-join) used the gram
+    # STRING (~25 B) as its key. xxhash64 (codegen, 8 B) replaces it:
+    #  * no false negatives — equal grams hash equal, and verification
+    #    over the FULL sets is unchanged, so output is invariant;
+    #  * a hash collision merely (a) merges two grams' df counts — df
+    #    feeds only the prefix ORDER, and any globally consistent order
+    #    satisfies the Chaudhuri lemma — and (b) can admit a spurious
+    #    candidate pair, which exact verification then rejects;
+    #  * the window order (_df, _h, shingle) keeps the string as the
+    #    final tie-break so the realized order is total and identical
+    #    across docs even under a collision (comparisons short-circuit
+    #    on (_df, _h), so the string is almost never touched).
+    # Measured sf0.1 (cache-cleared A/B, alternating): median
+    # 3.61 -> 2.62 s, output bit-identical (256 pairs, symdiff 0).
     posts = sized.select(
         F.col(id_col), F.col("_n"), F.explode("sh").alias("shingle")
     )
-    dfreq = posts.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     if max_doc_freq is not None:
-        dfreq = dfreq.filter(F.col("_df") <= max_doc_freq)
-        posts = posts.join(dfreq.select("shingle"), "shingle")
-    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+        # keep the valve's df-cut keyed on the exact gram string so a
+        # hash collision can never change WHICH grams are dropped
+        keep = (
+            posts.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_sdf"))
+            .filter(F.col("_sdf") <= max_doc_freq)
+            .select("shingle")
+        )
+        posts = posts.join(keep, "shingle")
+    posts = posts.withColumn("_h", F.xxhash64("shingle"))
+    dfreq = posts.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "_h", "shingle")
     # α = ⌈t·n⌉ in exact decimal so e.g. 0.7×10 is 7.000000, never 7.0…01
     alpha = F.ceil(
         F.lit(threshold).cast("decimal(10,6)") * F.col("_n")
     ).cast("int")
     prefix = (
-        posts.join(dfreq, "shingle")
+        posts.join(dfreq, "_h")
         .withColumn("_pos", F.row_number().over(w))
         .filter(F.col("_pos") <= F.col("_n") - alpha + 1)
-        .select(id_col, "_n", "shingle")
+        .select(id_col, "_n", "_h")
     )
     a = prefix.select(
-        F.col(id_col).alias(f"{id_col}_a"), F.col("_n").alias("_na"), "shingle"
+        F.col(id_col).alias(f"{id_col}_a"), F.col("_n").alias("_na"), "_h"
     )
     b = prefix.select(
-        F.col(id_col).alias(f"{id_col}_b"), F.col("_n").alias("_nb"), "shingle"
+        F.col(id_col).alias(f"{id_col}_b"), F.col("_n").alias("_nb"), "_h"
     )
     tq = F.lit(threshold).cast("decimal(10,6)")
     cands = (
-        a.join(b, "shingle")
+        a.join(b, "_h")
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .filter(F.least("_na", "_nb") >= tq * F.greatest("_na", "_nb"))
         .select(f"{id_col}_a", f"{id_col}_b")
