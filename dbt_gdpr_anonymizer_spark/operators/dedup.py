@@ -767,6 +767,17 @@ def edit_distance_pairs(
     # branches (the document-frequency table and the prefix-rank join) and
     # Catalyst has no cross-branch subplan reuse — without the persist the
     # widest stage of the query runs twice
+    # r11 (guide §2.3 — shuffle fewer bytes, the ngram_jaccard_pairs
+    # precedent): downstream exchanges key on _h = xxhash64(gram, occ)
+    # (8 B) instead of the (string, int) pair. No recall loss: equal
+    # tokens hash equal, so the prefix self-join on _h is a SUPERSET of
+    # the token join; a collision can only merge df counts (order-only —
+    # the Gravano/Chaudhuri prefix lemma holds for ANY globally
+    # consistent total order, and (_df, _h, _gram, _occ) stays total via
+    # the string tie-break) or admit a spurious candidate that the exact
+    # levenshtein verification rejects. Measured sf0.1 (cache-cleared
+    # alternating A/B): 5.53-6.93 -> 4.81-6.24 s, output bit-identical
+    # (255 pairs, symdiff 0).
     tokens = (
         g.groupBy(id_col, "_len", "_gram")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -776,25 +787,24 @@ def edit_distance_pairs(
             "_gram",
             F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("_occ"),
         )
+        .withColumn("_h", F.xxhash64("_gram", "_occ"))
     ).persist()
-    dfreq = tokens.groupBy("_gram", "_occ").agg(
-        F.count(F.lit(1)).alias("_df")
-    )
-    rank_w = Window.partitionBy(id_col).orderBy("_df", "_gram", "_occ")
+    dfreq = tokens.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    rank_w = Window.partitionBy(id_col).orderBy("_df", "_h", "_gram", "_occ")
     prefix = (
-        tokens.join(dfreq, ["_gram", "_occ"])
+        tokens.join(dfreq, "_h")
         .withColumn("_rk", F.row_number().over(rank_w))
         .filter(F.col("_rk") <= q * max_distance + 1)
-        .select(id_col, "_len", "_gram", "_occ")
+        .select(id_col, "_len", "_h")
     )
     a = prefix.select(
-        F.col(id_col).alias("_ida"), F.col("_len").alias("_la"), "_gram", "_occ"
+        F.col(id_col).alias("_ida"), F.col("_len").alias("_la"), "_h"
     )
     b = prefix.select(
-        F.col(id_col).alias("_idb"), F.col("_len").alias("_lb"), "_gram", "_occ"
+        F.col(id_col).alias("_idb"), F.col("_len").alias("_lb"), "_h"
     )
     cands = (
-        a.join(b, ["_gram", "_occ"])
+        a.join(b, "_h")
         .filter(F.col("_ida") < F.col("_idb"))
         .filter(F.abs(F.col("_la") - F.col("_lb")) <= max_distance)
         .select("_ida", "_idb")
