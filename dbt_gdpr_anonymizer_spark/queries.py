@@ -3901,14 +3901,27 @@ def stream_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # r12 (guide §5/§2): state partitions derived from the session core
+    # count instead of the session's batch default — see
+    # _stream_state_partitions for the sizing argument and the measured
+    # A/B (32→8 partitions: 7.46→6.57 s at sf0.1/32 cores). Scoped
+    # save/restore keeps the batch default untouched. Partition count
+    # never changes the drained row set (state is per user key; the
+    # watermark schedule is partition-independent).
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, str(_stream_state_partitions(spark)))
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prior)
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -6170,6 +6183,33 @@ def encoding_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def _stream_state_partitions(spark: SparkSession) -> int:
+    """Shuffle/state partition count for the stateful replay drives.
+
+    The stateful partition count is FROZEN at checkpoint creation (AQE
+    never re-plans stateful stages), so it must be sized up front: each
+    shuffle partition is one state-store instance per stateful operator
+    per micro-batch, each paying a fixed per-batch commit/snapshot cost,
+    while the useful update work per partition shrinks as partitions
+    grow. Derived from the SESSION's core count — ``defaultParallelism``
+    is ``$SPARK_GRAFT_CPUS`` under the bench contract's
+    ``local[$SPARK_GRAFT_CPUS]`` master and executors × cores on a real
+    cluster — never a hardcoded local-mode constant. ``cores // 4``
+    balances per-store commit overhead against update parallelism
+    (measured sf0.1 @ 32 cores, sessionize drain: 32 parts 7.46 s,
+    8 parts 6.57 s, 4 parts 9.06 s median-of-3), floored at 4 so small
+    sessions keep enough update parallelism. A production deployment
+    sizes this to aggregate state volume / target per-store size before
+    first start; this derivation is the scale-adaptive analogue with no
+    local-only constant. RocksDB provider: measured and REJECTED at this
+    state volume (sessionize 6.57→6.88 s, interval join 5.24→6.11 s —
+    per-instance open/compaction overhead exceeds the HDFS-backed map's
+    cost for KB-scale state; revisit only when per-store state is large
+    enough to pressure the heap).
+    """
+    return max(4, spark.sparkContext.defaultParallelism // 4)
+
+
 def _replay_batches(
     spark: SparkSession, df: DataFrame, schema: str, n: int = 3
 ) -> DataFrame:
@@ -6189,14 +6229,26 @@ def _replay_batches(
       cheap codegen min/max aggregate instead of the exact ``percentile``
       UDAF, which buffered every event timestamp per partition;
     * the ``n`` batch files are written in ONE pass — a batch-id column,
-      ``repartition(n, _b)`` (each key owns exactly one task, so exactly
-      one file per batch), ``partitionBy(_b)`` (the id is stripped from
-      the rows), then directory renames + mtimes — instead of ``n``
-      sequential full-scan ``coalesce(1)`` jobs.
+      ``repartition(n, _b)`` (each ``_b`` key lands in exactly one
+      shuffle partition — two keys may share a partition, which is
+      harmless since ``partitionBy`` still splits them into their own
+      directories — so each batch directory gets exactly one data file
+      under the default ``maxRecordsPerFile=0``; asserted below, because
+      multiple same-mtime files per batch would make intra-batch file
+      order arbitrary and could surface as dropped-late rows), then
+      directory renames + mtimes — instead of ``n`` sequential full-scan
+      ``coalesce(1)`` jobs.
 
     A time-skewed frame can leave a middle range empty; ``partitionBy``
     then writes no directory for it and the replay simply has one fewer
     micro-batch (same drained rows).
+
+    Contract: the event-time column (the LAST column of ``schema``) must
+    be non-null — every registry caller feeds generator-backed non-null
+    ``ts``. A NULL ts would route to the last batch (``otherwise``) and
+    stateful consumers would then fail on a null event time; guarded by
+    the min/max probe below (min/max are NULL-skipping, so an all-NULL
+    frame fails fast on the int() cast).
     """
     import os
     import tempfile
@@ -6224,9 +6276,20 @@ def _replay_batches(
             continue  # empty time range — skip (one fewer micro-batch)
         os.rename(src, dst)
         mt = 1_000.0 * (i + 1)
+        data_files = []
         for root, _, files in os.walk(dst):
             for f_ in files:
+                if f_.endswith(".parquet"):
+                    data_files.append(f_)
                 os.utime(os.path.join(root, f_), (mt, mt))
+        # one data file per batch dir — the time-ordered-arrival argument
+        # depends on it (see docstring); fails loudly if a conf like
+        # maxRecordsPerFile ever splits a batch
+        if len(data_files) != 1:
+            raise AssertionError(
+                f"_replay_batches: batch dir {dst} has {len(data_files)} "
+                "parquet files, expected exactly 1"
+            )
         os.utime(dst, (mt, mt))
     return (
         spark.readStream.schema(schema)
@@ -6294,13 +6357,27 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-plans stateful stages), so it must be sized to state volume up
     # front: each shuffle partition is a state-store instance per side per
     # micro-batch, and at this drain's volume 32 stores are pure overhead
-    # — 8 halves the wall time (measured 12.8s → 6.8s at sf0.1). A
-    # production cluster sizes this to aggregate state volume / executor
-    # count BEFORE first start; scoped save/restore keeps the session's
-    # batch default untouched.
+    # — 8 halves the wall time (measured 12.8s → 6.8s at sf0.1). r12: the
+    # count is now DERIVED from the session core count (8 at the bench's
+    # 32 cores — same value, no hardcoded local-mode constant; see
+    # _stream_state_partitions). A production cluster sizes this to
+    # aggregate state volume / executor count BEFORE first start; scoped
+    # save/restore keeps the session's batch default untouched.
+    #
+    # r12: the final NO-DATA micro-batch is skipped for this INNER join —
+    # it exists for eager state eviction/timeout firing, and an inner
+    # stream-stream join emits rows only while processing DATA; the final
+    # eviction pass cannot add or remove emitted matches (measured: the
+    # no-data batch cost 0.7-0.8 s of pure state-store commit at sf0.1;
+    # drained rows identical, oracle green at 3 SFs). The OUTER-join
+    # drive (stream_outer_join_purchases) KEEPS no-data batches — its
+    # null emission fires exactly on watermark-driven eviction.
     key = "spark.sql.shuffle.partitions"
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     prior = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    prior_nodata = spark.conf.get(nodata_key)
+    spark.conf.set(key, str(_stream_state_partitions(spark)))
+    spark.conf.set(nodata_key, "false")
     try:
         q = (
             joined.writeStream.format("memory")
@@ -6312,6 +6389,7 @@ def stream_interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set(key, prior)
+        spark.conf.set(nodata_key, prior_nodata)
     return (
         spark.table(name)
         .groupBy("purchase_id")
@@ -8132,9 +8210,13 @@ def stream_outer_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="right_outer",
     ).select("purchase_id", "click_id", F.col("right_ts").alias("p_ts"))
     name = f"soj_{uuid.uuid4().hex[:8]}"
+    # derived state-partition count (r12, see _stream_state_partitions);
+    # no-data micro-batches stay ON here — the outer join's null-padded
+    # rows are emitted exactly when the final watermark advance evicts
+    # unmatched state, which happens in that batch.
     key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, str(_stream_state_partitions(spark)))
     try:
         q = (
             joined.writeStream.format("memory")

@@ -169,32 +169,49 @@ _STATE_SCHEMA = "start bigint, last bigint, n bigint"
 def _session_fn(gap_micros: int):
     """Per-group state transition (closure over the gap). State:
     (start, last, n) in epoch MICROS — integers round-trip exactly
-    through the state store."""
+    through the state store.
+
+    r12 (guide §4.2 — vectorize inside the Python boundary): the per-key
+    Python time dominated the drain (allUpdatesTimeMs ≈ 8.6 s summed per
+    batch at sf0.1/8 partitions), so the per-element work is vectorized:
+    one numpy floor-divide + C-level sort replaces the per-row
+    ``int(v) // 1000`` genexp, and emitted frames are built from int64 /
+    datetime64[us] arrays instead of per-row ``pd.Timestamp`` objects
+    (same naive-UTC exact-micros values — ``.astype("int64")`` on the
+    nanosecond Arrow series and the ``// 1000`` floor are unchanged)."""
 
     def fn(key, pdfs, state) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
+
+        def emit(rows: list) -> "pd.DataFrame":
+            # rows: [(start_us, last_us, n)] — exact micros as int64,
+            # reinterpreted as naive datetime64[us] (no float, no tz)
+            a = np.asarray(rows, dtype="int64")
+            return pd.DataFrame(
+                {
+                    "user_id": np.full(len(rows), user_id, dtype="int64"),
+                    "session_start": a[:, 0].view("datetime64[us]"),
+                    "session_end": a[:, 1].view("datetime64[us]"),
+                    "n_events": a[:, 2],
+                }
+            )
 
         (user_id,) = key
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(last, unit="us")],
-                    "n_events": [n],
-                }
-            )
+            yield emit([(start, last, n)])
             return
 
-        ts: list[int] = []
-        for pdf in pdfs:
+        parts = [
             # Arrow timestamps arrive as int64 NANOS → exact micros
-            ts.extend(
-                int(v) // 1000 for v in pdf["ts"].astype("int64").tolist()
-            )
-        ts.sort()
+            pdf["ts"].astype("int64").to_numpy() // 1000
+            for pdf in pdfs
+        ]
+        arr = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        arr.sort()
+        ts = arr.tolist()
         if state.exists:
             start, last, n = state.get
         else:
@@ -223,18 +240,7 @@ def _session_fn(gap_micros: int):
             max(timeout_ms, state.getCurrentWatermarkMs() + 1)
         )
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [
-                        pd.Timestamp(s, unit="us") for s, _, _ in closed
-                    ],
-                    "session_end": [
-                        pd.Timestamp(e, unit="us") for _, e, _ in closed
-                    ],
-                    "n_events": [n_ for _, _, n_ in closed],
-                }
-            )
+            yield emit(closed)
 
     return fn
 
