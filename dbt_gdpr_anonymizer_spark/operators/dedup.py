@@ -325,18 +325,31 @@ def ngram_jaccard_pairs(
         )
         posts = posts.join(keep, "shingle")
     posts = posts.withColumn("_h", F.xxhash64("shingle"))
-    dfreq = posts.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    # r12 (guide §2.4 — remove shuffles outright): document frequency now
+    # comes from a COUNT WINDOW over the postings partitioned by _h
+    # instead of a groupBy + corpus-sized back-join. The sort-merge join
+    # already paid exchange(_h) + sort(_h) on the postings side; the
+    # window pays exactly that and nothing else — the aggregate, its
+    # exchange, and the join disappear, and the postings explode runs
+    # ONCE instead of twice (posts fed both join sides and is not
+    # cached). df values are identical (count over the _h partition =
+    # the old groupBy count), so the prefix order and output are
+    # bit-identical (verified, symdiff 0).
+    w_df = Window.partitionBy("_h")
     w = Window.partitionBy(id_col).orderBy("_df", "_h", "shingle")
     # α = ⌈t·n⌉ in exact decimal so e.g. 0.7×10 is 7.000000, never 7.0…01
     alpha = F.ceil(
         F.lit(threshold).cast("decimal(10,6)") * F.col("_n")
     ).cast("int")
+    # persisted (r12): the prefix feeds BOTH sides of the candidate
+    # self-join; caching these few rows (n−α+1 per doc) runs the
+    # explode→window chain once instead of twice
     prefix = (
-        posts.join(dfreq, "_h")
+        posts.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .withColumn("_pos", F.row_number().over(w))
         .filter(F.col("_pos") <= F.col("_n") - alpha + 1)
         .select(id_col, "_n", "_h")
-    )
+    ).persist()
     a = prefix.select(
         F.col(id_col).alias(f"{id_col}_a"), F.col("_n").alias("_na"), "_h"
     )
@@ -372,7 +385,7 @@ def ngram_jaccard_pairs(
             F.floor(F.col("_j") * 1000000).cast("bigint").alias("jaccard_ppm"),
         )
     )
-    return track_caches(out, sized)
+    return track_caches(out, sized, prefix)
 
 
 def dedup_corpus(
@@ -778,6 +791,12 @@ def edit_distance_pairs(
     # levenshtein verification rejects. Measured sf0.1 (cache-cleared
     # alternating A/B): 5.53-6.93 -> 4.81-6.24 s, output bit-identical
     # (255 pairs, symdiff 0).
+    # r12: the tokens persist moved DOWN to `prefix` — after the
+    # df-window rewrite below the token table has a single consumer (the
+    # window chain), while the chain's OUTPUT feeds both sides of the
+    # candidate self-join. Caching the prefix (q·d+1 rows/doc, ~125 K
+    # narrow rows at sf0.1) instead of the full token table (~1.5 M
+    # rows) computes the widest stage once and caches 10× fewer bytes.
     tokens = (
         g.groupBy(id_col, "_len", "_gram")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -788,15 +807,23 @@ def edit_distance_pairs(
             F.explode(F.sequence(F.lit(1), F.col("_c"))).alias("_occ"),
         )
         .withColumn("_h", F.xxhash64("_gram", "_occ"))
-    ).persist()
-    dfreq = tokens.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    )
+    # r12 (guide §2.4 — remove shuffles outright, same rewrite as
+    # ngram_jaccard_pairs): token document frequency via a count window
+    # partitioned by _h instead of groupBy(_h) + corpus-sized back-join.
+    # The SMJ already paid exchange(_h)+sort(_h) on the token side; the
+    # window pays exactly that, the aggregate + its exchange + the join
+    # are gone. df values — and therefore the prefix order and output —
+    # are bit-identical (verified, symdiff 0; measured sf0.1 prefix
+    # subtree 1.57→1.06 s, candidate subtree 3.17→2.13 s median).
+    w_df = Window.partitionBy("_h")
     rank_w = Window.partitionBy(id_col).orderBy("_df", "_h", "_gram", "_occ")
     prefix = (
-        tokens.join(dfreq, "_h")
+        tokens.withColumn("_df", F.count(F.lit(1)).over(w_df))
         .withColumn("_rk", F.row_number().over(rank_w))
         .filter(F.col("_rk") <= q * max_distance + 1)
         .select(id_col, "_len", "_h")
-    )
+    ).persist()
     a = prefix.select(
         F.col(id_col).alias("_ida"), F.col("_len").alias("_la"), "_h"
     )
@@ -852,7 +879,7 @@ def edit_distance_pairs(
             F.col("_ed").cast("bigint").alias("edit_distance"),
         )
     )
-    return track_caches(out, docs, tokens)
+    return track_caches(out, docs, prefix)
 
 
 def benchmark_contamination(

@@ -235,6 +235,19 @@ def pagerank_int(
     # costs ONE equi-join + ONE aggregation (was: deg join + edge join +
     # aggregation + spine left join — 2 of the 4 per-iteration shuffles
     # are gone at any scale, not just at bench scale).
+    # r12 co-partitioning audit (guide §2.4): the cached plan below
+    # ALREADY ends hash(src)-partitioned and src-sorted — Catalyst
+    # executes the dst-spine semi-join first, so the deg equi-join ON
+    # src is the cached plan's last shuffle, and InMemoryTableScan
+    # preserves both partitioning and ordering. With broadcast disabled
+    # (the at-scale join regime) the per-iteration ranks ⋈ edges_deg
+    # SortMergeJoin therefore reads the edge side with NO exchange and
+    # NO re-sort in the loop body — only the (changing) rank side
+    # shuffles each iteration
+    # (plans/r12/pagerank_documents_nobroadcast_before.txt). An explicit
+    # .repartition(src_col) before persist() was tried and is ELIMINATED
+    # by the optimizer as redundant (byte-identical plan, same 62
+    # Exchange nodes: ..._nobroadcast_after.txt), so it is not kept.
     edges_deg = (
         edge_pairs.join(deg, src_col)
         .join(

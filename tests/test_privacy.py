@@ -138,6 +138,26 @@ def test_edit_distance_pairs_exact(edit_docs):
     assert all(d <= 8 for d in got.values())
 
 
+def test_edit_distance_repeated_grams_df_window(spark):
+    """Pins the r12 df-count-window rewrite: document frequency now comes
+    from count() over (partition by _h) instead of a groupBy+back-join.
+    Docs built so the same 3-gram repeats WITHIN a doc (occ numbering
+    must split them into distinct tokens) and ACROSS docs (df > 1 must
+    push those grams to the END of the rarest-first prefix order) — a
+    wrong df or a lost occurrence would drop the (1,2) pair or admit
+    (1,3) past verification."""
+    shared = "abcabcabcabcabcabcabcabcabc"  # 'abc' repeats: occ 1..9
+    rows = [
+        (1, shared + "xyzuvw"),
+        (2, shared + "xyzuvq"),  # distance 1 from doc 1
+        (3, "qrstqrstqrstqrstqrstqrstqrs"),  # no overlap, far away
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = edit_distance_pairs(df, "text", "doc_id", max_distance=2)
+    got = {(r.doc_id_a, r.doc_id_b): r.edit_distance for r in out.collect()}
+    assert got == {(1, 2): 1}
+
+
 def test_edit_distance_zero_threshold_finds_exact_dups(spark):
     df = spark.createDataFrame(
         [(1, "hello world one"), (2, "hello world one"), (3, "hello world two")],
