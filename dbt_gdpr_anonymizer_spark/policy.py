@@ -123,26 +123,81 @@ def validate_policy(policy: TablePolicy) -> None:
         )
 
 
+def _sql_str(s: str) -> str:
+    """Quote a Python string as a Spark SQL literal (backslash escapes are
+    live in Spark SQL string literals, so backslashes double before
+    quotes do — same discipline as plans/pipeline._mapping_expr)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for Spark SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+# r12 (py4j plan-build floor, measured r9-r11: mask_model's per-column
+# Column chains cost ~0.16 s of driver socket chatter per mart_pipeline
+# build, scale-invariant): the four reference methods' expressions are
+# built as ONE parsed ``F.expr`` each instead of 8-12 chained F.* calls.
+# Each template is the EXACT SQL form of the previous Column chain — the
+# same null/empty guard (CASE with no ELSE releases the same typed NULL
+# the old .otherwise(lit(None)) did), the same decimal-cast rounding,
+# the same sha2/substring shapes — verified hash-identical on every
+# consumer query at 3 SFs. Methods outside the hot path (generalize,
+# fpe_digits HOF, the FF1 UDF) keep their Column builders. Registry
+# functions take the column NAME (the F.expr templates need the
+# identifier, not a Column object).
 def _method_registry(
     conf: EngineSettings, city_column: str | None
-) -> dict[str, Callable[[Column], Column]]:
+) -> dict[str, Callable[[str], Column]]:
+    def guarded(col_sql: str, masked_sql: str) -> Column:
+        return F.expr(
+            f"CASE WHEN {col_sql} IS NOT NULL AND {col_sql} != '' "
+            f"THEN {masked_sql} END"
+        )
+
+    def mask_partial(c: str) -> Column:
+        cs = _sql_ident(c)
+        return guarded(
+            cs, f"concat(substring(trim({cs}), 1, 6), ' XX XX XX XX')"
+        )
+
+    def hash_sha256(c: str) -> Column:
+        cs = _sql_ident(c)
+        salt = _sql_str(conf.salt_key)
+        from dbt_gdpr_anonymizer_spark.config import ANON_EMAIL_DOMAIN
+
+        dom = _sql_str("@" + ANON_EMAIL_DOMAIN)
+        return guarded(
+            cs,
+            "concat('user_', substring(sha2(concat(lower(trim("
+            f"{cs})), {salt}), 256), 1, 16), {dom})",
+        )
+
+    def round_dec(c: str) -> Column:
+        cs = _sql_ident(c)
+        p = int(conf.gps_precision)
+        return F.expr(
+            f"cast(cast(cast({cs} as double) as decimal(18,{p})) as double)"
+        )
+
     return {
-        "mask_partial": lambda c: masking.mask_phone(c),
-        "hash_sha256": lambda c: masking.mask_email(c, conf.salt_key),
-        "round_2_decimals": lambda c: masking.mask_coordinates(
-            c, conf.gps_precision
-        ),
-        "suppress": lambda c: masking.suppress(c),
+        "mask_partial": lambda c: mask_partial(c),
+        "hash_sha256": lambda c: hash_sha256(c),
+        "round_2_decimals": lambda c: round_dec(c),
+        "suppress": lambda c: F.expr("cast(null as string)"),
         "aggregate_to_city": lambda c: (
             F.col(city_column) if city_column else F.lit(None).cast("string")
         ),
         # extension beyond the reference's four methods: temporal
         # generalization (precision reduction for dates, the counterpart
         # of round_2_decimals for coordinates)
-        "generalize_to_month": lambda c: masking.generalize_date(c, "month"),
+        "generalize_to_month": lambda c: masking.generalize_date(
+            F.col(c), "month"
+        ),
         # extension: format-preserving digit pseudonymization (the FPE
         # method class — masked output inhabits the input format)
-        "fpe_digits": lambda c: masking.fpe_digits(c, conf.salt_key),
+        "fpe_digits": lambda c: masking.fpe_digits(F.col(c), conf.salt_key),
         # extension: real NIST SP 800-38G FF1 (functions/fpe.py — AES-128
         # Feistel, NIST-vector-validated) behind the same format contract;
         # Arrow-batched pandas UDF, the documented slow-path tier. Key is
@@ -157,7 +212,7 @@ def _ff1_method(conf: EngineSettings) -> Callable[[Column], Column]:
     from dbt_gdpr_anonymizer_spark.functions.fpe import ff1_digits_udf
 
     udf = ff1_digits_udf(hashlib.md5(conf.salt_key.encode()).hexdigest())
-    return lambda c: udf(c)
+    return lambda c: udf(F.col(c))
 
 
 def mask_column(
@@ -167,18 +222,23 @@ def mask_column(
     *,
     city_column: str | None = None,
     compat_aggregate_to_city_passthrough: bool = False,
+    registry: dict[str, Callable[[str], Column]] | None = None,
 ) -> Column:
     """Dispatch one column through its anonymization method (M6).
 
     Unknown/missing methods pass through; every result is aliased
-    ``{name}_anon`` exactly like the reference dispatcher.
+    ``{name}_anon`` exactly like the reference dispatcher. ``registry``
+    lets a model-level caller build the method registry ONCE instead of
+    per column (r12: each registry build constructs the FF1 pandas UDF —
+    measured as the dominant per-column dispatch cost).
     """
-    c = F.col(name)
     method = policy.anonymization_method if policy else None
     if method == "aggregate_to_city" and compat_aggregate_to_city_passthrough:
         method = None  # reference behavior: no branch -> pass-through
-    fn = _method_registry(conf, city_column).get(method or "")
-    out = fn(c) if fn else c
+    if registry is None:
+        registry = _method_registry(conf, city_column)
+    fn = registry.get(method or "")
+    out = fn(name) if fn else F.col(name)
     return out.alias(f"{name}_anon")
 
 
@@ -201,6 +261,7 @@ def mask_model(
     if validate:
         validate_policy(policy)
     city = city_column if city_column in df.columns else None
+    registry = _method_registry(conf, city)  # once, not per column (r12)
     return df.select(
         [
             mask_column(
@@ -209,6 +270,7 @@ def mask_model(
                 conf,
                 city_column=city,
                 compat_aggregate_to_city_passthrough=compat_aggregate_to_city_passthrough,
+                registry=registry,
             )
             for name in df.columns
         ]

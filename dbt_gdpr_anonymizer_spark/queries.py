@@ -1889,23 +1889,80 @@ def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # words pre-projected once and shared as a COLUMN: lambda-captured
-    # expressions re-evaluate per element (see operators/dedup._shingle_sets)
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "text", tx.words("text").alias("_ws")
+    # r12 (guide §4.1 — prefer codegen over interpreted expressions): the
+    # three stopword `filter(ws, contains)` HOF passes plus the
+    # word-length `aggregate` HOF ran INTERPRETED per token (~4 passes ×
+    # corpus tokens; the r11 regex-alternation rewrite measured flat, so
+    # re-hosting the scan in a different engine constant was not the
+    # answer — removing the interpreted dispatch is). The words array is
+    # exploded ONCE and every per-token measure becomes a plain codegen
+    # row expression (array_contains on a literal array) under one
+    # map-side-partial groupBy — per-doc text-level stats ride the
+    # grouping key, so the exchange carries 1 partially-aggregated row
+    # per doc per map partition, never the tokens. explode_outer keeps
+    # empty docs (NULL token → every membership test contributes 0, the
+    # nw == 0 guards release the same zeros as before). Arithmetic is
+    # UNCHANGED (same double divisions, same floor-ppm, quality = k/4);
+    # output bit-identical (5 000 rows, symdiff 0). Measured sf0.1:
+    # 1.515 → 1.068 s median-of-5 alternating.
+    fr_sw = F.array(*[F.lit(s) for s in tx.FR_STOPWORDS])
+    en_sw = F.array(*[F.lit(s) for s in tx.EN_STOPWORDS])
+    both_sw = F.array(
+        *[F.lit(s) for s in tx.FR_STOPWORDS + tx.EN_STOPWORDS]
     )
-    ws = F.col("_ws")
-    return d.select(
+    d = _t(spark, sf_dir, "documents").select(
         "doc_id",
-        tx.token_count_ws("text").alias("tokens_ws"),
-        tx.token_count_regex("text").alias("tokens_bpe"),
-        tx.lang_id("text", ws).alias("lang_pred"),
-        # floor-ppm: one IEEE multiply + floor, no decimal-cast tie rounding
-        F.floor(tx.punct_ratio("text") * 1000000)
-        .cast("bigint")
-        .alias("punct_ratio_ppm"),
+        tx.token_count_ws("text").alias("_tws"),
+        tx.token_count_regex("text").alias("_tbpe"),
+        # floor-ppm later: one IEEE multiply + floor, no decimal-cast tie
+        # rounding; the ratio itself is the same double division as before
+        tx.punct_ratio("text").alias("_pr"),
+        F.length("text").alias("_n"),
+        tx.words("text").alias("_ws"),
+    )
+    tok = d.select(
+        "doc_id", "_tws", "_tbpe", "_pr", "_n",
+        F.size("_ws").alias("_nw"),
+        F.explode_outer("_ws").alias("_w"),
+    )
+    one = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    g = tok.groupBy("doc_id", "_tws", "_tbpe", "_pr", "_n", "_nw").agg(
+        F.sum(one(F.array_contains(fr_sw, F.col("_w")))).alias("_fr"),
+        F.sum(one(F.array_contains(en_sw, F.col("_w")))).alias("_en"),
+        F.sum(one(F.array_contains(both_sw, F.col("_w")))).alias("_all"),
+        F.sum(
+            F.when(F.col("_w").isNotNull(), F.length("_w")).otherwise(0)
+        ).cast("bigint").alias("_wchars"),
+    )
+    nw = F.col("_nw")
+    stop_ratio = F.when(nw == 0, F.lit(0.0)).otherwise(
+        F.col("_all").cast("double") / nw.cast("double")
+    )
+    mean_wlen = F.when(nw == 0, F.lit(0.0)).otherwise(
+        F.col("_wchars").cast("double") / nw.cast("double")
+    )
+    length_ok = F.when(
+        (F.col("_n") >= 100) & (F.col("_n") <= 20000), 1
+    ).otherwise(0)
+    stop_ok = F.when(
+        (stop_ratio >= 0.05) & (stop_ratio <= 0.6), 1
+    ).otherwise(0)
+    punct_ok = F.when(F.col("_pr") <= 0.2, 1).otherwise(0)
+    wordlen_ok = F.when(
+        (mean_wlen >= 2.0) & (mean_wlen <= 12.0), 1
+    ).otherwise(0)
+    return g.select(
+        "doc_id",
+        F.col("_tws").alias("tokens_ws"),
+        F.col("_tbpe").alias("tokens_bpe"),
+        F.when(F.col("_fr") > F.col("_en"), F.lit("fr"))
+        .when(F.col("_en") > F.col("_fr"), F.lit("en"))
+        .otherwise(F.lit("unknown"))
+        .alias("lang_pred"),
+        F.floor(F.col("_pr") * 1000000).cast("bigint").alias("punct_ratio_ppm"),
         # quality is k/4 with k integer — exact in binary, safe as double
-        tx.quality_score("text", ws).alias("quality"),
+        ((length_ok + stop_ok + punct_ok + wordlen_ok).cast("double") / F.lit(4.0))
+        .alias("quality"),
     )
 
 
@@ -1927,11 +1984,29 @@ def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: same explode + codegen-membership rewrite as
+    # text_quality_profile (the two interpreted stopword-filter HOF
+    # passes become plain array_contains row expressions under one
+    # map-side-partial groupBy); vote arithmetic and output unchanged.
+    fr_sw = F.array(*[F.lit(s) for s in tx.FR_STOPWORDS])
+    en_sw = F.array(*[F.lit(s) for s in tx.EN_STOPWORDS])
     d = _t(spark, sf_dir, "documents").select(
-        "lang", "text", tx.words("text").alias("_ws")
+        "lang", "doc_id", tx.words("text").alias("_ws")
+    )
+    tok = d.select("lang", "doc_id", F.explode_outer("_ws").alias("_w"))
+    one = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    votes = tok.groupBy("lang", "doc_id").agg(
+        F.sum(one(F.array_contains(fr_sw, F.col("_w")))).alias("_fr"),
+        F.sum(one(F.array_contains(en_sw, F.col("_w")))).alias("_en"),
     )
     return (
-        d.select("lang", tx.lang_id("text", F.col("_ws")).alias("lang_pred"))
+        votes.select(
+            "lang",
+            F.when(F.col("_fr") > F.col("_en"), F.lit("fr"))
+            .when(F.col("_en") > F.col("_fr"), F.lit("en"))
+            .otherwise(F.lit("unknown"))
+            .alias("lang_pred"),
+        )
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
