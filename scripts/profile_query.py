@@ -66,23 +66,29 @@ def main() -> None:
         release_caches(warm)
 
         builds, execs, jobs = [], [], []
-        for _ in range(3):
+        for i in range(3):
+            # r12 (ADVICE): count jobs via an explicit JOB GROUP so the
+            # set is exactly this measurement's jobs — the old
+            # max-job-id delta counted any concurrent job in the
+            # session. Caveat that remains: jobs launched from OTHER
+            # threads (streaming micro-batches) don't inherit the
+            # thread-local group, so stream_* job counts are lower
+            # bounds here (bench.py's scale signal uses global
+            # stage-id deltas instead, which do include them).
+            group = f"profile:{name}:{i}"
+            spark.sparkContext.setJobGroup(group, f"profile {name} run {i}")
             t0 = time.perf_counter()
             df = fn(spark, args.sf_dir)
             t1 = time.perf_counter()
-            j0 = set(tracker.getJobIdsForGroup(None) or []) | set(
-                tracker.getActiveJobsIds() or []
-            )
-            n0 = max([0, *j0], default=0)
             df.write.format("noop").mode("overwrite").save()
             t2 = time.perf_counter()
-            j1 = set(tracker.getJobIdsForGroup(None) or []) | set(
-                tracker.getActiveJobsIds() or []
-            )
-            n1 = max([n0, *j1], default=n0)
             builds.append(t1 - t0)
             execs.append(t2 - t1)
-            jobs.append(n1 - n0)
+            # build can launch eager jobs (collect of bounds/guards);
+            # the group covers build + exec, which is what "jobs per
+            # invocation" means for the record
+            jobs.append(len(set(tracker.getJobIdsForGroup(group) or [])))
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
             release_caches(df)
         out[name] = {
             "build": round(sorted(builds)[1], 3),
